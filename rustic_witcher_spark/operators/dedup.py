@@ -1,0 +1,192 @@
+"""Deduplication operators for LLM-data pipelines (north-star extension).
+
+Designed for 100 TB corpora:
+- exact: one hash-shuffle on the dedup key; map-side partial aggregation.
+- minhash-LSH: per-row signature computation is embarrassingly parallel
+  (pure expressions / one projection), then ONE shuffle on (band, hash)
+  buckets; candidate verification only within buckets — never all-pairs.
+- simhash: per-row 64-bit fingerprint (one projection), near-dup = same
+  fingerprint band buckets.
+- n-gram Jaccard: exact verification on candidate pairs only.
+
+All hashing uses the engine's md5-based deterministic primitive so
+results are partitioning-invariant and (where declared) DuckDB-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from rustic_witcher_spark.functions.hashing import hash64
+from rustic_witcher_spark.functions.wordlists import DEFAULT_SEED
+
+
+def normalized_text(col: Column) -> Column:
+    """lowercase + collapse whitespace — the canonical form all dedup
+    operators share."""
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+# ------------------------------------------------------------------- exact
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep the lowest-id row per exact (normalized) text.
+
+    One shuffle on the text hash; at scale, group on a 64-bit digest of
+    the text rather than the full text to keep shuffle rows small.
+    """
+    digest = F.md5(normalized_text(F.col(text_col))).alias("__digest")
+    w = Window.partitionBy("__digest").orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("__digest", digest)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__digest", "__rn")
+    )
+
+
+# ------------------------------------------------------------- minhash-LSH
+
+
+def char_shingles(col: Column, k: int = 5) -> Column:
+    """Distinct character k-shingles of the normalized text, as an array.
+
+    Pure expression: sequence + transform + array_distinct. Texts shorter
+    than k yield a single shingle (the whole text).
+    """
+    norm = normalized_text(col)
+    n = F.greatest(F.length(norm) - F.lit(k - 1), F.lit(1))
+    return F.array_distinct(F.transform(F.sequence(F.lit(1), n), lambda i: norm.substr(i, F.lit(k))))
+
+
+def minhash_signature(col: Column, num_perm: int = 64, k: int = 5, seed: int = DEFAULT_SEED) -> Column:
+    """MinHash signature as array<bigint>: for each of ``num_perm``
+    salted hash functions, the min over the text's shingles.
+
+    One projection per row, no shuffle. num_perm=64 on 5-char shingles
+    estimates Jaccard within ~±0.12; raise to 128 for tighter bands.
+    """
+    shingles = char_shingles(col, k)
+    sig = [F.array_min(F.transform(shingles, lambda s, i=i: hash64(s, seed, f"mh{i}"))) for i in range(num_perm)]
+    return F.array(*sig)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    k: int = 5,
+    seed: int = DEFAULT_SEED,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banding.
+
+    Signature split into ``bands`` bands of ``num_perm/bands`` rows; docs
+    sharing ANY band hash become a candidate pair. Returns
+    (id_a, id_b, est_jaccard) with id_a < id_b, deduplicated across bands.
+
+    Scale shape: one projection (signatures) → explode to ``bands`` rows
+    per doc → ONE shuffle on (band_idx, band_hash) → within-bucket pairs.
+    Bucket sizes are bounded by real duplicate clusters, not corpus size.
+    """
+    rows_per_band = num_perm // bands
+    sig = minhash_signature(F.col(text_col), num_perm, k, seed)
+    banded = df.select(
+        F.col(id_col).alias("__id"),
+        sig.alias("__sig"),
+    ).select(
+        "__id",
+        "__sig",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.md5(F.concat_ws(",", *[F.element_at(F.col("__sig"), b * rows_per_band + r + 1).cast("string") for r in range(rows_per_band)])).alias("bhash"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bk"),
+    ).select("__id", "__sig", F.col("bk.band").alias("band"), F.col("bk.bhash").alias("bhash"))
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(right, (F.col("l.band") == F.col("r.band")) & (F.col("l.bhash") == F.col("r.bhash")) & (F.col("l.__id") < F.col("r.__id")))
+        .select(
+            F.col("l.__id").alias("id_a"),
+            F.col("r.__id").alias("id_b"),
+            F.col("l.__sig").alias("sig_a"),
+            F.col("r.__sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = (
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda a, b: a == b), lambda x: x)) / F.lit(num_perm)
+    ).alias("est_jaccard")
+    return pairs.select("id_a", "id_b", est)
+
+
+# ----------------------------------------------------------------- simhash
+
+
+def simhash64(col: Column, seed: int = DEFAULT_SEED) -> Column:
+    """64-bit SimHash over whitespace tokens, as a bigint.
+
+    Per bit j: sign of Σ_tokens (bit j of hash(token) ? +1 : -1).
+    Pure expressions (aggregate over the token array); no shuffle.
+    """
+    toks = F.split(normalized_text(col), " ")
+    th = F.transform(toks, lambda t: hash64(t, seed, "simhash"))
+    bit_sums = F.array(*[
+        F.aggregate(th, F.lit(0), lambda acc, h, j=j: acc + F.when(h.bitwiseAND(F.lit(1 << j)) != 0, 1).otherwise(-1))
+        for j in range(63)  # 63 bits to stay in positive bigint range
+    ])
+    return F.aggregate(
+        F.zip_with(bit_sums, F.sequence(F.lit(0), F.lit(62)), lambda s, j: F.when(s > 0, F.shiftleft(F.lit(1).cast("long"), j.cast("int"))).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def simhash_near_duplicates(df: DataFrame, text_col: str, id_col: str, seed: int = DEFAULT_SEED) -> DataFrame:
+    """Pairs with identical SimHash (hamming distance 0 fast path).
+
+    For hamming ≤ d>0 at scale, band the 64 bits into d+1 blocks and
+    bucket-join per block (same shape as minhash banding).
+    """
+    h = df.select(F.col(id_col).alias("__id"), simhash64(F.col(text_col), seed).alias("__sim"))
+    l, r = h.alias("l"), h.alias("r")
+    return (
+        l.join(r, (F.col("l.__sim") == F.col("r.__sim")) & (F.col("l.__id") < F.col("r.__id")))
+        .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"), F.col("l.__sim").alias("simhash"))
+    )
+
+
+# ----------------------------------------------------------- n-gram Jaccard
+
+
+def ngram_jaccard(a: Column, b: Column, k: int = 5) -> Column:
+    """Exact Jaccard similarity of character k-shingle sets."""
+    sa, sb = char_shingles(a, k), char_shingles(b, k)
+    inter = F.size(F.array_intersect(sa, sb))
+    union = F.size(F.array_union(sa, sb))
+    return F.when(union == 0, F.lit(1.0)).otherwise(inter / union)
+
+
+def verify_candidates_jaccard(
+    candidates: DataFrame, docs: DataFrame, text_col: str, id_col: str, threshold: float = 0.8, k: int = 5
+) -> DataFrame:
+    """Join candidate (id_a, id_b) pairs back to texts and keep pairs with
+    exact n-gram Jaccard ≥ threshold. Two broadcast-able dimension joins
+    when the candidate set is small; hash joins otherwise."""
+    da = docs.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("__ta"))
+    db = docs.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("__tb"))
+    return (
+        candidates.join(da, "id_a").join(db, "id_b")
+        .withColumn("jaccard", ngram_jaccard(F.col("__ta"), F.col("__tb"), k))
+        .filter(F.col("jaccard") >= threshold)
+        .drop("__ta", "__tb")
+    )

@@ -1,0 +1,116 @@
+"""Similarity search over embedding columns (north-star extension).
+
+Brute-force cosine top-k is the correctness baseline; the LSH-bucketed
+variant is the 100 TB path (candidate generation via random-hyperplane
+signatures → bucket join → exact re-rank within buckets, so the
+cross-product never materializes corpus × queries).
+
+All vector math is built-in expressions (zip_with / aggregate), double
+precision, deterministic fold order — so a DuckDB oracle can reproduce
+the scores bit-for-bit after rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from rustic_witcher_spark.functions.wordlists import DEFAULT_SEED
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ a_i · b_i as a sequential left fold (deterministic order)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x.cast("double") * x.cast("double")), F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors of each query vector.
+
+    Plan shape: broadcast the (small) query set against the corpus —
+    a broadcast nested-loop that scans the corpus ONCE regardless of
+    query count — then a per-query top-k window. Ties broken by
+    neighbor id for determinism.
+
+    Returns (query_id, neighbor_id, sim, rank); self-matches excluded.
+    """
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def hyperplane_signature(vec: Column, dim: int, n_planes: int = 16, seed: int = DEFAULT_SEED) -> Column:
+    """Random-hyperplane LSH signature (n_planes sign bits) as a bigint.
+
+    Plane weights are deterministic ±1 per (plane, coordinate), derived
+    from the engine hash — no driver-side randomness, identical on every
+    executor. P[same bit] = 1 - θ/π, so equal signatures concentrate
+    high-cosine pairs.
+    """
+    import hashlib
+
+    def w(p: int, i: int) -> int:
+        h = hashlib.md5(f"{seed}|hp|{p}|{i}".encode()).hexdigest()
+        return 1 if int(h[:8], 16) % 2 == 0 else -1
+
+    bits = []
+    for p in range(n_planes):
+        proj = None
+        for i in range(dim):
+            term = F.element_at(vec, i + 1).cast("double") * F.lit(float(w(p, i)))
+            proj = term if proj is None else proj + term
+        bits.append(F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long")))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: bucket corpus and queries by hyperplane
+    signature, exact cosine re-rank within buckets.
+
+    At 100 TB: ONE shuffle on the signature (or none if the corpus is
+    pre-bucketed by signature at ingest); bucket fan-out replaces the
+    corpus-wide scan per query. Recall is tunable via n_planes (fewer
+    planes → bigger buckets → higher recall, more compute).
+    """
+    sig = lambda df, idn, vn: df.select(  # noqa: E731
+        F.col(id_col).alias(idn), F.col(vec_col).alias(vn), hyperplane_signature(F.col(vec_col), dim, n_planes).alias("__sig")
+    )
+    c = sig(corpus, "neighbor_id", "__cv")
+    q = sig(queries, "query_id", "__qv")
+    scored = (
+        c.join(q.hint("broadcast"), "__sig")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -1,0 +1,42 @@
+"""SparkSession factory tuned for this engine.
+
+Local testing runs ``local[N]``; on a real cluster the same settings apply
+minus master/driver-memory (AQE, UTC, Arrow, shuffle-partition sizing are
+cluster-safe defaults).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "rustic_witcher_spark", shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    - AQE on (runtime shuffle re-planning, skew-join handling)
+    - UTC session timezone (required for oracle comparison: Spark
+      timestamps are session-TZ, DuckDB's are naive)
+    - Arrow enabled for the few pandas_udf paths
+    - shuffle partitions sized to cores locally (overridable)
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        .config("spark.ui.enabled", "false")
+    )
+    if not os.environ.get("SPARK_MASTER"):  # local mode unless a cluster master is set
+        builder = builder.master(f"local[{cpus}]").config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,131 @@
+"""Parquet sources with AWS-DMS file-class semantics (S1–S4, SURVEY §2.1).
+
+A DMS-exported table is a set of Parquet files: LOAD files (full-load
+snapshot chunks; the first is ``LOAD00000001``) are inserted, CDC files
+(timestamped incremental changes) are upserted
+(ref: rustic-cdc-operator/src/cdc_operator.rs:210-219,253-328;
+anonymization_dataframe_operator.rs:50-134).
+
+Per-file semantics the engine must keep OUT of the naive multi-file scan
+(SURVEY §7.3):
+- ``keep_num_of_records`` slices only the FIRST LOAD file (ref :116-125)
+- when record-reduction is active, every other LOAD file is skipped
+  without being read at all (ref :60-82) — driver-side file pruning that
+  Catalyst can't do for us.
+
+At scale, LOAD files of one table read as ONE multi-file scan (automatic
+union, partition per row-group span); the limit-slice case reads one file.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from datetime import date, datetime
+from enum import Enum
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+FIRST_LOAD_PREFIX = "LOAD00000001"  # ref: anonymization_dataframe_operator.rs:69
+_DMS_CDC_TS = re.compile(r"^(\d{8})-?(\d{9,})?")  # e.g. 20240115-123456789.parquet
+
+
+class FileClass(Enum):
+    FIRST_LOAD = "first_load"
+    LOAD = "load"
+    CDC = "cdc"
+
+
+def classify_file(path: str) -> FileClass:
+    name = Path(path).name
+    if name.startswith(FIRST_LOAD_PREFIX):
+        return FileClass.FIRST_LOAD
+    if name.startswith("LOAD"):
+        return FileClass.LOAD
+    return FileClass.CDC
+
+
+def cdc_file_date(path: str) -> date | None:
+    """Date encoded in a DMS CDC file name (None for LOAD files)."""
+    if classify_file(path) in (FileClass.FIRST_LOAD, FileClass.LOAD):
+        return None
+    m = _DMS_CDC_TS.match(Path(path).name)
+    if not m:
+        return None
+    try:
+        return datetime.strptime(m.group(1), "%Y%m%d").date()
+    except ValueError:
+        return None
+
+
+@dataclass(frozen=True)
+class TableFiles:
+    load_files: tuple[str, ...]
+    cdc_files: tuple[str, ...]
+
+
+def list_table_files(
+    table_dir: str | Path,
+    mode: str = "FullLoadOnly",
+    start_date: date | None = None,
+    stop_date: date | None = None,
+    absolute_path: str | None = None,
+) -> TableFiles:
+    """File discovery, three modes mirroring the reference's CLI
+    (ref: cdc_operator.rs:183-219, src/main.rs:73-79):
+
+    - ``FullLoadOnly``: LOAD* files only
+    - ``DateAware``: LOAD* plus CDC files within [start_date, stop_date];
+      start_date required (ref :184-186)
+    - ``AbsolutePath``: exactly the one given file
+    """
+    if mode == "AbsolutePath":
+        if not absolute_path:
+            raise ValueError("AbsolutePath mode requires absolute_path")
+        f = (absolute_path,)
+        return TableFiles(f, ()) if classify_file(absolute_path) != FileClass.CDC else TableFiles((), f)
+
+    all_files = sorted(str(p) for p in Path(table_dir).glob("*.parquet"))
+    loads = tuple(f for f in all_files if classify_file(f) in (FileClass.FIRST_LOAD, FileClass.LOAD))
+    if mode == "FullLoadOnly":
+        return TableFiles(loads, ())
+    if mode == "DateAware":
+        if start_date is None:
+            raise ValueError("DateAware mode requires start_date")
+        cdc = []
+        for f in all_files:
+            d = cdc_file_date(f)
+            if d is None and classify_file(f) == FileClass.CDC:
+                continue
+            if d is not None and d >= start_date and (stop_date is None or d <= stop_date):
+                cdc.append(f)
+        return TableFiles(loads, tuple(cdc))
+    raise ValueError(f"unknown mode: {mode}")
+
+
+def prune_load_files(load_files: tuple[str, ...], keep_num_of_records: int | None) -> tuple[str, ...]:
+    """S3 whole-file pruning: when record reduction is active only the
+    first LOAD file is read; the rest are skipped before download
+    (ref: anonymization_dataframe_operator.rs:60-82)."""
+    if keep_num_of_records is None:
+        return load_files
+    return tuple(f for f in load_files if classify_file(f) == FileClass.FIRST_LOAD) or load_files[:1]
+
+
+def read_table_files(
+    spark: SparkSession,
+    files: tuple[str, ...],
+    keep_num_of_records: int | None = None,
+) -> DataFrame:
+    """Read a table's file set, honoring the record-reduction slice.
+
+    The limit compiles to Catalyst GlobalLimit with parquet scan-side
+    row pushdown — only the needed leading row groups are decoded
+    (the reference's slice pushdown, ref :116-125).
+    """
+    pruned = prune_load_files(files, keep_num_of_records)
+    df = spark.read.parquet(*pruned)
+    if keep_num_of_records is not None:
+        df = df.limit(keep_num_of_records)
+    return df

@@ -1,0 +1,48 @@
+"""Filter compiler F1–F8 vs DuckDB oracle on the driver's synthetic tables."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rustic_witcher_spark.config.model import FilterSpec
+from rustic_witcher_spark.operators.filters import apply_filter, filter_to_sql
+from tests.conftest import assert_same
+
+CASES = [
+    ("part", FilterSpec(type="Contains", column="p_type", value="BRASS")),
+    ("part", FilterSpec(type="StartsWith", column="p_name", value="a")),
+    ("part", FilterSpec(type="EndsWith", column="p_type", value="STEEL")),
+    ("part", FilterSpec(type="StartsAndEndsWith", column="p_type", starts_with="STANDARD", ends_with="BRASS")),
+    ("customer", FilterSpec(type="Equals", column="c_mktsegment", value="BUILDING")),
+    ("customer", FilterSpec(type="AnyOfInt", column="c_nationkey", values=(1, 2, 3))),
+    ("orders", FilterSpec(type="AnyOfString", column="o_orderpriority", values=("1-URGENT", "2-HIGH"))),
+    ("part", FilterSpec(type="NoFilter")),
+]
+
+
+@pytest.mark.parametrize("table,spec", CASES, ids=[f"{t}-{s.type}" for t, s in CASES])
+def test_filter_matches_oracle(spark, duck, sf_dir, table, spec):
+    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    out = apply_filter(df, spec).select(df.columns[0])  # first col only: avoids float/ts repr noise
+    pred = filter_to_sql(spec)
+    where = f" WHERE {pred}" if pred else ""
+    key = df.columns[0]
+    assert_same(out, duck, f"SELECT {key} FROM {table}{where}")
+
+
+def test_filter_is_pushed_down(spark, sf_dir):
+    """The compiled predicate must reach the parquet scan (PushedFilters)."""
+    df = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    out = apply_filter(df, FilterSpec(type="Equals", column="c_mktsegment", value="BUILDING"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    assert "c_mktsegment" in plan
+
+
+def test_anyof_is_not_in(spark, sf_dir):
+    """F6/F7 are NOT-IN despite the name (SURVEY F6 note)."""
+    df = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    out = apply_filter(df, FilterSpec(type="AnyOfInt", column="c_nationkey", values=(0,)))
+    assert out.filter(F.col("c_nationkey") == 0).count() == 0
+    assert out.count() < df.count()
