@@ -1,0 +1,75 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) and prints ONE JSON line.
+
+Each query executes fully (noop sink — no driver collect overhead) and
+is timed individually; "value" is the sum over all benched queries.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from rustic_witcher_spark.queries import build_registry
+from rustic_witcher_spark.session import get_spark
+
+BENCH_QUERIES = [
+    # reference anonymization surface (scan → filter → project pipelines)
+    "anonymize_customer",
+    "anonymize_orders",
+    "faker_suite",
+    "sanitize_null_bytes",
+    # CDC merge (one PK shuffle)
+    "cdc_upsert",
+    # analytics (scan-heavy agg, broadcast joins, window)
+    "q1_pricing_summary",
+    "q3_top_revenue",
+    "q5_nation_revenue",
+    "top_customers_per_nation",
+    # LLM-data extensions
+    "text_stats",
+    "text_langid",
+    "dedup_exact",
+    "minhash_signatures",
+    "simhash",
+    "knn_bruteforce",
+    "events_tumbling",
+    "events_session",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([\d.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+    spark = get_spark("bench")
+    registry = build_registry()
+
+    # warm the JVM/session so query timings measure the engine, not startup
+    spark.range(1).count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn, _ = registry[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "total_wall_seconds_headline_queries",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -49,6 +49,8 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 # ------------------------------------------------------------- minhash-LSH
 
+MERSENNE_31 = 2_147_483_647  # prime modulus for the permutation family
+
 
 def char_shingles(col: Column, k: int = 5) -> Column:
     """Distinct character k-shingles of the normalized text, as an array.
@@ -61,16 +63,63 @@ def char_shingles(col: Column, k: int = 5) -> Column:
     return F.array_distinct(F.transform(F.sequence(F.lit(1), n), lambda i: norm.substr(i, F.lit(k))))
 
 
-def minhash_signature(col: Column, num_perm: int = 64, k: int = 5, seed: int = DEFAULT_SEED) -> Column:
-    """MinHash signature as array<bigint>: for each of ``num_perm``
-    salted hash functions, the min over the text's shingles.
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Word n-gram shingles (n=3): token windows joined by spaces.
 
-    One projection per row, no shuffle. num_perm=64 on 5-char shingles
-    estimates Jaccard within ~±0.12; raise to 128 for tighter bands.
+    Texts with fewer than n tokens yield one shingle (the whole
+    normalized text). Not deduplicated — MinHash's min is multiset-safe
+    and skipping the distinct keeps the projection cheaper.
     """
-    shingles = char_shingles(col, k)
-    sig = [F.array_min(F.transform(shingles, lambda s, i=i: hash64(s, seed, f"mh{i}"))) for i in range(num_perm)]
-    return F.array(*sig)
+    norm = normalized_text(col)
+    toks = F.split(norm, " ")
+    cnt = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), cnt - (n - 1)),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+    )
+    return F.when(cnt >= n, grams).otherwise(F.array(norm))
+
+
+def perm_params(num_perm: int, seed: int = DEFAULT_SEED) -> list[tuple[int, int]]:
+    """Deterministic (a, b) parameters for the universal-hash permutation
+    family h_i(x) = (a_i·x + b_i) mod M31 — derived from md5 so every
+    executor (and the DuckDB oracle) sees identical values."""
+    import hashlib
+
+    out = []
+    for i in range(num_perm):
+        h = hashlib.md5(f"{seed}|perm|{i}".encode()).hexdigest()
+        a = 1 + int(h[:15], 16) % (MERSENNE_31 - 1)
+        b = int(h[15:30], 16) % MERSENNE_31
+        out.append((a, b))
+    return out
+
+
+def minhash_signature(col: Column, num_perm: int = 64, n: int = 3, seed: int = DEFAULT_SEED) -> Column:
+    """MinHash signature as array<bigint>.
+
+    ONE md5 per shingle, then ``num_perm`` cheap modular permutations
+    (a·h+b mod M31) — instead of num_perm md5s per shingle. At 100 TB
+    that's the difference between hashing the corpus once and hashing
+    it 64×. One projection per row, no shuffle.
+    """
+    def perm_fn(a: int, b: int):
+        # factory, not default-arg lambda: PySpark reads lambda arity
+        return lambda h: (F.lit(a) * h + F.lit(b)) % MERSENNE_31
+
+    shingles = word_shingles(col, n)
+    base = F.transform(shingles, lambda s: hash64(s, seed, "mh") % MERSENNE_31)
+    # "let-bind" the hashed-shingle array through a 1-element transform:
+    # the lambda variable is evaluated ONCE per row, so the md5 pass over
+    # the text runs once — not num_perm times. (Catalyst's project
+    # collapsing would otherwise inline `base` into every array_min.)
+    return F.element_at(
+        F.transform(
+            F.array(base),
+            lambda b: F.array(*[F.array_min(F.transform(b, perm_fn(a, bb))) for a, bb in perm_params(num_perm, seed)]),
+        ),
+        1,
+    )
 
 
 def minhash_lsh_candidates(
@@ -79,7 +128,7 @@ def minhash_lsh_candidates(
     id_col: str,
     num_perm: int = 64,
     bands: int = 16,
-    k: int = 5,
+    n: int = 3,
     seed: int = DEFAULT_SEED,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banding.
@@ -93,7 +142,7 @@ def minhash_lsh_candidates(
     Bucket sizes are bounded by real duplicate clusters, not corpus size.
     """
     rows_per_band = num_perm // bands
-    sig = minhash_signature(F.col(text_col), num_perm, k, seed)
+    sig = minhash_signature(F.col(text_col), num_perm, n, seed)
     banded = df.select(
         F.col(id_col).alias("__id"),
         sig.alias("__sig"),
@@ -138,17 +187,23 @@ def simhash64(col: Column, seed: int = DEFAULT_SEED) -> Column:
     Per bit j: sign of Σ_tokens (bit j of hash(token) ? +1 : -1).
     Pure expressions (aggregate over the token array); no shuffle.
     """
+    def bit_fn(j: int):
+        return lambda acc, h: acc + F.when(h.bitwiseAND(F.lit(1 << j)) != 0, 1).otherwise(-1)
+
+    def total_fn(th: Column) -> Column:
+        # 63 bits to stay in positive bigint range; sum of per-bit sign tests
+        total: Column | None = None
+        for j in range(63):
+            bit_sum = F.aggregate(th, F.lit(0), bit_fn(j))
+            term = F.when(bit_sum > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+            total = term if total is None else total + term
+        return total
+
     toks = F.split(normalized_text(col), " ")
     th = F.transform(toks, lambda t: hash64(t, seed, "simhash"))
-    bit_sums = F.array(*[
-        F.aggregate(th, F.lit(0), lambda acc, h, j=j: acc + F.when(h.bitwiseAND(F.lit(1 << j)) != 0, 1).otherwise(-1))
-        for j in range(63)  # 63 bits to stay in positive bigint range
-    ])
-    return F.aggregate(
-        F.zip_with(bit_sums, F.sequence(F.lit(0), F.lit(62)), lambda s, j: F.when(s > 0, F.shiftleft(F.lit(1).cast("long"), j.cast("int"))).otherwise(F.lit(0).cast("long"))),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    # let-bind the token-hash array (see minhash_signature): hash each
+    # token once, not 63 times
+    return F.element_at(F.transform(F.array(th), total_fn), 1)
 
 
 def simhash_near_duplicates(df: DataFrame, text_col: str, id_col: str, seed: int = DEFAULT_SEED) -> DataFrame:

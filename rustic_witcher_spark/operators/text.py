@@ -39,19 +39,33 @@ def char_count(col: Column) -> Column:
     return F.length(F.coalesce(col, F.lit("")))
 
 
-def punct_ratio(col: Column) -> Column:
-    """Fraction of characters that are ASCII punctuation."""
+def _punct_ratio_raw(col: Column) -> Column:
     s = F.coalesce(col, F.lit(""))
     n_punct = F.length(s) - F.length(F.regexp_replace(s, r"[!-/:-@\[-`{-~]", ""))
-    return F.when(F.length(s) == 0, F.lit(0.0)).otherwise(F.round(n_punct / F.length(s), 6))
+    return F.when(F.length(s) == 0, F.lit(0.0)).otherwise(n_punct / F.length(s))
+
+
+def punct_ratio(col: Column) -> Column:
+    """Fraction of characters that are ASCII punctuation."""
+    return F.round(_punct_ratio_raw(col), 6)
+
+
+def _isin(words: list[str]):
+    # NB: a factory, not a default-arg lambda — PySpark counts a lambda's
+    # parameters to decide the higher-order-function arity, so default
+    # args would be misread as (element, index) variables.
+    return lambda t: t.isin(words)
+
+
+def _stopword_ratio_raw(col: Column, stopwords: list[str]) -> Column:
+    toks = tokens(col)
+    hits = F.size(F.filter(toks, _isin(stopwords)))
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(hits / F.size(toks))
 
 
 def stopword_ratio(col: Column, stopwords: list[str] | None = None) -> Column:
     """Fraction of tokens that are (English) stopwords."""
-    sw = stopwords or STOPWORDS_EN
-    toks = tokens(col)
-    hits = F.size(F.filter(toks, lambda t: t.isin(sw)))
-    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(F.round(hits / F.size(toks), 6))
+    return F.round(_stopword_ratio_raw(col, stopwords or STOPWORDS_EN), 6)
 
 
 def quality_score(col: Column) -> Column:
@@ -60,10 +74,14 @@ def quality_score(col: Column) -> Column:
 
     score = 0.4·min(1, tokens/50) + 0.3·(1 - min(1, 4·punct_ratio))
           + 0.3·min(1, 5·stopword_ratio)
+
+    Composed from the RAW (unrounded) ratios and rounded once — rounding
+    the inner ratios first would create exact decimal ties at the final
+    round boundary, where engines' tie-breaking rules diverge.
     """
     tl = F.least(token_count(col) / F.lit(50.0), F.lit(1.0))
-    pr = F.lit(1.0) - F.least(punct_ratio(col) * 4, F.lit(1.0))
-    sr = F.least(stopword_ratio(col) * 5, F.lit(1.0))
+    pr = F.lit(1.0) - F.least(_punct_ratio_raw(col) * 4, F.lit(1.0))
+    sr = F.least(_stopword_ratio_raw(col, STOPWORDS_EN) * 5, F.lit(1.0))
     return F.round(tl * 0.4 + pr * 0.3 + sr * 0.3, 6)
 
 
@@ -73,7 +91,7 @@ def lang_id(col: Column) -> Column:
     Deterministic tie-break by language code order en < de < fr < es
     (first max wins via strictly-greater comparison chain)."""
     toks = tokens(col)
-    scores = {lang: F.size(F.filter(toks, lambda t, m=markers: t.isin(m))) for lang, markers in LANG_MARKERS.items()}
+    scores = {lang: F.size(F.filter(toks, _isin(markers))) for lang, markers in LANG_MARKERS.items()}
     langs = list(LANG_MARKERS)
     best = F.lit("und")
     best_score = F.lit(0)

@@ -1,0 +1,674 @@
+"""The engine's query inventory — driver contract payload.
+
+Each entry: name -> (spark_fn(spark, sf_dir) -> DataFrame, duckdb_oracle_sql | None).
+
+Coverage maps to SURVEY.md §2 line by line: filters F1–F8, transforms
+T2/T3/T5–T8/T10, record reduction S2/S3, CDC upsert J1/S9, aggregates
+A1/A3, plus the north-star extensions (TPC-H-ish analytics, dedup,
+similarity, text analysis, windowed events).
+
+Conventions that keep the oracle hash-match exact:
+- every computed column is aliased identically in Spark and SQL
+- timestamps are output as 'yyyy-MM-dd HH:mm:ss' strings (engine
+  timestamp reprs differ; strings don't)
+- FP aggregates are rounded (4–6 dp) so parallel-sum ordering noise
+  can't flip the hash
+- all randomness is the engine's md5-based deterministic hashing
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from rustic_witcher_spark.config.model import ColumnTransformation, FilterSpec, TableConfig, TransformationSpec
+from rustic_witcher_spark.functions import fake, fake_sql
+from rustic_witcher_spark.functions.hashing import hash64, sql_hash64
+from rustic_witcher_spark.operators import dedup, similarity, text
+from rustic_witcher_spark.operators.cdc import apply_cdc
+from rustic_witcher_spark.operators.dedup import MERSENNE_31, perm_params
+from rustic_witcher_spark.plans.pipeline import anonymize_table, pipeline_oracle_sql
+from rustic_witcher_spark.sources.parquet import read_events
+from rustic_witcher_spark.streaming import windows
+
+SEED = 42
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Repartition a small-file scan across all cores before a heavy
+    per-row projection. Locally the test tables are single parquet files
+    (one partition); on a real cluster the input is already split and
+    this is a near-no-op safeguard against pathological skew."""
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
+# ---------------------------------------------------------------------------
+# SQL helpers (DuckDB dialect) mirroring the Spark expression helpers
+# ---------------------------------------------------------------------------
+
+_NORM = "regexp_replace(lower(trim({c})), '\\s+', ' ', 'g')"
+
+
+def _norm_sql(c: str) -> str:
+    return _NORM.format(c=c)
+
+
+def _toks_sql(c: str) -> str:
+    n = _norm_sql(c)
+    return f"(CASE WHEN length({n}) = 0 THEN []::VARCHAR[] ELSE string_split({n}, ' ') END)"
+
+
+_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+def _fmt_sql(c: str) -> str:
+    return f"strftime({c}, '%Y-%m-%d %H:%M:%S')"
+
+
+# ---------------------------------------------------------------------------
+# Reference surface: anonymization pipelines (config IS the plan)
+# ---------------------------------------------------------------------------
+
+CUSTOMER_COLUMNS = [
+    ("c_custkey", "BIGINT"),
+    ("c_name", "VARCHAR"),
+    ("c_nationkey", "INTEGER"),
+    ("c_acctbal", "DOUBLE"),
+    ("c_mktsegment", "VARCHAR"),
+]
+
+ANON_CUSTOMER_CFG = TableConfig(
+    table_name="customer",
+    filter=FilterSpec(type="AnyOfInt", column="c_nationkey", values=(1, 2, 3)),
+    column_transformations=(
+        ColumnTransformation("c_name", TransformationSpec(type="Custom", operation_type="fake_name_transformation"), retain_if_empty=True),
+        ColumnTransformation("c_mktsegment", TransformationSpec(type="Replace", replacement_value="SEGMENT")),
+        ColumnTransformation("c_acctbal", TransformationSpec(type="Nullify")),
+    ),
+)
+
+
+def q_anonymize_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return anonymize_table(_read(spark, sf_dir, "customer"), ANON_CUSTOMER_CFG, SEED)
+
+
+SUPPLIER_COLUMNS = [("s_suppkey", "BIGINT"), ("s_name", "VARCHAR"), ("s_nationkey", "INTEGER"), ("s_acctbal", "DOUBLE")]
+
+ANON_SUPPLIER_CFG = TableConfig(
+    table_name="supplier",
+    column_transformations=(
+        ColumnTransformation("s_name", TransformationSpec(type="Custom", operation_type="fake_companyname_transformation")),
+        ColumnTransformation("s_acctbal", TransformationSpec(type="Nullify")),
+    ),
+)
+
+
+def q_anonymize_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return anonymize_table(_read(spark, sf_dir, "supplier"), ANON_SUPPLIER_CFG, SEED)
+
+
+ANON_ORDERS_CFG = TableConfig(
+    table_name="orders",
+    filter=FilterSpec(type="Equals", column="o_orderstatus", value="O"),
+    column_transformations=(
+        ColumnTransformation("o_orderpriority", TransformationSpec(type="Replace", replacement_value="X-CLASSIFIED")),
+    ),
+)
+
+
+def q_anonymize_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = anonymize_table(_read(spark, sf_dir, "orders"), ANON_ORDERS_CFG, SEED)
+    return out.select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        F.date_format("o_orderdate", _FMT).alias("o_orderdate_str"), "o_orderpriority",
+    )
+
+
+def sql_anonymize_orders() -> str:
+    inner = pipeline_oracle_sql(ANON_ORDERS_CFG, [("o_orderkey", "BIGINT"), ("o_custkey", "BIGINT"), ("o_orderstatus", "VARCHAR"), ("o_totalprice", "DOUBLE"), ("o_orderdate", "TIMESTAMP"), ("o_orderpriority", "VARCHAR")])
+    return (
+        f"SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, "
+        f"{_fmt_sql('o_orderdate')} AS o_orderdate_str, o_orderpriority FROM ({inner})"
+    )
+
+
+def q_faker_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _read(spark, sf_dir, "customer")
+    c = F.col("c_name")
+    return df.select(
+        F.col("c_custkey").alias("k"),
+        fake.fake_firstname(c, SEED).alias("first_name"),
+        fake.fake_lastname(c, SEED).alias("last_name"),
+        fake.fake_name(c, SEED).alias("full_name"),
+        fake.fake_companyname(c, SEED).alias("company"),
+        fake.fake_email(c, SEED).alias("email"),
+        fake.fake_address(c, SEED).alias("address"),
+        fake.fake_md5(c, SEED).alias("uuid"),
+        fake.fake_phone(c, SEED).alias("phone"),
+    )
+
+
+def sql_faker_suite() -> str:
+    v = "c_name"
+    return (
+        "SELECT c_custkey AS k, "
+        f"{fake_sql.sql_fake_firstname(v, SEED)} AS first_name, "
+        f"{fake_sql.sql_fake_lastname(v, SEED)} AS last_name, "
+        f"{fake_sql.sql_fake_name(v, SEED)} AS full_name, "
+        f"{fake_sql.sql_fake_companyname(v, SEED)} AS company, "
+        f"{fake_sql.sql_fake_email(v, SEED)} AS email, "
+        f"{fake_sql.sql_fake_address(v, SEED)} AS address, "
+        f"{fake_sql.sql_fake_md5(v, SEED)} AS uuid, "
+        f"{fake_sql.sql_fake_phone(v, SEED)} AS phone "
+        "FROM customer"
+    )
+
+
+def q_fake_multi_email(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Postgres array-literal handling (T7) over a synthesized '{a,b}' column."""
+    df = _read(spark, sf_dir, "documents")
+    arr = F.concat(F.lit("{"), F.col("source"), F.lit(","), F.col("lang"), F.lit("}"))
+    return df.select(F.col("doc_id"), fake.fake_multi_email(arr, SEED).alias("emails"))
+
+
+def sql_fake_multi_email_docs() -> str:
+    arr = "('{' || source || ',' || lang || '}')"
+    return f"SELECT doc_id, {fake_sql.sql_fake_multi_email(arr, SEED)} AS emails FROM documents"
+
+
+def q_fake_email_id_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _read(spark, sf_dir, "customer")
+    return df.select(F.col("c_custkey"), fake.fake_email_with_id_prefix(F.col("c_name"), F.col("c_custkey"), SEED).alias("email"))
+
+
+def q_sanitize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T10 null-byte sanitize over events.props (JSON strings)."""
+    cfg = TableConfig(table_name="events", sanitize_null_bytes=True)
+    df = _read(spark, sf_dir, "events").select("event_id", "event_type", "props")
+    return anonymize_table(df, cfg, SEED)
+
+
+SQL_SANITIZE_EVENTS = (
+    "SELECT event_id, "
+    "(CASE WHEN contains(event_type, chr(0)) THEN NULL ELSE event_type END) AS event_type, "
+    "(CASE WHEN contains(props, chr(0)) THEN NULL ELSE props END) AS props "
+    "FROM events"
+)
+
+
+def q_keep_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 record reduction: head-slice of the (single) LOAD file."""
+    cfg = TableConfig(table_name="part", keep_num_of_records=100)
+    return anonymize_table(_read(spark, sf_dir, "part"), cfg, SEED)
+
+
+# ------------------------------------------------------------------ filters
+
+FILTER_QUERIES: dict[str, tuple[str, FilterSpec]] = {
+    "filter_contains": ("part", FilterSpec(type="Contains", column="p_name", value="widget")),
+    "filter_startswith": ("part", FilterSpec(type="StartsWith", column="p_name", value="small")),
+    "filter_endswith": ("part", FilterSpec(type="EndsWith", column="p_name", value="bolt")),
+    "filter_startsends": ("part", FilterSpec(type="StartsAndEndsWith", starts_with="red", ends_with="gear", column="p_name")),
+    "filter_equals": ("customer", FilterSpec(type="Equals", column="c_mktsegment", value="BUILDING")),
+    "filter_anyofint": ("customer", FilterSpec(type="AnyOfInt", column="c_nationkey", values=(1, 2, 3))),
+    "filter_anyofstring": ("orders", FilterSpec(type="AnyOfString", column="o_orderpriority", values=("1-URGENT", "2-HIGH"))),
+}
+
+_FILTER_OUTPUT_COLS = {
+    "part": ["p_partkey", "p_name", "p_brand", "p_type", "p_size"],
+    "customer": ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"],
+    "orders": ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
+}
+
+
+def _make_filter_query(table: str, spec: FilterSpec) -> QueryFn:
+    from rustic_witcher_spark.operators.filters import apply_filter
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return apply_filter(_read(spark, sf_dir, table), spec).select(*_FILTER_OUTPUT_COLS[table])
+
+    return fn
+
+
+def _filter_sql(table: str, spec: FilterSpec) -> str:
+    from rustic_witcher_spark.operators.filters import filter_to_sql
+
+    cols = ", ".join(_FILTER_OUTPUT_COLS[table])
+    pred = filter_to_sql(spec)
+    return f"SELECT {cols} FROM {table}" + (f" WHERE {pred}" if pred else "")
+
+
+# ------------------------------------------------------------ CDC upsert J1
+
+
+def q_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Emulated DMS CDC batch over events: updates for event_id%10==0
+    (value+1000), deletes for event_id%17==0; delete wins (later ts)."""
+    ev = _read(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value")
+    base = ev.withColumn("Op", F.lit("I")).withColumn("_dms_ingestion_timestamp", F.lit(1).cast("long"))
+    updates = (
+        ev.filter(F.col("event_id") % 10 == 0)
+        .withColumn("value", F.col("value") + 1000)
+        .withColumn("Op", F.lit("U"))
+        .withColumn("_dms_ingestion_timestamp", F.lit(2).cast("long"))
+    )
+    deletes = (
+        ev.filter(F.col("event_id") % 17 == 0)
+        .withColumn("Op", F.lit("D"))
+        .withColumn("_dms_ingestion_timestamp", F.lit(3).cast("long"))
+    )
+    return apply_cdc(base, updates.unionByName(deletes), pk=["event_id"])
+
+
+SQL_CDC_UPSERT = """
+WITH base AS (SELECT event_id, user_id, event_type, value FROM events),
+cdc AS (
+  SELECT event_id, user_id, event_type, value + 1000 AS value, 'U' AS op, 2 AS ts FROM events WHERE event_id % 10 = 0
+  UNION ALL
+  SELECT event_id, user_id, event_type, value, 'D' AS op, 3 AS ts FROM events WHERE event_id % 17 = 0
+),
+latest AS (
+  SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY ts DESC) AS rn FROM cdc) WHERE rn = 1
+)
+SELECT b.event_id, b.user_id, b.event_type, b.value FROM base b
+WHERE b.event_id NOT IN (SELECT event_id FROM latest)
+UNION ALL
+SELECT event_id, user_id, event_type, value FROM latest WHERE op <> 'D'
+"""
+
+
+# -------------------------------------------------------------- aggregates
+
+
+def q_max_pk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: MAX(pk) per table (sequence SETVAL fix-up)."""
+    return _read(spark, sf_dir, "orders").agg(F.max("o_orderkey").alias("max_pk"))
+
+
+def q_validation_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/O9: all-rows-satisfy check as a violation count."""
+    df = _read(spark, sf_dir, "customer")
+    pred = F.col("c_name").contains(" ")
+    return df.agg(F.sum(F.when(~F.coalesce(pred, F.lit(False)), 1).otherwise(0)).alias("violations"))
+
+
+SQL_VALIDATION = "SELECT sum(CASE WHEN NOT coalesce(contains(c_name, ' '), false) THEN 1 ELSE 0 END) AS violations FROM customer"
+
+
+# ------------------------------------------------- analytics (TPC-H-shaped)
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy group-by with 8 aggregates. Flagship."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("sum_disc_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_Q1 = """
+SELECT l_returnflag, l_linestatus,
+  round(sum(l_quantity), 4) AS sum_qty,
+  round(sum(l_extendedprice), 4) AS sum_base_price,
+  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+  round(avg(l_quantity), 4) AS avg_qty,
+  round(avg(l_extendedprice), 4) AS avg_price,
+  round(avg(l_discount), 4) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + group + top-N. The customer dim is
+    broadcast (no shuffle for the small side)."""
+    cust = _read(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", F.date_format("o_orderdate", _FMT).alias("o_orderdate_str"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+SQL_Q3 = f"""
+SELECT o_orderkey, {_fmt_sql('o_orderdate')} AS o_orderdate_str,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: star join through two broadcast dims."""
+    li = _read(spark, sf_dir, "lineitem")
+    sup = _read(spark, sf_dir, "supplier")
+    nat = _read(spark, sf_dir, "nation")
+    reg = _read(spark, sf_dir, "region")
+    return (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+    )
+
+
+SQL_Q5 = """
+SELECT r_name, n_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def q_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window top-K per group."""
+    cust = _read(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+    return (
+        cust.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("c_nationkey", "rank", "c_custkey", F.round("c_acctbal", 4).alias("acctbal"))
+    )
+
+
+SQL_TOP_CUSTOMERS = """
+SELECT c_nationkey, rank, c_custkey, round(c_acctbal, 4) AS acctbal FROM (
+  SELECT c_nationkey, c_custkey, c_acctbal,
+         row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC) AS rank
+  FROM customer)
+WHERE rank <= 3
+"""
+
+
+# ----------------------------------------------------------- text analysis
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _read(spark, sf_dir, "documents")
+    t = F.col("text")
+    return df.select(
+        "doc_id",
+        text.token_count(t).alias("n_tokens"),
+        text.char_count(t).alias("n_chars_actual"),
+        text.punct_ratio(t).alias("punct_ratio"),
+        text.stopword_ratio(t).alias("stopword_ratio"),
+        text.quality_score(t).alias("quality"),
+    )
+
+
+def sql_text_stats() -> str:
+    toks = _toks_sql("text")
+    sw = "[" + ", ".join(f"'{w}'" for w in text.STOPWORDS_EN) + "]"
+    n_punct = "(length(coalesce(text,'')) - length(regexp_replace(coalesce(text,''), '[!-/:-@\\[-`{-~]', '', 'g')))"
+    punct_raw = f"(CASE WHEN length(coalesce(text,'')) = 0 THEN 0.0 ELSE {n_punct}::DOUBLE / length(coalesce(text,'')) END)"
+    swr_raw = f"(CASE WHEN len({toks}) = 0 THEN 0.0 ELSE len(list_filter({toks}, t -> list_contains({sw}, t)))::DOUBLE / len({toks}) END)"
+    # raw ratios composed, single final round — mirrors text.quality_score
+    qual = (
+        f"round(least(len({toks})::DOUBLE / 50.0, 1.0) * 0.4 "
+        f"+ (1.0 - least({punct_raw} * 4, 1.0)) * 0.3 "
+        f"+ least({swr_raw} * 5, 1.0) * 0.3, 6)"
+    )
+    return (
+        f"SELECT doc_id, len({toks}) AS n_tokens, length(coalesce(text,'')) AS n_chars_actual, "
+        f"round({punct_raw}, 6) AS punct_ratio, round({swr_raw}, 6) AS stopword_ratio, {qual} AS quality FROM documents"
+    )
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _spread(spark, _read(spark, sf_dir, "documents"))
+    return df.select("doc_id", "lang", text.lang_id(F.col("text")).alias("lang_pred"))
+
+
+def sql_text_langid() -> str:
+    toks = _toks_sql("text")
+    scores = {}
+    for lang, markers in text.LANG_MARKERS.items():
+        m = "[" + ", ".join(f"'{w}'" for w in markers) + "]"
+        scores[lang] = f"len(list_filter({toks}, t -> list_contains({m}, t)))"
+    # same argmax logic as text.lang_id: iterate langs in order, strictly-greater wins
+    out_lang, out_score = "'und'", "0"
+    for lang in text.LANG_MARKERS:
+        cond = f"({scores[lang]}) > ({out_score})"
+        out_lang = f"(CASE WHEN {cond} THEN '{lang}' ELSE {out_lang} END)"
+        out_score = f"(CASE WHEN {cond} THEN ({scores[lang]}) ELSE ({out_score}) END)"
+    return f"SELECT doc_id, lang, {out_lang} AS lang_pred FROM documents"
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _read(spark, sf_dir, "documents")
+    return df.select("doc_id", text.fingerprint(F.col("text")).alias("fp"))
+
+
+def sql_text_fingerprint() -> str:
+    return f"SELECT doc_id, md5({_norm_sql('text')}) AS fp FROM documents"
+
+
+# ------------------------------------------------------------------- dedup
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _read(spark, sf_dir, "documents")
+    return dedup.exact_dedup(df, "text", "doc_id").select("doc_id")
+
+
+def sql_dedup_exact() -> str:
+    return f"""
+SELECT doc_id FROM (
+  SELECT doc_id, row_number() OVER (PARTITION BY md5({_norm_sql('text')}) ORDER BY doc_id ASC) AS rn
+  FROM documents)
+WHERE rn = 1
+"""
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _spread(spark, _read(spark, sf_dir, "documents"))
+    sig = dedup.minhash_signature(F.col("text"), num_perm=16, n=3, seed=SEED)
+    return df.select("doc_id", F.concat_ws(",", *[F.element_at(sig, i + 1).cast("string") for i in range(16)]).alias("sig"))
+
+
+def sql_minhash_signatures() -> str:
+    norm = _norm_sql("text")
+    toks = f"string_split({norm}, ' ')"
+    grams = (
+        f"(CASE WHEN len({toks}) >= 3 THEN "
+        f"list_transform(generate_series(1, len({toks}) - 2), i -> {toks}[i] || ' ' || {toks}[i+1] || ' ' || {toks}[i+2]) "
+        f"ELSE [{norm}] END)"
+    )
+    base = f"list_transform({grams}, s -> ({sql_hash64('s', SEED, 'mh')}) % {MERSENNE_31})"
+    mins = [
+        f"list_min(list_transform(base_h, h -> ({a} * h + {b}) % {MERSENNE_31}))::VARCHAR"
+        for a, b in perm_params(16, SEED)
+    ]
+    sig = " || ',' || ".join(mins)
+    return f"SELECT doc_id, {sig} AS sig FROM (SELECT doc_id, {base} AS base_h FROM documents)"
+
+
+def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs + exact jaccard verification (rows-only
+    check: the banding join is not worth expressing in one SQL string)."""
+    df = _spread(spark, _read(spark, sf_dir, "documents"))
+    cands = dedup.minhash_lsh_candidates(df, "text", "doc_id", num_perm=32, bands=8, n=3, seed=SEED)
+    return dedup.verify_candidates_jaccard(cands, df, "text", "doc_id", threshold=0.5, k=5).select(
+        "id_a", "id_b", F.round("est_jaccard", 4).alias("est_jaccard"), F.round("jaccard", 4).alias("jaccard")
+    )
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _spread(spark, _read(spark, sf_dir, "documents"))
+    return df.select("doc_id", dedup.simhash64(F.col("text"), SEED).alias("simhash"))
+
+
+def sql_simhash() -> str:
+    toks = _toks_sql("text")
+    # empty-array edge: Spark splits '' -> [''] inside simhash64 (it uses
+    # split directly), so mirror with string_split (never empty list)
+    toks = f"string_split({_norm_sql('text')}, ' ')"
+    hv = f"({sql_hash64('t', SEED, 'simhash')})"
+    bit_terms = []
+    for j in range(63):
+        s = f"sum(CASE WHEN ({hv} & {1 << j}) <> 0 THEN 1 ELSE -1 END)"
+        bit_terms.append(f"(CASE WHEN {s} > 0 THEN {1 << j}::BIGINT ELSE 0 END)")
+    total = " + ".join(bit_terms)
+    return (
+        f"SELECT doc_id, ({total}) AS simhash FROM "
+        f"(SELECT doc_id, unnest({toks}) AS t FROM documents) GROUP BY doc_id"
+    )
+
+
+# -------------------------------------------------------------- similarity
+
+
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.brute_force_topk(emb, queries, k=5).select("query_id", "neighbor_id", "rank", "sim")
+
+
+SQL_KNN = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+s AS (
+  SELECT query_id, neighbor_id,
+         round(list_dot_product(qv::DOUBLE[], cv::DOUBLE[]) /
+               (sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[])) * sqrt(list_dot_product(cv::DOUBLE[], cv::DOUBLE[]))), 6) AS sim
+  FROM c, q WHERE query_id <> neighbor_id
+)
+SELECT query_id, neighbor_id, rank, sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank FROM s)
+WHERE rank <= 5
+"""
+
+
+def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN via hyperplane-LSH buckets (rows-only check)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.lsh_topk(emb, queries, dim=64, k=5, n_planes=8).select("query_id", "neighbor_id", "rank", "sim")
+
+
+# ---------------------------------------------------------- event windows
+
+
+def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windows.tumbling(read_events(spark, sf_dir), width="1 hour")
+
+
+SQL_TUMBLING = """
+SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1
+"""
+
+
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windows.sliding(read_events(spark, sf_dir), width="1 hour", slide="30 minutes")
+
+
+SQL_SLIDING = """
+WITH b AS (SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS tb, value FROM events),
+w AS (SELECT unnest([tb, tb - INTERVAL 30 MINUTE]) AS ws, value FROM b)
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM w GROUP BY 1
+"""
+
+
+def q_events_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windows.session(read_events(spark, sf_dir), gap="30 minutes", key="user_id")
+
+
+SQL_SESSION = """
+WITH g AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM g)
+SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM s GROUP BY user_id, sid
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+
+def build_registry() -> dict[str, tuple[QueryFn, str | None]]:
+    reg: dict[str, tuple[QueryFn, str | None]] = {
+        # reference anonymization surface
+        "anonymize_customer": (q_anonymize_customer, pipeline_oracle_sql(ANON_CUSTOMER_CFG, CUSTOMER_COLUMNS)),
+        "anonymize_supplier": (q_anonymize_supplier, pipeline_oracle_sql(ANON_SUPPLIER_CFG, SUPPLIER_COLUMNS)),
+        "anonymize_orders": (q_anonymize_orders, sql_anonymize_orders()),
+        "faker_suite": (q_faker_suite, sql_faker_suite()),
+        "fake_multi_email": (q_fake_multi_email, sql_fake_multi_email_docs()),
+        "fake_email_id_prefix": (
+            q_fake_email_id_prefix,
+            f"SELECT c_custkey, {fake_sql.sql_fake_email_with_id_prefix('c_name', 'c_custkey', SEED)} AS email FROM customer",
+        ),
+        "sanitize_null_bytes": (q_sanitize_events, SQL_SANITIZE_EVENTS),
+        "keep_num_of_records": (q_keep_records, "SELECT * FROM part LIMIT 100"),
+        # CDC / aggregates / validation
+        "cdc_upsert": (q_cdc_upsert, SQL_CDC_UPSERT),
+        "agg_max_pk": (q_max_pk, "SELECT max(o_orderkey) AS max_pk FROM orders"),
+        "validation_check": (q_validation_violations, SQL_VALIDATION),
+        # analytics
+        "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
+        "q3_top_revenue": (q3_top_revenue, SQL_Q3),
+        "q5_nation_revenue": (q5_nation_revenue, SQL_Q5),
+        "top_customers_per_nation": (q_top_customers_per_nation, SQL_TOP_CUSTOMERS),
+        # text analysis
+        "text_stats": (q_text_stats, sql_text_stats()),
+        "text_langid": (q_text_langid, sql_text_langid()),
+        "text_fingerprint": (q_text_fingerprint, sql_text_fingerprint()),
+        # dedup
+        "dedup_exact": (q_dedup_exact, sql_dedup_exact()),
+        "minhash_signatures": (q_minhash_signatures, sql_minhash_signatures()),
+        "minhash_lsh_candidates": (q_minhash_lsh_candidates, None),  # rows-only: banding join
+        "simhash": (q_simhash, sql_simhash()),
+        # similarity
+        "knn_bruteforce": (q_knn_bruteforce, SQL_KNN),
+        "knn_lsh": (q_knn_lsh, None),  # rows-only: approximate by design
+        # event windows
+        "events_tumbling": (q_events_tumbling, SQL_TUMBLING),
+        "events_sliding": (q_events_sliding, SQL_SLIDING),
+        "events_session": (q_events_session, SQL_SESSION),
+    }
+    for name, (table, spec) in FILTER_QUERIES.items():
+        reg[name] = (_make_filter_query(table, spec), _filter_sql(table, spec))
+    return reg

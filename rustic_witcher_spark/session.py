@@ -33,6 +33,10 @@ def get_spark(app_name: str = "rustic_witcher_spark", shuffle_partitions: int | 
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # Spark has no TIMESTAMP(NANOS) type; read ns-precision parquet
+        # columns (e.g. the events table's ts) as raw long nanos and
+        # convert explicitly (sources.parquet.read_events)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
     )
     if not os.environ.get("SPARK_MASTER"):  # local mode unless a cluster master is set

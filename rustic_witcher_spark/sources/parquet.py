@@ -113,6 +113,24 @@ def prune_load_files(load_files: tuple[str, ...], keep_num_of_records: int | Non
     return tuple(f for f in load_files if classify_file(f) == FileClass.FIRST_LOAD) or load_files[:1]
 
 
+def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read the events table, converting its ns-precision ``ts`` to a
+    microsecond TimestampType column.
+
+    Spark has no nanosecond timestamp type — with
+    ``spark.sql.legacy.parquet.nanosAsLong`` the parquet column arrives
+    as raw long nanos; truncate to micros (DuckDB's TIMESTAMP cast does
+    the same, keeping oracles exact).
+    """
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ts_field = df.schema["ts"].dataType.typeName()
+    if ts_field in ("long", "bigint"):
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
+
+
 def read_table_files(
     spark: SparkSession,
     files: tuple[str, ...],

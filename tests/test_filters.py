@@ -10,10 +10,10 @@ from rustic_witcher_spark.operators.filters import apply_filter, filter_to_sql
 from tests.conftest import assert_same
 
 CASES = [
-    ("part", FilterSpec(type="Contains", column="p_type", value="BRASS")),
-    ("part", FilterSpec(type="StartsWith", column="p_name", value="a")),
-    ("part", FilterSpec(type="EndsWith", column="p_type", value="STEEL")),
-    ("part", FilterSpec(type="StartsAndEndsWith", column="p_type", starts_with="STANDARD", ends_with="BRASS")),
+    ("part", FilterSpec(type="Contains", column="p_name", value="widget")),
+    ("part", FilterSpec(type="StartsWith", column="p_name", value="small")),
+    ("part", FilterSpec(type="EndsWith", column="p_name", value="bolt")),
+    ("part", FilterSpec(type="StartsAndEndsWith", column="p_name", starts_with="red", ends_with="gear")),
     ("customer", FilterSpec(type="Equals", column="c_mktsegment", value="BUILDING")),
     ("customer", FilterSpec(type="AnyOfInt", column="c_nationkey", values=(1, 2, 3))),
     ("orders", FilterSpec(type="AnyOfString", column="o_orderpriority", values=("1-URGENT", "2-HIGH"))),
