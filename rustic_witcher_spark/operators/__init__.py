@@ -1,3 +1,3 @@
-from rustic_witcher_spark.operators import cdc, dedup, filters, similarity, text, transforms
+from rustic_witcher_spark.operators import cdc, dedup, filters, multimodal, similarity, text, transforms
 
-__all__ = ["cdc", "dedup", "filters", "similarity", "text", "transforms"]
+__all__ = ["cdc", "dedup", "filters", "multimodal", "similarity", "text", "transforms"]

@@ -1,0 +1,163 @@
+"""Multimodal column operators (north-star extension).
+
+Images/audio/video ride through the engine as opaque ``binary`` columns
+with a typed metadata struct — the pattern a 100 TB training-data
+pipeline needs: the bytes never leave the executor, Python touches them
+only in Arrow-batched ``mapInPandas`` stages, and every stage is a
+narrow transformation (no shuffle).
+
+The actual codec work (JPEG decode, resampling, frame extraction) needs
+image/audio libraries that are NOT in this container, so the decode
+kernels are STUBBED behind ``DecoderUnavailable`` with a deterministic
+fake implementation used by default — the Spark-side plumbing (schema,
+batch iteration, UDF signatures, partitioning) is real and tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+from typing import Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# schema of the typed metadata carried beside the raw bytes
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_type", T.StringType()),  # image|audio|video
+        T.StructField("format", T.StringType()),  # jpeg|png|wav|mp4|...
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+    ]
+)
+
+
+class DecoderUnavailable(NotImplementedError):
+    """Raised by the real-codec path: decode libs aren't in this image."""
+
+
+def real_decode_image(data: bytes) -> object:  # pragma: no cover - env-gated
+    """Real JPEG/PNG decode — requires Pillow/opencv, not in this container."""
+    raise DecoderUnavailable("image codecs (Pillow/opencv) not available in this environment")
+
+
+def fake_decode_features(data: bytes, n_features: int = 8) -> list[float]:
+    """Deterministic stand-in for a decode→feature-extract kernel: derives
+    ``n_features`` floats in [0,1) from the byte content. Deterministic per
+    byte-content ⇒ partitioning-invariant, testable end-to-end."""
+    if data is None:
+        return [0.0] * n_features
+    h = hashlib.md5(data).digest()
+    out = []
+    for i in range(n_features):
+        h = hashlib.md5(h + bytes([i])).digest()
+        out.append(int.from_bytes(h[:4], "big") / 2**32)
+    return out
+
+
+def attach_media_metadata(df: DataFrame, binary_col: str = "media") -> DataFrame:
+    """Sniff container format from magic bytes — pure expressions, no UDF.
+
+    At scale this is the cheap pre-pass that routes rows to per-format
+    decode stages (partition by format, decode per partition).
+    """
+    b = F.col(binary_col)
+    head = F.hex(F.substring(b, 1, 4))
+    fmt = (
+        F.when(head.startswith("FFD8"), F.lit("jpeg"))
+        .when(head.startswith("89504E47"), F.lit("png"))
+        .when(head.startswith("52494646"), F.lit("wav"))
+        .when(head.startswith("00000018") | head.startswith("00000020"), F.lit("mp4"))
+        .otherwise(F.lit("unknown"))
+    )
+    media_type = (
+        F.when(fmt.isin("jpeg", "png"), F.lit("image"))
+        .when(fmt == "wav", F.lit("audio"))
+        .when(fmt == "mp4", F.lit("video"))
+        .otherwise(F.lit("unknown"))
+    )
+    return df.withColumn("media_size", F.length(b)).withColumn("media_format", fmt).withColumn("media_type", media_type)
+
+
+def extract_features(
+    df: DataFrame,
+    binary_col: str = "media",
+    n_features: int = 8,
+    kernel: Callable[[bytes, int], list[float]] = fake_decode_features,
+    batch_note: str = "decode+featurize",
+) -> DataFrame:
+    """Decode → feature-extract as an Arrow-batched ``mapInPandas`` stage.
+
+    Narrow transformation: each partition's rows stream through Python in
+    Arrow batches; output schema = input + ``features array<float>``. The
+    kernel is pluggable — swap ``fake_decode_features`` for a real
+    Pillow/torchvision kernel where the libs exist.
+    """
+    out_schema = T.StructType(df.schema.fields + [T.StructField("features", T.ArrayType(T.FloatType()))])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["features"] = pdf[binary_col].map(lambda d: kernel(d, n_features))
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def resize_stub(df: DataFrame, binary_col: str = "media", target: tuple[int, int] = (224, 224)) -> DataFrame:
+    """Resize plumbing: same mapInPandas shape as extract_features; the
+    stub 'resize' re-hashes bytes to a fixed-size digest standing in for
+    resized pixels (real impl: Pillow resize per batch)."""
+    out_schema = T.StructType(df.schema.fields + [T.StructField("resized", T.BinaryType())])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["resized"] = pdf[binary_col].map(
+                lambda d: hashlib.md5((d or b"") + f"{target}".encode()).digest()
+            )
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def frame_sample_stub(df: DataFrame, binary_col: str = "media", every_ms: int = 1000) -> DataFrame:
+    """Frame-sampling plumbing for video: one input row → N frame rows
+    (explode shape). The stub emits deterministic frame digests; a real
+    kernel would demux with pyav/ffmpeg per batch."""
+    out_schema = T.StructType(
+        [
+            T.StructField("frame_index", T.IntegerType()),
+            T.StructField("frame_ts_ms", T.LongType()),
+            T.StructField("frame", T.BinaryType()),
+        ]
+        + df.schema.fields
+    )
+    # capture plain values only — the closure ships to executors and must
+    # not reference the DataFrame (would drag the SparkContext along)
+    in_cols = [f.name for f in df.schema.fields]
+    out_cols = [f.name for f in out_schema.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                data = row[binary_col] or b""
+                n_frames = 1 + len(data) % 4  # deterministic fake frame count
+                for i in range(n_frames):
+                    rows.append(
+                        {
+                            "frame_index": i,
+                            "frame_ts_ms": i * every_ms,
+                            "frame": hashlib.md5(data + bytes([i])).digest(),
+                            **{c: row[c] for c in in_cols},
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=out_cols)
+
+    return df.mapInPandas(run, schema=out_schema)

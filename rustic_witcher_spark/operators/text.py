@@ -26,8 +26,8 @@ STOPWORDS_EN = LANG_MARKERS["en"] + ["a", "an", "for", "on", "with", "as", "was"
 
 
 def tokens(col: Column) -> Column:
-    """Whitespace tokens of the normalized text (empty text → empty array)."""
-    norm = normalized_text(col)
+    """Whitespace tokens of the normalized text (NULL/empty → empty array)."""
+    norm = F.coalesce(normalized_text(col), F.lit(""))
     return F.when(F.length(norm) == 0, F.array().cast("array<string>")).otherwise(F.split(norm, " "))
 
 

@@ -62,7 +62,7 @@ def _norm_sql(c: str) -> str:
 
 
 def _toks_sql(c: str) -> str:
-    n = _norm_sql(c)
+    n = f"coalesce({_norm_sql(c)}, '')"
     return f"(CASE WHEN length({n}) = 0 THEN []::VARCHAR[] ELSE string_split({n}, ' ') END)"
 
 
@@ -296,11 +296,11 @@ def q_max_pk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_validation_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3/O9: all-rows-satisfy check as a violation count."""
     df = _read(spark, sf_dir, "customer")
-    pred = F.col("c_name").contains(" ")
+    pred = F.col("c_name").contains("Customer#")
     return df.agg(F.sum(F.when(~F.coalesce(pred, F.lit(False)), 1).otherwise(0)).alias("violations"))
 
 
-SQL_VALIDATION = "SELECT sum(CASE WHEN NOT coalesce(contains(c_name, ' '), false) THEN 1 ELSE 0 END) AS violations FROM customer"
+SQL_VALIDATION = "SELECT sum(CASE WHEN NOT coalesce(contains(c_name, 'Customer#'), false) THEN 1 ELSE 0 END) AS violations FROM customer"
 
 
 # ------------------------------------------------- analytics (TPC-H-shaped)

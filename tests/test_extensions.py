@@ -1,0 +1,174 @@
+"""North-star operators: dedup, similarity, text analysis, multimodal,
+windowed events. Mirrors the reference's tiny-DataFrame unit style plus
+scale-shape assertions."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from rustic_witcher_spark.operators import dedup, multimodal, similarity, text
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog again and again"),
+    (2, "the quick brown fox jumps over the lazy dog again and again"),  # exact dup of 1
+    (3, "the quick brown fox jumps over the lazy cat again and again"),  # near dup
+    (4, "completely different text about database engines and query plans"),
+    (5, "  The QUICK  brown fox jumps over the lazy dog again and again "),  # dup of 1 modulo norm
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_exact_dedup(spark, docs):
+    kept = sorted(r["doc_id"] for r in dedup.exact_dedup(docs, "text", "doc_id").collect())
+    assert kept == [1, 3, 4]  # 2 and 5 collapse into 1 (lowest id wins)
+
+
+def test_minhash_finds_near_dups(spark, docs):
+    cands = dedup.minhash_lsh_candidates(docs, "text", "doc_id", num_perm=32, bands=16, n=3)
+    pairs = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in cands.collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0  # identical texts: all bands agree
+    assert (1, 5) in pairs and pairs[(1, 5)] == 1.0  # normalization catches case/space
+    # near-dup 1-3 shares most 3-gram shingles -> high estimate
+    assert (1, 3) in pairs and pairs[(1, 3)] > 0.3
+    assert (1, 4) not in pairs  # unrelated text never becomes a candidate
+
+
+def test_jaccard_verification(spark, docs):
+    cands = dedup.minhash_lsh_candidates(docs, "text", "doc_id", num_perm=32, bands=16, n=3)
+    verified = dedup.verify_candidates_jaccard(cands, docs, "text", "doc_id", threshold=0.9)
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in verified.collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) not in pairs or pairs[(1, 3)] >= 0.9
+
+
+def test_simhash_identical_for_dups(spark, docs):
+    h = {r["doc_id"]: r["sh"] for r in docs.select("doc_id", dedup.simhash64(F.col("text")).alias("sh")).collect()}
+    assert h[1] == h[2] == h[5]
+    assert h[1] != h[4]
+    # near-dup: small hamming distance
+    ham = bin(h[1] ^ h[3]).count("1")
+    assert ham <= 12
+
+
+def test_simhash_near_duplicates_op(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]) for r in dedup.simhash_near_duplicates(docs, "text", "doc_id").collect()}
+    assert (1, 2) in pairs and (1, 5) in pairs and (2, 5) in pairs
+
+
+# ---------------------------------------------------------------- similarity
+
+
+def test_cosine_expression(spark):
+    df = spark.createDataFrame([([1.0, 0.0], [0.0, 1.0]), ([1.0, 1.0], [1.0, 1.0])], ["a", "b"])
+    vals = [r["c"] for r in df.select(similarity.cosine(F.col("a"), F.col("b")).alias("c")).collect()]
+    assert abs(vals[0]) < 1e-12
+    assert abs(vals[1] - 1.0) < 1e-12
+
+
+def test_brute_force_topk(spark):
+    import random
+
+    random.seed(7)
+    rows = [(i, [random.random() for _ in range(8)]) for i in range(50)]
+    # plant a known near-neighbor of vec 0
+    rows.append((99, [v * 2 for v in rows[0][1]]))  # same direction, scaled -> cosine 1
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = similarity.brute_force_topk(df, df.filter(F.col("vec_id") == 0), k=3)
+    top = sorted(out.collect(), key=lambda r: r["rank"])
+    assert top[0]["neighbor_id"] == 99 and abs(top[0]["sim"] - 1.0) < 1e-6
+    assert all(r["query_id"] == 0 for r in top)
+    # exact: brute force scans everything, ranks are dense 1..k
+    assert [r["rank"] for r in top] == [1, 2, 3]
+
+
+def test_lsh_topk_recall_on_planted_dup(spark):
+    import random
+
+    random.seed(11)
+    rows = [(i, [random.gauss(0, 1) for _ in range(16)]) for i in range(100)]
+    rows.append((999, list(rows[5][1])))  # exact copy of vec 5
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = similarity.lsh_topk(df, df.filter(F.col("vec_id") == 5), dim=16, k=3, n_planes=8)
+    top1 = [r for r in out.collect() if r["rank"] == 1]
+    # identical vector has identical signature -> always in the same bucket
+    assert top1 and top1[0]["neighbor_id"] == 999
+
+
+# -------------------------------------------------------------------- text
+
+
+def test_token_count_and_stats(spark):
+    df = spark.createDataFrame([("the quick fox",), ("",), (None,), ("hello, world!!!",)], ["t"])
+    out = df.select(
+        text.token_count(F.col("t")).alias("n"),
+        text.punct_ratio(F.col("t")).alias("p"),
+        text.stopword_ratio(F.col("t")).alias("s"),
+    ).collect()
+    assert out[0]["n"] == 3 and abs(out[0]["s"] - 1 / 3) < 1e-6
+    assert out[1]["n"] == 0 and out[1]["p"] == 0.0
+    assert out[2]["n"] == 0
+    assert out[3]["n"] == 2 and out[3]["p"] > 0.2
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat and the dog is in that house",),
+            ("der hund und die katze ist nicht hier",),
+            ("le chat est une belle creature que personne",),
+            ("xyz qqq zzz",),
+        ],
+        ["t"],
+    )
+    out = [r["lang"] for r in df.select(text.lang_id(F.col("t")).alias("lang")).collect()]
+    assert out == ["en", "de", "fr", "und"]
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame([("Hello  World",), ("hello world",)], ["t"])
+    fps = [r["fp"] for r in df.select(text.fingerprint(F.col("t")).alias("fp")).collect()]
+    assert fps[0] == fps[1]
+
+
+# --------------------------------------------------------------- multimodal
+
+JPEG = b"\xff\xd8\xff\xe0" + b"fakejpegbytes" * 10
+PNG = b"\x89PNG\r\n\x1a\n" + b"fakepng" * 5
+WAV = b"RIFF" + b"fakewav" * 8
+
+
+def test_media_metadata_sniffing(spark):
+    df = spark.createDataFrame([(1, bytearray(JPEG)), (2, bytearray(PNG)), (3, bytearray(WAV)), (4, bytearray(b"??"))], ["id", "media"])
+    out = {r["id"]: (r["media_format"], r["media_type"], r["media_size"]) for r in multimodal.attach_media_metadata(df).collect()}
+    assert out[1] == ("jpeg", "image", len(JPEG))
+    assert out[2] == ("png", "image", len(PNG))
+    assert out[3] == ("wav", "audio", len(WAV))
+    assert out[4][0] == "unknown"
+
+
+def test_feature_extraction_deterministic_across_partitioning(spark):
+    df = spark.createDataFrame([(i, bytearray(JPEG + bytes([i]))) for i in range(20)], ["id", "media"])
+    one = {r["id"]: r["features"] for r in multimodal.extract_features(df.coalesce(1)).collect()}
+    many = {r["id"]: r["features"] for r in multimodal.extract_features(df.repartition(8)).collect()}
+    assert one == many
+    assert len(one[0]) == 8 and all(0 <= v < 1 for v in one[0])
+
+
+def test_frame_sampling_explodes_rows(spark):
+    df = spark.createDataFrame([(1, bytearray(b"\x00\x00\x00\x18video-bytes-xx"))], ["id", "media"])
+    frames = multimodal.frame_sample_stub(df).collect()
+    assert len(frames) >= 1
+    assert [f["frame_index"] for f in frames] == list(range(len(frames)))
+    assert all(f["id"] == 1 and f["frame"] is not None for f in frames)
+
+
+def test_real_decoder_is_gated():
+    with pytest.raises(multimodal.DecoderUnavailable):
+        multimodal.real_decode_image(JPEG)

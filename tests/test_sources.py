@@ -1,0 +1,77 @@
+"""DMS file-class semantics (S1–S4): classification, pruning, discovery."""
+
+from __future__ import annotations
+
+from datetime import date
+
+import pytest
+
+from rustic_witcher_spark.sources.parquet import (
+    FileClass,
+    cdc_file_date,
+    classify_file,
+    list_table_files,
+    prune_load_files,
+    read_table_files,
+)
+
+
+def test_classify():
+    assert classify_file("s3://b/t/LOAD00000001.parquet") is FileClass.FIRST_LOAD
+    assert classify_file("/x/LOAD00000002.parquet") is FileClass.LOAD
+    assert classify_file("/x/20240115-123456789.parquet") is FileClass.CDC
+
+
+def test_cdc_file_date():
+    assert cdc_file_date("/x/20240115-123456789.parquet") == date(2024, 1, 15)
+    assert cdc_file_date("/x/LOAD00000001.parquet") is None
+
+
+def test_prune_load_files_active():
+    files = tuple(f"/t/LOAD0000000{i}.parquet" for i in range(1, 4))
+    assert prune_load_files(files, 100) == (files[0],)
+    assert prune_load_files(files, None) == files
+
+
+def _make_table_dir(tmp_path, spark):
+    df1 = spark.createDataFrame([(i, f"v{i}") for i in range(100)], ["id", "v"])
+    df2 = spark.createDataFrame([(i, f"v{i}") for i in range(100, 200)], ["id", "v"])
+    for name, df in [("LOAD00000001", df1), ("LOAD00000002", df2)]:
+        pdf = df.toPandas()
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(pa.Table.from_pandas(pdf), str(tmp_path / f"{name}.parquet"))
+    # CDC files on two dates
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.Table.from_pandas(df1.limit(5).toPandas()), str(tmp_path / "20240110-000000001.parquet"))
+    pq.write_table(pa.Table.from_pandas(df1.limit(5).toPandas()), str(tmp_path / "20240120-000000001.parquet"))
+    return tmp_path
+
+
+def test_list_modes(spark, tmp_path):
+    d = _make_table_dir(tmp_path, spark)
+    full = list_table_files(d, "FullLoadOnly")
+    assert len(full.load_files) == 2 and not full.cdc_files
+    aware = list_table_files(d, "DateAware", start_date=date(2024, 1, 15))
+    assert len(aware.cdc_files) == 1 and "20240120" in aware.cdc_files[0]
+    bounded = list_table_files(d, "DateAware", start_date=date(2024, 1, 1), stop_date=date(2024, 1, 15))
+    assert len(bounded.cdc_files) == 1 and "20240110" in bounded.cdc_files[0]
+    with pytest.raises(ValueError, match="start_date"):
+        list_table_files(d, "DateAware")
+    ap = list_table_files(d, "AbsolutePath", absolute_path=str(d / "LOAD00000001.parquet"))
+    assert ap.load_files and not ap.cdc_files
+
+
+def test_read_with_record_reduction(spark, tmp_path):
+    """keep_num_of_records reads ONLY the first LOAD file, sliced (S2+S3)."""
+    d = _make_table_dir(tmp_path, spark)
+    files = list_table_files(d, "FullLoadOnly").load_files
+    df = read_table_files(spark, files, keep_num_of_records=10)
+    rows = df.collect()
+    assert len(rows) == 10
+    assert all(r["id"] < 100 for r in rows)  # nothing from LOAD00000002
+    full = read_table_files(spark, files)
+    assert full.count() == 200  # multi-file union without reduction
