@@ -1,0 +1,90 @@
+"""CLI driver mirroring the reference's ``anonymize`` command surface
+(ref: src/main.rs:30-119): database/schema selection, file-listing mode,
+date bounds, included-tables (inline or from file with path-prefix
+rule, ref: src/main.rs:26-28,109-119), config dir, seed.
+
+Usage:
+    python -m rustic_witcher_spark.cli anonymize \
+        --database demo --schema public \
+        --source /root/testdata/sf0.001 --target /tmp/out \
+        --config-dir ./configs --mode full-load-only
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+from datetime import date
+from pathlib import Path
+
+from rustic_witcher_spark.config.loader import load_config
+from rustic_witcher_spark.functions.wordlists import DEFAULT_SEED
+from rustic_witcher_spark.runner import DEFAULT_NUM_OF_BUFFERS, snapshot
+from rustic_witcher_spark.session import get_spark
+
+_MODES = {"full-load-only": "FullLoadOnly", "date-aware": "DateAware", "absolute-path": "AbsolutePath"}
+
+
+def included_tables_from_file(path: str) -> list[str]:
+    """One table per line; lines containing '/' keep only the last path
+    segment (the reference's prefix rule, src/main.rs:26-28)."""
+    tables = []
+    for line in Path(path).read_text().splitlines():
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        tables.append(line.rsplit("/", 1)[-1])
+    return tables
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="rustic-witcher-spark")
+    sub = p.add_subparsers(dest="command", required=True)
+    a = sub.add_parser("anonymize", help="run the per-table anonymization snapshot")
+    a.add_argument("--database", required=True)
+    a.add_argument("--schema", required=True)
+    a.add_argument("--source", required=True, help="directory of table parquet files/dirs")
+    a.add_argument("--target", required=True, help="output directory")
+    a.add_argument("--config-dir", default=".", help="directory containing <db>-<schema>-sync.toml")
+    a.add_argument("--mode", choices=sorted(_MODES), default="full-load-only")
+    a.add_argument("--start-date", type=date.fromisoformat, default=None)
+    a.add_argument("--stop-date", type=date.fromisoformat, default=None)
+    a.add_argument("--included-tables", nargs="*", default=None)
+    a.add_argument("--included-tables-from-file", default=None)
+    a.add_argument("--excluded-tables", nargs="*", default=None)
+    a.add_argument("--num-buffers", type=int, default=DEFAULT_NUM_OF_BUFFERS)
+    a.add_argument("--seed", type=int, default=int(os.environ.get("RNG_SEED", DEFAULT_SEED)))
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.command != "anonymize":  # pragma: no cover
+        return 2
+    included = args.included_tables
+    if args.included_tables_from_file:
+        included = (included or []) + included_tables_from_file(args.included_tables_from_file)
+    config = load_config(args.config_dir, args.database, args.schema)
+    spark = get_spark(f"anonymize-{args.database}-{args.schema}")
+    report = snapshot(
+        spark,
+        args.source,
+        args.target,
+        config,
+        included_tables=included,
+        excluded_tables=args.excluded_tables,
+        mode=_MODES[args.mode],
+        start_date=args.start_date,
+        stop_date=args.stop_date,
+        num_buffers=args.num_buffers,
+        seed=args.seed,
+    )
+    for r in report.results:
+        print(json.dumps(r.__dict__))
+    return 0 if report.ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

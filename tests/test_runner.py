@@ -1,0 +1,111 @@
+"""Snapshot runner + CLI + Postgres SQL builders."""
+
+from __future__ import annotations
+
+import json
+import shutil
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+from rustic_witcher_spark.config.loader import load_config_str
+from rustic_witcher_spark.runner import snapshot
+
+CFG = """
+[[tables]]
+table_name = "customer"
+keep_num_of_records = 50
+[tables.anonymization_type]
+type = "Multi"
+[[tables.anonymization_type.column_transformations]]
+column_name = "c_name"
+[tables.anonymization_type.column_transformations.transformation_type]
+type = "Custom"
+operation_type = "fake_name_transformation"
+"""
+
+
+@pytest.fixture(scope="module")
+def src(sf_dir, tmp_path_factory):
+    d = tmp_path_factory.mktemp("src")
+    for t in ["customer", "region"]:
+        shutil.copyfile(Path(sf_dir) / f"{t}.parquet", d / f"{t}.parquet")
+    return d
+
+
+def test_snapshot_mixed_anonymize_and_copy(spark, src, tmp_path):
+    report = snapshot(spark, src, tmp_path / "out", load_config_str(CFG))
+    assert report.ok
+    by_table = {r.table: r for r in report.results}
+    assert by_table["customer"].action == "anonymized" and by_table["customer"].rows == 50
+    assert by_table["region"].action == "copied"
+    # passthrough is byte-identical (S7 contract)
+    assert (tmp_path / "out" / "region.parquet").read_bytes() == (src / "region.parquet").read_bytes()
+    # anonymized output readable + transformed
+    out = spark.read.parquet(str(tmp_path / "out" / "customer.parquet"))
+    assert out.count() == 50
+    assert not [r for r in out.collect() if r["c_name"].startswith("Customer#")]
+
+
+def test_snapshot_included_tables(spark, src, tmp_path):
+    report = snapshot(spark, src, tmp_path / "out2", load_config_str(CFG), included_tables=["region"])
+    assert [r.table for r in report.results] == ["region"]
+
+
+def test_snapshot_drift_check_errors(spark, src, tmp_path):
+    report = snapshot(
+        spark, src, tmp_path / "out3", load_config_str(CFG),
+        included_tables=["customer"], catalog={"customer": ["c_custkey", "c_name"]},
+    )
+    assert not report.ok
+    assert "SchemaDriftError" in report.results[0].error
+
+
+def test_cli_end_to_end(src, tmp_path):
+    cfg_dir = tmp_path / "cfg"
+    cfg_dir.mkdir()
+    (cfg_dir / "demo-public-sync.toml").write_text(CFG)
+    proc = subprocess.run(
+        [
+            sys.executable, "-m", "rustic_witcher_spark.cli", "anonymize",
+            "--database", "demo", "--schema", "public",
+            "--source", str(src), "--target", str(tmp_path / "cli_out"),
+            "--config-dir", str(cfg_dir), "--num-buffers", "2",
+        ],
+        capture_output=True, text=True, timeout=300,
+        env={"SPARK_GRAFT_CPUS": "4", "PATH": "/usr/bin:/bin:/usr/local/bin", "HOME": "/root",
+             "JAVA_HOME": __import__("os").environ.get("JAVA_HOME", ""),
+             "PYTHONPATH": str(Path(__file__).resolve().parent.parent)},
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    lines = [json.loads(x) for x in proc.stdout.splitlines() if x.startswith("{")]
+    assert {x["table"]: x["action"] for x in lines} == {"customer": "anonymized", "region": "copied"}
+
+
+def test_included_tables_from_file(tmp_path):
+    from rustic_witcher_spark.cli import included_tables_from_file
+
+    f = tmp_path / "tables.txt"
+    f.write_text("customer\npublic/orders\n# comment\n\ndeep/path/nation\n")
+    assert included_tables_from_file(str(f)) == ["customer", "orders", "nation"]
+
+
+def test_postgres_sql_builders():
+    from rustic_witcher_spark.sinks import postgres_ops as pg
+
+    assert pg.drop_schema_sql("s") == "DROP SCHEMA IF EXISTS s CASCADE"
+    stmts = pg.create_import_role_sql("imp", "pw", "public", pg16_grant_to="admin")
+    assert any("session_replication_role = 'replica'" in s for s in stmts)
+    assert stmts[-1] == "GRANT imp TO admin"
+    assert pg.setval_sql("users_id_seq", "users", "id") == (
+        "SELECT setval('users_id_seq', COALESCE((SELECT MAX(id) FROM users), 1))"
+    )
+    assert pg.split_post_import_sql("a; b ;;\n c;") == ["a", "b", "c"]
+    assert pg.pg_dump_command("postgres://u@h/db", "public", "/tmp/d.sql")[0] == "pg_dump"
+    with pytest.raises(pg.PostgresUnavailable):
+        pg.run_statements(["SELECT 1"], None)
+    ran = []
+    pg.run_statements(["SELECT 1", "SELECT 2"], ran.append)
+    assert ran == ["SELECT 1", "SELECT 2"]
