@@ -95,23 +95,56 @@ def perm_params(num_perm: int, seed: int = DEFAULT_SEED) -> list[tuple[int, int]
     return out
 
 
+# position weights for combining token hashes into 3-gram hashes
+# (primes; products stay < 2^62 against M31-reduced token hashes)
+_GRAM_W1 = 1_000_003
+_GRAM_W2 = 999_983
+
+
+def word_shingle_hashes(col: Column, seed: int = DEFAULT_SEED) -> Column:
+    """Hashes of word 3-gram shingles as array<bigint> — ONE md5 per
+    TOKEN, gram hashes combined arithmetically (no gram-string
+    allocation): gram_i = (w1·h(t_i) + w2·h(t_{i+1}) + h(t_{i+2})) mod M31.
+
+    Texts with fewer than 3 tokens hash the whole normalized text.
+    """
+    norm = normalized_text(col)
+    toks = F.split(norm, " ")
+    th = F.transform(toks, lambda t: hash64(t, seed, "mh") % MERSENNE_31)
+
+    def grams_fn(h: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(1), F.size(h) - 2),
+            lambda i: (
+                (F.element_at(h, i) * _GRAM_W1) % MERSENNE_31
+                + (F.element_at(h, i + 1) * _GRAM_W2) % MERSENNE_31
+                + F.element_at(h, i + 2)
+            )
+            % MERSENNE_31,
+        )
+
+    # let-bind th so the md5-per-token pass runs once per row
+    grams = F.element_at(F.transform(F.array(th), grams_fn), 1)
+    return F.when(F.size(toks) >= 3, grams).otherwise(F.array(hash64(norm, seed, "mh") % MERSENNE_31))
+
+
 def minhash_signature(col: Column, num_perm: int = 64, n: int = 3, seed: int = DEFAULT_SEED) -> Column:
     """MinHash signature as array<bigint>.
 
-    ONE md5 per shingle, then ``num_perm`` cheap modular permutations
-    (a·h+b mod M31) — instead of num_perm md5s per shingle. At 100 TB
-    that's the difference between hashing the corpus once and hashing
-    it 64×. One projection per row, no shuffle.
+    ONE md5 per token (gram hashes combined arithmetically), then
+    ``num_perm`` cheap modular permutations (a·h+b mod M31) — instead of
+    num_perm md5s per shingle. At 100 TB that's the difference between
+    hashing the corpus once and hashing it 64×. One projection per row,
+    no shuffle.
     """
     def perm_fn(a: int, b: int):
         # factory, not default-arg lambda: PySpark reads lambda arity
         return lambda h: (F.lit(a) * h + F.lit(b)) % MERSENNE_31
 
-    shingles = word_shingles(col, n)
-    base = F.transform(shingles, lambda s: hash64(s, seed, "mh") % MERSENNE_31)
+    base = word_shingle_hashes(col, seed)
     # "let-bind" the hashed-shingle array through a 1-element transform:
-    # the lambda variable is evaluated ONCE per row, so the md5 pass over
-    # the text runs once — not num_perm times. (Catalyst's project
+    # the lambda variable is evaluated ONCE per row, so the hashing pass
+    # over the text runs once — not num_perm times. (Catalyst's project
     # collapsing would otherwise inline `base` into every array_min.)
     return F.element_at(
         F.transform(

@@ -502,20 +502,26 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sql_minhash_signatures() -> str:
+    from rustic_witcher_spark.operators.dedup import _GRAM_W1, _GRAM_W2
+
     norm = _norm_sql("text")
     toks = f"string_split({norm}, ' ')"
+    th = f"list_transform({toks}, t -> ({sql_hash64('t', SEED, 'mh')}) % {MERSENNE_31})"
     grams = (
-        f"(CASE WHEN len({toks}) >= 3 THEN "
-        f"list_transform(generate_series(1, len({toks}) - 2), i -> {toks}[i] || ' ' || {toks}[i+1] || ' ' || {toks}[i+2]) "
-        f"ELSE [{norm}] END)"
+        f"list_transform(generate_series(1, len(tok_h) - 2), "
+        f"i -> ((tok_h[i] * {_GRAM_W1}) % {MERSENNE_31} + (tok_h[i+1] * {_GRAM_W2}) % {MERSENNE_31} + tok_h[i+2]) % {MERSENNE_31})"
     )
-    base = f"list_transform({grams}, s -> ({sql_hash64('s', SEED, 'mh')}) % {MERSENNE_31})"
+    whole = f"[({sql_hash64(norm, SEED, 'mh')}) % {MERSENNE_31}]"
+    base = f"(CASE WHEN len(tok_h) >= 3 THEN {grams} ELSE {whole} END)"
     mins = [
         f"list_min(list_transform(base_h, h -> ({a} * h + {b}) % {MERSENNE_31}))::VARCHAR"
         for a, b in perm_params(16, SEED)
     ]
     sig = " || ',' || ".join(mins)
-    return f"SELECT doc_id, {sig} AS sig FROM (SELECT doc_id, {base} AS base_h FROM documents)"
+    return (
+        f"SELECT doc_id, {sig} AS sig FROM ("
+        f"SELECT doc_id, {base} AS base_h FROM (SELECT doc_id, text, {th} AS tok_h FROM documents))"
+    )
 
 
 def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
