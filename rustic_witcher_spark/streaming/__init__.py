@@ -1,3 +1,3 @@
-from rustic_witcher_spark.streaming import windows
+from rustic_witcher_spark.streaming import stateful, windows
 
-__all__ = ["windows"]
+__all__ = ["stateful", "windows"]

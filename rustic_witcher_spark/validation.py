@@ -37,7 +37,15 @@ def check_dataframe(df: DataFrame, check: ValidationCheck) -> ValidationResult:
 
 
 def run_validations(spark: SparkSession, config: ValidationConfig) -> list[ValidationResult]:
-    """Run each validation's query via spark.sql over registered views."""
+    """Run each validation's query via spark.sql over registered views.
+
+    ``SKIP_VALIDATIONS`` env short-circuits, mirroring the reference
+    (ref: result_validator.rs:143-148).
+    """
+    import os
+
+    if os.environ.get("SKIP_VALIDATIONS", "").lower() in ("1", "true", "yes"):
+        return []
     results = []
     for check in config.validations:
         df = spark.sql(check.query)
