@@ -1,0 +1,66 @@
+"""As-of join — an operator Spark lacks natively (SURVEY §2.4 extension).
+
+``asof_join(left, right)``: for every left row, attach the most recent
+right row of the same key with ``right.ts <= left.ts`` (backward
+direction, inclusive).
+
+Implementation is the scalable union+window composition, NOT a
+per-group ``merge_asof`` in pandas:
+
+    union(left, right) → window last(right_value, ignorenulls)
+        over (partition by key, order by ts / side / tiebreak)
+    → keep left rows
+
+Cost shape: ONE shuffle on the key (the same shuffle any join needs),
+no range explosion, no per-group Python. Ties at equal ts order the
+right row first (inclusive <=) and break among right rows by a caller
+tiebreak column, so results are deterministic and partition-invariant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    tiebreak: str | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Backward as-of join; appends ``<value_col><suffix>`` columns to left."""
+    lcols = left.columns
+    l = left.withColumn("__ts", F.col(left_ts)).withColumn("__side", F.lit(0))
+    for v in value_cols:
+        l = l.withColumn(f"__v_{v}", F.lit(None).cast(right.schema[v].dataType))
+    l = l.withColumn("__tb", F.lit(None).cast("long"))
+
+    r = right.select(
+        *on,
+        F.col(right_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        *[F.col(v).alias(f"__v_{v}") for v in value_cols],
+        (F.col(tiebreak).cast("long") if tiebreak else F.lit(0).cast("long")).alias("__tb"),
+    )
+    for c in lcols:
+        if c not in r.columns:
+            r = r.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    unioned = l.select(*lcols, "__ts", "__side", "__tb", *[f"__v_{v}" for v in value_cols]).unionByName(
+        r.select(*lcols, "__ts", "__side", "__tb", *[f"__v_{v}" for v in value_cols])
+    )
+
+    # right rows (side=1) sort BEFORE left rows at equal ts → inclusive <=
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__ts").asc(), F.col("__side").desc(), F.col("__tb").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = unioned
+    for v in value_cols:
+        out = out.withColumn(f"{v}{suffix}", F.last(F.col(f"__v_{v}"), ignorenulls=True).over(w))
+    return out.filter(F.col("__side") == 0).select(*lcols, *[f"{v}{suffix}" for v in value_cols])

@@ -27,6 +27,7 @@ from rustic_witcher_spark.config.model import ColumnTransformation, FilterSpec, 
 from rustic_witcher_spark.functions import fake, fake_sql
 from rustic_witcher_spark.functions.hashing import hash64, sql_hash64
 from rustic_witcher_spark.operators import dedup, similarity, text
+from rustic_witcher_spark.operators.asof import asof_join
 from rustic_witcher_spark.operators.cdc import apply_cdc
 from rustic_witcher_spark.operators.dedup import MERSENNE_31, perm_params
 from rustic_witcher_spark.plans.pipeline import anonymize_table, pipeline_oracle_sql
@@ -590,6 +591,37 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------- event windows
 
 
+def q_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click event gets the most recent purchase value
+    (same user, purchase.ts <= click.ts). Oracle is DuckDB's native
+    ASOF LEFT JOIN. Right side is pre-deduped per (user_id, ts) so the
+    match is unique and both engines agree deterministically."""
+    ev = read_events(spark, sf_dir)
+    left = ev.filter(F.col("event_type") == "click").select("event_id", "ts", "user_id", "value")
+    right = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    joined = asof_join(left, right, on=["user_id"], left_ts="ts", right_ts="ts", value_cols=["purchase_value"], suffix="")
+    return joined.select(
+        "event_id",
+        F.date_format("ts", _FMT).alias("ts"),
+        "user_id",
+        F.round("value", 4).alias("value"),
+        F.round("purchase_value", 4).alias("purchase_value"),
+    )
+
+
+SQL_ASOF = """
+WITH l AS (SELECT event_id, ts, user_id, value FROM events WHERE event_type = 'click'),
+r AS (SELECT user_id, ts, max(value) AS purchase_value FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+SELECT l.event_id, strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS ts, l.user_id,
+       round(l.value, 4) AS value, round(r.purchase_value, 4) AS purchase_value
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
 def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windows.tumbling(read_events(spark, sf_dir), width="1 hour")
 
@@ -670,6 +702,8 @@ def build_registry() -> dict[str, tuple[QueryFn, str | None]]:
         # similarity
         "knn_bruteforce": (q_knn_bruteforce, SQL_KNN),
         "knn_lsh": (q_knn_lsh, None),  # rows-only: approximate by design
+        # joins beyond equi (as-of)
+        "asof_last_purchase": (q_asof_last_purchase, SQL_ASOF),
         # event windows
         "events_tumbling": (q_events_tumbling, SQL_TUMBLING),
         "events_sliding": (q_events_sliding, SQL_SLIDING),
