@@ -239,17 +239,58 @@ def simhash64(col: Column, seed: int = DEFAULT_SEED) -> Column:
     return F.element_at(F.transform(F.array(th), total_fn), 1)
 
 
-def simhash_near_duplicates(df: DataFrame, text_col: str, id_col: str, seed: int = DEFAULT_SEED) -> DataFrame:
-    """Pairs with identical SimHash (hamming distance 0 fast path).
+def simhash_near_duplicates(
+    df: DataFrame, text_col: str, id_col: str, seed: int = DEFAULT_SEED, max_hamming: int = 0
+) -> DataFrame:
+    """EXACT near-duplicate pairs by SimHash hamming distance ≤ max_hamming.
 
-    For hamming ≤ d>0 at scale, band the 64 bits into d+1 blocks and
-    bucket-join per block (same shape as minhash banding).
+    Returns (id_a, id_b, hamming) with id_a < id_b.
+
+    max_hamming=0: equi-join on the full hash — one shuffle.
+
+    max_hamming=d>0: band the 64 bits into d+1 blocks; by pigeonhole any
+    pair within distance d agrees on at least one whole block, so a
+    bucket equi-join per block finds EVERY qualifying pair (this is not
+    approximate, unlike minhash banding); exact bit_count(xor) then
+    filters false positives. Cost: d+1 small shuffle keys per row
+    instead of an O(n²) cross join — the standard scale shape for
+    hamming search over billions of docs.
     """
     h = df.select(F.col(id_col).alias("__id"), simhash64(F.col(text_col), seed).alias("__sim"))
-    l, r = h.alias("l"), h.alias("r")
+    if max_hamming == 0:
+        l, r = h.alias("l"), h.alias("r")
+        return (
+            l.join(r, (F.col("l.__sim") == F.col("r.__sim")) & (F.col("l.__id") < F.col("r.__id")))
+            .select(
+                F.col("l.__id").alias("id_a"),
+                F.col("r.__id").alias("id_b"),
+                F.lit(0).alias("hamming"),
+            )
+        )
+    nb = max_hamming + 1
+    width = 64 // nb
+    bands = [
+        F.struct(
+            F.lit(i).alias("b"),
+            (
+                F.shiftright(F.col("__sim"), i * width).bitwiseAND(F.lit((1 << width) - 1))
+                if i < nb - 1
+                else F.shiftright(F.col("__sim"), i * width)  # last band: all remaining bits
+            ).alias("v"),
+        )
+        for i in range(nb)
+    ]
+    hb = h.select("__id", "__sim", F.explode(F.array(*bands)).alias("__band"))
+    l, r = hb.alias("l"), hb.alias("r")
     return (
-        l.join(r, (F.col("l.__sim") == F.col("r.__sim")) & (F.col("l.__id") < F.col("r.__id")))
-        .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"), F.col("l.__sim").alias("simhash"))
+        l.join(r, (F.col("l.__band") == F.col("r.__band")) & (F.col("l.__id") < F.col("r.__id")))
+        .select(
+            F.col("l.__id").alias("id_a"),
+            F.col("r.__id").alias("id_b"),
+            F.bit_count(F.col("l.__sim").bitwiseXOR(F.col("r.__sim"))).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 

@@ -58,6 +58,35 @@ def brute_force_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding near-duplicate pairs: (id_a, id_b, sim) with
+    id_a < id_b and cosine ≥ threshold.
+
+    This is the EXACT all-pairs formulation (the correctness baseline
+    and the DuckDB-oracle surface). Spark broadcasts the smaller alias
+    into a nested-loop join, so it is fine up to ~10⁵ vectors; beyond
+    that, block first — bucket by ``hyperplane_signature`` (possibly
+    several signature tables, OR-ed) and run this same exact scoring
+    within buckets, exactly the shape ``lsh_topk`` uses.
+    """
+    v = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(b, F.col("a.__id") < F.col("b.__id"))
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.round(cosine(F.col("a.__v"), F.col("b.__v")), 6).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+
+
 def hyperplane_signature(vec: Column, dim: int, n_planes: int = 16, seed: int = DEFAULT_SEED) -> Column:
     """Random-hyperplane LSH signature (n_planes sign bits) as a bigint.
 

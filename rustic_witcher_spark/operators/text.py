@@ -39,6 +39,23 @@ def char_count(col: Column) -> Column:
     return F.length(F.coalesce(col, F.lit("")))
 
 
+# GPT-2-style pre-tokenization over normalized (lowercased) text:
+# contraction suffixes, space-prefixed letter runs, digit runs, and
+# punctuation runs. Leftmost-first alternation — identical semantics in
+# Java regex (Spark) and RE2 (DuckDB), so the count is oracle-exact.
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s']+"
+
+
+def bpe_tokens(col: Column) -> Column:
+    """BPE-ish subword pre-tokens of the normalized text (empty → [])."""
+    norm = F.coalesce(normalized_text(col), F.lit(""))
+    return F.regexp_extract_all(norm, F.lit(BPE_PATTERN), 0)
+
+
+def bpe_token_count(col: Column) -> Column:
+    return F.size(bpe_tokens(col))
+
+
 def _punct_ratio_raw(col: Column) -> Column:
     s = F.coalesce(col, F.lit(""))
     n_punct = F.length(s) - F.length(F.regexp_replace(s, r"[!-/:-@\[-`{-~]", ""))

@@ -557,7 +557,84 @@ def sql_simhash() -> str:
     )
 
 
+def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT hamming-≤3 SimHash pairs via 4-band pigeonhole blocking —
+    no O(n²) cross join on the Spark side; the DuckDB oracle IS the
+    brute-force all-pairs, so the test proves the banding is lossless."""
+    df = _spread(spark, _read(spark, sf_dir, "documents"))
+    return dedup.simhash_near_duplicates(df, "text", "doc_id", seed=SEED, max_hamming=3)
+
+
+def sql_simhash_near_dups() -> str:
+    sims = sql_simhash()
+    return (
+        f"WITH s AS ({sims}) "
+        f"SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+        f"bit_count(xor(a.simhash, b.simhash))::INT AS hamming "
+        f"FROM s a JOIN s b ON a.doc_id < b.doc_id "
+        f"WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"
+    )
+
+
+def q_ngram_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact char-5-gram Jaccard between consecutive doc ids — exercises
+    the ngram_jaccard scalar with a cheap equi-join pairing."""
+    d = _read(spark, sf_dir, "documents")
+    a = d.select(F.col("doc_id").alias("id_a"), F.col("text").alias("__ta"))
+    b = d.select((F.col("doc_id") - F.lit(1)).alias("id_a"), F.col("doc_id").alias("id_b"), F.col("text").alias("__tb"))
+    return a.join(b, "id_a").select(
+        "id_a", "id_b", F.round(dedup.ngram_jaccard(F.col("__ta"), F.col("__tb"), 5), 4).alias("jaccard")
+    )
+
+
+SQL_NGRAM_JACCARD = f"""
+WITH s AS (
+  SELECT doc_id,
+         list_distinct([substring(n, i, 5) FOR i IN generate_series(1, greatest(length(n) - 4, 1))]) AS sh
+  FROM (SELECT doc_id, {_norm_sql('text')} AS n FROM documents)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 1.0
+             ELSE len(list_intersect(a.sh, b.sh)) / len(list_distinct(list_concat(a.sh, b.sh))) END, 4) AS jaccard
+FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
+"""
+
+
+def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _read(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        text.token_count(F.col("text")).alias("n_tokens_ws"),
+        text.bpe_token_count(F.col("text")).alias("n_tokens_bpe"),
+    )
+
+
+def sql_token_count_bpe() -> str:
+    pat = text.BPE_PATTERN.replace("'", "''")
+    norm = f"coalesce({_norm_sql('text')}, '')"
+    return (
+        f"SELECT doc_id, len({_toks_sql('text')}) AS n_tokens_ws, "
+        f"len(regexp_extract_all({norm}, '{pat}')) AS n_tokens_bpe FROM documents"
+    )
+
+
 # -------------------------------------------------------------- similarity
+
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact; LSH-blocked variant
+    is the documented scale path in similarity.cosine_near_dup_pairs)."""
+    return similarity.cosine_near_dup_pairs(_read(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+SQL_EMBEDDING_NEAR_DUPS = """
+WITH p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, sim FROM p WHERE sim >= 0.4
+"""
 
 
 def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -694,14 +771,18 @@ def build_registry() -> dict[str, tuple[QueryFn, str | None]]:
         "text_stats": (q_text_stats, sql_text_stats()),
         "text_langid": (q_text_langid, sql_text_langid()),
         "text_fingerprint": (q_text_fingerprint, sql_text_fingerprint()),
+        "token_count_bpe": (q_token_count_bpe, sql_token_count_bpe()),
         # dedup
         "dedup_exact": (q_dedup_exact, sql_dedup_exact()),
         "minhash_signatures": (q_minhash_signatures, sql_minhash_signatures()),
         "minhash_lsh_candidates": (q_minhash_lsh_candidates, None),  # rows-only: banding join
         "simhash": (q_simhash, sql_simhash()),
+        "simhash_near_dups": (q_simhash_near_dups, sql_simhash_near_dups()),
+        "ngram_jaccard_adjacent": (q_ngram_jaccard_adjacent, SQL_NGRAM_JACCARD),
         # similarity
         "knn_bruteforce": (q_knn_bruteforce, SQL_KNN),
         "knn_lsh": (q_knn_lsh, None),  # rows-only: approximate by design
+        "embedding_near_dups": (q_embedding_near_dups, SQL_EMBEDDING_NEAR_DUPS),
         # joins beyond equi (as-of)
         "asof_last_purchase": (q_asof_last_purchase, SQL_ASOF),
         # event windows

@@ -62,6 +62,56 @@ def test_simhash_near_duplicates_op(spark, docs):
     assert (1, 2) in pairs and (1, 5) in pairs and (2, 5) in pairs
 
 
+def test_simhash_banded_equals_bruteforce(spark, docs):
+    """The d+1-band pigeonhole blocking must find EXACTLY the pairs the
+    O(n²) scan finds — banding is lossless for hamming search."""
+    d = 3
+    h = {r["doc_id"]: r["sh"] for r in docs.select("doc_id", dedup.simhash64(F.col("text")).alias("sh")).collect()}
+    ids = sorted(h)
+    brute = {
+        (a, b, bin(h[a] ^ h[b]).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(h[a] ^ h[b]).count("1") <= d
+    }
+    banded = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in dedup.simhash_near_duplicates(docs, "text", "doc_id", max_hamming=d).collect()
+    }
+    assert banded == brute and brute  # non-trivial: dups 1/2/5 qualify
+
+
+def test_ngram_jaccard_scalar(spark):
+    df = spark.createDataFrame([("abcdef", "abcdef"), ("abcdef", "zzzzzz"), ("", "")], ["a", "b"])
+    vals = [r["j"] for r in df.select(dedup.ngram_jaccard(F.col("a"), F.col("b"), 3).alias("j")).collect()]
+    assert vals[0] == 1.0 and vals[1] == 0.0 and vals[2] == 1.0  # empty==empty by convention
+
+
+def test_bpe_token_count(spark):
+    df = spark.createDataFrame(
+        [("It's 42 degrees, really!",), ("",), (None,), ("hello",)], ["t"]
+    )
+    out = [r["n"] for r in df.select(text.bpe_token_count(F.col("t")).alias("n")).collect()]
+    # normalized: "it's 42 degrees, really!" ->
+    # [it]['s][ 42][ degrees][,][ really][!] = 7
+    assert out == [7, 0, 0, 1]
+
+
+def test_cosine_near_dup_pairs(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [2.0, 0.0, 0.0]),  # same direction as 1 -> sim 1.0
+        (3, [0.0, 1.0, 0.0]),  # orthogonal
+        (4, [1.0, 0.1, 0.0]),  # close to 1
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {(r["id_a"], r["id_b"]): r["sim"] for r in similarity.cosine_near_dup_pairs(df, 0.9).collect()}
+    assert got[(1, 2)] == 1.0
+    assert (1, 4) in got and got[(1, 4)] > 0.99
+    assert all(k[0] < k[1] for k in got)
+    assert not any(3 in k for k in got)
+
+
 # ---------------------------------------------------------------- similarity
 
 
