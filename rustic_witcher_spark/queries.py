@@ -29,6 +29,7 @@ from rustic_witcher_spark.functions.hashing import hash64, sql_hash64
 from rustic_witcher_spark.operators import dedup, similarity, text
 from rustic_witcher_spark.operators.asof import asof_join
 from rustic_witcher_spark.operators.cdc import apply_cdc
+from rustic_witcher_spark.operators.range_join import range_join
 from rustic_witcher_spark.operators.dedup import MERSENNE_31, perm_params
 from rustic_witcher_spark.plans.pipeline import anonymize_table, pipeline_oracle_sql
 from rustic_witcher_spark.sources.parquet import read_events
@@ -699,6 +700,45 @@ FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
 """
 
 
+# 80 synthetic overlapping "campaign windows" over the events month:
+# start = 2024-01-01 + i*9h, width 16h. Deterministic literals so the
+# DuckDB oracle builds the identical interval table.
+_CAMPAIGN_BASE_EPOCH = 1_704_067_200  # 2024-01-01 00:00:00 UTC
+_CAMPAIGN_STEP_S = 9 * 3600
+_CAMPAIGN_WIDTH_S = 16 * 3600
+_N_CAMPAIGNS = 80
+
+
+def q_events_in_campaign_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (point-in-interval) without a nested loop: events are
+    bucketed, campaign intervals exploded into overlapped buckets, and
+    the match is a hash equi-join on the bucket id."""
+    ev = read_events(spark, sf_dir).select("event_id", "ts", "value")
+    camp = spark.range(_N_CAMPAIGNS).select(
+        F.col("id").alias("campaign_id"),
+        F.timestamp_seconds(F.lit(_CAMPAIGN_BASE_EPOCH) + F.col("id") * _CAMPAIGN_STEP_S).alias("w_start"),
+        F.timestamp_seconds(
+            F.lit(_CAMPAIGN_BASE_EPOCH) + F.col("id") * _CAMPAIGN_STEP_S + _CAMPAIGN_WIDTH_S
+        ).alias("w_end"),
+    )
+    joined = range_join(ev, camp, "ts", "w_start", "w_end", bucket_width=_CAMPAIGN_WIDTH_S)
+    return joined.groupBy("campaign_id").agg(
+        F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value")
+    )
+
+
+SQL_CAMPAIGN_WINDOWS = f"""
+WITH c AS (
+  SELECT i AS campaign_id,
+         TIMESTAMP '2024-01-01 00:00:00' + to_seconds(i * {_CAMPAIGN_STEP_S}) AS ws,
+         TIMESTAMP '2024-01-01 00:00:00' + to_seconds(i * {_CAMPAIGN_STEP_S} + {_CAMPAIGN_WIDTH_S}) AS we
+  FROM generate_series(0, {_N_CAMPAIGNS - 1}) t(i))
+SELECT campaign_id, count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM c JOIN events e ON e.ts >= c.ws AND e.ts <= c.we
+GROUP BY campaign_id
+"""
+
+
 def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windows.tumbling(read_events(spark, sf_dir), width="1 hour")
 
@@ -783,8 +823,9 @@ def build_registry() -> dict[str, tuple[QueryFn, str | None]]:
         "knn_bruteforce": (q_knn_bruteforce, SQL_KNN),
         "knn_lsh": (q_knn_lsh, None),  # rows-only: approximate by design
         "embedding_near_dups": (q_embedding_near_dups, SQL_EMBEDDING_NEAR_DUPS),
-        # joins beyond equi (as-of)
+        # joins beyond equi (as-of, range)
         "asof_last_purchase": (q_asof_last_purchase, SQL_ASOF),
+        "events_in_campaign_windows": (q_events_in_campaign_windows, SQL_CAMPAIGN_WINDOWS),
         # event windows
         "events_tumbling": (q_events_tumbling, SQL_TUMBLING),
         "events_sliding": (q_events_sliding, SQL_SLIDING),
