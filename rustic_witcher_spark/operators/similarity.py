@@ -114,6 +114,103 @@ def hyperplane_signature(vec: Column, dim: int, n_planes: int = 16, seed: int = 
     return out
 
 
+def ivf_centroids(
+    corpus: DataFrame,
+    n_clusters: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = DEFAULT_SEED,
+    iters: int = 0,
+) -> DataFrame:
+    """Deterministic IVF centroids as (cid, cvec).
+
+    Seeds are a hash-ordered pseudo-random sample of corpus vectors
+    (md5 of the id — no driver randomness, stable across runs and
+    cluster sizes), optionally refined by ``iters`` Lloyd steps, each a
+    pure DataFrame pass: assign (k-way broadcast scoring) → mean vector
+    per cluster via posexplode/groupBy/rebuild.
+    """
+    seeds = (
+        corpus.withColumn("__r", F.md5(F.concat(F.lit(f"{seed}|ivf|"), F.col(id_col).cast("string"))))
+        .orderBy("__r", id_col)
+        .limit(n_clusters)
+    )
+    w = Window.orderBy("__r", id_col)
+    cent = seeds.select(F.row_number().over(w).alias("cid"), F.col(vec_col).cast("array<double>").alias("cvec"))
+    for _ in range(iters):
+        assigned = ivf_assign(corpus, cent, id_col, vec_col)
+        cent = (
+            assigned.select("cid", F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "v"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("v").alias("m"))
+            .groupBy("cid")
+            .agg(
+                F.transform(F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]).alias("cvec")
+            )
+        )
+    return cent
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 1,
+) -> DataFrame:
+    """Attach the ``nprobe`` nearest centroid ids to every vector.
+
+    Centroids are tiny → broadcast; scoring is a k-way fan-out of the
+    corpus scan (the standard IVF build cost), then a per-vector top-n
+    window. Ties break on cid for determinism.
+    """
+    scored = corpus.crossJoin(F.broadcast(centroids)).select(
+        "*", cosine(F.col(vec_col), F.col("cvec")).alias("__csim")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("__csim").desc(), F.col("cid").asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= nprobe)
+        .drop("cvec", "__csim", "__rn")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_clusters: int = 16,
+    nprobe: int = 2,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via IVF: corpus vectors live in their nearest
+    centroid's inverted list; each query probes its ``nprobe`` nearest
+    lists and re-ranks exactly inside them.
+
+    At 100 TB: the corpus is assigned ONCE (ideally persisted
+    partitioned by cid at ingest); a query batch touches only
+    nprobe/n_clusters of the data — the cluster-pruning analogue of
+    partition pruning. Recall is tunable via nprobe; exact duplicates
+    are always recalled (identical vector → identical nearest list).
+    """
+    cent = ivf_centroids(corpus, n_clusters, id_col, vec_col, iters=iters)
+    inv = ivf_assign(corpus, cent, id_col, vec_col, nprobe=1).select(
+        F.col("cid"), F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    )
+    probes = ivf_assign(queries, cent, id_col, vec_col, nprobe=nprobe).select(
+        F.col("cid"), F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    scored = (
+        inv.join(probes.hint("broadcast"), "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

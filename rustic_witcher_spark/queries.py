@@ -666,6 +666,16 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(emb, queries, dim=64, k=5, n_planes=8).select("query_id", "neighbor_id", "rank", "sim")
 
 
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN via IVF inverted lists (rows-only check):
+    deterministic hash-sampled centroids + 1 Lloyd step, nprobe=2."""
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.ivf_topk(emb, queries, k=5, n_clusters=8, nprobe=2, iters=1).select(
+        "query_id", "neighbor_id", "rank", "sim"
+    )
+
+
 # ---------------------------------------------------------- event windows
 
 
@@ -822,6 +832,7 @@ def build_registry() -> dict[str, tuple[QueryFn, str | None]]:
         # similarity
         "knn_bruteforce": (q_knn_bruteforce, SQL_KNN),
         "knn_lsh": (q_knn_lsh, None),  # rows-only: approximate by design
+        "knn_ivf": (q_knn_ivf, None),  # rows-only: approximate by design
         "embedding_near_dups": (q_embedding_near_dups, SQL_EMBEDDING_NEAR_DUPS),
         # joins beyond equi (as-of, range)
         "asof_last_purchase": (q_asof_last_purchase, SQL_ASOF),

@@ -97,6 +97,46 @@ def test_bpe_token_count(spark):
     assert out == [7, 0, 0, 1]
 
 
+def test_ivf_recall_on_planted_dup(spark):
+    import random
+
+    random.seed(13)
+    rows = [(i, [random.gauss(0, 1) for _ in range(16)]) for i in range(100)]
+    rows.append((999, list(rows[7][1])))  # exact copy of vec 7
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = similarity.ivf_topk(df, df.filter(F.col("vec_id") == 7), k=3, n_clusters=4, nprobe=1, iters=1)
+    top1 = [r for r in out.collect() if r["rank"] == 1]
+    # identical vector -> identical nearest centroid -> guaranteed recall
+    assert top1 and top1[0]["neighbor_id"] == 999 and abs(top1[0]["sim"] - 1.0) < 1e-6
+
+
+def test_ivf_deterministic_across_runs(spark):
+    import random
+
+    random.seed(17)
+    rows = [(i, [random.gauss(0, 1) for _ in range(8)]) for i in range(60)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = df.filter(F.col("vec_id") < 3)
+    a = sorted(map(tuple, similarity.ivf_topk(df, q, k=3, n_clusters=4, iters=1).collect()))
+    b = sorted(map(tuple, similarity.ivf_topk(df, q, k=3, n_clusters=4, iters=1).collect()))
+    assert a == b and len(a) == 9
+
+
+def test_ivf_centroid_count_and_refinement(spark):
+    import random
+
+    random.seed(19)
+    rows = [(i, [random.gauss(0, 1) for _ in range(8)]) for i in range(50)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    c0 = similarity.ivf_centroids(df, 5, iters=0)
+    c1 = similarity.ivf_centroids(df, 5, iters=1)
+    assert c0.count() <= 5 and c1.count() <= 5
+    # refinement moves centroids off the seed vectors
+    s0 = {tuple(round(v, 6) for v in r["cvec"]) for r in c0.collect()}
+    s1 = {tuple(round(v, 6) for v in r["cvec"]) for r in c1.collect()}
+    assert s0 != s1
+
+
 def test_cosine_near_dup_pairs(spark):
     rows = [
         (1, [1.0, 0.0, 0.0]),
