@@ -349,9 +349,13 @@ def q3_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _read(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = _read(spark, sf_dir, "orders")
     li = _read(spark, sf_dir, "lineitem")
+    # join order matters at scale: reduce orders by the broadcast dim
+    # FIRST (≈1/5 survive the segment filter), so the expensive
+    # fact-fact shuffle join sees the smaller side — AQE can then even
+    # demote it to a broadcast join when the reduction is strong.
+    oc = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        li.join(oc, li.l_orderkey == oc.o_orderkey)
         .groupBy("o_orderkey", F.date_format("o_orderdate", _FMT).alias("o_orderdate_str"))
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
