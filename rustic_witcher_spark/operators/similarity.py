@@ -31,6 +31,15 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def plane_weight(seed: int, plane: int, coord: int) -> int:
+    """Deterministic ±1 hyperplane weight — shared by the Spark
+    expression builder and the DuckDB oracle generator."""
+    import hashlib
+
+    h = hashlib.md5(f"{seed}|hp|{plane}|{coord}".encode()).hexdigest()
+    return 1 if int(h[:8], 16) % 2 == 0 else -1
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -95,11 +104,9 @@ def hyperplane_signature(vec: Column, dim: int, n_planes: int = 16, seed: int = 
     executor. P[same bit] = 1 - θ/π, so equal signatures concentrate
     high-cosine pairs.
     """
-    import hashlib
 
     def w(p: int, i: int) -> int:
-        h = hashlib.md5(f"{seed}|hp|{p}|{i}".encode()).hexdigest()
-        return 1 if int(h[:8], 16) % 2 == 0 else -1
+        return plane_weight(seed, p, i)
 
     bits = []
     for p in range(n_planes):

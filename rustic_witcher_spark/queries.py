@@ -534,13 +534,73 @@ def sql_minhash_signatures() -> str:
 
 
 def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup candidate pairs + exact jaccard verification (rows-only
-    check: the banding join is not worth expressing in one SQL string)."""
+    """Near-dup candidate pairs via banding + exact jaccard verification.
+
+    Fully oracle-checked: banding, estimation, and verification are all
+    deterministic, so the DuckDB twin reproduces the exact pair set."""
     df = _spread(spark, _read(spark, sf_dir, "documents"))
     cands = dedup.minhash_lsh_candidates(df, "text", "doc_id", num_perm=32, bands=8, n=3, seed=SEED)
     return dedup.verify_candidates_jaccard(cands, df, "text", "doc_id", threshold=0.5, k=5).select(
         "id_a", "id_b", F.round("est_jaccard", 4).alias("est_jaccard"), F.round("jaccard", 4).alias("jaccard")
     )
+
+
+def _sql_minhash_sig_array(num_perm: int) -> str:
+    """DuckDB twin of minhash_signature as a list-typed column."""
+    from rustic_witcher_spark.operators.dedup import _GRAM_W1, _GRAM_W2
+
+    norm = _norm_sql("text")
+    toks = f"string_split({norm}, ' ')"
+    th = f"list_transform({toks}, t -> ({sql_hash64('t', SEED, 'mh')}) % {MERSENNE_31})"
+    grams = (
+        f"list_transform(generate_series(1, len(tok_h) - 2), "
+        f"i -> ((tok_h[i] * {_GRAM_W1}) % {MERSENNE_31} + (tok_h[i+1] * {_GRAM_W2}) % {MERSENNE_31} + tok_h[i+2]) % {MERSENNE_31})"
+    )
+    whole = f"[({sql_hash64(norm, SEED, 'mh')}) % {MERSENNE_31}]"
+    base = f"(CASE WHEN len(tok_h) >= 3 THEN {grams} ELSE {whole} END)"
+    mins = ", ".join(
+        f"list_min(list_transform(base_h, h -> ({a} * h + {b}) % {MERSENNE_31}))"
+        for a, b in perm_params(num_perm, SEED)
+    )
+    return (
+        f"SELECT doc_id, [{mins}] AS sig FROM ("
+        f"SELECT doc_id, {base} AS base_h FROM (SELECT doc_id, text, {th} AS tok_h FROM documents))"
+    )
+
+
+def sql_minhash_lsh_candidates(num_perm: int = 32, bands: int = 8) -> str:
+    rpb = num_perm // bands
+    shingles = (
+        f"SELECT doc_id, list_distinct([substring(n, i, 5) FOR i IN "
+        f"generate_series(1, greatest(length(n) - 4, 1))]) AS sh "
+        f"FROM (SELECT doc_id, {_norm_sql('text')} AS n FROM documents)"
+    )
+    return f"""
+WITH sig AS ({_sql_minhash_sig_array(num_perm)}),
+shg AS ({shingles}),
+bands AS (
+  SELECT doc_id, t.b,
+         md5(array_to_string(list_transform(sig[t.b*{rpb}+1 : t.b*{rpb}+{rpb}], x -> x::VARCHAR), ',')) AS bhash
+  FROM sig, generate_series(0, {bands - 1}) t(b)
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.b = b.b AND a.bhash = b.bhash AND a.doc_id < b.doc_id
+),
+est AS (
+  SELECT p.id_a, p.id_b,
+         len(list_filter(generate_series(1, {num_perm}), i -> sa.sig[i] = sb.sig[i])) / {num_perm}.0 AS est_jaccard
+  FROM pairs p JOIN sig sa ON sa.doc_id = p.id_a JOIN sig sb ON sb.doc_id = p.id_b
+),
+j AS (
+  SELECT e.id_a, e.id_b, e.est_jaccard,
+         CASE WHEN len(list_distinct(list_concat(ha.sh, hb.sh))) = 0 THEN 1.0
+              ELSE len(list_intersect(ha.sh, hb.sh)) / len(list_distinct(list_concat(ha.sh, hb.sh))) END AS jaccard
+  FROM est e JOIN shg ha ON ha.doc_id = e.id_a JOIN shg hb ON hb.doc_id = e.id_b
+)
+SELECT id_a, id_b, round(est_jaccard, 4) AS est_jaccard, round(jaccard, 4) AS jaccard
+FROM j WHERE jaccard >= 0.5
+"""
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -667,10 +727,39 @@ WHERE rank <= 5
 
 
 def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate ANN via hyperplane-LSH buckets (rows-only check)."""
+    """ANN via hyperplane-LSH buckets. Approximate vs brute force, but
+    DETERMINISTIC (md5-derived plane weights), so the DuckDB oracle
+    reproduces the exact bucket assignment and result set."""
     emb = _read(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return similarity.lsh_topk(emb, queries, dim=64, k=5, n_planes=8).select("query_id", "neighbor_id", "rank", "sim")
+
+
+def sql_knn_lsh(n_planes: int = 8, dim: int = 64, k: int = 5) -> str:
+    """DuckDB twin of lsh_topk: inline the ±1 plane weights as literal
+    sum chains (same left-assoc order as the Spark expression, so the
+    sign tests agree bit-for-bit)."""
+    plane_bits = []
+    for p in range(n_planes):
+        terms = " + ".join(
+            f"embedding[{i + 1}]::DOUBLE * {float(similarity.plane_weight(SEED, p, i))}" for i in range(dim)
+        )
+        plane_bits.append(f"(CASE WHEN ({terms}) > 0 THEN {1 << p}::BIGINT ELSE 0 END)")
+    sig = " + ".join(plane_bits)
+    return f"""
+WITH s AS (SELECT vec_id, embedding, ({sig}) AS sig FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS qv, sig FROM s WHERE vec_id < 5),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv, sig FROM s),
+scored AS (
+  SELECT query_id, neighbor_id,
+         round(list_dot_product(qv::DOUBLE[], cv::DOUBLE[]) /
+               (sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[])) * sqrt(list_dot_product(cv::DOUBLE[], cv::DOUBLE[]))), 6) AS sim
+  FROM c JOIN q USING (sig) WHERE query_id <> neighbor_id
+)
+SELECT query_id, neighbor_id, rank, sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank FROM scored)
+WHERE rank <= {k}
+"""
 
 
 def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -832,13 +921,13 @@ def build_registry() -> dict[str, tuple[QueryFn, str | None]]:
         # dedup
         "dedup_exact": (q_dedup_exact, sql_dedup_exact()),
         "minhash_signatures": (q_minhash_signatures, sql_minhash_signatures()),
-        "minhash_lsh_candidates": (q_minhash_lsh_candidates, None),  # rows-only: banding join
+        "minhash_lsh_candidates": (q_minhash_lsh_candidates, sql_minhash_lsh_candidates()),
         "simhash": (q_simhash, sql_simhash()),
         "simhash_near_dups": (q_simhash_near_dups, sql_simhash_near_dups()),
         "ngram_jaccard_adjacent": (q_ngram_jaccard_adjacent, SQL_NGRAM_JACCARD),
         # similarity
         "knn_bruteforce": (q_knn_bruteforce, SQL_KNN),
-        "knn_lsh": (q_knn_lsh, None),  # rows-only: approximate by design
+        "knn_lsh": (q_knn_lsh, sql_knn_lsh()),  # approximate vs brute force, but deterministic -> oracle-exact
         "knn_ivf": (q_knn_ivf, None),  # rows-only: approximate by design
         "embedding_near_dups": (q_embedding_near_dups, SQL_EMBEDDING_NEAR_DUPS),
         # joins beyond equi (as-of, range)
