@@ -35,10 +35,19 @@ BENCH_QUERIES = [
     # LLM-data extensions
     "text_stats",
     "text_langid",
+    "token_count_bpe",
     "dedup_exact",
     "minhash_signatures",
+    "minhash_lsh_candidates",
     "simhash",
+    "simhash_near_dups",
     "knn_bruteforce",
+    "knn_lsh",
+    "embedding_near_dups",
+    # joins beyond equi
+    "asof_last_purchase",
+    "events_in_campaign_windows",
+    # event windows
     "events_tumbling",
     "events_session",
 ]

@@ -41,8 +41,11 @@ _ROTATIONS = [_DIGITS[k:] + _DIGITS[:k] for k in range(1, 10)]
 
 
 def _pick(words: list[str], idx: Column) -> Column:
-    """words[idx % len] as a constant-foldable array lookup (1-based element_at)."""
-    return F.element_at(F.array(*[F.lit(w) for w in words]), (idx % len(words) + 1).cast("int"))
+    """words[idx % len] as a constant-foldable array lookup (1-based element_at).
+
+    The wordlist becomes ONE literal-array py4j call — F.array of
+    per-word lits would pay len(words) driver round-trips per use."""
+    return F.element_at(F.lit(list(words)), (idx % len(words) + 1).cast("int"))
 
 
 def fake_firstname(value: Column, seed: int) -> Column:

@@ -21,6 +21,20 @@ from pyspark.sql import functions as F
 from rustic_witcher_spark.functions.hashing import hash64
 from rustic_witcher_spark.functions.wordlists import DEFAULT_SEED
 
+# Column-expression memo: the signature builders construct thousands of
+# expression nodes (one py4j round-trip each — 1-2s of driver time per
+# call). Column objects are immutable, unresolved expression trees, so
+# reusing one across queries/DataFrames is safe; the analyzer resolves
+# the named input column per plan.
+_COLUMN_MEMO: dict[tuple, Column] = {}
+
+
+def _memo_column(key: tuple, build) -> Column:
+    col = _COLUMN_MEMO.get(key)
+    if col is None:
+        col = _COLUMN_MEMO[key] = build()
+    return col
+
 
 def normalized_text(col: Column) -> Column:
     """lowercase + collapse whitespace — the canonical form all dedup
@@ -135,8 +149,14 @@ def minhash_signature(col: Column, num_perm: int = 64, n: int = 3, seed: int = D
     ``num_perm`` cheap modular permutations (a·h+b mod M31) — instead of
     num_perm md5s per shingle. At 100 TB that's the difference between
     hashing the corpus once and hashing it 64×. One projection per row,
-    no shuffle.
+    no shuffle. Memoized per (input, params) — see ``_memo_column``.
     """
+    return _memo_column(
+        (str(col), "minhash", num_perm, n, seed), lambda: _minhash_signature_build(col, num_perm, n, seed)
+    )
+
+
+def _minhash_signature_build(col: Column, num_perm: int, n: int, seed: int) -> Column:
     def perm_fn(a: int, b: int):
         # factory, not default-arg lambda: PySpark reads lambda arity
         return lambda h: (F.lit(a) * h + F.lit(b)) % MERSENNE_31
@@ -193,22 +213,36 @@ def minhash_lsh_candidates(
         ).alias("bk"),
     ).select("__id", "__sig", F.col("bk.band").alias("band"), F.col("bk.bhash").alias("bhash"))
 
-    left = banded.alias("l")
-    right = banded.alias("r")
-    pairs = (
-        left.join(right, (F.col("l.band") == F.col("r.band")) & (F.col("l.bhash") == F.col("r.bhash")) & (F.col("l.__id") < F.col("r.__id")))
-        .select(
-            F.col("l.__id").alias("id_a"),
-            F.col("r.__id").alias("id_b"),
-            F.col("l.__sig").alias("sig_a"),
-            F.col("r.__sig").alias("sig_b"),
+    # Pairs come from grouping each bucket and enumerating member pairs
+    # in-bucket — NOT a self-join: a self-join would compute the whole
+    # signature subplan twice (exchange reuse is not guaranteed) and
+    # shuffle it twice. Bucket membership is bounded by real duplicate
+    # clusters; array_sort makes the (id_a < id_b) enumeration
+    # deterministic regardless of collect_list order.
+    buckets = (
+        banded.groupBy("band", "bhash")
+        .agg(F.array_sort(F.collect_list(F.struct("__id", "__sig"))).alias("mem"))
+        .filter(F.size("mem") >= 2)
+    )
+    est = lambda a, b: (  # noqa: E731 — signature-agreement estimate
+        F.size(F.filter(F.zip_with(a["__sig"], b["__sig"], lambda x, y: x == y), lambda z: z)) / F.lit(float(num_perm))
+    )
+    pairs_arr = F.flatten(
+        F.transform(
+            F.col("mem"),
+            lambda x, i: F.transform(
+                F.slice(F.col("mem"), i + 2, F.size(F.col("mem"))),
+                lambda y: F.struct(
+                    x["__id"].alias("id_a"), y["__id"].alias("id_b"), est(x, y).alias("est_jaccard")
+                ),
+            ),
         )
+    )
+    return (
+        buckets.select(F.explode(pairs_arr).alias("p"))
+        .select("p.id_a", "p.id_b", "p.est_jaccard")
         .dropDuplicates(["id_a", "id_b"])
     )
-    est = (
-        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda a, b: a == b), lambda x: x)) / F.lit(num_perm)
-    ).alias("est_jaccard")
-    return pairs.select("id_a", "id_b", est)
 
 
 # ----------------------------------------------------------------- simhash
@@ -219,7 +253,13 @@ def simhash64(col: Column, seed: int = DEFAULT_SEED) -> Column:
 
     Per bit j: sign of Σ_tokens (bit j of hash(token) ? +1 : -1).
     Pure expressions (aggregate over the token array); no shuffle.
+    The ~2000-node tree is memoized per (input, seed) — building it
+    costs ~2s of py4j round-trips.
     """
+    return _memo_column((str(col), "simhash64", seed), lambda: _simhash64_build(col, seed))
+
+
+def _simhash64_build(col: Column, seed: int) -> Column:
     def bit_fn(j: int):
         return lambda acc, h: acc + F.when(h.bitwiseAND(F.lit(1 << j)) != 0, 1).otherwise(-1)
 
@@ -257,40 +297,49 @@ def simhash_near_duplicates(
     hamming search over billions of docs.
     """
     h = df.select(F.col(id_col).alias("__id"), simhash64(F.col(text_col), seed).alias("__sim"))
-    if max_hamming == 0:
-        l, r = h.alias("l"), h.alias("r")
-        return (
-            l.join(r, (F.col("l.__sim") == F.col("r.__sim")) & (F.col("l.__id") < F.col("r.__id")))
-            .select(
-                F.col("l.__id").alias("id_a"),
-                F.col("r.__id").alias("id_b"),
-                F.lit(0).alias("hamming"),
-            )
-        )
     nb = max_hamming + 1
     width = 64 // nb
-    bands = [
-        F.struct(
-            F.lit(i).alias("b"),
-            (
-                F.shiftright(F.col("__sim"), i * width).bitwiseAND(F.lit((1 << width) - 1))
-                if i < nb - 1
-                else F.shiftright(F.col("__sim"), i * width)  # last band: all remaining bits
-            ).alias("v"),
-        )
-        for i in range(nb)
-    ]
+    if max_hamming == 0:
+        bands = [F.struct(F.lit(0).alias("b"), F.col("__sim").alias("v"))]
+    else:
+        bands = [
+            F.struct(
+                F.lit(i).alias("b"),
+                (
+                    F.shiftright(F.col("__sim"), i * width).bitwiseAND(F.lit((1 << width) - 1))
+                    if i < nb - 1
+                    else F.shiftright(F.col("__sim"), i * width)  # last band: all remaining bits
+                ).alias("v"),
+            )
+            for i in range(nb)
+        ]
     hb = h.select("__id", "__sim", F.explode(F.array(*bands)).alias("__band"))
-    l, r = hb.alias("l"), hb.alias("r")
-    return (
-        l.join(r, (F.col("l.__band") == F.col("r.__band")) & (F.col("l.__id") < F.col("r.__id")))
-        .select(
-            F.col("l.__id").alias("id_a"),
-            F.col("r.__id").alias("id_b"),
-            F.bit_count(F.col("l.__sim").bitwiseXOR(F.col("r.__sim"))).cast("int").alias("hamming"),
+    # groupBy-bucket + in-bucket pair enumeration, not a self-join: the
+    # fingerprint subplan is computed and shuffled ONCE (see
+    # minhash_lsh_candidates for the same pattern).
+    buckets = (
+        hb.groupBy("__band")
+        .agg(F.array_sort(F.collect_list(F.struct("__id", "__sim"))).alias("mem"))
+        .filter(F.size("mem") >= 2)
+    )
+    pairs_arr = F.flatten(
+        F.transform(
+            F.col("mem"),
+            lambda x, i: F.transform(
+                F.slice(F.col("mem"), i + 2, F.size(F.col("mem"))),
+                lambda y: F.struct(
+                    x["__id"].alias("id_a"),
+                    y["__id"].alias("id_b"),
+                    F.bit_count(x["__sim"].bitwiseXOR(y["__sim"])).cast("int").alias("hamming"),
+                ),
+            ),
         )
+    )
+    return (
+        buckets.select(F.explode(pairs_arr).alias("p"))
+        .select("p.id_a", "p.id_b", "p.hamming")
         .filter(F.col("hamming") <= max_hamming)
-        .distinct()
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 

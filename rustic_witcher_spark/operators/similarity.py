@@ -76,24 +76,48 @@ def cosine_near_dup_pairs(
     """Exact embedding near-duplicate pairs: (id_a, id_b, sim) with
     id_a < id_b and cosine ≥ threshold.
 
-    This is the EXACT all-pairs formulation (the correctness baseline
-    and the DuckDB-oracle surface). Spark broadcasts the smaller alias
-    into a nested-loop join, so it is fine up to ~10⁵ vectors; beyond
-    that, block first — bucket by ``hyperplane_signature`` (possibly
-    several signature tables, OR-ed) and run this same exact scoring
-    within buckets, exactly the shape ``lsh_topk`` uses.
+    Execution: the (id, normalized-vector) matrix is broadcast to every
+    executor; each partition scores its rows against the whole matrix
+    with one NumPy matmul inside ``mapInPandas`` (Arrow-batched — a
+    per-pair expression fold is ~50× slower). Each pair is emitted only
+    by its lower-id side, so results are partitioning-invariant and
+    exactly once.
+
+    The broadcast bounds this exact formulation at ~10⁵ vectors
+    (matrix ≤ ~100 MB). Beyond that, block first — bucket by
+    ``hyperplane_signature`` (several OR-ed signature tables for
+    recall) and run the same matmul scoring within buckets, the shape
+    ``lsh_topk`` uses. 64-element double dots have error ~1e-14, so the
+    6-dp rounding matches the sequential-fold oracle bit-for-bit.
     """
-    v = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
-    a, b = v.alias("a"), v.alias("b")
-    return (
-        a.join(b, F.col("a.__id") < F.col("b.__id"))
-        .select(
-            F.col("a.__id").alias("id_a"),
-            F.col("b.__id").alias("id_b"),
-            F.round(cosine(F.col("a.__v"), F.col("b.__v")), 6).alias("sim"),
-        )
-        .filter(F.col("sim") >= threshold)
+    import numpy as np
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    spark = df.sparkSession
+    pdf = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).toPandas()
+    ids = pdf["id"].to_numpy()
+    mat = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((ids, mat))
+
+    out_schema = StructType(
+        [StructField("id_a", LongType()), StructField("id_b", LongType()), StructField("sim", DoubleType())]
     )
+
+    def score(batches):
+        import pandas as pd
+
+        all_ids, all_mat = bc.value
+        for pdf_batch in batches:
+            b_ids = pdf_batch["id"].to_numpy()
+            b_mat = np.stack(pdf_batch["v"].to_numpy()).astype(np.float64)
+            b_mat /= np.linalg.norm(b_mat, axis=1, keepdims=True)
+            sims = np.round(b_mat @ all_mat.T, 6)
+            keep = (sims >= threshold) & (b_ids[:, None] < all_ids[None, :])
+            r, c = np.nonzero(keep)
+            yield pd.DataFrame({"id_a": b_ids[r], "id_b": all_ids[c], "sim": sims[r, c]})
+
+    return df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).mapInPandas(score, out_schema)
 
 
 def hyperplane_signature(vec: Column, dim: int, n_planes: int = 16, seed: int = DEFAULT_SEED) -> Column:
@@ -103,17 +127,33 @@ def hyperplane_signature(vec: Column, dim: int, n_planes: int = 16, seed: int = 
     from the engine hash — no driver-side randomness, identical on every
     executor. P[same bit] = 1 - θ/π, so equal signatures concentrate
     high-cosine pairs.
+
+    Each plane is a ``zip_with`` dot product against a LITERAL weight
+    array (constant-folded to one array literal) — not an unrolled
+    512-term sum chain, whose ~4000-node expression tree costs seconds
+    of driver-side analysis per query build. The sequential aggregate
+    fold adds terms in the same left-assoc coordinate order as the
+    unrolled chain, so sign tests (and the DuckDB oracle) agree
+    bit-for-bit. Memoized per (input, params): Column trees are
+    immutable and reusable, and this one costs ~1s of py4j calls.
     """
+    from rustic_witcher_spark.operators.dedup import _memo_column
 
-    def w(p: int, i: int) -> int:
-        return plane_weight(seed, p, i)
+    return _memo_column(
+        (str(vec), "hyperplane", dim, n_planes, seed),
+        lambda: _hyperplane_signature_build(vec, dim, n_planes, seed),
+    )
 
+
+def _hyperplane_signature_build(vec: Column, dim: int, n_planes: int, seed: int) -> Column:
     bits = []
     for p in range(n_planes):
-        proj = None
-        for i in range(dim):
-            term = F.element_at(vec, i + 1).cast("double") * F.lit(float(w(p, i)))
-            proj = term if proj is None else proj + term
+        # one py4j call for the whole weight vector — F.array(*lits)
+        # would cost dim round-trips per plane at DataFrame-build time
+        w = F.lit([float(plane_weight(seed, p, i)) for i in range(dim)])
+        proj = F.aggregate(
+            F.zip_with(vec, w, lambda x, y: x.cast("double") * y), F.lit(0.0), lambda acc, v: acc + v
+        )
         bits.append(F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long")))
     out = bits[0]
     for b in bits[1:]:

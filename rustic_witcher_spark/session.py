@@ -37,6 +37,12 @@ def get_spark(app_name: str = "rustic_witcher_spark", shuffle_partitions: int | 
         # columns (e.g. the events table's ts) as raw long nanos and
         # convert explicitly (sources.parquet.read_events)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Several operators compile large generated methods (hyperplane
+        # signatures, 63-bit simhash folds, faker projections). The
+        # default codegen class cache (100 entries) thrashes once a
+        # workload runs tens of distinct plans; compiles are 1-6s each,
+        # so evictions dwarf execution at test scale.
+        .config("spark.sql.codegen.cache.maxEntries", "5000")
         .config("spark.ui.enabled", "false")
     )
     if not os.environ.get("SPARK_MASTER"):  # local mode unless a cluster master is set
