@@ -1,0 +1,107 @@
+"""Property-based tests (hypothesis) — what the reference's test suite
+lacks (SURVEY §5): adversarial inputs against the engine's invariants.
+
+Each property draws a BATCH of arbitrary strings and runs ONE Spark job
+over the whole batch (per-example Spark jobs would be prohibitively
+slow), so shrinking still works at batch granularity.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from rustic_witcher_spark.functions import fake
+from rustic_witcher_spark.operators import transforms
+from rustic_witcher_spark.operators.dedup import char_shingles, normalized_text
+
+SEED = 42
+SETTINGS = dict(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+texts = st.lists(st.text(max_size=60), min_size=1, max_size=40)
+
+EMAIL_RE = re.compile(r"^[a-z]+\.[a-z]+\d{1,3}@[a-z.]+$")
+
+
+@pytest.fixture(scope="module")
+def mk(spark):
+    def make(vals):
+        return spark.createDataFrame([(i, v) for i, v in enumerate(vals)], ["i", "v"])
+
+    return make
+
+
+@given(vals=texts)
+@settings(**SETTINGS)
+def test_fake_email_format_and_determinism(mk, vals):
+    df = mk(vals)
+    out = df.select("i", "v", fake.fake_email(F.col("v"), SEED).alias("e1"), fake.fake_email(F.col("v"), SEED).alias("e2"))
+    by_input: dict[str, str] = {}
+    for r in out.collect():
+        assert r["e1"] == r["e2"]  # same expression twice -> same value
+        assert EMAIL_RE.match(r["e1"]), r["e1"]  # always email-shaped
+        if r["v"] in by_input:
+            assert by_input[r["v"]] == r["e1"]  # same input -> same output
+        by_input[r["v"]] = r["e1"]
+
+
+@given(vals=texts)
+@settings(**SETTINGS)
+def test_fake_email_partitioning_invariant(mk, vals):
+    df = mk(vals)
+    one = {(r["i"], r["e"]) for r in df.coalesce(1).select("i", fake.fake_email(F.col("v"), SEED).alias("e")).collect()}
+    many = {(r["i"], r["e"]) for r in df.repartition(8).select("i", fake.fake_email(F.col("v"), SEED).alias("e")).collect()}
+    assert one == many
+
+
+@given(vals=texts)
+@settings(**SETTINGS)
+def test_fake_phone_structure_preserved(mk, vals):
+    df = mk(vals)
+    for r in df.select("v", fake.fake_phone(F.col("v"), SEED).alias("p")).collect():
+        v, p = r["v"], r["p"]
+        if len(v) <= 1:
+            assert p == v  # reference keeps len<=1 strings verbatim
+            continue
+        assert len(p) == len(v)
+        for cv, cp in zip(v, p):
+            if cv.isdigit() and cv.isascii():
+                assert cp.isdigit() and cp != cv  # digit -> different digit
+            else:
+                assert cp == cv  # structure/punctuation untouched
+
+
+@given(vals=st.lists(st.text(alphabet=st.characters(min_codepoint=0, max_codepoint=127), max_size=30), min_size=1, max_size=40))
+@settings(**SETTINGS)
+def test_sanitize_null_bytes_property(mk, vals):
+    df = mk(vals)
+    for r in transforms.sanitize_null_bytes(df).collect():
+        orig = vals[r["i"]]
+        if "\x00" in orig:
+            assert r["v"] is None  # whole cell nulled, never truncated
+        else:
+            assert r["v"] == orig  # byte-faithful passthrough
+
+
+@given(vals=texts, k=st.integers(min_value=2, max_value=8))
+@settings(**SETTINGS)
+def test_char_shingles_invariants(mk, vals, k):
+    df = mk(vals)
+    rows = df.select("i", normalized_text(F.col("v")).alias("n"), char_shingles(F.col("v"), k).alias("sh")).collect()
+    for r in rows:
+        n, sh = r["n"], r["sh"]
+        assert len(sh) == len(set(sh))  # distinct
+        if len(n) <= k:
+            assert sh == [n]  # short text -> single whole-text shingle
+        else:
+            assert len(sh) <= len(n) - k + 1
+            assert all(len(s) == k for s in sh)
+            assert set(sh) == {n[i : i + k] for i in range(len(n) - k + 1)}
