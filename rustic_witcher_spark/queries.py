@@ -401,6 +401,72 @@ GROUP BY r_name, n_name
 """
 
 
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: LEFT OUTER join (customers with zero orders must
+    appear), per-customer count, then the count-of-counts distribution.
+    Two shuffles (custkey, then order_count) — both unavoidable."""
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("order_count"))  # count skips NULLs -> 0 for orderless
+    )
+    return per_cust.groupBy("order_count").agg(F.count("*").alias("n_customers"))
+
+
+SQL_Q13 = """
+SELECT order_count, count(*) AS n_customers FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS order_count
+  FROM customer c LEFT OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey
+) GROUP BY order_count
+"""
+
+
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup (grouping sets) over order year/priority: subtotals and a
+    grand total in one pass — Spark expands the sets before the single
+    hash aggregate, so it stays one shuffle."""
+    orders = _read(spark, sf_dir, "orders")
+    return (
+        orders.withColumn("o_year", F.year("o_orderdate").cast("int"))
+        .rollup("o_year", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 4).alias("revenue"))
+    )
+
+
+SQL_ROLLUP = """
+SELECT year(o_orderdate)::INT AS o_year, o_orderpriority,
+       count(*) AS n_orders, round(sum(o_totalprice), 4) AS revenue
+FROM orders GROUP BY ROLLUP (o_year, o_orderpriority)
+"""
+
+
+def q_distinct_parts_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregate: exact count(DISTINCT partkey) per supplier
+    nation — Spark plans the two-phase distinct-aggregate expansion."""
+    li = _read(spark, sf_dir, "lineitem")
+    sup = _read(spark, sf_dir, "supplier")
+    nat = _read(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.countDistinct("l_partkey").alias("distinct_parts"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+SQL_DISTINCT_PARTS = """
+SELECT n_name, count(DISTINCT l_partkey) AS distinct_parts, count(*) AS n_lineitems
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
 def q_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window top-K per group."""
     cust = _read(spark, sf_dir, "customer")
@@ -912,6 +978,9 @@ def build_registry() -> dict[str, tuple[QueryFn, str | None]]:
         "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
         "q3_top_revenue": (q3_top_revenue, SQL_Q3),
         "q5_nation_revenue": (q5_nation_revenue, SQL_Q5),
+        "q13_order_distribution": (q13_order_distribution, SQL_Q13),
+        "rollup_revenue": (q_rollup_revenue, SQL_ROLLUP),
+        "distinct_parts_per_supplier": (q_distinct_parts_per_supplier, SQL_DISTINCT_PARTS),
         "top_customers_per_nation": (q_top_customers_per_nation, SQL_TOP_CUSTOMERS),
         # text analysis
         "text_stats": (q_text_stats, sql_text_stats()),

@@ -67,3 +67,22 @@ def test_minhash_signature_is_shuffle_free_per_row(spark, registry, sf_dir):
     the explicit repartition spread (RoundRobin), never a hash shuffle."""
     plan = _plan(spark, registry, "minhash_signatures", sf_dir)
     assert plan.count("Exchange hashpartitioning") == 0
+
+
+def test_q13_outer_join_preserved(spark, registry, sf_dir):
+    plan = _plan(spark, registry, "q13_order_distribution", sf_dir)
+    assert "LeftOuter" in plan  # customers with zero orders must survive
+
+
+def test_rollup_single_aggregate_pass(spark, registry, sf_dir):
+    plan = _plan(spark, registry, "rollup_revenue", sf_dir)
+    assert "Expand" in plan  # grouping sets expand...
+    assert plan.count("Exchange hashpartitioning") == 1  # ...but one shuffle
+
+
+def test_distinct_agg_two_phase(spark, registry, sf_dir):
+    # exact count(DISTINCT) plans as the two-phase expansion, still
+    # partial-aggregated map-side; both dims broadcast
+    plan = _plan(spark, registry, "distinct_parts_per_supplier", sf_dir)
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
