@@ -1,0 +1,43 @@
+"""Salted join: result-equivalence with the plain join + plan shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rustic_witcher_spark.operators.skew import salted_join
+
+
+def _fixtures(spark):
+    # skewed: 90% of fact rows carry key 1
+    fact = spark.createDataFrame(
+        [(i, 1 if i % 10 else i, float(i)) for i in range(1000)], ["row_id", "k", "v"]
+    )
+    dim = spark.createDataFrame([(k, f"name_{k}") for k in range(0, 1000, 10)] + [(1, "name_1")], ["k", "name"])
+    return fact, dim
+
+def test_salted_join_equals_plain_join(spark):
+    fact, dim = _fixtures(spark)
+    plain = {tuple(r) for r in fact.join(dim, ["k"]).select("row_id", "k", "v", "name").collect()}
+    salted = {tuple(r) for r in salted_join(fact, dim, ["k"], n_salts=8).select("row_id", "k", "v", "name").collect()}
+    assert salted == plain and plain
+
+
+def test_salted_left_join_keeps_unmatched(spark):
+    fact, dim = _fixtures(spark)
+    plain = {tuple(r) for r in fact.join(dim, ["k"], "left").select("row_id", "name").collect()}
+    salted = {tuple(r) for r in salted_join(fact, dim, ["k"], n_salts=4, how="left").select("row_id", "name").collect()}
+    assert salted == plain
+
+
+def test_salt_is_deterministic_across_runs(spark):
+    fact, dim = _fixtures(spark)
+    a = salted_join(fact, dim, ["k"], n_salts=8)
+    b = salted_join(fact.repartition(7), dim, ["k"], n_salts=8)
+    assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
+
+
+def test_salted_join_spreads_hot_key(spark):
+    fact, dim = _fixtures(spark)
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(8)).cast("int")
+    n_buckets = fact.filter(F.col("k") == 1).select(salt.alias("s")).distinct().count()
+    assert n_buckets == 8  # the hot key's 900 rows land in all 8 salt buckets
