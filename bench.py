@@ -31,6 +31,9 @@ BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_top_revenue",
     "q5_nation_revenue",
+    "q13_order_distribution",
+    "rollup_revenue",
+    "distinct_parts_per_supplier",
     "top_customers_per_nation",
     # LLM-data extensions
     "text_stats",

