@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from rustic_witcher_spark.config.model import ColumnTransformation, FilterSpec, TableConfig, TransformationSpec
 from rustic_witcher_spark.functions import fake, fake_sql
 from rustic_witcher_spark.functions.hashing import hash64, sql_hash64
-from rustic_witcher_spark.operators import dedup, similarity, text
+from rustic_witcher_spark.operators import dedup, multimodal, similarity, text
 from rustic_witcher_spark.operators.asof import asof_join
 from rustic_witcher_spark.operators.cdc import apply_cdc
 from rustic_witcher_spark.operators.range_join import range_join
@@ -846,6 +846,56 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------------------------- multimodal
+
+_MAGIC = {0: "FFD8FFE0", 1: "89504E47", 2: "52494646", 3: "00000018"}  # jpeg png wav mp4
+
+
+def _media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize opaque media bytes from documents: a per-row container
+    magic prefix + the utf-8 text bytes. Deterministic, so both engines
+    build identical blobs."""
+    d = _read(spark, sf_dir, "documents")
+    prefix = F.when(F.col("doc_id") % 4 == 0, F.lit(bytes.fromhex(_MAGIC[0])))
+    for k in (1, 2, 3):
+        prefix = prefix.when(F.col("doc_id") % 4 == k, F.lit(bytes.fromhex(_MAGIC[k])))
+    return d.select("doc_id", F.concat(prefix, F.encode("text", "UTF-8")).alias("media"))
+
+
+def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Container sniffing from magic bytes — the cheap pure-expression
+    pre-pass that routes rows to per-format decode stages at scale."""
+    return multimodal.attach_media_metadata(_media_df(spark, sf_dir), "media").select(
+        "doc_id", "media_size", "media_format", "media_type"
+    )
+
+
+SQL_MEDIA_METADATA = """
+SELECT doc_id,
+       4 + octet_length(encode(text)) AS media_size,
+       CASE doc_id % 4 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' WHEN 2 THEN 'wav' ELSE 'mp4' END AS media_format,
+       CASE doc_id % 4 WHEN 0 THEN 'image' WHEN 1 THEN 'image' WHEN 2 THEN 'audio' ELSE 'video' END AS media_type
+FROM documents
+"""
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode→featurize plumbing end-to-end (rows-only: the feature
+    kernel is a hashlib chain, deliberately not SQL-expressible): sniff
+    format, Arrow-batched mapInPandas feature extraction, then a
+    per-format aggregate over the feature vector."""
+    m = multimodal.attach_media_metadata(_media_df(spark, sf_dir), "media")
+    feats = multimodal.extract_features(m, "media", n_features=8)
+    return (
+        feats.groupBy("media_format")
+        .agg(
+            F.count("*").alias("n_media"),
+            F.round(F.avg(F.element_at("features", 1)), 4).alias("avg_feat0"),
+            F.round(F.avg(F.element_at("features", 8)), 4).alias("avg_feat7"),
+        )
+    )
+
+
 # ---------------------------------------------------------- event windows
 
 
@@ -1007,6 +1057,9 @@ def build_registry() -> dict[str, tuple[QueryFn, str | None]]:
         "knn_lsh": (q_knn_lsh, sql_knn_lsh()),  # approximate vs brute force, but deterministic -> oracle-exact
         "knn_ivf": (q_knn_ivf, None),  # rows-only: approximate by design
         "embedding_near_dups": (q_embedding_near_dups, SQL_EMBEDDING_NEAR_DUPS),
+        # multimodal
+        "media_metadata": (q_media_metadata, SQL_MEDIA_METADATA),
+        "multimodal_features": (q_multimodal_features, None),  # rows-only: hashlib feature kernel
         # joins beyond equi (as-of, range)
         "asof_last_purchase": (q_asof_last_purchase, SQL_ASOF),
         "events_in_campaign_windows": (q_events_in_campaign_windows, SQL_CAMPAIGN_WINDOWS),
