@@ -969,6 +969,27 @@ GROUP BY campaign_id
 """
 
 
+def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: parse the props JSON column with a
+    typed from_json schema (JVM-side Jackson, no Python) and aggregate
+    the extracted field per event_type. The reference passes JSON
+    through untouched (SURVEY §1.2); a training pipeline reads it."""
+    ev = read_events(spark, sf_dir)
+    parsed = ev.withColumn("k", F.from_json("props", "k INT")["k"])
+    return parsed.groupBy("event_type").agg(
+        F.count("k").alias("n_with_k"),
+        F.round(F.avg("k"), 4).alias("avg_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+SQL_EVENTS_JSON = """
+SELECT event_type, count(k) AS n_with_k, round(avg(k), 4) AS avg_k, max(k) AS max_k
+FROM (SELECT event_type, json_extract(props, '$.k')::INT AS k FROM events)
+GROUP BY event_type
+"""
+
+
 def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windows.tumbling(read_events(spark, sf_dir), width="1 hour")
 
@@ -1063,7 +1084,8 @@ def build_registry() -> dict[str, tuple[QueryFn, str | None]]:
         # joins beyond equi (as-of, range)
         "asof_last_purchase": (q_asof_last_purchase, SQL_ASOF),
         "events_in_campaign_windows": (q_events_in_campaign_windows, SQL_CAMPAIGN_WINDOWS),
-        # event windows
+        # event windows / semi-structured
+        "events_json_extract": (q_events_json_extract, SQL_EVENTS_JSON),
         "events_tumbling": (q_events_tumbling, SQL_TUMBLING),
         "events_sliding": (q_events_sliding, SQL_SLIDING),
         "events_session": (q_events_session, SQL_SESSION),
