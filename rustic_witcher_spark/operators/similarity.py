@@ -95,9 +95,13 @@ def cosine_near_dup_pairs(
 
     spark = df.sparkSession
     pdf = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).toPandas()
+    def _normalize(m):
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        n[n == 0.0] = 1.0  # zero vectors stay zero (sim 0), never NaN
+        return m / n
+
     ids = pdf["id"].to_numpy()
-    mat = np.stack(pdf["v"].to_numpy()).astype(np.float64)
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    mat = _normalize(np.stack(pdf["v"].to_numpy()).astype(np.float64))
     bc = spark.sparkContext.broadcast((ids, mat))
 
     out_schema = StructType(
@@ -111,8 +115,9 @@ def cosine_near_dup_pairs(
         for pdf_batch in batches:
             b_ids = pdf_batch["id"].to_numpy()
             b_mat = np.stack(pdf_batch["v"].to_numpy()).astype(np.float64)
-            b_mat /= np.linalg.norm(b_mat, axis=1, keepdims=True)
-            sims = np.round(b_mat @ all_mat.T, 6)
+            b_norm = np.linalg.norm(b_mat, axis=1, keepdims=True)
+            b_norm[b_norm == 0.0] = 1.0
+            sims = np.round((b_mat / b_norm) @ all_mat.T, 6)
             keep = (sims >= threshold) & (b_ids[:, None] < all_ids[None, :])
             r, c = np.nonzero(keep)
             yield pd.DataFrame({"id_a": b_ids[r], "id_b": all_ids[c], "sim": sims[r, c]})
