@@ -70,7 +70,9 @@ def main() -> None:
     # At the target scale (100 TB) compile time is noise; the bench's
     # job is to measure the engine's steady-state throughput.
     spark.range(1).count()
-    warm_dir = "/root/testdata/sf0.001"
+    # sf0.01 (not sf0.001): enough rows that the JVM's C2 JIT also warms
+    # the interpreted higher-order-function paths, not just codegen
+    warm_dir = "/root/testdata/sf0.01"
     if os.path.isdir(warm_dir) and warm_dir != sf_dir:
         for name in BENCH_QUERIES:
             registry[name][0](spark, warm_dir).write.format("noop").mode("overwrite").save()
