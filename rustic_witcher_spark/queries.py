@@ -33,7 +33,7 @@ from rustic_witcher_spark.operators.range_join import range_join
 from rustic_witcher_spark.operators.dedup import MERSENNE_31, perm_params
 from rustic_witcher_spark.plans.pipeline import anonymize_table, pipeline_oracle_sql
 from rustic_witcher_spark.sources.parquet import read_events
-from rustic_witcher_spark.streaming import windows
+from rustic_witcher_spark.streaming import rollup, windows
 
 SEED = 42
 
@@ -969,6 +969,32 @@ GROUP BY campaign_id
 """
 
 
+def q_events_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable rollup: events → 5-minute level → 1-hour level, the
+    hour buckets RE-AGGREGATING the 5-minute summaries (raw data is
+    touched once). The DuckDB oracle aggregates raw→hour directly, so
+    the test proves the cascade is lossless."""
+    ev = read_events(spark, sf_dir).select("ts", "event_type", "value")
+    fine = rollup.rollup_level(ev, "ts", "5 minutes", keys=["event_type"])
+    hour = rollup.rollup_coarser(fine, "1 hour", keys=["event_type"])
+    return hour.select(
+        "event_type",
+        F.date_format("bucket_start", _FMT).alias("bucket_start"),
+        "n",
+        F.round("sum_value", 4).alias("sum_value"),
+        F.round("min_value", 4).alias("min_value"),
+        F.round("max_value", 4).alias("max_value"),
+    )
+
+
+SQL_ROLLUP_CASCADE = """
+SELECT event_type, strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS bucket_start,
+       count(*) AS n, round(sum(value), 4) AS sum_value,
+       round(min(value), 4) AS min_value, round(max(value), 4) AS max_value
+FROM events GROUP BY 1, 2
+"""
+
+
 def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured extraction: parse the props JSON column with a
     typed from_json schema (JVM-side Jackson, no Python) and aggregate
@@ -1086,6 +1112,7 @@ def build_registry() -> dict[str, tuple[QueryFn, str | None]]:
         "events_in_campaign_windows": (q_events_in_campaign_windows, SQL_CAMPAIGN_WINDOWS),
         # event windows / semi-structured
         "events_json_extract": (q_events_json_extract, SQL_EVENTS_JSON),
+        "events_rollup_cascade": (q_events_rollup_cascade, SQL_ROLLUP_CASCADE),
         "events_tumbling": (q_events_tumbling, SQL_TUMBLING),
         "events_sliding": (q_events_sliding, SQL_SLIDING),
         "events_session": (q_events_session, SQL_SESSION),
