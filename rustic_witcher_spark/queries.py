@@ -41,6 +41,10 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
 def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    if table == "events":
+        # events.parquet carries ns-precision timestamps; read_events sets
+        # the runtime conf a vanilla session lacks and truncates to micros.
+        return read_events(spark, sf_dir)
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
@@ -302,7 +306,9 @@ def q_validation_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.agg(F.sum(F.when(~F.coalesce(pred, F.lit(False)), 1).otherwise(0)).alias("violations"))
 
 
-SQL_VALIDATION = "SELECT sum(CASE WHEN NOT coalesce(contains(c_name, 'Customer#'), false) THEN 1 ELSE 0 END) AS violations FROM customer"
+# ::BIGINT matters: DuckDB's sum() yields HUGEINT, which pandas renders as
+# float64 and the driver's value-hash then diverges from Spark's bigint.
+SQL_VALIDATION = "SELECT sum(CASE WHEN NOT coalesce(contains(c_name, 'Customer#'), false) THEN 1 ELSE 0 END)::BIGINT AS violations FROM customer"
 
 
 # ------------------------------------------------- analytics (TPC-H-shaped)

@@ -121,9 +121,16 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``spark.sql.legacy.parquet.nanosAsLong`` the parquet column arrives
     as raw long nanos; truncate to micros (DuckDB's TIMESTAMP cast does
     the same, keeping oracles exact).
+
+    The conf is set at RUNTIME here, not only in the engine's own
+    session factory: callers may hand us an arbitrary (vanilla)
+    SparkSession, and ``nanosAsLong`` is runtime-settable — it is read
+    per-query during parquet schema conversion, not fixed at session
+    creation.
     """
     from pyspark.sql import functions as F
 
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     ts_field = df.schema["ts"].dataType.typeName()
     if ts_field in ("long", "bigint"):

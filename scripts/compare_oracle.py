@@ -17,7 +17,6 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import duckdb
 
 import __spark_entry__ as entrymod
-from rustic_witcher_spark.session import get_spark
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events", "documents", "embeddings"]
 
@@ -31,7 +30,16 @@ def normalize(v):
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
-    spark = get_spark("compare-oracle")
+    # VANILLA session, like the driver's: queries() must not depend on the
+    # engine's own session factory confs (that was round 1's 9-query bug).
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("compare-oracle")
+        .config("spark.sql.shuffle.partitions", "32")
+        .getOrCreate()
+    )
     con = duckdb.connect()
     for t in TABLES:
         p = Path(sf_dir) / f"{t}.parquet"
