@@ -53,12 +53,24 @@ class FilterSpec:
         tag = d.get("type", "NoFilter")
         if tag not in KNOWN_FILTER_TYPES:
             tag = "NoFilter"  # unknown tag ⇒ identity filter
+        # The reference TOML spells the two-ended keys start_value /
+        # end_value (filter_type_struct.rs:21-22); accept those first,
+        # keeping the older starts_with/ends_with spellings as aliases.
+        starts = d.get("start_value", d.get("starts_with", d.get("startsWith")))
+        ends = d.get("end_value", d.get("ends_with", d.get("endsWith")))
+        if tag == "StartsAndEndsWith" and (starts is None or ends is None):
+            # A None operand would compile to startswith(NULL) — a NULL
+            # predicate that silently drops every row. Fail loudly instead.
+            raise ValueError(
+                "StartsAndEndsWith filter requires start_value and end_value "
+                f"(got start={starts!r}, end={ends!r})"
+            )
         return FilterSpec(
             type=tag,
             column=d.get("column"),
             value=d.get("value"),
-            starts_with=d.get("starts_with", d.get("startsWith")),
-            ends_with=d.get("ends_with", d.get("endsWith")),
+            starts_with=starts,
+            ends_with=ends,
             values=tuple(d.get("values", ())),
         )
 

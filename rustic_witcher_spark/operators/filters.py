@@ -36,9 +36,14 @@ def compile_filter(spec: FilterSpec) -> Column | None:
     if t == "Equals":  # F5 (ref :190-193)
         return col == F.lit(spec.value)
     if t == "AnyOfInt":  # F6 — NOT-IN (ref :194-211)
-        return ~col.isin([int(v) for v in spec.values])
+        # NULL cells must be KEPT: the reference uses
+        # is_in(..., nulls_equal=true).not(), while plain ~isin is NULL
+        # for NULL input and Spark would drop the row. IsNull-OR (rather
+        # than a coalesce wrapper) keeps the predicate parquet-pushable:
+        # Or(IsNull, Not(In(...))) reaches PushedFilters.
+        return col.isNull() | ~col.isin([int(v) for v in spec.values])
     if t == "AnyOfString":  # F7 — NOT-IN (ref :212-229)
-        return ~col.isin([str(v) for v in spec.values])
+        return col.isNull() | ~col.isin([str(v) for v in spec.values])
     raise ValueError(f"unknown filter type: {t}")
 
 
@@ -63,8 +68,8 @@ def filter_to_sql(spec: FilterSpec) -> str | None:
         return f"(starts_with({c}, '{esc(spec.starts_with)}') AND suffix({c}, '{esc(spec.ends_with)}'))"
     if t == "Equals":
         return f"{c} = '{esc(spec.value)}'"
-    if t == "AnyOfInt":
-        return f"{c} NOT IN ({', '.join(str(int(v)) for v in spec.values)})"
+    if t == "AnyOfInt":  # NULL rows kept, matching compile_filter
+        return f"({c} IS NULL OR {c} NOT IN ({', '.join(str(int(v)) for v in spec.values)}))"
     if t == "AnyOfString":
-        return f"{c} NOT IN ({', '.join(chr(39) + esc(v) + chr(39) for v in spec.values)})"
+        return f"({c} IS NULL OR {c} NOT IN ({', '.join(chr(39) + esc(v) + chr(39) for v in spec.values)}))"
     raise ValueError(f"unknown filter type: {t}")

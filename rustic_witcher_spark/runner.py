@@ -28,6 +28,7 @@ from pyspark.sql import SparkSession
 
 from rustic_witcher_spark.config.model import AnonymizationConfig, TableConfig
 from rustic_witcher_spark.functions.wordlists import DEFAULT_SEED
+from rustic_witcher_spark.operators.cdc import apply_cdc
 from rustic_witcher_spark.operators.transforms import check_schema_drift
 from rustic_witcher_spark.plans.pipeline import anonymize_table
 from rustic_witcher_spark.sinks.parquet import write_parquet
@@ -78,6 +79,7 @@ def process_table(
     stop_date: date | None = None,
     catalog_columns: list[str] | None = None,
     seed: int = DEFAULT_SEED,
+    primary_key: list[str] | None = None,
 ) -> TableResult:
     out_path = target_dir / f"{table}.parquet"
     try:
@@ -101,12 +103,29 @@ def process_table(
 
         if path.is_file():
             files = (str(path),)
+            df = spark.read.parquet(*files)
+            if cfg.keep_num_of_records is not None:
+                df = df.limit(cfg.keep_num_of_records)
         else:
             listed = list_table_files(path, mode, start_date, stop_date)
-            files = prune_load_files(listed.load_files, cfg.keep_num_of_records) + listed.cdc_files
-        df = spark.read.parquet(*files)
-        if cfg.keep_num_of_records is not None:
-            df = df.limit(cfg.keep_num_of_records)
+            loads = prune_load_files(listed.load_files, cfg.keep_num_of_records)
+            files = loads + listed.cdc_files
+            # The record-reduction slice applies to the LOAD snapshot only
+            # (ref: anonymization_dataframe_operator.rs:116-125); CDC rows
+            # are merged in full afterwards.
+            df = spark.read.parquet(*loads)
+            if cfg.keep_num_of_records is not None:
+                df = df.limit(cfg.keep_num_of_records)
+            if listed.cdc_files:
+                # DateAware: CDC files are per-PK upserts/deletes over the
+                # LOAD snapshot, not extra rows (ref: cdc_operator.rs:308-328).
+                if not primary_key:
+                    raise ValueError(
+                        f"table {table!r} has CDC files but no primary key; "
+                        "pass primary_keys={table: [pk_cols]} to merge them"
+                    )
+                cdc = spark.read.parquet(*listed.cdc_files)
+                df = apply_cdc(df, cdc, primary_key)
         if catalog_columns is not None:
             check_schema_drift(df.columns, catalog_columns)
         out = anonymize_table(df, cfg, seed, limit_already_applied=True)
@@ -129,6 +148,7 @@ def snapshot(
     catalog: dict[str, list[str]] | None = None,
     num_buffers: int = DEFAULT_NUM_OF_BUFFERS,
     seed: int = DEFAULT_SEED,
+    primary_keys: dict[str, list[str]] | None = None,
 ) -> SnapshotReport:
     """Process every table in ``source_dir`` concurrently."""
     source_dir, target_dir = Path(source_dir), Path(target_dir)
@@ -154,6 +174,7 @@ def snapshot(
                 stop_date,
                 (catalog or {}).get(t),
                 seed,
+                (primary_keys or {}).get(t),
             ): t
             for t, p in tables.items()
         }

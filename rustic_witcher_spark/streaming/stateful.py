@@ -37,10 +37,15 @@ def _seen_filter_fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Ite
     """Emit only the first-ever event per key (across micro-batches)."""
     if state.exists:
         return iter(())
+    # A micro-batch group may arrive as several pandas chunks; the true
+    # first event is the min over ALL of them, not the first chunk's min.
     first = None
     for pdf in pdfs:
-        if len(pdf) and first is None:
-            first = pdf.nsmallest(1, "event_id")
+        if not len(pdf):
+            continue
+        cand = pdf.nsmallest(1, "event_id")
+        if first is None or cand["event_id"].iloc[0] < first["event_id"].iloc[0]:
+            first = cand
     state.update((True,))
     if first is None:
         return iter(())

@@ -133,3 +133,38 @@ value = " "
     v = vc.validations[0]
     assert v.check_type == "Contains"
     assert v.value == " "
+
+
+def test_starts_ends_reference_toml_keys():
+    """The reference TOML spells the operands start_value/end_value
+    (filter_type_struct.rs:21-22)."""
+    cfg = load_config_str(
+        """
+[[tables]]
+table_name = "part"
+[tables.filter_type]
+type = "StartsAndEndsWith"
+column = "p_name"
+start_value = "red"
+end_value = "gear"
+"""
+    )
+    f = cfg.table("part").filter
+    assert f.starts_with == "red"
+    assert f.ends_with == "gear"
+
+
+def test_starts_ends_missing_operand_raises():
+    """A missing operand would compile to startswith(NULL), silently
+    dropping every row — must fail loudly instead."""
+    with pytest.raises(ValueError, match="StartsAndEndsWith"):
+        load_config_str(
+            """
+[[tables]]
+table_name = "part"
+[tables.filter_type]
+type = "StartsAndEndsWith"
+column = "p_name"
+start_value = "red"
+"""
+        )

@@ -46,3 +46,24 @@ def test_anyof_is_not_in(spark, sf_dir):
     out = apply_filter(df, FilterSpec(type="AnyOfInt", column="c_nationkey", values=(0,)))
     assert out.filter(F.col("c_nationkey") == 0).count() == 0
     assert out.count() < df.count()
+
+
+def test_anyof_keeps_null_rows(spark, duck):
+    """Reference semantics: is_in(..., nulls_equal=true).not() KEEPS rows
+    whose cell is NULL; plain ~isin would drop them (NULL predicate)."""
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b"), (4, None)], "k int, v string"
+    )
+    out = apply_filter(df, FilterSpec(type="AnyOfString", column="v", values=("a",)))
+    kept = sorted(r["k"] for r in out.collect())
+    assert kept == [2, 3, 4]  # NULL rows retained, 'a' dropped
+
+    dfi = spark.createDataFrame([(1, 10), (2, None), (3, 30)], "k int, v int")
+    outi = apply_filter(dfi, FilterSpec(type="AnyOfInt", column="v", values=(10,)))
+    assert sorted(r["k"] for r in outi.collect()) == [2, 3]
+
+    # the SQL twin agrees with the Spark predicate on the same data
+    duck.execute("CREATE OR REPLACE TABLE _nulls AS SELECT * FROM (VALUES (1, 'a'), (2, NULL), (3, 'b'), (4, NULL)) t(k, v)")
+    sql = filter_to_sql(FilterSpec(type="AnyOfString", column="v", values=("a",)))
+    got = sorted(r[0] for r in duck.execute(f"SELECT k FROM _nulls WHERE {sql}").fetchall())
+    assert got == [2, 3, 4]

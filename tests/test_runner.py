@@ -109,3 +109,81 @@ def test_postgres_sql_builders():
     ran = []
     pg.run_statements(["SELECT 1", "SELECT 2"], ran.append)
     assert ran == ["SELECT 1", "SELECT 2"]
+
+
+DMS_CFG = """
+[[tables]]
+table_name = "accounts"
+[tables.anonymization_type]
+type = "Multi"
+[[tables.anonymization_type.column_transformations]]
+column_name = "name"
+[tables.anonymization_type.column_transformations.transformation_type]
+type = "Replace"
+replacement_value = "X"
+"""
+
+
+@pytest.fixture()
+def dms_src(tmp_path):
+    """DMS-style table dir: one LOAD file + one CDC file with Op/ts."""
+    import pandas as pd
+
+    d = tmp_path / "dms_src" / "accounts"
+    d.mkdir(parents=True)
+    pd.DataFrame({"k": [1, 2, 3], "name": ["a", "b", "c"]}).to_parquet(d / "LOAD00000001.parquet")
+    pd.DataFrame(
+        {
+            "k": [2, 2, 3, 4],
+            "name": ["b1", "b2", "c", "d"],
+            "Op": ["U", "U", "D", "I"],
+            "_dms_ingestion_timestamp": [1, 2, 1, 1],
+        }
+    ).to_parquet(d / "20240115-000000001.parquet")
+    return tmp_path / "dms_src"
+
+
+def test_dateaware_merges_cdc(spark, dms_src, tmp_path):
+    """DateAware is per-PK upsert/delete over the LOAD snapshot
+    (cdc_operator.rs:308-328), not a naive union: superseded versions and
+    Op='D' tombstones must not survive, DMS metadata columns are dropped."""
+    from datetime import date
+
+    report = snapshot(
+        spark, dms_src, tmp_path / "out_cdc", load_config_str(DMS_CFG),
+        mode="DateAware", start_date=date(2024, 1, 1),
+        primary_keys={"accounts": ["k"]},
+    )
+    assert report.ok, report.results
+    out = spark.read.parquet(str(tmp_path / "out_cdc" / "accounts.parquet"))
+    assert set(out.columns) == {"k", "name"}  # Op/_dms_ingestion_timestamp gone
+    rows = {r["k"]: r["name"] for r in out.collect()}
+    # k=2 updated (last writer b2, then anonymized), k=3 deleted, k=4 inserted
+    assert set(rows) == {1, 2, 4}
+    assert all(v == "X" for v in rows.values())
+
+
+def test_dateaware_without_pk_errors(spark, dms_src, tmp_path):
+    report = snapshot(
+        spark, dms_src, tmp_path / "out_nopk", load_config_str(DMS_CFG),
+        mode="DateAware", start_date=__import__("datetime").date(2024, 1, 1),
+    )
+    assert not report.ok
+    assert "primary key" in report.results[0].error
+
+
+def test_dateaware_limit_applies_to_load_only(spark, dms_src, tmp_path):
+    """keep_num_of_records slices the LOAD snapshot; CDC rows still merge."""
+    cfg = load_config_str(DMS_CFG.replace('table_name = "accounts"', 'table_name = "accounts"\nkeep_num_of_records = 2'))
+    from datetime import date
+
+    report = snapshot(
+        spark, dms_src, tmp_path / "out_lim", cfg,
+        mode="DateAware", start_date=date(2024, 1, 1),
+        primary_keys={"accounts": ["k"]},
+    )
+    assert report.ok, report.results
+    out = spark.read.parquet(str(tmp_path / "out_lim" / "accounts.parquet"))
+    ks = {r["k"] for r in out.collect()}
+    # LOAD limited to first 2 rows {1,2}; CDC updates 2, deletes 3 (absent), inserts 4
+    assert ks == {1, 2, 4}

@@ -80,3 +80,26 @@ def test_totals_accumulate_across_batches(spark, event_rows, tmp_path):
     for r in rows:
         latest[r["user_id"]] = (r["n_events"], r["total_value"])
     assert latest[100] == (3, 13.0)
+
+
+def test_seen_filter_min_across_chunks():
+    """The first-event pick must span ALL pandas chunks of a group's
+    micro-batch, not just the first non-empty chunk."""
+    import pandas as pd
+
+    class FakeState:
+        exists = False
+
+        def update(self, v):
+            self.exists = True
+
+    chunks = iter(
+        [
+            pd.DataFrame({"user_id": [7, 7], "event_id": [50, 60]}),
+            pd.DataFrame({"user_id": [], "event_id": []}),
+            pd.DataFrame({"user_id": [7], "event_id": [3]}),  # true first
+        ]
+    )
+    out = list(stateful._seen_filter_fn((7,), chunks, FakeState()))
+    assert len(out) == 1
+    assert out[0]["event_id"].iloc[0] == 3
