@@ -183,6 +183,7 @@ def minhash_lsh_candidates(
     bands: int = 16,
     n: int = 3,
     seed: int = DEFAULT_SEED,
+    max_bucket_size: int = 2048,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banding.
 
@@ -192,7 +193,17 @@ def minhash_lsh_candidates(
 
     Scale shape: one projection (signatures) → explode to ``bands`` rows
     per doc → ONE shuffle on (band_idx, band_hash) → within-bucket pairs.
-    Bucket sizes are bounded by real duplicate clusters, not corpus size.
+
+    ``max_bucket_size`` bounds degenerate buckets (at web scale,
+    boilerplate/empty docs can put millions of rows in one band hash —
+    the unbounded case, not the exception): members beyond the cap
+    (lowest-id first, deterministic) are dropped from that bucket BEFORE
+    the collect, via a row_number over the same (band, bhash) keys the
+    groupBy uses — same hash partitioning, so no extra shuffle, and the
+    aggregation buffer never materializes an unbounded array. Docs
+    dropped here are near-identical to the kept members anyway (same
+    band hash) and exact-dedup catches true duplicates; pair
+    enumeration stays O(cap²) per bucket.
     """
     rows_per_band = num_perm // bands
     sig = minhash_signature(F.col(text_col), num_perm, n, seed)
@@ -219,6 +230,8 @@ def minhash_lsh_candidates(
     # shuffle it twice. Bucket membership is bounded by real duplicate
     # clusters; array_sort makes the (id_a < id_b) enumeration
     # deterministic regardless of collect_list order.
+    wcap = Window.partitionBy("band", "bhash").orderBy("__id")
+    banded = banded.withColumn("__rn", F.row_number().over(wcap)).filter(F.col("__rn") <= max_bucket_size).drop("__rn")
     buckets = (
         banded.groupBy("band", "bhash")
         .agg(F.array_sort(F.collect_list(F.struct("__id", "__sig"))).alias("mem"))
@@ -280,7 +293,12 @@ def _simhash64_build(col: Column, seed: int) -> Column:
 
 
 def simhash_near_duplicates(
-    df: DataFrame, text_col: str, id_col: str, seed: int = DEFAULT_SEED, max_hamming: int = 0
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    seed: int = DEFAULT_SEED,
+    max_hamming: int = 0,
+    max_bucket_size: int = 2048,
 ) -> DataFrame:
     """EXACT near-duplicate pairs by SimHash hamming distance ≤ max_hamming.
 
@@ -295,6 +313,12 @@ def simhash_near_duplicates(
     filters false positives. Cost: d+1 small shuffle keys per row
     instead of an O(n²) cross join — the standard scale shape for
     hamming search over billions of docs.
+
+    ``max_bucket_size`` bounds degenerate buckets the same way as
+    ``minhash_lsh_candidates``: lowest-id members win, the cap applies
+    before the collect (no unbounded aggregation buffer), and truncation
+    only bites where a band value is shared by more than ``cap`` docs —
+    which for simhash means the docs are near-identical to begin with.
     """
     h = df.select(F.col(id_col).alias("__id"), simhash64(F.col(text_col), seed).alias("__sim"))
     nb = max_hamming + 1
@@ -317,6 +341,8 @@ def simhash_near_duplicates(
     # groupBy-bucket + in-bucket pair enumeration, not a self-join: the
     # fingerprint subplan is computed and shuffled ONCE (see
     # minhash_lsh_candidates for the same pattern).
+    wcap = Window.partitionBy("__band").orderBy("__id")
+    hb = hb.withColumn("__rn", F.row_number().over(wcap)).filter(F.col("__rn") <= max_bucket_size).drop("__rn")
     buckets = (
         hb.groupBy("__band")
         .agg(F.array_sort(F.collect_list(F.struct("__id", "__sim"))).alias("mem"))

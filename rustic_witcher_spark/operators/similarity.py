@@ -67,46 +67,146 @@ def brute_force_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+_PAIR_SCHEMA_DDL = "id_a long, id_b long, sim double"
+
+
 def cosine_near_dup_pairs(
     df: DataFrame,
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "block",
+    n_blocks: int = 16,
+    n_planes: int = 8,
+    n_tables: int = 3,
+    dim: int | None = None,
 ) -> DataFrame:
-    """Exact embedding near-duplicate pairs: (id_a, id_b, sim) with
+    """Embedding near-duplicate pairs: (id_a, id_b, sim) with
     id_a < id_b and cosine ≥ threshold.
 
-    Execution: the (id, normalized-vector) matrix is broadcast to every
-    executor; each partition scores its rows against the whole matrix
-    with one NumPy matmul inside ``mapInPandas`` (Arrow-batched — a
-    per-pair expression fold is ~50× slower). Each pair is emitted only
-    by its lower-id side, so results are partitioning-invariant and
-    exactly once.
+    Three physical strategies for one logical operator:
 
-    The broadcast bounds this exact formulation at ~10⁵ vectors
-    (matrix ≤ ~100 MB). Beyond that, block first — bucket by
-    ``hyperplane_signature`` (several OR-ed signature tables for
-    recall) and run the same matmul scoring within buckets, the shape
-    ``lsh_topk`` uses. 64-element double dots have error ~1e-14, so the
-    6-dp rounding matches the sequential-fold oracle bit-for-bit.
+    - ``"block"`` (default) — EXACT and fully distributed: vectors hash
+      into ``n_blocks`` blocks, every unordered block pair becomes one
+      task that NumPy-matmuls its two bounded sub-matrices. No driver
+      collect, no broadcast of the corpus; executor memory per task is
+      two blocks. Work is inherently O(n²) (that is what exact all-pairs
+      means) but spread over B(B+1)/2 tasks with O(n·B) shuffle — size
+      ``n_blocks`` ≈ n·vec_bytes / 100 MB so a block fits comfortably.
+    - ``"lsh"`` — APPROXIMATE web-scale path: candidates from an OR of
+      ``n_tables`` hyperplane-signature tables (one shuffle each),
+      exact cosine verify ≥ threshold. Recall tunable via
+      ``n_planes``/``n_tables``; precision is exact (verify step).
+    - ``"broadcast"`` — the small-corpus path (≤ ~10⁵ vectors): the
+      whole (id, normalized-vector) matrix broadcast to every executor,
+      one matmul per Arrow batch. Opt-in only, since the driver builds
+      the matrix.
+
+    All strategies round sims to 6 dp after float64 matmul, so block
+    and broadcast agree bit-for-bit with the sequential-fold DuckDB
+    oracle (64-element double dots carry ~1e-14 error).
     """
+    if method == "block":
+        return _near_dup_pairs_block(df, threshold, id_col, vec_col, n_blocks)
+    if method == "lsh":
+        return _near_dup_pairs_lsh(df, threshold, id_col, vec_col, n_planes, n_tables, dim)
+    if method == "broadcast":
+        return _near_dup_pairs_broadcast(df, threshold, id_col, vec_col)
+    raise ValueError(f"unknown method: {method!r} (block | lsh | broadcast)")
+
+
+def _np_pack(items):
+    """(id, vec) struct list → (ids int64 array, float64 matrix)."""
     import numpy as np
-    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    ids = np.fromiter((it["id"] for it in items), dtype=np.int64, count=len(items))
+    mat = np.stack([np.asarray(it["v"], dtype=np.float64) for it in items])
+    norm = np.linalg.norm(mat, axis=1, keepdims=True)
+    norm[norm == 0.0] = 1.0  # zero vectors stay zero (sim 0), never NaN
+    return ids, mat / norm
+
+
+def _near_dup_pairs_block(df, threshold, id_col, vec_col, n_blocks):
+    import numpy as np
+
+    spark = df.sparkSession
+    src = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n_blocks)).alias("b"),
+    )
+    packed = src.groupBy("b").agg(F.collect_list(F.struct("id", "v")).alias("items"))
+    grid = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)], "i long, j long"
+    )
+    # broadcast the tiny pair grid, never the corpus; the second join
+    # replicates each block to its (j+1) pair-tasks — O(n·n_blocks) shuffle
+    left = packed.join(F.broadcast(grid), packed["b"] == grid["i"]).select("i", "j", F.col("items").alias("l_items"))
+    both = left.join(packed.select(F.col("b").alias("j"), F.col("items").alias("r_items")), "j")
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                l_ids, l_mat = _np_pack(row["l_items"])
+                same = row["i"] == row["j"]
+                r_ids, r_mat = (l_ids, l_mat) if same else _np_pack(row["r_items"])
+                sims = np.round(l_mat @ r_mat.T, 6)
+                keep = sims >= threshold
+                if same:
+                    keep &= l_ids[:, None] < r_ids[None, :]  # each pair once, no self
+                r, c = np.nonzero(keep)
+                if not len(r):
+                    continue
+                ia, ib = l_ids[r], r_ids[c]
+                yield pd.DataFrame(
+                    {"id_a": np.minimum(ia, ib), "id_b": np.maximum(ia, ib), "sim": sims[r, c]}
+                )
+
+    return both.mapInPandas(score, _PAIR_SCHEMA_DDL)
+
+
+def _near_dup_pairs_lsh(df, threshold, id_col, vec_col, n_planes, n_tables, dim):
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
+    tables = [
+        base.select(
+            "id", "v", F.lit(t).alias("t"),
+            hyperplane_signature(F.col("v"), dim, n_planes, seed=DEFAULT_SEED + t).alias("sig"),
+        )
+        for t in range(n_tables)
+    ]
+    sigs = tables[0]
+    for t in tables[1:]:
+        sigs = sigs.unionByName(t)
+    a, b = sigs.alias("a"), sigs.alias("b")
+    cand = (
+        a.join(b, ["t", "sig"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+            F.col("a.v").alias("va"), F.col("b.v").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])  # OR across tables
+    )
+    return (
+        cand.select("id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )
+
+
+def _near_dup_pairs_broadcast(df, threshold, id_col, vec_col):
+    import numpy as np
 
     spark = df.sparkSession
     pdf = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).toPandas()
-    def _normalize(m):
-        n = np.linalg.norm(m, axis=1, keepdims=True)
-        n[n == 0.0] = 1.0  # zero vectors stay zero (sim 0), never NaN
-        return m / n
-
     ids = pdf["id"].to_numpy()
-    mat = _normalize(np.stack(pdf["v"].to_numpy()).astype(np.float64))
-    bc = spark.sparkContext.broadcast((ids, mat))
-
-    out_schema = StructType(
-        [StructField("id_a", LongType()), StructField("id_b", LongType()), StructField("sim", DoubleType())]
-    )
+    mat = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+    norm = np.linalg.norm(mat, axis=1, keepdims=True)
+    norm[norm == 0.0] = 1.0
+    bc = spark.sparkContext.broadcast((ids, mat / norm))
 
     def score(batches):
         import pandas as pd
@@ -122,7 +222,7 @@ def cosine_near_dup_pairs(
             r, c = np.nonzero(keep)
             yield pd.DataFrame({"id_a": b_ids[r], "id_b": all_ids[c], "sim": sims[r, c]})
 
-    return df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).mapInPandas(score, out_schema)
+    return df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).mapInPandas(score, _PAIR_SCHEMA_DDL)
 
 
 def hyperplane_signature(vec: Column, dim: int, n_planes: int = 16, seed: int = DEFAULT_SEED) -> Column:

@@ -770,8 +770,9 @@ def sql_token_count_bpe() -> str:
 
 
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (exact; LSH-blocked variant
-    is the documented scale path in similarity.cosine_near_dup_pairs)."""
+    """Embedding-cosine near-duplicate pairs — exact, via the default
+    distributed block-pair matmul (no driver collect; see
+    similarity.cosine_near_dup_pairs for the lsh/broadcast variants)."""
     return similarity.cosine_near_dup_pairs(_read(spark, sf_dir, "embeddings"), threshold=0.4)
 
 

@@ -262,3 +262,100 @@ def test_frame_sampling_explodes_rows(spark):
 def test_real_decoder_is_gated():
     with pytest.raises(multimodal.DecoderUnavailable):
         multimodal.real_decode_image(JPEG)
+
+
+def test_near_dup_methods_agree(spark):
+    """block (default, distributed) and broadcast (small-corpus) produce
+    identical pair sets and identical 6-dp sims."""
+    import random
+
+    random.seed(23)
+    rows = [(i, [random.gauss(0, 1) for _ in range(16)]) for i in range(80)]
+    rows += [(1000 + i, [v * 1.001 for v in rows[i][1]]) for i in range(10)]  # planted dups
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    block = {(r["id_a"], r["id_b"]): r["sim"] for r in similarity.cosine_near_dup_pairs(df, 0.6, n_blocks=5).collect()}
+    bcast = {
+        (r["id_a"], r["id_b"]): r["sim"]
+        for r in similarity.cosine_near_dup_pairs(df, 0.6, method="broadcast").collect()
+    }
+    assert block == bcast
+    assert all(a < b for a, b in block)
+    assert len(block) >= 10  # the planted dups are found
+
+
+def test_near_dup_lsh_recall_and_precision(spark):
+    """LSH method: every emitted pair truly clears the threshold
+    (exact verify) and planted near-identical dups are recalled —
+    identical signs on every plane puts them in the same bucket."""
+    import random
+
+    random.seed(29)
+    rows = [(i, [random.gauss(0, 1) for _ in range(16)]) for i in range(60)]
+    rows += [(1000 + i, list(rows[i][1])) for i in range(8)]  # exact dups
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {(r["id_a"], r["id_b"]): r["sim"] for r in similarity.cosine_near_dup_pairs(df, 0.95, method="lsh").collect()}
+    for i in range(8):
+        assert (i, 1000 + i) in got and abs(got[(i, 1000 + i)] - 1.0) < 1e-6
+    exact = {
+        (r["id_a"], r["id_b"]): r["sim"]
+        for r in similarity.cosine_near_dup_pairs(df, 0.95, method="broadcast").collect()
+    }
+    assert set(got) <= set(exact)  # no false positives (verify step is exact)
+
+
+def test_near_dup_block_no_collect_in_plan(spark):
+    """The default path must not pull the corpus through the driver."""
+    import random
+
+    random.seed(31)
+    rows = [(i, [random.gauss(0, 1) for _ in range(8)]) for i in range(40)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    # building the plan must not trigger a driver-side toPandas/collect:
+    # no Spark job may run during construction
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    out = similarity.cosine_near_dup_pairs(df, 0.5)
+    after = tracker.getJobIdsForGroup(None)
+    assert len(after) == len(before), "plan construction ran driver-side jobs"
+    assert out.count() >= 0  # and it executes
+
+
+def test_lsh_degenerate_bucket_capped(spark):
+    """10k identical docs must not OOM one task or enumerate O(n²)
+    pairs: the per-bucket cap bounds members before the collect."""
+    df = spark.range(10_000).select(
+        F.col("id").alias("doc_id"), F.lit("the same boilerplate text every time").alias("text")
+    )
+    out = dedup.minhash_lsh_candidates(df, "text", "doc_id", num_perm=16, bands=4, max_bucket_size=64)
+    n = out.count()
+    assert n == 64 * 63 // 2  # pairs among the capped members only
+    sh = dedup.simhash_near_duplicates(df, "text", "doc_id", max_hamming=3, max_bucket_size=64)
+    assert sh.count() == 64 * 63 // 2
+
+
+def test_lsh_cap_does_not_change_small_buckets(spark, sf_dir):
+    """On real (non-degenerate) data the cap is invisible: default and
+    huge-cap runs produce identical candidates."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    a = sorted(map(tuple, dedup.minhash_lsh_candidates(df, "text", "doc_id", num_perm=16, bands=4).collect()))
+    b = sorted(
+        map(tuple, dedup.minhash_lsh_candidates(df, "text", "doc_id", num_perm=16, bands=4, max_bucket_size=10**9).collect())
+    )
+    assert a == b
+
+
+def test_ivf_recall_floor_vs_bruteforce(spark, sf_dir):
+    """Quantitative gate for the one approximate operator with no
+    oracle: IVF recall@5 vs brute force must clear a floor on the
+    embeddings fixture. The fixture vectors are near-uniform (worst case
+    for IVF — recall tracks the scanned fraction nprobe/n_clusters;
+    real embedding corpora cluster far better): nprobe=3 of 8 lists
+    gives 0.62 here, nprobe=4 gives 0.84."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = similarity.brute_force_topk(emb, q, k=5)
+    approx = similarity.ivf_topk(emb, q, k=5, n_clusters=8, nprobe=3, iters=1)
+    truth = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    got = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.6, f"IVF recall@5 = {recall:.2f} < 0.6"
