@@ -27,6 +27,24 @@ from rustic_witcher_spark.session import get_spark
 _MODES = {"full-load-only": "FullLoadOnly", "date-aware": "DateAware", "absolute-path": "AbsolutePath"}
 
 
+def resolve_postgres_urls(database: str, schema: str, env: dict[str, str] | None = None) -> tuple[str, str]:
+    """Env-derived DB URLs, the reference's naming scheme
+    (ref: src/main.rs:132-156): ``{DB}_{SCHEMA}_SOURCE_POSTGRES_URL`` and
+    ``{DB}_{SCHEMA}_TARGET_POSTGRES_URL`` (both uppercased), each with
+    ``/{database}`` appended — the target database name is intentionally
+    the source database name.
+    """
+    env = os.environ if env is None else env
+    out = []
+    for side in ("SOURCE", "TARGET"):
+        key = f"{database.upper()}_{schema.upper()}_{side}_POSTGRES_URL"
+        base = env.get(key)
+        if base is None:
+            raise KeyError(f"{side.title()} Postgres URL could not be loaded (missing env {key})")
+        out.append(f"{base}/{database}")
+    return out[0], out[1]
+
+
 def included_tables_from_file(path: str) -> list[str]:
     """One table per line; lines containing '/' keep only the last path
     segment (the reference's prefix rule, src/main.rs:26-28)."""

@@ -65,12 +65,44 @@ class TableFiles:
     cdc_files: tuple[str, ...]
 
 
+def _list_s3_parquet(table_dir: str, s3_client=None) -> list[str]:
+    """All ``.parquet`` object URIs under an ``s3://bucket/prefix`` dir,
+    via paginated ``list_objects_v2`` (the reference lists per-table S3
+    objects the same way, ref: cdc_operator.rs:183-219).
+
+    ``s3_client`` is injectable for tests; without one, boto3 is
+    imported lazily (not baked into this environment — import-gated).
+    """
+    if s3_client is None:
+        try:
+            import boto3  # noqa: PLC0415
+        except ImportError as e:  # pragma: no cover - boto3 not in test env
+            raise RuntimeError("s3:// listing requires boto3 or an injected s3_client") from e
+        s3_client = boto3.client("s3")
+    bucket, _, prefix = table_dir.removeprefix("s3://").partition("/")
+    prefix = prefix.rstrip("/") + "/"
+    keys: list[str] = []
+    kwargs = {"Bucket": bucket, "Prefix": prefix}
+    while True:
+        resp = s3_client.list_objects_v2(**kwargs)
+        for obj in resp.get("Contents", []):
+            key = obj["Key"]
+            # direct children only — a nested prefix is another table's dir
+            if key.endswith(".parquet") and "/" not in key.removeprefix(prefix):
+                keys.append(f"s3://{bucket}/{key}")
+        if not resp.get("IsTruncated"):
+            break
+        kwargs["ContinuationToken"] = resp["NextContinuationToken"]
+    return sorted(keys)
+
+
 def list_table_files(
     table_dir: str | Path,
     mode: str = "FullLoadOnly",
     start_date: date | None = None,
     stop_date: date | None = None,
     absolute_path: str | None = None,
+    s3_client=None,
 ) -> TableFiles:
     """File discovery, three modes mirroring the reference's CLI
     (ref: cdc_operator.rs:183-219, src/main.rs:73-79):
@@ -79,6 +111,9 @@ def list_table_files(
     - ``DateAware``: LOAD* plus CDC files within [start_date, stop_date];
       start_date required (ref :184-186)
     - ``AbsolutePath``: exactly the one given file
+
+    ``table_dir`` may be a local directory or an ``s3://bucket/prefix``
+    URI — classification and date-window logic are identical either way.
     """
     if mode == "AbsolutePath":
         if not absolute_path:
@@ -86,7 +121,10 @@ def list_table_files(
         f = (absolute_path,)
         return TableFiles(f, ()) if classify_file(absolute_path) != FileClass.CDC else TableFiles((), f)
 
-    all_files = sorted(str(p) for p in Path(table_dir).glob("*.parquet"))
+    if str(table_dir).startswith("s3://"):
+        all_files = _list_s3_parquet(str(table_dir), s3_client)
+    else:
+        all_files = sorted(str(p) for p in Path(table_dir).glob("*.parquet"))
     loads = tuple(f for f in all_files if classify_file(f) in (FileClass.FIRST_LOAD, FileClass.LOAD))
     if mode == "FullLoadOnly":
         return TableFiles(loads, ())

@@ -75,3 +75,71 @@ def test_read_with_record_reduction(spark, tmp_path):
     assert all(r["id"] < 100 for r in rows)  # nothing from LOAD00000002
     full = read_table_files(spark, files)
     assert full.count() == 200  # multi-file union without reduction
+
+
+class FakeS3Client:
+    """Minimal list_objects_v2 with pagination."""
+
+    def __init__(self, keys_by_bucket, page_size=2):
+        self.keys = keys_by_bucket
+        self.page = page_size
+
+    def list_objects_v2(self, Bucket, Prefix, ContinuationToken=None):
+        matching = sorted(k for k in self.keys[Bucket] if k.startswith(Prefix))
+        start = int(ContinuationToken or 0)
+        chunk = matching[start : start + self.page]
+        out = {"Contents": [{"Key": k} for k in chunk]}
+        if start + self.page < len(matching):
+            out["IsTruncated"] = True
+            out["NextContinuationToken"] = str(start + self.page)
+        return out
+
+
+S3_KEYS = {
+    "bkt": [
+        "db/public/accounts/LOAD00000001.parquet",
+        "db/public/accounts/LOAD00000002.parquet",
+        "db/public/accounts/20240110-000000001.parquet",
+        "db/public/accounts/20240120-000000001.parquet",
+        "db/public/accounts/20240220-000000001.parquet",
+        "db/public/accounts/notes.txt",
+        "db/public/accounts/nested/LOAD00000001.parquet",  # another table's dir
+        "db/public/accounts_history/LOAD00000001.parquet",  # sibling prefix
+    ]
+}
+
+
+def test_s3_listing_full_load_only():
+    files = list_table_files("s3://bkt/db/public/accounts", "FullLoadOnly", s3_client=FakeS3Client(S3_KEYS))
+    assert files.load_files == (
+        "s3://bkt/db/public/accounts/LOAD00000001.parquet",
+        "s3://bkt/db/public/accounts/LOAD00000002.parquet",
+    )
+    assert files.cdc_files == ()
+
+
+def test_s3_listing_date_aware_window():
+    files = list_table_files(
+        "s3://bkt/db/public/accounts", "DateAware",
+        start_date=date(2024, 1, 15), stop_date=date(2024, 1, 31),
+        s3_client=FakeS3Client(S3_KEYS),
+    )
+    assert len(files.load_files) == 2
+    assert files.cdc_files == ("s3://bkt/db/public/accounts/20240120-000000001.parquet",)
+
+
+def test_s3_listing_absolute_path():
+    files = list_table_files(
+        "s3://bkt/db/public/accounts", "AbsolutePath",
+        absolute_path="s3://bkt/db/public/accounts/20240110-000000001.parquet",
+        s3_client=FakeS3Client(S3_KEYS),
+    )
+    assert files.load_files == ()
+    assert files.cdc_files == ("s3://bkt/db/public/accounts/20240110-000000001.parquet",)
+
+
+def test_s3_listing_paginates():
+    """More keys than one page: the ContinuationToken loop must walk all."""
+    client = FakeS3Client(S3_KEYS, page_size=1)
+    files = list_table_files("s3://bkt/db/public/accounts", "FullLoadOnly", s3_client=client)
+    assert len(files.load_files) == 2
