@@ -19,41 +19,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from rustic_witcher_spark.queries import build_registry
 from rustic_witcher_spark.session import get_spark
 
-BENCH_QUERIES = [
-    # reference anonymization surface (scan → filter → project pipelines)
-    "anonymize_customer",
-    "anonymize_orders",
-    "faker_suite",
-    "sanitize_null_bytes",
-    # CDC merge (one PK shuffle)
-    "cdc_upsert",
-    # analytics (scan-heavy agg, broadcast joins, window)
-    "q1_pricing_summary",
-    "q3_top_revenue",
-    "q5_nation_revenue",
-    "q13_order_distribution",
-    "rollup_revenue",
-    "distinct_parts_per_supplier",
-    "top_customers_per_nation",
-    # LLM-data extensions
-    "text_stats",
-    "text_langid",
-    "token_count_bpe",
-    "dedup_exact",
-    "minhash_signatures",
-    "minhash_lsh_candidates",
-    "simhash",
-    "simhash_near_dups",
-    "knn_bruteforce",
-    "knn_lsh",
-    "embedding_near_dups",
-    # joins beyond equi
-    "asof_last_purchase",
-    "events_in_campaign_windows",
-    # event windows
-    "events_tumbling",
-    "events_session",
-]
+# The FULL query inventory is benched (every build_registry entry), so
+# each round's per-query timings make regressions attributable across
+# the whole SURVEY §2 surface, not a headline subset.
+BENCH_QUERIES: list[str] = []  # filled from the registry in main()
 
 
 def main() -> None:
@@ -62,6 +31,7 @@ def main() -> None:
     sf = float(m.group(1)) if m else None
     spark = get_spark("bench")
     registry = build_registry()
+    BENCH_QUERIES.extend(registry.keys())
 
     # Warm the JVM and each query's whole-stage-codegen cache with a
     # run at the smallest SF: the generated code is keyed on the plan

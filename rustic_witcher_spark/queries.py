@@ -50,10 +50,15 @@ def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
 def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
     """Repartition a small-file scan across all cores before a heavy
-    per-row projection. Locally the test tables are single parquet files
-    (one partition); on a real cluster the input is already split and
-    this is a near-no-op safeguard against pathological skew."""
-    return df.repartition(spark.sparkContext.defaultParallelism)
+    per-row projection — but ONLY when the scan is actually narrower
+    than the cluster. Locally the test tables are single parquet files
+    (one partition → fan out); on a real cluster the scan is already
+    split and an unconditional repartition would be a pure-waste full
+    shuffle, so it is skipped."""
+    parallelism = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= min(parallelism, 8):
+        return df
+    return df.repartition(parallelism)
 
 
 # ---------------------------------------------------------------------------
