@@ -70,3 +70,66 @@ def multipart_part_size(total_bytes: int) -> int | None:
     if total_bytes < MULTIPART_THRESHOLD_BYTES:
         return None
     return -(-total_bytes // TARGET_MULTIPART_PARTS)  # ceil division
+
+
+def split_s3_path(s3_path: str) -> tuple[str, str]:
+    """``s3://bucket/some/key`` → (bucket, key)
+    (ref: mongo_data_exporter.rs:55-68)."""
+    bucket, _, key = s3_path.removeprefix("s3://").partition("/")
+    if not bucket:
+        raise ValueError(f"not an s3 path: {s3_path!r}")
+    return bucket, key
+
+
+def export_data(
+    mongo_uri: str,
+    database_name: str,
+    s3_path: str,
+    run,
+    upload,
+    cleanup=None,
+    work_dir: str = "/tmp/mongo-dump",
+) -> None:
+    """The exporter's full sequence (ref: mongo_data_exporter.rs:33-77):
+    validate the URI's trailing db name, mongodump, zstd-tar, upload to
+    S3 (multipart decided by ``multipart_part_size``), clean up.
+
+    ``run(cmd: list[str])`` executes a subprocess; ``upload(bucket,
+    key, file)`` ships the archive; ``cleanup(path)`` removes local
+    artifacts. All injected — the container has no mongo tooling.
+    """
+    if mongo_uri.rsplit("/", 1)[-1] != database_name:
+        raise ValueError(
+            f"Database name in URI does not match provided database name {database_name!r}"
+        )
+    archive = f"{work_dir}.tar.zst"
+    run(mongodump_command(mongo_uri, database_name, work_dir))
+    run(tar_command(work_dir, archive))
+    bucket, key = split_s3_path(s3_path)
+    upload(bucket, key, archive)
+    if cleanup:
+        cleanup(archive)
+        cleanup(work_dir)
+
+
+def import_data(
+    mongo_uri: str,
+    database_name: str,
+    s3_path: str,
+    run,
+    download,
+    cleanup=None,
+    work_dir: str = "/tmp/mongo-dump",
+) -> None:
+    """The importer's full sequence (ref: mongo_data_importer.rs:39-68):
+    refuse production URIs, download the archive, untar, mongorestore,
+    remove the archive."""
+    guard_not_production(mongo_uri)
+    extract_dir = f"{work_dir}/{database_name}"
+    bucket, key = split_s3_path(s3_path)
+    archive = f"{work_dir}/{key.rsplit('/', 1)[-1]}"
+    download(bucket, key, archive)
+    run(untar_command(archive, extract_dir))
+    run(mongorestore_command(mongo_uri, extract_dir))
+    if cleanup:
+        cleanup(archive)

@@ -38,6 +38,20 @@ from rustic_witcher_spark.sources.parquet import list_table_files, prune_load_fi
 DEFAULT_NUM_OF_BUFFERS = int(os.environ.get("NUM_OF_BUFFERS", "8"))
 
 
+def anonymized_upload_dir() -> Path | None:
+    """The UPLOAD_ANONYMIZED_FILES / ANONYMIZED_BUCKET gate
+    (ref: anonymization_dataframe_operator.rs:450-460): when the flag is
+    true, every anonymized table is ALSO copied to the anonymized
+    bucket; the bucket env var is then required (the reference panics
+    on its absence)."""
+    if os.environ.get("UPLOAD_ANONYMIZED_FILES", "false").lower() != "true":
+        return None
+    bucket = os.environ.get("ANONYMIZED_BUCKET")
+    if not bucket:
+        raise RuntimeError("ANONYMIZED_BUCKET env var not set!")
+    return Path(bucket)
+
+
 @dataclass
 class TableResult:
     table: str
@@ -130,6 +144,14 @@ def process_table(
             check_schema_drift(df.columns, catalog_columns)
         out = anonymize_table(df, cfg, seed, limit_already_applied=True)
         write_parquet(out, str(out_path), target_files=1 if path.is_file() else None)
+        upload_dir = anonymized_upload_dir()
+        if upload_dir is not None:
+            upload_dir.mkdir(parents=True, exist_ok=True)
+            dest = upload_dir / out_path.name
+            if out_path.is_dir():
+                shutil.copytree(out_path, dest, dirs_exist_ok=True)
+            else:
+                shutil.copyfile(out_path, dest)
         return TableResult(table, "anonymized", rows=out.count(), files_read=len(files))
     except Exception as e:  # noqa: BLE001 - per-table isolation, reported upward
         return TableResult(table, "error", error=f"{type(e).__name__}: {e}")

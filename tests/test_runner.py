@@ -187,3 +187,26 @@ def test_dateaware_limit_applies_to_load_only(spark, dms_src, tmp_path):
     ks = {r["k"] for r in out.collect()}
     # LOAD limited to first 2 rows {1,2}; CDC updates 2, deletes 3 (absent), inserts 4
     assert ks == {1, 2, 4}
+
+
+def test_upload_anonymized_files_gate(spark, src, tmp_path, monkeypatch):
+    """UPLOAD_ANONYMIZED_FILES=true copies anonymized outputs to
+    ANONYMIZED_BUCKET as well (anonymization_dataframe_operator.rs:450-460)."""
+    bucket = tmp_path / "anon_bucket"
+    monkeypatch.setenv("UPLOAD_ANONYMIZED_FILES", "true")
+    monkeypatch.setenv("ANONYMIZED_BUCKET", str(bucket))
+    report = snapshot(spark, src, tmp_path / "out_up", load_config_str(CFG), included_tables=["customer"])
+    assert report.ok
+    assert (bucket / "customer.parquet").exists()
+    # the uploaded copy is a readable, identical anonymized table
+    up = spark.read.parquet(str(bucket / "customer.parquet"))
+    main_out = spark.read.parquet(str(tmp_path / "out_up" / "customer.parquet"))
+    assert sorted(map(tuple, up.collect())) == sorted(map(tuple, main_out.collect()))
+
+
+def test_upload_gate_requires_bucket(spark, src, tmp_path, monkeypatch):
+    monkeypatch.setenv("UPLOAD_ANONYMIZED_FILES", "true")
+    monkeypatch.delenv("ANONYMIZED_BUCKET", raising=False)
+    report = snapshot(spark, src, tmp_path / "out_up2", load_config_str(CFG), included_tables=["customer"])
+    assert not report.ok
+    assert "ANONYMIZED_BUCKET" in report.results[0].error

@@ -52,3 +52,51 @@ def test_skip_validations_env(spark, monkeypatch):
     monkeypatch.setenv("SKIP_VALIDATIONS", "true")
     cfg = ValidationConfig(validations=(ValidationCheck("t", "select 1 as c", "c", "Equals", "1"),))
     assert run_validations(spark, cfg) == []
+
+
+def test_mongo_export_sequence():
+    from rustic_witcher_spark import mongo_buddy as mb
+
+    calls = []
+    mb.export_data(
+        "mongodb://u:p@host/appdb", "appdb", "s3://bkt/dumps/appdb",
+        run=lambda cmd: calls.append(("run", cmd[0])),
+        upload=lambda b, k, f: calls.append(("upload", b, k, f)),
+        cleanup=lambda p: calls.append(("rm", p)),
+        work_dir="/tmp/md",
+    )
+    assert calls == [
+        ("run", "mongodump"),
+        ("run", "tar"),
+        ("upload", "bkt", "dumps/appdb", "/tmp/md.tar.zst"),
+        ("rm", "/tmp/md.tar.zst"),
+        ("rm", "/tmp/md"),
+    ]
+
+
+def test_mongo_export_db_mismatch_raises():
+    from rustic_witcher_spark import mongo_buddy as mb
+
+    with pytest.raises(ValueError, match="does not match"):
+        mb.export_data("mongodb://u:p@host/otherdb", "appdb", "s3://b/k", run=None, upload=None)
+
+
+def test_mongo_import_sequence_and_prod_guard():
+    from rustic_witcher_spark import mongo_buddy as mb
+
+    calls = []
+    mb.import_data(
+        "mongodb://u:p@staging-host/appdb", "appdb", "s3://bkt/dumps/appdb.tar.zst",
+        run=lambda cmd: calls.append(cmd[0]),
+        download=lambda b, k, f: calls.append(("dl", b, k, f)),
+        cleanup=lambda p: calls.append(("rm", p)),
+        work_dir="/tmp/md",
+    )
+    assert calls == [
+        ("dl", "bkt", "dumps/appdb.tar.zst", "/tmp/md/appdb.tar.zst"),
+        "tar",
+        "mongorestore",
+        ("rm", "/tmp/md/appdb.tar.zst"),
+    ]
+    with pytest.raises(mb.ProductionGuardError):
+        mb.import_data("mongodb://u:p@prod-host/appdb", "appdb", "s3://b/k", run=None, download=None)
