@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from rustic_witcher_spark.config.model import ColumnTransformation, FilterSpec, TableConfig, TransformationSpec
 from rustic_witcher_spark.functions import fake, fake_sql
 from rustic_witcher_spark.functions.hashing import hash64, sql_hash64
-from rustic_witcher_spark.operators import dedup, multimodal, similarity, text
+from rustic_witcher_spark.operators import dedup, multimodal, quality, similarity, text
 from rustic_witcher_spark.operators.asof import asof_join
 from rustic_witcher_spark.operators.cdc import apply_cdc
 from rustic_witcher_spark.operators.range_join import range_join
@@ -771,6 +771,69 @@ def sql_token_count_bpe() -> str:
     )
 
 
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style quality heuristics: mean word length, alphabetic
+    word fraction, repetition signals (top token / top bigram
+    fraction). Pure expressions, scan speed; the repetition mode is a
+    one-pass max-run over the sorted gram array — no explode, no
+    shuffle (operators/quality.py)."""
+    d = _read(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        quality.mean_word_length(t).alias("mean_word_len"),
+        quality.alpha_word_fraction(t).alias("alpha_word_frac"),
+        quality.top_token_fraction(t).alias("top_token_frac"),
+        quality.top_bigram_fraction(t).alias("top_bigram_frac"),
+    )
+
+
+def sql_doc_quality() -> str:
+    # the oracle computes the repetition mode via unnest+group — a
+    # different plan producing the same value is exactly what makes it
+    # an oracle
+    return f"""
+WITH toks AS (SELECT doc_id, {_toks_sql('text')} AS t FROM documents),
+tu AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+tc AS (SELECT doc_id, tok, count(*) AS n FROM tu GROUP BY 1, 2),
+tf AS (SELECT doc_id, max(n)::DOUBLE / sum(n) AS f FROM tc GROUP BY 1),
+bg AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS g FROM toks, unnest(range(1, len(t))) AS r(i)),
+bc AS (SELECT doc_id, g, count(*) AS n FROM bg GROUP BY 1, 2),
+bf AS (SELECT doc_id, max(n)::DOUBLE / sum(n) AS f FROM bc GROUP BY 1)
+SELECT toks.doc_id,
+       round(coalesce(list_sum(list_transform(t, x -> length(x)))::DOUBLE / nullif(len(t), 0), 0), 6) AS mean_word_len,
+       round(coalesce(len(list_filter(t, x -> regexp_full_match(x, '[a-z]+')))::DOUBLE / nullif(len(t), 0), 0), 6) AS alpha_word_frac,
+       round(coalesce(tf.f, 0), 6) AS top_token_frac,
+       round(coalesce(bf.f, 0), 6) AS top_bigram_frac
+FROM toks LEFT JOIN tf USING (doc_id) LEFT JOIN bf USING (doc_id)
+"""
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over free text — the anonymization engine's analogue
+    for unstructured columns: typed placeholders for emails / IPv4 /
+    intl-format phones, plus per-kind audit counts."""
+    d = _read(spark, sf_dir, "documents")
+    t = F.col("text")
+    counts = quality.pii_counts(t)
+    return d.select(
+        "doc_id",
+        quality.pii_redact(t).alias("clean_text"),
+        counts["email"].alias("n_email"),
+        counts["ip"].alias("n_ip"),
+        counts["phone"].alias("n_phone"),
+    )
+
+
+def sql_pii_redact() -> str:
+    cnt = quality.sql_pii_counts("text")
+    return (
+        f"SELECT doc_id, {quality.sql_pii_redact('text')} AS clean_text, "
+        f"{cnt['email']} AS n_email, {cnt['ip']} AS n_ip, {cnt['phone']} AS n_phone "
+        "FROM documents"
+    )
+
+
 # -------------------------------------------------------------- similarity
 
 
@@ -1104,6 +1167,8 @@ def build_registry() -> dict[str, tuple[QueryFn, str | None]]:
         "text_langid": (q_text_langid, sql_text_langid()),
         "text_fingerprint": (q_text_fingerprint, sql_text_fingerprint()),
         "token_count_bpe": (q_token_count_bpe, sql_token_count_bpe()),
+        "doc_quality": (q_doc_quality, sql_doc_quality()),
+        "pii_redact": (q_pii_redact, sql_pii_redact()),
         # dedup
         "dedup_exact": (q_dedup_exact, sql_dedup_exact()),
         "minhash_signatures": (q_minhash_signatures, sql_minhash_signatures()),
