@@ -129,29 +129,44 @@ def _np_pack(items):
 def _near_dup_pairs_block(df, threshold, id_col, vec_col, n_blocks):
     import numpy as np
 
-    spark = df.sparkSession
     src = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
         F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n_blocks)).alias("b"),
     )
-    packed = src.groupBy("b").agg(F.collect_list(F.struct("id", "v")).alias("items"))
-    grid = spark.createDataFrame(
-        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)], "i long, j long"
+    # Each row fans out to every unordered block pair containing its
+    # block — (min(b,o), max(b,o)) for o in 0..B-1, the diagonal (b,b)
+    # emitted exactly once at o==b — BEFORE the single groupBy. One
+    # corpus scan, one O(n·B) shuffle, one aggregation; the earlier
+    # packed-self-join formulation scanned and packed the corpus twice
+    # (no ReusedExchange across the renamed sides).
+    pair_keys = F.transform(
+        F.sequence(F.lit(0), F.lit(n_blocks - 1)),
+        lambda o: F.struct(
+            F.least(F.col("b"), o).alias("i"), F.greatest(F.col("b"), o).alias("j")
+        ),
     )
-    # broadcast the tiny pair grid, never the corpus; the second join
-    # replicates each block to its (j+1) pair-tasks — O(n·n_blocks) shuffle
-    left = packed.join(F.broadcast(grid), packed["b"] == grid["i"]).select("i", "j", F.col("items").alias("l_items"))
-    both = left.join(packed.select(F.col("b").alias("j"), F.col("items").alias("r_items")), "j")
+    exploded = src.select("id", "v", "b", F.explode(pair_keys).alias("p")).select(
+        "id", "v", "b", F.col("p.i").alias("i"), F.col("p.j").alias("j")
+    )
+    packed = exploded.groupBy("i", "j").agg(F.collect_list(F.struct("id", "v", "b")).alias("mem"))
 
     def score(batches):
         import pandas as pd
 
         for pdf in batches:
             for _, row in pdf.iterrows():
-                l_ids, l_mat = _np_pack(row["l_items"])
                 same = row["i"] == row["j"]
-                r_ids, r_mat = (l_ids, l_mat) if same else _np_pack(row["r_items"])
+                if same:
+                    l_ids, l_mat = _np_pack(row["mem"])
+                    r_ids, r_mat = l_ids, l_mat
+                else:
+                    left = [m for m in row["mem"] if m["b"] == row["i"]]
+                    right = [m for m in row["mem"] if m["b"] == row["j"]]
+                    if not left or not right:
+                        continue
+                    l_ids, l_mat = _np_pack(left)
+                    r_ids, r_mat = _np_pack(right)
                 sims = np.round(l_mat @ r_mat.T, 6)
                 keep = sims >= threshold
                 if same:
@@ -164,7 +179,7 @@ def _near_dup_pairs_block(df, threshold, id_col, vec_col, n_blocks):
                     {"id_a": np.minimum(ia, ib), "id_b": np.maximum(ia, ib), "sim": sims[r, c]}
                 )
 
-    return both.mapInPandas(score, _PAIR_SCHEMA_DDL)
+    return packed.mapInPandas(score, _PAIR_SCHEMA_DDL)
 
 
 def _near_dup_pairs_lsh(df, threshold, id_col, vec_col, n_planes, n_tables, dim):
