@@ -18,9 +18,8 @@ from rustic_witcher_spark.operators.text import tokens
 # --------------------------------------------------- repetition statistics
 
 
-def bigrams(col: Column) -> Column:
-    """Adjacent token bigrams as 'a b' strings ([] for <2 tokens)."""
-    t = tokens(col)
+def bigrams_of(t: Column) -> Column:
+    """Adjacent bigrams of a token array as 'a b' strings ([] for <2)."""
     return F.when(F.size(t) < 2, F.array().cast("array<string>")).otherwise(
         F.zip_with(
             F.slice(t, 1, F.size(t) - 1),
@@ -28,6 +27,11 @@ def bigrams(col: Column) -> Column:
             lambda a, b: F.concat_ws(" ", a, b),
         )
     )
+
+
+def bigrams(col: Column) -> Column:
+    """Adjacent token bigrams of a text column."""
+    return bigrams_of(tokens(col))
 
 
 def _max_run_fraction(arr: Column) -> Column:
@@ -64,19 +68,43 @@ def top_bigram_fraction(col: Column) -> Column:
 # ----------------------------------------------------- Gopher-style stats
 
 
-def mean_word_length(col: Column) -> Column:
-    t = tokens(col)
+def mean_word_length_of(t: Column) -> Column:
     total = F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x))
     return F.round(F.when(F.size(t) == 0, F.lit(0.0)).otherwise(total / F.size(t)), 6)
+
+
+def mean_word_length(col: Column) -> Column:
+    return mean_word_length_of(tokens(col))
+
+
+def alpha_word_fraction_of(t: Column) -> Column:
+    hits = F.size(F.filter(t, lambda x: x.rlike("^[a-z]+$")))
+    return F.round(F.when(F.size(t) == 0, F.lit(0.0)).otherwise(hits / F.size(t)), 6)
 
 
 def alpha_word_fraction(col: Column) -> Column:
     """Fraction of tokens made purely of ASCII letters (Gopher requires
     ≥80% of words to contain at least one alphabetic char; the pure
     form is the stricter, deterministic variant)."""
-    t = tokens(col)
-    hits = F.size(F.filter(t, lambda x: x.rlike("^[a-z]+$")))
-    return F.round(F.when(F.size(t) == 0, F.lit(0.0)).otherwise(hits / F.size(t)), 6)
+    return alpha_word_fraction_of(tokens(col))
+
+
+def quality_profile(df, text_col: str, id_col: str):
+    """All quality signals in one pass: the token array is materialized
+    ONCE behind a projection boundary, so the normalize+split regex work
+    is not repeated per statistic (the same let-binding trick the
+    n-gram/minhash operators use)."""
+    t = F.col("__t")
+    return (
+        df.select(F.col(id_col), tokens(F.col(text_col)).alias("__t"))
+        .select(
+            id_col,
+            mean_word_length_of(t).alias("mean_word_len"),
+            alpha_word_fraction_of(t).alias("alpha_word_frac"),
+            F.round(_max_run_fraction(t), 6).alias("top_token_frac"),
+            F.round(_max_run_fraction(bigrams_of(t)), 6).alias("top_bigram_frac"),
+        )
+    )
 
 
 def symbol_token_ratio(col: Column) -> Column:

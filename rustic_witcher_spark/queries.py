@@ -777,15 +777,8 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction). Pure expressions, scan speed; the repetition mode is a
     one-pass max-run over the sorted gram array — no explode, no
     shuffle (operators/quality.py)."""
-    d = _read(spark, sf_dir, "documents")
-    t = F.col("text")
-    return d.select(
-        "doc_id",
-        quality.mean_word_length(t).alias("mean_word_len"),
-        quality.alpha_word_fraction(t).alias("alpha_word_frac"),
-        quality.top_token_fraction(t).alias("top_token_frac"),
-        quality.top_bigram_fraction(t).alias("top_bigram_frac"),
-    )
+    d = _spread(spark, _read(spark, sf_dir, "documents"))
+    return quality.quality_profile(d, "text", "doc_id")
 
 
 def sql_doc_quality() -> str:

@@ -169,6 +169,10 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # timestamps are formatted to strings for oracle comparison; DuckDB's
+    # are naive, so the session must render in UTC even when the caller's
+    # session (e.g. an external driver's) didn't pin it
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     ts_field = df.schema["ts"].dataType.typeName()
     if ts_field in ("long", "bigint"):
