@@ -725,19 +725,30 @@ def q_ngram_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact char-5-gram Jaccard between consecutive doc ids.
 
     Shingle arrays are materialized ONCE per doc behind a projection
-    boundary before the join — inlining ``ngram_jaccard(text_a, text_b)``
-    after the join re-runs the (interpreted, HOF) shingle pass four
-    times per pair: measured 70× slower. The join output is re-spread
-    so the set ops use every core."""
+    boundary — inlining ``ngram_jaccard(text_a, text_b)`` after a join
+    re-runs the (interpreted, HOF) shingle pass four times per pair:
+    measured 70× slower. Pairing is an explode-to-membership + ONE
+    groupBy shuffle (each doc emits itself to pair keys doc_id and
+    doc_id-1), not a self-join — a self-join shuffles the shingle
+    payload twice AND computes the shingle subplan twice (the two
+    sides' exchanges differ, so no ReusedExchange)."""
     d = _spread(spark, _read(spark, sf_dir, "documents")).select(
         "doc_id", dedup.char_shingles(F.col("text"), 5).alias("sh")
     )
-    a = d.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
-    b = d.select((F.col("doc_id") - F.lit(1)).alias("id_a"), F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    memberships = F.array(
+        F.struct(F.col("doc_id").alias("key"), F.lit("a").alias("role")),
+        F.struct((F.col("doc_id") - 1).alias("key"), F.lit("b").alias("role")),
+    )
+    ex = d.select("doc_id", "sh", F.explode(memberships).alias("m")).select(
+        F.col("m.key").alias("id_a"), F.col("m.role").alias("role"), "doc_id", "sh"
+    )
+    grp = ex.groupBy("id_a").agg(F.collect_list(F.struct("role", "doc_id", "sh")).alias("mem")).filter(F.size("mem") == 2)
+    pick = lambda role: F.element_at(F.filter(F.col("mem"), lambda m: m["role"] == role), 1)  # noqa: E731
+    paired = grp.select("id_a", pick("b")["doc_id"].alias("id_b"), pick("a")["sh"].alias("sh_a"), pick("b")["sh"].alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     jac = F.when(union == 0, F.lit(1.0)).otherwise(inter / union)
-    return _spread(spark, a.join(b, "id_a")).select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+    return paired.select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
 
 
 SQL_NGRAM_JACCARD = f"""
