@@ -82,3 +82,30 @@ def test_gopher_stats(spark):
     assert got[0]["mwl"] == 2.5 and got[0]["awf"] == 1.0 and got[0]["str_"] == 0.0
     assert got[1]["awf"] == 0.0 and got[1]["str_"] == 2.0  # 6 '#' over 3 tokens
     assert got[2]["mwl"] == 0.0
+
+
+def test_quality_and_pii_are_streaming_compatible(spark, tmp_path):
+    """The stateless text operators are plain projections, so the SAME
+    expressions run unchanged in Structured Streaming — scrub-and-score
+    as a continuous ingest stage."""
+    rows = [(0, "mail me at a@b.io"), (1, "clean text here")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    src = str(tmp_path / "docs")
+    df.write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    out = stream.select(
+        "doc_id",
+        quality.pii_redact(F.col("text")).alias("clean"),
+        quality.top_token_fraction(F.col("text")).alias("tt"),
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("scrub")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    got = {r["doc_id"]: r["clean"] for r in spark.sql("SELECT * FROM scrub").collect()}
+    q.stop()
+    assert got == {0: "mail me at [EMAIL]", 1: "clean text here"}

@@ -1,0 +1,55 @@
+"""Streaming dedup (streaming/dedup.py): exact dedup across
+micro-batches and the stateless fingerprint projection on a stream."""
+
+from __future__ import annotations
+
+from rustic_witcher_spark.streaming import dedup as sdedup
+
+SCHEMA = "doc_id long, text string"
+
+
+def _start(spark, df_stream, name, ckpt):
+    return (
+        df_stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+
+
+def test_streaming_exact_dedup_across_batches(spark, tmp_path):
+    src = str(tmp_path / "docs")
+    batch1 = spark.createDataFrame(
+        [(0, "Same  Doc"), (1, "other doc"), (2, "same doc")], SCHEMA  # 2 dups of 0 (normalized)
+    )
+    batch1.write.parquet(src)
+    stream = spark.readStream.schema(batch1.schema).parquet(src)
+    q = _start(spark, sdedup.streaming_exact_dedup(stream), "sdedup", str(tmp_path / "ck"))
+    q.processAllAvailable()
+    # second batch: a new dup of an ALREADY-SEEN doc plus a new doc
+    spark.createDataFrame([(3, "same doc"), (4, "brand new")], SCHEMA).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    rows = spark.sql("SELECT * FROM sdedup").collect()
+    q.stop()
+    texts = sorted(r["text"].lower().split()[0] for r in rows)
+    ids = {r["doc_id"] for r in rows}
+    assert len(rows) == 3  # one per distinct content
+    assert 4 in ids and (0 in ids or 2 in ids) and 1 in ids
+    assert 3 not in ids  # cross-batch duplicate suppressed by state
+
+
+def test_streaming_simhash_matches_batch(spark, tmp_path):
+    from rustic_witcher_spark.operators.dedup import simhash64
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(0, "hello world"), (1, "different text")], SCHEMA)
+    src = str(tmp_path / "docs2")
+    df.write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = _start(spark, sdedup.streaming_simhash(stream), "ssim", str(tmp_path / "ck2"))
+    q.processAllAvailable()
+    got = {r["doc_id"]: r["simhash"] for r in spark.sql("SELECT * FROM ssim").collect()}
+    q.stop()
+    want = {r["doc_id"]: r["sh"] for r in df.select("doc_id", simhash64(F.col("text")).alias("sh")).collect()}
+    assert got == want
