@@ -74,11 +74,26 @@ def build_parser() -> argparse.ArgumentParser:
     a.add_argument("--excluded-tables", nargs="*", default=None)
     a.add_argument("--num-buffers", type=int, default=DEFAULT_NUM_OF_BUFFERS)
     a.add_argument("--seed", type=int, default=int(os.environ.get("RNG_SEED", DEFAULT_SEED)))
+    d = sub.add_parser("datadiff", help="diff a target snapshot against its source per table (only_datadiff parity)")
+    d.add_argument("--source", required=True, help="directory of source table parquet")
+    d.add_argument("--target", required=True, help="directory of target table parquet")
+    d.add_argument("--table", required=True)
+    d.add_argument("--pk", nargs="+", required=True)
     return p
 
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+    if args.command == "datadiff":
+        from rustic_witcher_spark.operators.diff import diff_summary
+
+        spark = get_spark(f"datadiff-{args.table}")
+        src = spark.read.parquet(f"{args.source}/{args.table}.parquet")
+        tgt = spark.read.parquet(f"{args.target}/{args.table}.parquet")
+        rows = diff_summary(src, tgt, args.pk).collect()
+        counts = {r["status"]: r["n"] for r in rows}
+        print(json.dumps({"table": args.table, "diff": counts, "clean": not counts}))
+        return 0 if not counts else 1
     if args.command != "anonymize":  # pragma: no cover
         return 2
     included = args.included_tables

@@ -316,6 +316,44 @@ def q_validation_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_VALIDATION = "SELECT sum(CASE WHEN NOT coalesce(contains(c_name, 'Customer#'), false) THEN 1 ELSE 0 END)::BIGINT AS violations FROM customer"
 
 
+def q_datadiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-vs-target table diff (the reference CLI's only_datadiff
+    mode, src/main.rs:172): PK-keyed full-outer digest compare. The
+    'target' here is a deterministic corruption of customer — rows
+    dropped (%97), nulled balances (%50), synthetic extras (%89 shifted
+    +1e6) — so every status branch is exercised."""
+    from rustic_witcher_spark.operators.diff import table_diff
+
+    c = F.col("c_custkey")
+    src = _read(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+    tgt = (
+        src.filter(c % 97 != 0)
+        .withColumn("c_acctbal", F.when(c % 50 == 0, F.lit(None)).otherwise(F.col("c_acctbal")))
+        .unionByName(src.filter(c % 89 == 0).withColumn("c_custkey", c + 1000000))
+    )
+    return table_diff(src, tgt, ["c_custkey"])
+
+
+SQL_DATADIFF = """
+WITH src AS (SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer),
+tgt AS (
+  SELECT c_custkey, c_name, CASE WHEN c_custkey % 50 = 0 THEN NULL ELSE c_acctbal END AS c_acctbal, c_mktsegment
+  FROM src WHERE c_custkey % 97 <> 0
+  UNION ALL
+  SELECT c_custkey + 1000000, c_name, c_acctbal, c_mktsegment FROM src WHERE c_custkey % 89 = 0
+)
+SELECT coalesce(s.c_custkey, t.c_custkey) AS c_custkey,
+       CASE WHEN t.c_custkey IS NULL THEN 'missing_in_target'
+            WHEN s.c_custkey IS NULL THEN 'missing_in_source'
+            ELSE 'mismatch' END AS status
+FROM src s FULL OUTER JOIN tgt t ON s.c_custkey = t.c_custkey
+WHERE t.c_custkey IS NULL OR s.c_custkey IS NULL
+   OR s.c_name IS DISTINCT FROM t.c_name
+   OR s.c_acctbal IS DISTINCT FROM t.c_acctbal
+   OR s.c_mktsegment IS DISTINCT FROM t.c_mktsegment
+"""
+
+
 # ------------------------------------------------- analytics (TPC-H-shaped)
 
 
@@ -1173,6 +1211,7 @@ def build_registry() -> dict[str, tuple[QueryFn, str | None]]:
         "token_count_bpe": (q_token_count_bpe, sql_token_count_bpe()),
         "doc_quality": (q_doc_quality, sql_doc_quality()),
         "pii_redact": (q_pii_redact, sql_pii_redact()),
+        "datadiff_check": (q_datadiff, SQL_DATADIFF),
         # dedup
         "dedup_exact": (q_dedup_exact, sql_dedup_exact()),
         "minhash_signatures": (q_minhash_signatures, sql_minhash_signatures()),
