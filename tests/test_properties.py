@@ -105,3 +105,56 @@ def test_char_shingles_invariants(mk, vals, k):
             assert len(sh) <= len(n) - k + 1
             assert all(len(s) == k for s in sh)
             assert set(sh) == {n[i : i + k] for i in range(len(n) - k + 1)}
+
+
+@given(vals=texts)
+@settings(**SETTINGS)
+def test_pii_redact_idempotent(mk, vals):
+    """Redacting twice equals redacting once: placeholders contain no
+    digits or '@', so they can never re-match any PII pattern."""
+    from rustic_witcher_spark.operators.quality import pii_redact
+
+    df = mk(vals)
+    out = df.select(
+        pii_redact(F.col("v")).alias("once"),
+        pii_redact(pii_redact(F.col("v"))).alias("twice"),
+    )
+    for r in out.collect():
+        assert r["once"] == r["twice"]
+
+
+@given(vals=st.lists(st.text(st.characters(min_codepoint=32, max_codepoint=126), max_size=60), min_size=1, max_size=40))
+@settings(**SETTINGS)
+def test_top_token_fraction_matches_counter(mk, vals):
+    """The sorted-array max-run trick equals the obvious Counter mode.
+
+    ASCII inputs only: Java/RE2 '\\s' is ASCII-only while Python's re
+    matches Unicode whitespace (e.g. NEL), so a full-Unicode emulation
+    would test Python's regex dialect, not the operator."""
+    from collections import Counter
+
+    from rustic_witcher_spark.operators.quality import top_token_fraction
+
+    df = mk(vals)
+    got = {r["i"]: r["f"] for r in df.select("i", top_token_fraction(F.col("v")).alias("f")).collect()}
+    for i, v in enumerate(vals):
+        # exact emulation of normalized_text: Spark trim() strips ASCII
+        # spaces only, then Java \s+ (ASCII) collapses
+        norm = re.sub(r"[\t\n\x0b\f\r ]+", " ", (v or "").strip(" ").lower())
+        toks = norm.split(" ") if norm else []
+        want = 0.0 if not toks else round(Counter(toks).most_common(1)[0][1] / len(toks), 6)
+        assert abs(got[i] - want) < 1e-9, (v, got[i], want)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 20), st.text(max_size=20), st.one_of(st.none(), st.floats(allow_nan=False, allow_infinity=False, width=32))),
+        min_size=1, max_size=30, unique_by=lambda t: t[0],
+    )
+)
+@settings(**SETTINGS)
+def test_table_diff_self_is_empty(spark, rows):
+    from rustic_witcher_spark.operators.diff import table_diff
+
+    df = spark.createDataFrame(rows, "k int, v string, x float")
+    assert table_diff(df, df, ["k"]).count() == 0

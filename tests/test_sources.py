@@ -143,3 +143,27 @@ def test_s3_listing_paginates():
     client = FakeS3Client(S3_KEYS, page_size=1)
     files = list_table_files("s3://bkt/db/public/accounts", "FullLoadOnly", s3_client=client)
     assert len(files.load_files) == 2
+
+
+def test_partitioned_write_enables_partition_pruning(spark, sf_dir, tmp_path):
+    """Date-partitioned output + a partition-key filter must prune at
+    planning time (PartitionFilters), not scan-and-discard — the layout
+    that makes incremental reprocessing cheap at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from rustic_witcher_spark.sinks.parquet import write_parquet
+    from rustic_witcher_spark.sources.parquet import read_events
+
+    ev = read_events(spark, sf_dir).withColumn("day", F.to_date("ts"))
+    out = str(tmp_path / "ev_by_day")
+    write_parquet(ev, out, partition_by=["day"])
+    one_day = ev.select(F.min("day")).first()[0]
+    df = spark.read.parquet(out).filter(F.col("day") == F.lit(one_day))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "day" in plan.split("PartitionFilters")[1][:200]
+    assert df.count() > 0
+    # and the non-matching partitions are not in the scan
+    import re as _re
+
+    m = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and m.group(1).strip(), "partition filter was not pushed"
