@@ -1,0 +1,75 @@
+"""Deterministic sampling operators for training-data pipelines
+(north-star extension).
+
+Mixture resampling — "keep 30% of language X, 100% of language Y" — is
+the workhorse of pretraining-data curation. Spark's built-in
+``sampleBy`` draws from a partition-local RNG, so results change with
+partitioning, retries, and cluster size; these operators instead
+threshold the engine's deterministic md5 hash of the row key:
+
+    keep  ⇔  uniform01(hash(seed, id)) < fraction(class)
+
+which is (a) exactly reproducible across runs/partitionings/engines
+(DuckDB oracle renders the same arithmetic), (b) a pure scan-side
+predicate — no shuffle, pushes through column pruning, and (c) stable
+under incremental reprocessing: a row's keep/drop fate never changes
+when the corpus around it grows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from rustic_witcher_spark.functions.hashing import hash_slice, md5_hex, sql_hash_slice, sql_md5_hex
+from rustic_witcher_spark.functions.wordlists import DEFAULT_SEED
+
+_DENOM = float(2**32)
+
+
+def uniform01(key: Column, seed: int = DEFAULT_SEED, salt: str = "sample") -> Column:
+    """Deterministic uniform [0,1) draw per key value."""
+    return hash_slice(md5_hex(key.cast("string"), seed, salt), 1) / F.lit(_DENOM)
+
+
+def sql_uniform01(key_expr: str, seed: int = DEFAULT_SEED, salt: str = "sample") -> str:
+    return f"({sql_hash_slice(sql_md5_hex(key_expr, seed, salt), 1)} / {_DENOM})"
+
+
+def deterministic_sample(
+    df: DataFrame, key_col: str, fraction: float, seed: int = DEFAULT_SEED
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, decided per-key by hash threshold."""
+    return df.filter(uniform01(F.col(key_col), seed) < fraction)
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    class_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    seed: int = DEFAULT_SEED,
+) -> DataFrame:
+    """Per-class keep fractions (mixture resampling). Classes absent
+    from ``fractions`` fall back to ``default_fraction`` (0.0 = drop —
+    an explicit allowlist, the safe default for curation)."""
+    thresh: Column = F.lit(float(default_fraction))
+    for cls, frac in sorted(fractions.items()):
+        thresh = F.when(F.col(class_col) == cls, F.lit(float(frac))).otherwise(thresh)
+    return df.filter(uniform01(F.col(key_col), seed) < thresh)
+
+
+def sql_stratified_sample_predicate(
+    key_expr: str,
+    class_expr: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    seed: int = DEFAULT_SEED,
+) -> str:
+    """DuckDB twin of the stratified keep-predicate."""
+    branches = " ".join(
+        f"WHEN {class_expr} = '{cls}' THEN {float(frac)}" for cls, frac in sorted(fractions.items())
+    )
+    case = f"(CASE {branches} ELSE {float(default_fraction)} END)"
+    return f"{sql_uniform01(key_expr, seed)} < {case}"

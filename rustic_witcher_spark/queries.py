@@ -316,6 +316,27 @@ def q_validation_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_VALIDATION = "SELECT sum(CASE WHEN NOT coalesce(contains(c_name, 'Customer#'), false) THEN 1 ELSE 0 END)::BIGINT AS violations FROM customer"
 
 
+_MIXTURE = {"en": 0.5, "de": 1.0, "fr": 0.25}  # zh/es dropped (allowlist)
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture resampling over documents: per-language
+    keep fractions decided by a hash threshold on doc_id — reproducible
+    across runs, partitionings, and engines (unlike sampleBy's
+    partition-local RNG), and a pure scan-side predicate."""
+    from rustic_witcher_spark.operators.sampling import stratified_sample
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return stratified_sample(d, "doc_id", "lang", _MIXTURE)
+
+
+def sql_stratified_sample() -> str:
+    from rustic_witcher_spark.operators.sampling import sql_stratified_sample_predicate
+
+    pred = sql_stratified_sample_predicate("doc_id", "lang", _MIXTURE)
+    return f"SELECT doc_id, lang, source FROM documents WHERE {pred}"
+
+
 def q_datadiff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source-vs-target table diff (the reference CLI's only_datadiff
     mode, src/main.rs:172): PK-keyed full-outer digest compare. The
@@ -1212,6 +1233,7 @@ def build_registry() -> dict[str, tuple[QueryFn, str | None]]:
         "doc_quality": (q_doc_quality, sql_doc_quality()),
         "pii_redact": (q_pii_redact, sql_pii_redact()),
         "datadiff_check": (q_datadiff, SQL_DATADIFF),
+        "stratified_sample": (q_stratified_sample, sql_stratified_sample()),
         # dedup
         "dedup_exact": (q_dedup_exact, sql_dedup_exact()),
         "minhash_signatures": (q_minhash_signatures, sql_minhash_signatures()),
