@@ -296,6 +296,63 @@ SELECT event_id, user_id, event_type, value FROM latest WHERE op <> 'D'
 """
 
 
+def q4_priority_with_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape — EXISTS semi-join: count orders (per priority)
+    having at least one returned lineitem. left_semi keeps one probe
+    per order (no duplicate-count hazard, no row-width growth); the
+    probe side is pre-projected to the join key so the shuffle carries
+    8-byte keys."""
+    o = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R").select(F.col("l_orderkey").alias("o_orderkey"))
+    return (
+        o.join(li, "o_orderkey", "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+SQL_Q4_RETURNS = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape — HAVING over a fact aggregate then enrich:
+    orders whose total lineitem quantity exceeds 150, joined to
+    customer (broadcast dim), top-20 by quantity. The aggregate runs
+    BEFORE the joins so only qualifying orderkeys reach them."""
+    li = _read(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy(F.col("l_orderkey").alias("o_orderkey"))
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+    )
+    o = _read(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    c = _read(spark, sf_dir, "customer").select(F.col("c_custkey").alias("o_custkey"), "c_name")
+    return (
+        big.join(o, "o_orderkey")
+        .join(F.broadcast(c), "o_custkey")
+        .select("c_name", "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"), "sum_qty")
+        .orderBy(F.col("sum_qty").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+    )
+
+
+SQL_Q18_LARGE = """
+WITH big AS (
+  SELECT l_orderkey AS o_orderkey, round(sum(l_quantity), 2) AS sum_qty
+  FROM lineitem GROUP BY 1 HAVING round(sum(l_quantity), 2) > 150
+)
+SELECT c_name, o_orderkey, round(o_totalprice, 2) AS o_totalprice, sum_qty
+FROM big JOIN orders USING (o_orderkey) JOIN customer ON c_custkey = o_custkey
+ORDER BY sum_qty DESC, o_orderkey ASC
+LIMIT 20
+"""
+
+
 # -------------------------------------------------------------- aggregates
 
 
@@ -1222,6 +1279,8 @@ def build_registry() -> dict[str, tuple[QueryFn, str | None]]:
         "q3_top_revenue": (q3_top_revenue, SQL_Q3),
         "q5_nation_revenue": (q5_nation_revenue, SQL_Q5),
         "q13_order_distribution": (q13_order_distribution, SQL_Q13),
+        "q4_priority_returns": (q4_priority_with_returns, SQL_Q4_RETURNS),
+        "q18_large_orders": (q18_large_orders, SQL_Q18_LARGE),
         "rollup_revenue": (q_rollup_revenue, SQL_ROLLUP),
         "distinct_parts_per_supplier": (q_distinct_parts_per_supplier, SQL_DISTINCT_PARTS),
         "top_customers_per_nation": (q_top_customers_per_nation, SQL_TOP_CUSTOMERS),
