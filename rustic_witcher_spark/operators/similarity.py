@@ -281,6 +281,48 @@ def _hyperplane_signature_build(vec: Column, dim: int, n_planes: int, seed: int)
     return out
 
 
+def random_projection(vec: Column, in_dim: int, out_dim: int, seed: int = DEFAULT_SEED) -> Column:
+    """Deterministic sparse-sign random projection (Achlioptas-style):
+    out_j = Σ_i w_ji·v_i / √out_dim with w ∈ {±1} derived from the
+    engine hash — the cheap JL dimensionality reduction for 100 TB
+    embedding columns (shrink 768-d to 64-d before LSH/storage).
+
+    Pure expressions: one zip_with dot per output coordinate against a
+    constant-folded literal weight array (same construction as
+    ``hyperplane_signature``, which is this projection's sign bit).
+    Deterministic per (seed, plane, coord) ⇒ identical on every
+    executor and in the DuckDB oracle.
+    """
+    import math
+
+    from rustic_witcher_spark.operators.dedup import _memo_column
+
+    def build() -> Column:
+        scale = 1.0 / math.sqrt(out_dim)
+        outs = []
+        for p in range(out_dim):
+            w = F.lit([float(plane_weight(seed, p, i)) for i in range(in_dim)])
+            proj = F.aggregate(
+                F.zip_with(vec, w, lambda x, y: x.cast("double") * y), F.lit(0.0), lambda acc, v: acc + v
+            )
+            outs.append(F.round(proj * scale, 6))
+        return F.array(*outs)
+
+    return _memo_column((str(vec), "randproj", in_dim, out_dim, seed), build)
+
+
+def sql_random_projection(vec_expr: str, in_dim: int, out_dim: int, seed: int = DEFAULT_SEED) -> str:
+    """DuckDB twin: list_dot_product against the same literal weights."""
+    import math
+
+    scale = 1.0 / math.sqrt(out_dim)
+    outs = []
+    for p in range(out_dim):
+        w = "[" + ", ".join(f"{float(plane_weight(seed, p, i))}" for i in range(in_dim)) + "]"
+        outs.append(f"round(list_dot_product(({vec_expr})::DOUBLE[], {w}::DOUBLE[]) * {scale!r}, 6)")
+    return "[" + ", ".join(outs) + "]"
+
+
 def ivf_centroids(
     corpus: DataFrame,
     n_clusters: int,

@@ -837,6 +837,32 @@ def sql_simhash_near_dups() -> str:
     )
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assembly: connected components over the
+    simhash hamming-≤3 pair graph — every doc labeled with its
+    cluster's min doc_id (singletons label themselves). Iterative
+    min-label propagation, one shuffle per round, lineage checkpointed
+    (operators/cluster.py); the oracle is a DuckDB recursive CTE."""
+    from rustic_witcher_spark.operators.cluster import connected_components
+
+    df = _spread(spark, _read(spark, sf_dir, "documents"))
+    edges = dedup.simhash_near_duplicates(df, "text", "doc_id", seed=SEED, max_hamming=3)
+    nodes = df.select("doc_id")
+    return connected_components(nodes, edges, "doc_id").select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+
+
+def sql_dedup_clusters() -> str:
+    from rustic_witcher_spark.operators.cluster import sql_connected_components
+
+    inner = sql_connected_components(
+        "SELECT doc_id AS node FROM documents",
+        sql_simhash_near_dups(),
+    )
+    return f"SELECT node AS doc_id, component AS cluster_id FROM ({inner})"
+
+
 def q_ngram_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact char-5-gram Jaccard between consecutive doc ids.
 
@@ -1038,6 +1064,20 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 5)
     return similarity.ivf_topk(emb, queries, k=5, n_clusters=8, nprobe=2, iters=1).select(
         "query_id", "neighbor_id", "rank", "sim"
+    )
+
+
+def q_embedding_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL random projection 64→16: the cheap deterministic dim
+    reduction applied before LSH/storage at 100 TB (pure expressions,
+    scan speed; weights constant-folded literals)."""
+    e = _spread(spark, _read(spark, sf_dir, "embeddings"))
+    return e.select("vec_id", similarity.random_projection(F.col("embedding"), 64, 16).alias("proj"))
+
+
+def sql_embedding_project() -> str:
+    return (
+        f"SELECT vec_id, {similarity.sql_random_projection('embedding', 64, 16)} AS proj FROM embeddings"
     )
 
 
@@ -1299,12 +1339,14 @@ def build_registry() -> dict[str, tuple[QueryFn, str | None]]:
         "minhash_lsh_candidates": (q_minhash_lsh_candidates, sql_minhash_lsh_candidates()),
         "simhash": (q_simhash, sql_simhash()),
         "simhash_near_dups": (q_simhash_near_dups, sql_simhash_near_dups()),
+        "dedup_clusters": (q_dedup_clusters, sql_dedup_clusters()),
         "ngram_jaccard_adjacent": (q_ngram_jaccard_adjacent, SQL_NGRAM_JACCARD),
         # similarity
         "knn_bruteforce": (q_knn_bruteforce, SQL_KNN),
         "knn_lsh": (q_knn_lsh, sql_knn_lsh()),  # approximate vs brute force, but deterministic -> oracle-exact
         "knn_ivf": (q_knn_ivf, None),  # rows-only: approximate by design
         "embedding_near_dups": (q_embedding_near_dups, SQL_EMBEDDING_NEAR_DUPS),
+        "embedding_project": (q_embedding_project, sql_embedding_project()),
         # multimodal
         "media_metadata": (q_media_metadata, SQL_MEDIA_METADATA),
         "multimodal_features": (q_multimodal_features, None),  # rows-only: hashlib feature kernel
