@@ -653,19 +653,24 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("doc_id", "lang", text.lang_id(F.col("text")).alias("lang_pred"))
 
 
-def sql_text_langid() -> str:
+def sql_text_langid_expr() -> str:
+    """The predicted-language SQL expression (argmax over marker hits,
+    same strictly-greater tie-break as text.lang_id)."""
     toks = _toks_sql("text")
     scores = {}
     for lang, markers in text.LANG_MARKERS.items():
         m = "[" + ", ".join(f"'{w}'" for w in markers) + "]"
         scores[lang] = f"len(list_filter({toks}, t -> list_contains({m}, t)))"
-    # same argmax logic as text.lang_id: iterate langs in order, strictly-greater wins
     out_lang, out_score = "'und'", "0"
     for lang in text.LANG_MARKERS:
         cond = f"({scores[lang]}) > ({out_score})"
         out_lang = f"(CASE WHEN {cond} THEN '{lang}' ELSE {out_lang} END)"
         out_score = f"(CASE WHEN {cond} THEN ({scores[lang]}) ELSE ({out_score}) END)"
-    return f"SELECT doc_id, lang, {out_lang} AS lang_pred FROM documents"
+    return out_lang
+
+
+def sql_text_langid() -> str:
+    return f"SELECT doc_id, lang, {sql_text_langid_expr()} AS lang_pred FROM documents"
 
 
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -904,6 +909,50 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              ELSE len(list_intersect(a.sh, b.sh)) / len(list_distinct(list_concat(a.sh, b.sh))) END, 4) AS jaccard
 FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
 """
+
+
+def q_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary heavy-hitters: explode tokens → count → top-50.
+    The explode fans out to one row per token, but map-side partial
+    aggregation collapses each partition's counts BEFORE the one
+    shuffle, so the exchange carries (term, partial_count) — bounded by
+    vocabulary size, not token count."""
+    d = _spread(spark, _read(spark, sf_dir, "documents"))
+    return (
+        d.select(F.explode(text.tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("term").asc())
+        .limit(50)
+    )
+
+
+def sql_vocab_top_terms() -> str:
+    return (
+        f"SELECT term, count(*) AS n FROM ("
+        f"SELECT unnest({_toks_sql('text')}) AS term FROM documents) "
+        "GROUP BY term ORDER BY n DESC, term ASC LIMIT 50"
+    )
+
+
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID quality audit: predicted (marker heuristic) vs the
+    corpus's labeled lang — the confusion matrix a curation pipeline
+    monitors when routing documents by language."""
+    d = _spread(spark, _read(spark, sf_dir, "documents"))
+    return (
+        d.select(F.col("lang").alias("labeled"), text.lang_id(F.col("text")).alias("predicted"))
+        .groupBy("labeled", "predicted")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def sql_langid_confusion() -> str:
+    pred = sql_text_langid_expr()
+    return (
+        f"SELECT lang AS labeled, {pred} AS predicted, count(*) AS n "
+        "FROM documents GROUP BY 1, 2"
+    )
 
 
 def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1329,6 +1378,8 @@ def build_registry() -> dict[str, tuple[QueryFn, str | None]]:
         "text_langid": (q_text_langid, sql_text_langid()),
         "text_fingerprint": (q_text_fingerprint, sql_text_fingerprint()),
         "token_count_bpe": (q_token_count_bpe, sql_token_count_bpe()),
+        "vocab_top_terms": (q_vocab_top_terms, sql_vocab_top_terms()),
+        "langid_confusion": (q_langid_confusion, sql_langid_confusion()),
         "doc_quality": (q_doc_quality, sql_doc_quality()),
         "pii_redact": (q_pii_redact, sql_pii_redact()),
         "datadiff_check": (q_datadiff, SQL_DATADIFF),
