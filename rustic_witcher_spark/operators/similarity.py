@@ -420,6 +420,60 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def ivf_write_index(
+    corpus: DataFrame,
+    path: str,
+    n_clusters: int = 16,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF inverted lists as parquet PARTITIONED BY the
+    centroid id, plus the centroids themselves under ``<path>/_centroids``.
+
+    This is the production shape of IVF at 100 TB: the expensive part
+    (centroid fit + corpus assignment) runs once at ingest; the
+    partition layout turns every query's nprobe list selection into
+    parquet PARTITION PRUNING — the scan literally never opens the
+    other lists' files (asserted in tests via PartitionFilters).
+    """
+    cent = ivf_centroids(corpus, n_clusters, id_col, vec_col, iters=iters)
+    cent.write.mode("overwrite").parquet(f"{path}/_centroids")
+    inv = ivf_assign(corpus, cent, id_col, vec_col, nprobe=1)
+    inv.write.mode("overwrite").partitionBy("cid").parquet(f"{path}/lists")
+
+
+def ivf_query_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query a persisted IVF index: probe-list selection compiles to a
+    partition filter on ``cid``; only nprobe/n_clusters of the index is
+    read. Exact re-rank inside the probed lists."""
+    cent = spark.read.parquet(f"{path}/_centroids")
+    probes = ivf_assign(queries, cent, id_col, vec_col, nprobe=nprobe).select(
+        F.col("cid"), F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    probe_cids = [r["cid"] for r in probes.select("cid").distinct().collect()]
+    inv = (
+        spark.read.parquet(f"{path}/lists")
+        .filter(F.col("cid").isin(probe_cids))  # -> PartitionFilters on cid
+        .select("cid", F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    )
+    scored = (
+        inv.join(probes.hint("broadcast"), "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

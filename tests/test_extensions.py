@@ -359,3 +359,20 @@ def test_ivf_recall_floor_vs_bruteforce(spark, sf_dir):
     got = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
     recall = len(truth & got) / len(truth)
     assert recall >= 0.6, f"IVF recall@5 = {recall:.2f} < 0.6"
+
+
+def test_ivf_persisted_index_prunes_partitions(spark, sf_dir, tmp_path):
+    """The persisted-index query path must read ONLY the probed lists:
+    cid filter appears as PartitionFilters and results match the
+    in-memory IVF with the same parameters."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = str(tmp_path / "ivf_idx")
+    similarity.ivf_write_index(emb, idx, n_clusters=8, iters=1)
+    q = emb.filter(F.col("vec_id") < 3)
+    out = similarity.ivf_query_index(spark, idx, q, k=3, nprobe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    seg = plan.split("PartitionFilters")[1][:200] if "PartitionFilters" in plan else ""
+    assert "cid" in seg, plan[:2000]
+    # same answer as the in-memory formulation with identical params
+    mem = similarity.ivf_topk(emb, q, k=3, n_clusters=8, nprobe=2, iters=1)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, mem.collect()))
