@@ -973,6 +973,47 @@ def sql_token_count_bpe() -> str:
     )
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms: tf·(ln((N+1)/(df+1))+1) with
+    smooth idf. Shapes: one explode → (doc,term) count (map-side
+    combined), doc-frequency aggregate joined back on term, corpus
+    size N attached via a broadcast scalar (no driver-side .count()
+    baked into the plan), per-doc top-k window. At 100 TB the
+    term-join shuffles on term — vocabulary-sized, not corpus-sized."""
+    d = _spread(spark, _read(spark, sf_dir, "documents"))
+    toks = d.select("doc_id", F.explode(text.tokens(F.col("text"))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = d.agg(F.count("*").alias("n"))
+    w = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("weight", F.round(F.col("tf") * (F.log((F.col("n") + 1) / (F.col("df") + 1)) + 1), 6))
+    )
+    win = Window.partitionBy("doc_id").orderBy(F.col("weight").desc(), F.col("term").asc())
+    return (
+        w.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "weight", "rank")
+    )
+
+
+def sql_tfidf_top_terms() -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, unnest({_toks_sql('text')}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n FROM documents),
+w AS (
+  SELECT doc_id, term, round(tf * (ln((n + 1)::DOUBLE / (df + 1)) + 1), 6) AS weight
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, weight, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY weight DESC, term ASC) AS rank FROM w)
+WHERE rank <= 3
+"""
+
+
 def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/C4-style quality heuristics: mean word length, alphabetic
     word fraction, repetition signals (top token / top bigram
@@ -1380,6 +1421,7 @@ def build_registry() -> dict[str, tuple[QueryFn, str | None]]:
         "token_count_bpe": (q_token_count_bpe, sql_token_count_bpe()),
         "vocab_top_terms": (q_vocab_top_terms, sql_vocab_top_terms()),
         "langid_confusion": (q_langid_confusion, sql_langid_confusion()),
+        "tfidf_top_terms": (q_tfidf_top_terms, sql_tfidf_top_terms()),
         "doc_quality": (q_doc_quality, sql_doc_quality()),
         "pii_redact": (q_pii_redact, sql_pii_redact()),
         "datadiff_check": (q_datadiff, SQL_DATADIFF),
