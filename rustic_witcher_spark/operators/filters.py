@@ -35,15 +35,18 @@ def compile_filter(spec: FilterSpec) -> Column | None:
         return col.startswith(spec.starts_with) & col.endswith(spec.ends_with)
     if t == "Equals":  # F5 (ref :190-193)
         return col == F.lit(spec.value)
-    if t == "AnyOfInt":  # F6 — NOT-IN (ref :194-211)
+    if t in ("AnyOfInt", "AnyOfString"):  # F6/F7 — NOT-IN (ref :194-229)
+        # Empty value list: NOT-IN over nothing excludes nothing —
+        # identity filter (and the SQL twin would be invalid syntax).
+        if not spec.values:
+            return None
+        vals = [int(v) for v in spec.values] if t == "AnyOfInt" else [str(v) for v in spec.values]
         # NULL cells must be KEPT: the reference uses
         # is_in(..., nulls_equal=true).not(), while plain ~isin is NULL
         # for NULL input and Spark would drop the row. IsNull-OR (rather
         # than a coalesce wrapper) keeps the predicate parquet-pushable:
         # Or(IsNull, Not(In(...))) reaches PushedFilters.
-        return col.isNull() | ~col.isin([int(v) for v in spec.values])
-    if t == "AnyOfString":  # F7 — NOT-IN (ref :212-229)
-        return col.isNull() | ~col.isin([str(v) for v in spec.values])
+        return col.isNull() | ~col.isin(vals)
     raise ValueError(f"unknown filter type: {t}")
 
 
@@ -68,8 +71,13 @@ def filter_to_sql(spec: FilterSpec) -> str | None:
         return f"(starts_with({c}, '{esc(spec.starts_with)}') AND suffix({c}, '{esc(spec.ends_with)}'))"
     if t == "Equals":
         return f"{c} = '{esc(spec.value)}'"
-    if t == "AnyOfInt":  # NULL rows kept, matching compile_filter
-        return f"({c} IS NULL OR {c} NOT IN ({', '.join(str(int(v)) for v in spec.values)}))"
-    if t == "AnyOfString":
-        return f"({c} IS NULL OR {c} NOT IN ({', '.join(chr(39) + esc(v) + chr(39) for v in spec.values)}))"
+    if t in ("AnyOfInt", "AnyOfString"):  # NULL rows kept, matching compile_filter
+        if not spec.values:
+            return None  # empty NOT-IN = identity (NOT IN () is invalid SQL)
+        lits = (
+            ", ".join(str(int(v)) for v in spec.values)
+            if t == "AnyOfInt"
+            else ", ".join(chr(39) + esc(v) + chr(39) for v in spec.values)
+        )
+        return f"({c} IS NULL OR {c} NOT IN ({lits}))"
     raise ValueError(f"unknown filter type: {t}")

@@ -67,3 +67,13 @@ def test_anyof_keeps_null_rows(spark, duck):
     sql = filter_to_sql(FilterSpec(type="AnyOfString", column="v", values=("a",)))
     got = sorted(r[0] for r in duck.execute(f"SELECT k FROM _nulls WHERE {sql}").fetchall())
     assert got == [2, 3, 4]
+
+
+def test_anyof_empty_values_is_identity(spark, sf_dir):
+    """NOT-IN over an empty list excludes nothing; the SQL twin must
+    not emit invalid 'NOT IN ()' syntax."""
+    df = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    for t in ("AnyOfInt", "AnyOfString"):
+        spec = FilterSpec(type=t, column="c_nationkey", values=())
+        assert apply_filter(df, spec).count() == df.count()
+        assert filter_to_sql(spec) is None
