@@ -35,10 +35,13 @@ from rustic_witcher_spark.operators.cdc import OP_COLUMN, TS_COLUMN, latest_by_p
 from rustic_witcher_spark.plans.pipeline import anonymize_table
 from rustic_witcher_spark.sinks.jdbc import upsert_sql
 from rustic_witcher_spark.sinks.postgres_ops import (
+    OWNED_SEQUENCES_QUERY,
     create_extensions_sql,
     create_import_role_sql,
     drop_schema_sql,
     grant_app_users_sql,
+    pg_dump_command,
+    pg_restore_command,
     setval_sql,
     split_post_import_sql,
 )
@@ -55,11 +58,14 @@ class PgSyncHooks:
       JDBC/psycopg COPY in production, a recorder in tests.
     - ``query(sql)``: catalog reads (owned-sequences lookup); returns
       rows of tuples.
+    - ``run_command(argv)``: subprocess execution for the pg_dump /
+      pg_restore schema copy (O1/O3).
     """
 
     execute: Callable[[str], None]
     write_dataframe: Callable[[DataFrame, str, str], None]
     query: Callable[[str], list[tuple]] | None = None
+    run_command: Callable[[list[str]], None] | None = None
 
 
 @dataclass
@@ -89,9 +95,17 @@ def prepare_target(
     import_role: str | None = None,
     import_role_password: str = "",
     pg16_grant_to: str | None = None,
+    source_url: str | None = None,
+    target_url: str | None = None,
+    dump_file: str = "/tmp/schema.dump",
 ) -> None:
-    """O2 + O4 (target_db_preparator.rs:57-226)."""
+    """O1–O4 (target_db_preparator.rs:57-226): drop schema, recreate it
+    from the source's schema-only pg_dump when URLs + a run_command
+    hook are provided, extensions, import role."""
     hooks.execute(drop_schema_sql(schema))
+    if source_url and target_url and hooks.run_command:
+        hooks.run_command(pg_dump_command(source_url, schema, dump_file))
+        hooks.run_command(pg_restore_command(target_url, dump_file))
     for s in create_extensions_sql(list(extensions)):
         hooks.execute(s)
     if import_role:
@@ -165,9 +179,12 @@ def finalize_target(
 ) -> None:
     """O6 + O7 + O8 (target_db_finalizer.rs:17-198).
 
-    ``sequences`` is (sequence, table, pk_column) triples — in
-    production read via OWNED_SEQUENCES_QUERY through ``hooks.query``.
+    ``sequences`` is (sequence, table, pk_column) triples; when omitted
+    and a ``query`` hook exists, they are discovered from the catalog
+    via OWNED_SEQUENCES_QUERY (the reference's pg_depend join).
     """
+    if sequences is None and hooks.query is not None:
+        sequences = [tuple(r) for r in hooks.query(OWNED_SEQUENCES_QUERY.format(schema=schema))]
     for seq, table, col in sequences or ():
         hooks.execute(setval_sql(seq, f"{schema}.{table}", col))
     for s in grant_app_users_sql(schema, list(app_users), owner):
@@ -193,9 +210,14 @@ def pg_snapshot(
     sequences: list[tuple[str, str, str]] | None = None,
     post_import_sql: str = "",
     seed: int = DEFAULT_SEED,
+    source_url: str | None = None,
+    target_url: str | None = None,
 ) -> list[TableSyncResult]:
     """The whole reference flow: prepare → per-table sync → finalize."""
-    prepare_target(hooks, schema, extensions, import_role, import_role_password)
+    prepare_target(
+        hooks, schema, extensions, import_role, import_role_password,
+        source_url=source_url, target_url=target_url,
+    )
     results = []
     source_dir = Path(source_dir)
     for p in sorted(source_dir.iterdir()):

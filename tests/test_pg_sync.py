@@ -124,3 +124,33 @@ def test_env_url_scheme():
 def test_env_url_missing_raises():
     with pytest.raises(KeyError, match="SHOP_PUBLIC_SOURCE_POSTGRES_URL"):
         resolve_postgres_urls("shop", "public", {})
+
+
+def test_schema_dump_restore_and_sequence_discovery(spark, dms_table):
+    """O1/O3 schema copy runs when URLs + run_command are provided, and
+    owned sequences are discovered via the catalog query hook when not
+    passed explicitly."""
+    from datetime import date
+
+    rec = Recorder()
+    cmds: list[list[str]] = []
+    catalog_queries: list[str] = []
+
+    def fake_query(sql):
+        catalog_queries.append(sql)
+        return [("accounts_k_seq", "accounts", "k")]
+
+    hooks = PgSyncHooks(
+        execute=rec.execute, write_dataframe=rec.write_dataframe,
+        query=fake_query, run_command=cmds.append,
+    )
+    pg_snapshot(
+        spark, hooks, dms_table, load_config_str(CFG),
+        schema="public", primary_keys={"accounts": ["k"]},
+        mode="DateAware", start_date=date(2024, 1, 1),
+        source_url="postgres://u@src/shop", target_url="postgres://u@tgt/shop",
+    )
+    assert [c[0] for c in cmds] == ["pg_dump", "pg_restore"]
+    assert "--schema-only" in cmds[0] and "postgres://u@src/shop" in cmds[0]
+    assert len(catalog_queries) == 1 and "pg_depend" in catalog_queries[0]
+    assert any("setval('accounts_k_seq'" in s for s in rec.statements)
