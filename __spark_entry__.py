@@ -2,10 +2,12 @@
 
 entry(spark)  — flagship query (TPC-H Q1 shape) at sf0.001.
 queries()     — one entry per implemented operator from SURVEY.md §2
-                plus the north-star extensions (dedup, similarity, text
-                analysis, windowed events).
+                plus the north-star extensions (dedup, clustering,
+                similarity, sampling, quality/PII, text analysis,
+                windowed events, datadiff).
 oracle_sql()  — DuckDB-dialect twins for every SQL-expressible query
-                (omitted for the two approximate/banding ops → rows-only).
+                (omitted only for IVF — recall-gated in tests instead —
+                and the hashlib multimodal feature kernel → rows-only).
 """
 
 from __future__ import annotations

@@ -353,6 +353,51 @@ LIMIT 20
 """
 
 
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape — two-dimension multi-join: revenue shipped
+    between two nation pairs per year. Both nation dims broadcast; the
+    lineitem→orders fact-fact join shuffles once on orderkey."""
+    n = _read(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    pair = ("NATION_1", "NATION_2")
+    supp = (
+        _read(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+        .join(F.broadcast(n.filter(F.col("n_name").isin(*pair))), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(F.col("s_suppkey").alias("l_suppkey"), F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        _read(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+        .join(F.broadcast(n.filter(F.col("n_name").isin(*pair))), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(F.col("c_custkey").alias("o_custkey"), F.col("n_name").alias("cust_nation"))
+    )
+    o = _read(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _read(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    return (
+        li.join(F.broadcast(supp), "l_suppkey")
+        .join(o, "o_orderkey")
+        .join(F.broadcast(cust), "o_custkey")
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+    )
+
+
+SQL_Q7_VOLUME = """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       year(l_shipdate) AS l_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation sn ON sn.n_nationkey = s_nationkey AND sn.n_name IN ('NATION_1', 'NATION_2')
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation cn ON cn.n_nationkey = c_nationkey AND cn.n_name IN ('NATION_1', 'NATION_2')
+WHERE sn.n_name <> cn.n_name
+GROUP BY 1, 2, 3
+"""
+
+
 # -------------------------------------------------------------- aggregates
 
 
@@ -1411,6 +1456,7 @@ def build_registry() -> dict[str, tuple[QueryFn, str | None]]:
         "q13_order_distribution": (q13_order_distribution, SQL_Q13),
         "q4_priority_returns": (q4_priority_with_returns, SQL_Q4_RETURNS),
         "q18_large_orders": (q18_large_orders, SQL_Q18_LARGE),
+        "q7_nation_volume": (q7_nation_volume, SQL_Q7_VOLUME),
         "rollup_revenue": (q_rollup_revenue, SQL_ROLLUP),
         "distinct_parts_per_supplier": (q_distinct_parts_per_supplier, SQL_DISTINCT_PARTS),
         "top_customers_per_nation": (q_top_customers_per_nation, SQL_TOP_CUSTOMERS),

@@ -52,3 +52,47 @@ def test_streaming_tumbling_matches_batch(spark, events, tmp_path):
     got = {r["window_start"]: r["n_events"] for r in out.collect()}
     batch = {r["window_start"]: r["n_events"] for r in windows.tumbling(events).collect()}
     assert got == batch
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Aggregation state closes once the watermark passes a window:
+    an event arriving far behind the max seen event time must not
+    resurrect its (already emitted) window. Append mode only emits
+    windows the watermark has closed."""
+    from pyspark.sql import functions as F
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    src = str(tmp_path / "late_ev")
+    b1 = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 0, 10), 1, "c", 1.0),
+         (2, datetime(2024, 1, 1, 5, 0), 1, "c", 2.0)],  # pushes watermark ~5h
+        schema,
+    )
+    b1.write.parquet(src)
+    stream = spark.readStream.schema(b1.schema).parquet(src)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("ws"), "n")
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory").queryName("late")
+        .option("checkpointLocation", str(tmp_path / "late_ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    # late event for the long-closed 00:00 window
+    spark.createDataFrame([(3, datetime(2024, 1, 1, 0, 20), 1, "c", 4.0)], schema) \
+        .write.mode("append").parquet(src)
+    q.processAllAvailable()
+    # force final emission of whatever is still open
+    spark.createDataFrame([(4, datetime(2024, 1, 1, 9, 0), 1, "c", 8.0)], schema) \
+        .write.mode("append").parquet(src)
+    q.processAllAvailable()
+    rows = {r["ws"]: r["n"] for r in spark.sql("SELECT * FROM late").collect()}
+    q.stop()
+    # the 00:00 window emitted with ONLY the on-time event; the late
+    # arrival (event 3) was dropped by the watermark, not re-counted
+    assert rows.get("2024-01-01 00:00:00") == 1
