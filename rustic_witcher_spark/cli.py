@@ -79,6 +79,9 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--target", required=True, help="directory of target table parquet")
     d.add_argument("--table", required=True)
     d.add_argument("--pk", nargs="+", required=True)
+    v = sub.add_parser("validate", help="run TOML-configured post-import validations over a snapshot dir (O9)")
+    v.add_argument("--data", required=True, help="directory of table parquet files (registered as views)")
+    v.add_argument("--validations", required=True, help="validations TOML file")
     return p
 
 
@@ -94,6 +97,20 @@ def main(argv: list[str] | None = None) -> int:
         counts = {r["status"]: r["n"] for r in rows}
         print(json.dumps({"table": args.table, "diff": counts, "clean": not counts}))
         return 0 if not counts else 1
+    if args.command == "validate":
+        from rustic_witcher_spark.config.loader import load_validation_config
+        from rustic_witcher_spark.validation import run_validations
+
+        spark = get_spark("validate")
+        for p in sorted(Path(args.data).iterdir()):
+            if p.suffix == ".parquet":
+                spark.read.parquet(str(p)).createOrReplaceTempView(p.stem)
+        results = run_validations(spark, load_validation_config(args.validations))
+        ok = all(r.passed for r in results)
+        for r in results:
+            print(json.dumps(r.__dict__))
+        print(json.dumps({"validations": len(results), "passed": ok}))
+        return 0 if ok else 1
     if args.command != "anonymize":  # pragma: no cover
         return 2
     included = args.included_tables

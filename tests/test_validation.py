@@ -43,3 +43,35 @@ value = "Customer#"
     )
     results = run_validations(spark, cfg)
     assert len(results) == 1 and results[0].passed
+
+
+def test_validate_cli(spark, sf_dir, tmp_path):
+    import json as _json
+    import subprocess
+    import sys
+    from pathlib import Path as _P
+
+    vt = tmp_path / "vals.toml"
+    vt.write_text(
+        """
+[[validations]]
+table = "customer"
+query = "SELECT c_name FROM customer LIMIT 20"
+column_to_check = "c_name"
+[validations.value_check_type]
+type = "Contains"
+value = "Customer#"
+"""
+    )
+    proc = subprocess.run(
+        [sys.executable, "-m", "rustic_witcher_spark.cli", "validate",
+         "--data", sf_dir, "--validations", str(vt)],
+        capture_output=True, text=True, timeout=300,
+        env={"SPARK_GRAFT_CPUS": "4", "PATH": "/usr/bin:/bin:/usr/local/bin", "HOME": "/root",
+             "JAVA_HOME": __import__("os").environ.get("JAVA_HOME", ""),
+             "PYTHONPATH": str(_P(__file__).resolve().parent.parent)},
+    )
+    assert proc.returncode == 0, proc.stderr[-1500:]
+    lines = [_json.loads(x) for x in proc.stdout.splitlines() if x.startswith("{")]
+    assert lines[-1] == {"validations": 1, "passed": True}
+    assert lines[0]["table"] == "customer" and lines[0]["violations"] == 0
