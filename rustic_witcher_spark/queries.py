@@ -1216,6 +1216,58 @@ def sql_embedding_project() -> str:
     )
 
 
+def q_funnel_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event funnel: per user, the first click and whether a purchase
+    followed within 1 hour — the conversion measurement every event
+    pipeline runs. Sequence matching via window functions over the
+    per-user event stream (one shuffle on user_id), not a self-join:
+    min-click first, then the min purchase after it."""
+    ev = read_events(spark, sf_dir).select("user_id", "event_type", "ts")
+    first_click = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    first_purchase_after = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(first_click, "user_id")
+        .filter(F.col("ts") >= F.col("click_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    out = first_click.join(
+        first_purchase_after.select("user_id", "purchase_ts"), "user_id", "left"
+    ).select(
+        "user_id",
+        _fmt(F.col("click_ts")).alias("first_click"),
+        F.coalesce(
+            (F.col("purchase_ts").cast("long") - F.col("click_ts").cast("long")) <= 3600, F.lit(False)
+        ).alias("converted_1h"),
+    )
+    return out
+
+
+def _fmt(c):
+    return F.date_format(c, _FMT)
+
+
+SQL_FUNNEL = """
+WITH fc AS (
+  SELECT user_id, min(ts) AS click_ts FROM events WHERE event_type = 'click' GROUP BY 1
+),
+fp AS (
+  SELECT e.user_id, min(e.ts) AS purchase_ts
+  FROM events e JOIN fc USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts >= fc.click_ts
+  GROUP BY 1
+)
+SELECT fc.user_id,
+       strftime(fc.click_ts, '%Y-%m-%d %H:%M:%S') AS first_click,
+       coalesce(floor(epoch(fp.purchase_ts))::BIGINT - floor(epoch(fc.click_ts))::BIGINT <= 3600, false) AS converted_1h
+FROM fc LEFT JOIN fp USING (user_id)
+"""
+
+
 # ----------------------------------------------------------- multimodal
 
 _MAGIC = {0: "FFD8FFE0", 1: "89504E47", 2: "52494646", 3: "00000018"}  # jpeg png wav mp4
@@ -1498,6 +1550,7 @@ def build_registry() -> dict[str, tuple[QueryFn, str | None]]:
         "events_tumbling": (q_events_tumbling, SQL_TUMBLING),
         "events_sliding": (q_events_sliding, SQL_SLIDING),
         "events_session": (q_events_session, SQL_SESSION),
+        "funnel_click_purchase": (q_funnel_click_purchase, SQL_FUNNEL),
     }
     for name, (table, spec) in FILTER_QUERIES.items():
         reg[name] = (_make_filter_query(table, spec), _filter_sql(table, spec))
