@@ -1216,6 +1216,50 @@ def sql_embedding_project() -> str:
     )
 
 
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users cohorted by signup week,
+    counted as retained in every later week they show activity.
+    Two shuffles total — one to build the per-user cohort, one for the
+    (cohort_week, weeks_since) distinct-user aggregate."""
+    ev = read_events(spark, sf_dir).select("user_id", "event_type", "ts")
+    signup = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+    )
+    act = (
+        ev.join(signup, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week")) / 7).cast("int").alias("weeks_since"),
+        )
+        .filter(F.col("weeks_since") >= 0)
+        .distinct()
+    )
+    return (
+        act.groupBy("cohort_week", "weeks_since")
+        .agg(F.count("*").alias("n_users"))
+        .select(_fmt(F.col("cohort_week")).alias("cohort_week"), "weeks_since", "n_users")
+    )
+
+
+SQL_COHORT = """
+WITH signup AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+  FROM events WHERE event_type = 'signup' GROUP BY 1
+),
+act AS (
+  SELECT DISTINCT e.user_id, s.cohort_week,
+         (date_diff('day', s.cohort_week, date_trunc('week', e.ts)) / 7)::INT AS weeks_since
+  FROM events e JOIN signup s USING (user_id)
+  WHERE date_diff('day', s.cohort_week, date_trunc('week', e.ts)) >= 0
+)
+SELECT strftime(cohort_week, '%Y-%m-%d %H:%M:%S') AS cohort_week, weeks_since, count(*) AS n_users
+FROM act GROUP BY 1, 2
+"""
+
+
 def q_funnel_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event funnel: per user, the first click and whether a purchase
     followed within 1 hour — the conversion measurement every event
@@ -1551,6 +1595,7 @@ def build_registry() -> dict[str, tuple[QueryFn, str | None]]:
         "events_sliding": (q_events_sliding, SQL_SLIDING),
         "events_session": (q_events_session, SQL_SESSION),
         "funnel_click_purchase": (q_funnel_click_purchase, SQL_FUNNEL),
+        "cohort_retention": (q_cohort_retention, SQL_COHORT),
     }
     for name, (table, spec) in FILTER_QUERIES.items():
         reg[name] = (_make_filter_query(table, spec), _filter_sql(table, spec))
