@@ -1216,6 +1216,29 @@ def sql_embedding_project() -> str:
     )
 
 
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact value-distribution percentiles per event type (p50/p90/p99,
+    linear interpolation — Spark's `percentile` and DuckDB's
+    quantile_cont agree bit-for-bit at 4 dp). Exact percentile sorts
+    per group; at 100 TB swap in approx_percentile (t-digest, bounded
+    memory, one pass) — tolerance-tested in test_extensions."""
+    ev = read_events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+    )
+
+
+SQL_VALUE_PERCENTILES = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.9), 4) AS p90,
+       round(quantile_cont(value, 0.99), 4) AS p99
+FROM events GROUP BY 1
+"""
+
+
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention matrix: users cohorted by signup week,
     counted as retained in every later week they show activity.
@@ -1596,6 +1619,7 @@ def build_registry() -> dict[str, tuple[QueryFn, str | None]]:
         "events_session": (q_events_session, SQL_SESSION),
         "funnel_click_purchase": (q_funnel_click_purchase, SQL_FUNNEL),
         "cohort_retention": (q_cohort_retention, SQL_COHORT),
+        "value_percentiles": (q_value_percentiles, SQL_VALUE_PERCENTILES),
     }
     for name, (table, spec) in FILTER_QUERIES.items():
         reg[name] = (_make_filter_query(table, spec), _filter_sql(table, spec))

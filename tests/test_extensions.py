@@ -376,3 +376,16 @@ def test_ivf_persisted_index_prunes_partitions(spark, sf_dir, tmp_path):
     # same answer as the in-memory formulation with identical params
     mem = similarity.ivf_topk(emb, q, k=3, n_clusters=8, nprobe=2, iters=1)
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, mem.collect()))
+
+
+def test_approx_percentile_within_tolerance(spark, sf_dir):
+    """The documented 100 TB path for distribution stats: one-pass
+    bounded-memory approx_percentile must stay within 5% of exact."""
+    from rustic_witcher_spark.sources.parquet import read_events
+
+    ev = read_events(spark, sf_dir)
+    row = ev.agg(
+        F.expr("percentile(value, 0.9)").alias("exact"),
+        F.expr("approx_percentile(value, 0.9, 10000)").alias("approx"),
+    ).collect()[0]
+    assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.05
