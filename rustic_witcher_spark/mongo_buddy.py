@@ -98,9 +98,12 @@ def export_data(
     key, file)`` ships the archive; ``cleanup(path)`` removes local
     artifacts. All injected — the container has no mongo tooling.
     """
-    if mongo_uri.rsplit("/", 1)[-1] != database_name:
+    # the URI's trailing path segment, minus any ?options suffix —
+    # 'mongodb+srv://u:p@c/db?retryWrites=true' names database 'db'
+    uri_db = mongo_uri.rsplit("/", 1)[-1].split("?", 1)[0]
+    if uri_db != database_name:
         raise ValueError(
-            f"Database name in URI does not match provided database name {database_name!r}"
+            f"Database name in URI ({uri_db!r}) does not match provided database name {database_name!r}"
         )
     archive = f"{work_dir}.tar.zst"
     run(mongodump_command(mongo_uri, database_name, work_dir))
@@ -124,8 +127,14 @@ def import_data(
     """The importer's full sequence (ref: mongo_data_importer.rs:39-68):
     refuse production URIs, download the archive, untar, mongorestore,
     remove the archive."""
+    import os
+
     guard_not_production(mongo_uri)
     extract_dir = f"{work_dir}/{database_name}"
+    # the reference fs::create_dir_all's both locations before use
+    # (mongo_data_importer.rs:48-49) — tar -C and the download fail on
+    # a fresh host otherwise
+    os.makedirs(extract_dir, exist_ok=True)
     bucket, key = split_s3_path(s3_path)
     archive = f"{work_dir}/{key.rsplit('/', 1)[-1]}"
     download(bucket, key, archive)

@@ -300,7 +300,12 @@ def simhash_near_duplicates(
     max_hamming: int = 0,
     max_bucket_size: int = 2048,
 ) -> DataFrame:
-    """EXACT near-duplicate pairs by SimHash hamming distance ≤ max_hamming.
+    """Near-duplicate pairs by SimHash hamming distance ≤ max_hamming —
+    EXACT up to ``max_bucket_size``: the banding itself is lossless
+    (pigeonhole), but members beyond the cap in a degenerate bucket are
+    dropped, so pairs reachable only through that bucket are lost.
+    Pass ``max_bucket_size=None``-ishly-large for strict exactness on
+    bounded corpora (the oracle-paired query entries do).
 
     Returns (id_a, id_b, hamming) with id_a < id_b.
 

@@ -184,7 +184,13 @@ def _near_dup_pairs_block(df, threshold, id_col, vec_col, n_blocks):
 
 def _near_dup_pairs_lsh(df, threshold, id_col, vec_col, n_planes, n_tables, dim):
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        # NB: inferring dim runs one driver-side job at plan-build time
+        # (array length is not in the schema); pass dim explicitly to
+        # keep construction lazy
+        row = df.select(vec_col).first()
+        if row is None or row[0] is None:
+            return df.sparkSession.createDataFrame([], _PAIR_SCHEMA_DDL)
+        dim = len(row[0])
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
     tables = [
         base.select(
@@ -456,8 +462,13 @@ def ivf_query_index(
     partition filter on ``cid``; only nprobe/n_clusters of the index is
     read. Exact re-rank inside the probed lists."""
     cent = spark.read.parquet(f"{path}/_centroids")
-    probes = ivf_assign(queries, cent, id_col, vec_col, nprobe=nprobe).select(
-        F.col("cid"), F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    probes = (
+        ivf_assign(queries, cent, id_col, vec_col, nprobe=nprobe)
+        .select(F.col("cid"), F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+        # materialize once: both the driver-side cid collect (for the
+        # partition filter) and the join below reuse this result instead
+        # of re-running the centroid scoring
+        .localCheckpoint(eager=True)
     )
     probe_cids = [r["cid"] for r in probes.select("cid").distinct().collect()]
     inv = (

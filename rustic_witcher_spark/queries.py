@@ -782,7 +782,7 @@ def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     Fully oracle-checked: banding, estimation, and verification are all
     deterministic, so the DuckDB twin reproduces the exact pair set."""
     df = _spread(spark, _read(spark, sf_dir, "documents"))
-    cands = dedup.minhash_lsh_candidates(df, "text", "doc_id", num_perm=32, bands=8, n=3, seed=SEED)
+    cands = dedup.minhash_lsh_candidates(df, "text", "doc_id", num_perm=32, bands=8, n=3, seed=SEED, max_bucket_size=1 << 40)
     return dedup.verify_candidates_jaccard(cands, df, "text", "doc_id", threshold=0.5, k=5).select(
         "id_a", "id_b", F.round("est_jaccard", 4).alias("est_jaccard"), F.round("jaccard", 4).alias("jaccard")
     )
@@ -871,9 +871,12 @@ def sql_simhash() -> str:
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT hamming-≤3 SimHash pairs via 4-band pigeonhole blocking —
     no O(n²) cross join on the Spark side; the DuckDB oracle IS the
-    brute-force all-pairs, so the test proves the banding is lossless."""
+    brute-force all-pairs, so the test proves the banding is lossless.
+    The bucket cap is lifted here because this entry's contract is
+    oracle-exactness at any SF; production callers keep the operator's
+    scale-guard default."""
     df = _spread(spark, _read(spark, sf_dir, "documents"))
-    return dedup.simhash_near_duplicates(df, "text", "doc_id", seed=SEED, max_hamming=3)
+    return dedup.simhash_near_duplicates(df, "text", "doc_id", seed=SEED, max_hamming=3, max_bucket_size=1 << 40)
 
 
 def sql_simhash_near_dups() -> str:
@@ -896,7 +899,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rustic_witcher_spark.operators.cluster import connected_components
 
     df = _spread(spark, _read(spark, sf_dir, "documents"))
-    edges = dedup.simhash_near_duplicates(df, "text", "doc_id", seed=SEED, max_hamming=3)
+    edges = dedup.simhash_near_duplicates(df, "text", "doc_id", seed=SEED, max_hamming=3, max_bucket_size=1 << 40)
     nodes = df.select("doc_id")
     return connected_components(nodes, edges, "doc_id").select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")

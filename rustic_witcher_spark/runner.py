@@ -124,12 +124,25 @@ def process_table(
             listed = list_table_files(path, mode, start_date, stop_date)
             loads = prune_load_files(listed.load_files, cfg.keep_num_of_records)
             files = loads + listed.cdc_files
+            if not files:
+                raise ValueError(f"table {table!r}: no parquet files found for mode {mode}")
             # The record-reduction slice applies to the LOAD snapshot only
             # (ref: anonymization_dataframe_operator.rs:116-125); CDC rows
             # are merged in full afterwards.
-            df = spark.read.parquet(*loads)
-            if cfg.keep_num_of_records is not None:
-                df = df.limit(cfg.keep_num_of_records)
+            if loads:
+                df = spark.read.parquet(*loads)
+                if cfg.keep_num_of_records is not None:
+                    df = df.limit(cfg.keep_num_of_records)
+            else:
+                # CDC-only directory (table created after the full load):
+                # the snapshot materializes purely from CDC inserts over
+                # an empty base with the CDC files' data schema.
+                from rustic_witcher_spark.operators.cdc import OP_COLUMN, TS_COLUMN
+
+                cdc_schema = spark.read.parquet(*listed.cdc_files)
+                df = cdc_schema.select(
+                    *[c for c in cdc_schema.columns if c not in (OP_COLUMN, TS_COLUMN)]
+                ).limit(0)
             if listed.cdc_files:
                 # DateAware: CDC files are per-PK upserts/deletes over the
                 # LOAD snapshot, not extra rows (ref: cdc_operator.rs:308-328).

@@ -77,14 +77,18 @@ class TableSyncResult:
 
 def cdc_delete_sql(table: str, staging: str, pk: list[str]) -> str:
     """Tombstone application: a CDC row whose latest Op is 'D' removes
-    the key from the target (cdc_operator.rs:308-328 semantics)."""
+    the key from the target (cdc_operator.rs:308-328 semantics).
+
+    ``Op`` is quoted: the DMS column is mixed-case, and an unquoted
+    identifier would fold to ``op`` on Postgres and miss the
+    case-preserved column a JDBC writer creates."""
     pkl = ", ".join(pk)
-    return f"DELETE FROM {table} WHERE ({pkl}) IN (SELECT {pkl} FROM {staging} WHERE {OP_COLUMN} = 'D')"
+    return f'DELETE FROM {table} WHERE ({pkl}) IN (SELECT {pkl} FROM {staging} WHERE "{OP_COLUMN}" = \'D\')'
 
 
 def cdc_upsert_sql(table: str, columns: list[str], pk: list[str], staging: str) -> str:
     """Upsert the surviving (non-tombstone) staged rows."""
-    src = f"(SELECT * FROM {staging} WHERE {OP_COLUMN} <> 'D') AS __cdc"
+    src = f'(SELECT * FROM {staging} WHERE "{OP_COLUMN}" <> \'D\') AS __cdc'
     return upsert_sql(table, columns, pk, staging=src)
 
 
@@ -150,12 +154,16 @@ def sync_table(
     if listed.cdc_files:
         cdc = spark.read.parquet(*listed.cdc_files)
         data_cols = [c for c in cdc.columns if c not in (OP_COLUMN, TS_COLUMN)]
-        if cfg is not None:
-            # anonymize data columns while preserving the DMS metadata
-            meta = cdc.select(*primary_key, OP_COLUMN, TS_COLUMN)
-            anon = anonymize_table(cdc.select(*data_cols), cfg, seed, limit_already_applied=True)
-            cdc = anon.join(meta, on=primary_key, how="inner")
+        # Dedupe to the last writer per PK FIRST, then anonymize the
+        # winners (deterministic per-value transforms commute with the
+        # dedupe for data columns). Anonymizing before the dedupe and
+        # joining metadata back on the PK is wrong twice over: a PK with
+        # several CDC versions cross-products against its metadata rows
+        # (stale values can win), and a transformed PK column would no
+        # longer join its own metadata at all.
         staged = latest_by_pk(cdc, primary_key).select(*data_cols, OP_COLUMN)
+        if cfg is not None:
+            staged = anonymize_table(staged, cfg, seed, limit_already_applied=True)
         staging = f"{qualified}__staging"
         hooks.write_dataframe(staged, staging, "overwrite")
         stmts = [

@@ -171,8 +171,10 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # timestamps are formatted to strings for oracle comparison; DuckDB's
     # are naive, so the session must render in UTC even when the caller's
-    # session (e.g. an external driver's) didn't pin it
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # session (e.g. an external driver's) didn't pin it. NB: these are
+    # session-wide runtime confs — a host embedding this engine in a
+    # non-UTC session shares the setting for subsequent queries (the
+    # engine's own session factory pins UTC anyway).
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     ts_field = df.schema["ts"].dataType.typeName()
     if ts_field in ("long", "bigint"):

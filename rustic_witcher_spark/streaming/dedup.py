@@ -30,16 +30,21 @@ def streaming_exact_dedup(
 ) -> DataFrame:
     """First-seen-wins exact dedup over a document stream.
 
-    With ``ts_col``, a watermark bounds the dedup state: duplicates
-    arriving later than ``watermark`` past the max seen event time may
-    be re-emitted (the documented trade of bounded state on an
-    unbounded stream). Without it, state is exact and unbounded —
-    correct for finite backfills, not for forever-streams.
+    With ``ts_col``, a watermark bounds the dedup state: the key is
+    STILL the digest alone (``dropDuplicatesWithinWatermark``) —
+    duplicates inside the watermark horizon are suppressed regardless
+    of their event times, and only a duplicate arriving later than
+    ``watermark`` past the max seen event time may be re-emitted (the
+    documented trade of bounded state on an unbounded stream). Keying
+    on (digest, ts) instead would never dedupe at all, since dup
+    arrivals carry different timestamps. Without ``ts_col``, state is
+    exact and unbounded — correct for finite backfills, not
+    forever-streams.
     """
     out = docs_stream.withColumn("__digest", F.md5(normalized_text(F.col(text_col))))
     if ts_col is not None:
         out = out.withWatermark(ts_col, watermark)
-        return out.dropDuplicates(["__digest", ts_col]).drop("__digest")
+        return out.dropDuplicatesWithinWatermark(["__digest"]).drop("__digest")
     return out.dropDuplicates(["__digest"]).drop("__digest")
 
 

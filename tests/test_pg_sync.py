@@ -95,9 +95,9 @@ def test_full_flow_statement_sequence(spark, dms_table):
         "GRANT ALL ON ALL TABLES IN SCHEMA public TO rustic_import",
         "GRANT ALL ON ALL SEQUENCES IN SCHEMA public TO rustic_import",
         "DELETE FROM public.accounts WHERE (k) IN "
-        "(SELECT k FROM public.accounts__staging WHERE Op = 'D')",
+        "(SELECT k FROM public.accounts__staging WHERE \"Op\" = 'D')",
         "INSERT INTO public.accounts (k, name) SELECT k, name FROM "
-        "(SELECT * FROM public.accounts__staging WHERE Op <> 'D') AS __cdc "
+        "(SELECT * FROM public.accounts__staging WHERE \"Op\" <> 'D') AS __cdc "
         "ON CONFLICT (k) DO UPDATE SET name = EXCLUDED.name",
         "DROP TABLE IF EXISTS public.accounts__staging",
         "SELECT setval('accounts_k_seq', COALESCE((SELECT MAX(k) FROM public.accounts), 1))",

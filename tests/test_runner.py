@@ -210,3 +210,26 @@ def test_upload_gate_requires_bucket(spark, src, tmp_path, monkeypatch):
     report = snapshot(spark, src, tmp_path / "out_up2", load_config_str(CFG), included_tables=["customer"])
     assert not report.ok
     assert "ANONYMIZED_BUCKET" in report.results[0].error
+
+
+def test_dateaware_cdc_only_directory(spark, tmp_path):
+    """A table created after the full load has only CDC files: the
+    snapshot materializes purely from CDC inserts (no LOAD crash)."""
+    import pandas as pd
+    from datetime import date
+
+    d = tmp_path / "cdc_only_src" / "accounts"
+    d.mkdir(parents=True)
+    pd.DataFrame(
+        {"k": [1, 2, 2], "name": ["a", "b0", "b1"],
+         "Op": ["I", "I", "U"], "_dms_ingestion_timestamp": [1, 1, 2]}
+    ).to_parquet(d / "20240115-000000001.parquet")
+    report = snapshot(
+        spark, tmp_path / "cdc_only_src", tmp_path / "out_cdconly", load_config_str(DMS_CFG),
+        mode="DateAware", start_date=date(2024, 1, 1),
+        primary_keys={"accounts": ["k"]},
+    )
+    assert report.ok, report.results
+    out = spark.read.parquet(str(tmp_path / "out_cdconly" / "accounts.parquet"))
+    rows = {r["k"]: r["name"] for r in out.collect()}
+    assert set(rows) == {1, 2} and all(v == "X" for v in rows.values())

@@ -53,3 +53,30 @@ def test_streaming_simhash_matches_batch(spark, tmp_path):
     q.stop()
     want = {r["doc_id"]: r["sh"] for r in df.select("doc_id", simhash64(F.col("text")).alias("sh")).collect()}
     assert got == want
+
+
+def test_streaming_dedup_with_watermark_keys_on_digest(spark, tmp_path):
+    """With a watermark, dedup still keys on the content digest alone:
+    same text at different event times inside the horizon is suppressed."""
+    from datetime import datetime
+
+    schema = "doc_id long, ts timestamp, text string"
+    src = str(tmp_path / "wdocs")
+    df = spark.createDataFrame(
+        [(0, datetime(2024, 1, 1, 10, 0), "same doc"),
+         (1, datetime(2024, 1, 1, 10, 5), "same doc"),   # dup, later ts, inside watermark
+         (2, datetime(2024, 1, 1, 10, 10), "other doc")],
+        schema,
+    )
+    df.write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = _start(
+        spark,
+        sdedup.streaming_exact_dedup(stream, ts_col="ts", watermark="1 hour"),
+        "wdedup", str(tmp_path / "wck"),
+    )
+    q.processAllAvailable()
+    rows = spark.sql("SELECT * FROM wdedup").collect()
+    q.stop()
+    assert len(rows) == 2  # one per distinct content, not one per (content, ts)
+    assert {r["text"] for r in rows} == {"same doc", "other doc"}
