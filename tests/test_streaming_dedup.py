@@ -80,3 +80,30 @@ def test_streaming_dedup_with_watermark_keys_on_digest(spark, tmp_path):
     q.stop()
     assert len(rows) == 2  # one per distinct content, not one per (content, ts)
     assert {r["text"] for r in rows} == {"same doc", "other doc"}
+
+
+def test_streaming_cdc_apply_across_batches(spark, tmp_path):
+    """Continuous CDC apply: two micro-batches of DMS rows yield the
+    same snapshot as one batch apply_cdc over all of them."""
+    import pandas as pd
+
+    from rustic_witcher_spark.streaming.cdc_stream import streaming_cdc_apply
+
+    schema = "k long, name string, Op string, _dms_ingestion_timestamp long"
+    src = str(tmp_path / "cdc_in")
+    snap = str(tmp_path / "snapshot")
+    b1 = spark.createDataFrame(
+        [(1, "a", "I", 1), (2, "b", "I", 1), (3, "c", "I", 1)], schema
+    )
+    b1.write.parquet(src)
+    stream = spark.readStream.schema(b1.schema).parquet(src)
+    q = streaming_cdc_apply(spark, stream, snap, ["k"], str(tmp_path / "cdc_ck"))
+    q.processAllAvailable()
+    # batch 2: update k=2, delete k=3, insert k=4
+    spark.createDataFrame(
+        [(2, "b2", "U", 2), (3, "c", "D", 2), (4, "d", "I", 2)], schema
+    ).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    out = {r["k"]: r["name"] for r in spark.read.parquet(snap).collect()}
+    assert out == {1: "a", 2: "b2", 4: "d"}
