@@ -80,7 +80,8 @@ def _list_s3_parquet(table_dir: str, s3_client=None) -> list[str]:
             raise RuntimeError("s3:// listing requires boto3 or an injected s3_client") from e
         s3_client = boto3.client("s3")
     bucket, _, prefix = table_dir.removeprefix("s3://").partition("/")
-    prefix = prefix.rstrip("/") + "/"
+    # bucket-root listing: an empty prefix must stay empty — "/" matches no keys
+    prefix = prefix.rstrip("/") + "/" if prefix else ""
     keys: list[str] = []
     kwargs = {"Bucket": bucket, "Prefix": prefix}
     while True:
@@ -175,6 +176,7 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # session-wide runtime confs — a host embedding this engine in a
     # non-UTC session shares the setting for subsequent queries (the
     # engine's own session factory pins UTC anyway).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     ts_field = df.schema["ts"].dataType.typeName()
     if ts_field in ("long", "bigint"):
