@@ -1587,8 +1587,11 @@ def build_registry() -> dict[str, tuple[QueryFn, str | None]]:
             "value_percentiles": (q_value_percentiles, SQL_VALUE_PERCENTILES),
             # --- r02 error / no-oracle entries, re-verified early ---
             "embedding_project": (q_embedding_project, sql_embedding_project()),
-            "knn_ivf": (q_knn_ivf, sql_knn_ivf()),
-            "multimodal_features": (q_multimodal_features, sql_multimodal_features()),
+            # knn_ivf is approximate-by-design (recall-gated in tests) and
+            # multimodal_features runs a hashlib mapInPandas kernel — neither
+            # has a faithful DuckDB twin, so they stay rows-only (None oracle).
+            "knn_ivf": (q_knn_ivf, None),
+            "multimodal_features": (q_multimodal_features, None),
         }
     )
     reg.update(_stable_entries())
