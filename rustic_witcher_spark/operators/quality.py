@@ -111,7 +111,10 @@ def symbol_token_ratio(col: Column) -> Column:
     """(# of '#' or '…' / ellipsis marks) per token (Gopher symbol-to-
     word ratio; high → markup/boilerplate)."""
     s = F.coalesce(col, F.lit(""))
-    n_sym = F.length(s) - F.length(F.regexp_replace(s, r"[#…]|\.\.\.", ""))
+    # Count MATCHES, not removed characters: a literal '...' is one
+    # ellipsis mark, not three symbols (the length-delta version
+    # overcounted it 3×).
+    n_sym = F.size(F.regexp_extract_all(s, F.lit(r"[#…]|\.\.\."), 0))
     t = tokens(col)
     return F.round(F.when(F.size(t) == 0, F.lit(0.0)).otherwise(n_sym / F.size(t)), 6)
 

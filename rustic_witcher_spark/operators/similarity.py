@@ -350,6 +350,9 @@ def ivf_centroids(
         .orderBy("__r", id_col)
         .limit(n_clusters)
     )
+    # Unpartitioned window → Spark logs "No Partition Defined for Window"
+    # in bench runs. Intentional and benign: it runs over exactly
+    # n_clusters rows (16 by default) post-limit, never over the corpus.
     w = Window.orderBy("__r", id_col)
     cent = seeds.select(F.row_number().over(w).alias("cid"), F.col(vec_col).cast("array<double>").alias("cvec"))
     for _ in range(iters):

@@ -1214,14 +1214,20 @@ def q_embedding_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     column (6-dp coordinates joined by ','): the driver's canonicalizer
     hashes scalar cells and cannot factorize an array<double>. The
     programmatic API (`similarity.random_projection`) still returns the
-    array. `x + 0.0` collapses IEEE -0.0 to +0.0 before formatting so
-    both engines render the same sign."""
+    array. Values are rounded NUMERICALLY to 6 dp before formatting —
+    Spark's format_string (java.util.Formatter, HALF_UP) and DuckDB's
+    printf (correctly rounded) can disagree on raw doubles near a 6-dp
+    boundary, but agree when handed an already-rounded value. `+ 0.0`
+    collapses IEEE -0.0 so both engines render the same sign."""
     e = _spread(spark, _read(spark, sf_dir, "embeddings"))
     proj = similarity.random_projection(F.col("embedding"), 64, 16)
     return e.select(
         "vec_id",
         F.array_join(
-            F.transform(proj, lambda x: F.format_string("%.6f", x + F.lit(0.0))), ","
+            F.transform(
+                proj, lambda x: F.format_string("%.6f", F.round(x, 6) + F.lit(0.0))
+            ),
+            ",",
         ).alias("proj"),
     )
 
@@ -1230,7 +1236,7 @@ def sql_embedding_project() -> str:
     return (
         "SELECT vec_id, array_to_string(list_transform("
         f"{similarity.sql_random_projection('embedding', 64, 16)}, "
-        "x -> printf('%.6f', x + 0.0)), ',') AS proj FROM embeddings"
+        "x -> printf('%.6f', round(x, 6) + 0.0)), ',') AS proj FROM embeddings"
     )
 
 

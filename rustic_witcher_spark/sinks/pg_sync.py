@@ -152,6 +152,16 @@ def sync_table(
         res.load_rows_written = True
 
     if listed.cdc_files:
+        # Mirror runner.process_table's guard: with pk=[], latest_by_pk
+        # would window over zero columns and collapse EVERY CDC row to a
+        # single global survivor (silent data loss), and cdc_delete_sql
+        # would emit invalid SQL. CDC upserts require a PK by definition
+        # (ref: rustic-cdc-operator/src/cdc_operator.rs:308-328).
+        if not primary_key:
+            raise ValueError(
+                f"table {table!r} has CDC files but no primary key; "
+                "pass primary_key=[pk_cols] to merge them"
+            )
         cdc = spark.read.parquet(*listed.cdc_files)
         data_cols = [c for c in cdc.columns if c not in (OP_COLUMN, TS_COLUMN)]
         # Dedupe to the last writer per PK FIRST, then anonymize the

@@ -22,17 +22,50 @@ from rustic_witcher_spark.operators.cdc import OP_COLUMN, TS_COLUMN, apply_cdc
 
 
 def _swap_in(tmp: Path, final: Path) -> None:
+    """Crash-safe snapshot swap.
+
+    The naive rmtree(final) → rename(tmp) sequence has a window where NO
+    snapshot exists; a crash there made the next merge treat the missing
+    path as an empty base, silently discarding every pre-crash row
+    (foreachBatch checkpoints don't replay old batches). Instead: park
+    the current snapshot as a backup, promote tmp, then drop the backup.
+    At every instant at least one complete snapshot directory exists, and
+    ``_recover`` rolls the backup forward after a crash.
+    """
+    backup = _backup_path(final)
+    if backup.exists():  # leftover from a crash mid-swap
+        shutil.rmtree(backup)
     if final.exists():
-        shutil.rmtree(final)
+        final.rename(backup)
     tmp.rename(final)
+    if backup.exists():
+        shutil.rmtree(backup)
+
+
+def _backup_path(final: Path) -> Path:
+    return Path(f"{final}__backup")
+
+
+def _recover(final: Path) -> None:
+    """Startup recovery: if a crash during ``_swap_in`` left no live
+    snapshot, restore the parked backup; if both exist, the swap had
+    already promoted tmp, so the backup is stale — drop it."""
+    backup = _backup_path(final)
+    if backup.exists():
+        if final.exists():
+            shutil.rmtree(backup)
+        else:
+            backup.rename(final)
 
 
 def parquet_snapshot_merger(spark: SparkSession, snapshot_path: str, pk: list[str]):
     """Build a foreachBatch callable maintaining a parquet snapshot."""
     final = Path(snapshot_path)
     tmp = Path(f"{snapshot_path}__next")
+    _recover(final)
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
+        _recover(final)
         if final.exists():
             base = spark.read.parquet(str(final))
         else:

@@ -154,3 +154,23 @@ def test_schema_dump_restore_and_sequence_discovery(spark, dms_table):
     assert "--schema-only" in cmds[0] and "postgres://u@src/shop" in cmds[0]
     assert len(catalog_queries) == 1 and "pg_depend" in catalog_queries[0]
     assert any("setval('accounts_k_seq'" in s for s in rec.statements)
+
+
+def test_cdc_files_without_pk_raise(spark, dms_table):
+    """pk=[] + CDC files would window over zero columns and collapse all
+    CDC rows to one survivor (silent data loss) and emit invalid delete
+    SQL — sync_table must refuse, mirroring runner.process_table."""
+    from datetime import date
+
+    from rustic_witcher_spark.sinks.pg_sync import sync_table
+
+    rec = Recorder()
+    hooks = PgSyncHooks(execute=rec.execute, write_dataframe=rec.write_dataframe)
+    with pytest.raises(ValueError, match="no primary key"):
+        sync_table(
+            spark, hooks, "accounts", dms_table / "accounts",
+            load_config_str(CFG), schema="public", primary_key=[],
+            mode="DateAware", start_date=date(2024, 1, 1),
+        )
+    # the LOAD insert may have happened, but no CDC statement ran
+    assert not rec.statements

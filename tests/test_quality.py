@@ -71,7 +71,7 @@ def test_repetition_fractions(spark):
 
 
 def test_gopher_stats(spark):
-    rows = [(0, "abc de"), (1, "### ### x2"), (2, None)]
+    rows = [(0, "abc de"), (1, "### ### x2"), (2, None), (3, "wait... what…")]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     got = {r["doc_id"]: r for r in df.select(
         "doc_id",
@@ -82,6 +82,8 @@ def test_gopher_stats(spark):
     assert got[0]["mwl"] == 2.5 and got[0]["awf"] == 1.0 and got[0]["str_"] == 0.0
     assert got[1]["awf"] == 0.0 and got[1]["str_"] == 2.0  # 6 '#' over 3 tokens
     assert got[2]["mwl"] == 0.0
+    # '...' is ONE ellipsis mark, not three symbols; '…' is one too
+    assert got[3]["str_"] == 1.0  # 2 marks over 2 tokens
 
 
 def test_quality_and_pii_are_streaming_compatible(spark, tmp_path):

@@ -107,3 +107,56 @@ def test_streaming_cdc_apply_across_batches(spark, tmp_path):
     q.stop()
     out = {r["k"]: r["name"] for r in spark.read.parquet(snap).collect()}
     assert out == {1: "a", 2: "b2", 4: "d"}
+
+
+def test_snapshot_swap_is_crash_safe(spark, tmp_path):
+    """A crash at ANY point inside the snapshot swap must not lose the
+    pre-crash snapshot: the old rmtree(final)->rename(tmp) sequence had
+    a window with no snapshot at all, after which the merger silently
+    treated the missing path as an empty base."""
+    from rustic_witcher_spark.streaming.cdc_stream import _backup_path, _recover, _swap_in
+
+    final = tmp_path / "snap"
+    tmp = tmp_path / "snap__next"
+
+    def mkdir_with(path, tag):
+        path.mkdir()
+        (path / "data.txt").write_text(tag)
+
+    # normal swap: tmp promoted, no backup left behind
+    mkdir_with(final, "old")
+    mkdir_with(tmp, "new")
+    _swap_in(tmp, final)
+    assert (final / "data.txt").read_text() == "new"
+    assert not _backup_path(final).exists() and not tmp.exists()
+
+    # crash after final->backup rename but before tmp promotion:
+    # recovery restores the parked snapshot
+    final.rename(_backup_path(final))
+    assert not final.exists()
+    _recover(final)
+    assert (final / "data.txt").read_text() == "new"
+
+    # crash after tmp promotion but before backup cleanup: the live
+    # snapshot wins and the stale backup is dropped
+    mkdir_with(_backup_path(final), "stale")
+    _recover(final)
+    assert (final / "data.txt").read_text() == "new"
+    assert not _backup_path(final).exists()
+
+
+def test_snapshot_merger_recovers_backup_on_startup(spark, tmp_path):
+    """parquet_snapshot_merger must roll a parked backup forward before
+    its first merge, so pre-crash rows survive into the next batch."""
+    from rustic_witcher_spark.streaming.cdc_stream import _backup_path, parquet_snapshot_merger
+
+    snap = tmp_path / "snapshot"
+    schema = "k long, name string, Op string, _dms_ingestion_timestamp long"
+    # pre-crash snapshot, parked as backup (crash happened mid-swap)
+    spark.createDataFrame([(1, "a")], "k long, name string").write.parquet(
+        str(_backup_path(snap))
+    )
+    merge = parquet_snapshot_merger(spark, str(snap), ["k"])
+    merge(spark.createDataFrame([(2, "b", "I", 1)], schema), 0)
+    out = {r["k"]: r["name"] for r in spark.read.parquet(str(snap)).collect()}
+    assert out == {1: "a", 2: "b"}
