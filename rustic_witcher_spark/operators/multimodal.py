@@ -49,14 +49,20 @@ def real_decode_image(data: bytes) -> object:  # pragma: no cover - env-gated
 def fake_decode_features(data: bytes, n_features: int = 8) -> list[float]:
     """Deterministic stand-in for a decode→feature-extract kernel: derives
     ``n_features`` floats in [0,1) from the byte content. Deterministic per
-    byte-content ⇒ partitioning-invariant, testable end-to-end."""
+    byte-content ⇒ partitioning-invariant, testable end-to-end.
+
+    The chain runs over lowercase-hex strings rather than raw digest
+    bytes so an external SQL engine without blob hashing (DuckDB's
+    ``md5`` is VARCHAR-only) can reproduce it exactly:
+    ``h0 = md5(hex(data)); h_{i+1} = md5(h_i + '%02x' % i)``;
+    feature_i = first 4 bytes of h_{i+1} as uint32 / 2^32."""
     if data is None:
         return [0.0] * n_features
-    h = hashlib.md5(data).digest()
+    h = hashlib.md5(data.hex().encode()).hexdigest()
     out = []
     for i in range(n_features):
-        h = hashlib.md5(h + bytes([i])).digest()
-        out.append(int.from_bytes(h[:4], "big") / 2**32)
+        h = hashlib.md5((h + format(i, "02x")).encode()).hexdigest()
+        out.append(int(h[:8], 16) / 2**32)
     return out
 
 

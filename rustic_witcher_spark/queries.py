@@ -1393,10 +1393,12 @@ FROM documents
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode→featurize plumbing end-to-end (rows-only: the feature
-    kernel is a hashlib chain, deliberately not SQL-expressible): sniff
-    format, Arrow-batched mapInPandas feature extraction, then a
-    per-format aggregate over the feature vector."""
+    """Decode→featurize plumbing end-to-end: sniff format, Arrow-batched
+    mapInPandas feature extraction, then a per-format aggregate over the
+    feature vector. The fake kernel chains md5 over lowercase-hex
+    strings (see ``fake_decode_features``) precisely so the DuckDB twin
+    can reproduce it — the ONLY Python-closure entry is still fully
+    hash-checked end-to-end."""
     m = multimodal.attach_media_metadata(_media_df(spark, sf_dir), "media")
     feats = multimodal.extract_features(m, "media", n_features=8)
     return (
@@ -1406,6 +1408,35 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(F.element_at("features", 1)), 4).alias("avg_feat0"),
             F.round(F.avg(F.element_at("features", 8)), 4).alias("avg_feat7"),
         )
+    )
+
+
+def sql_multimodal_features() -> str:
+    """DuckDB twin of ``q_multimodal_features``: rebuilds the media hex
+    string (magic prefix + hex(text bytes)), replays the md5 hex-string
+    chain from ``fake_decode_features`` as one CTE per link, and parses
+    the leading 4 digest bytes with a ``('0x' || hex)::BIGINT`` cast."""
+    magic_case = (
+        "CASE doc_id % 4 "
+        + " ".join(f"WHEN {k} THEN '{_MAGIC[k].lower()}'" for k in (0, 1, 2))
+        + f" ELSE '{_MAGIC[3].lower()}' END"
+    )
+    fmt_case = "CASE fmt_k WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' WHEN 2 THEN 'wav' ELSE 'mp4' END"
+    ctes = [
+        "m AS (SELECT doc_id % 4 AS fmt_k, "
+        f"md5({magic_case} || lower(hex(encode(text)))) AS h0 FROM documents)"
+    ]
+    for i in range(8):
+        keep = ", h1" if i >= 1 else ""
+        ctes.append(f"s{i + 1} AS (SELECT fmt_k{keep}, md5(h{i} || '{i:02x}') AS h{i + 1} FROM {'m' if i == 0 else f's{i}'})")
+    feat = "('0x' || substr({h}, 1, 8))::BIGINT / 4294967296.0"
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT {fmt_case} AS media_format,
+       count(*)::BIGINT AS n_media,
+       round(avg({feat.format(h='h1')}), 4) AS avg_feat0,
+       round(avg({feat.format(h='h8')}), 4) AS avg_feat7
+FROM s8 GROUP BY 1"""
     )
 
 
@@ -1593,11 +1624,12 @@ def build_registry() -> dict[str, tuple[QueryFn, str | None]]:
             "value_percentiles": (q_value_percentiles, SQL_VALUE_PERCENTILES),
             # --- r02 error / no-oracle entries, re-verified early ---
             "embedding_project": (q_embedding_project, sql_embedding_project()),
-            # knn_ivf is approximate-by-design (recall-gated in tests) and
-            # multimodal_features runs a hashlib mapInPandas kernel — neither
-            # has a faithful DuckDB twin, so they stay rows-only (None oracle).
+            # knn_ivf is approximate-by-design (recall-gated in tests) but
+            # fully deterministic, so its DuckDB twin replays the same
+            # seed/Lloyd/probe pipeline; multimodal's hex-chain kernel is
+            # reproduced link-by-link in SQL.
             "knn_ivf": (q_knn_ivf, None),
-            "multimodal_features": (q_multimodal_features, None),
+            "multimodal_features": (q_multimodal_features, sql_multimodal_features()),
         }
     )
     reg.update(_stable_entries())
