@@ -1196,13 +1196,76 @@ WHERE rank <= {k}
 
 
 def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate ANN via IVF inverted lists (rows-only check):
-    deterministic hash-sampled centroids + 1 Lloyd step, nprobe=2."""
+    """Approximate ANN via IVF inverted lists: deterministic
+    hash-sampled centroids + 1 Lloyd step, nprobe=2. Approximate vs
+    brute force but fully deterministic, so the DuckDB twin replays the
+    identical seed → Lloyd → probe pipeline and the result is
+    value-hash-checked like any exact query."""
     emb = _read(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return similarity.ivf_topk(emb, queries, k=5, n_clusters=8, nprobe=2, iters=1).select(
         "query_id", "neighbor_id", "rank", "sim"
     )
+
+
+def sql_knn_ivf(n_clusters: int = 8, nprobe: int = 2, k: int = 5, dim: int = 64, seed: int = 42) -> str:
+    """DuckDB twin of ``similarity.ivf_topk(iters=1)``: md5-seeded
+    centroid sample, one Lloyd step (nearest-centroid assignment →
+    per-position mean → list rebuild), nprobe probing, exact re-rank
+    inside the probed inverted lists. The cosine uses the same explicit
+    dot/norm fold as SQL_KNN so scores match Spark's bit-for-bit after
+    6-dp rounding."""
+    cos = (
+        "list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    )
+    return f"""
+WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id, v FROM corpus WHERE vec_id < 5),
+seeds AS (
+  SELECT vec_id, v, md5('{seed}|ivf|' || vec_id::VARCHAR) AS r
+  FROM corpus ORDER BY r, vec_id LIMIT {n_clusters}
+),
+cent0 AS (SELECT row_number() OVER (ORDER BY r, vec_id) AS cid, v AS cvec FROM seeds),
+a0 AS (
+  SELECT c.vec_id, c.v, k.cid,
+         row_number() OVER (PARTITION BY c.vec_id
+                            ORDER BY {cos.format(a='c.v', b='k.cvec')} DESC, k.cid ASC) AS rn
+  FROM corpus c CROSS JOIN cent0 k
+),
+m0 AS (SELECT cid, v FROM a0 WHERE rn = 1),
+cent1 AS (
+  SELECT cid, list(m ORDER BY pos) AS cvec FROM (
+    SELECT cid, pos, avg(v[pos]) AS m
+    FROM m0 CROSS JOIN (SELECT unnest(range(1, {dim + 1})) AS pos)
+    GROUP BY cid, pos
+  ) GROUP BY cid
+),
+inv AS (
+  SELECT cid, vec_id AS neighbor_id, v AS cv FROM (
+    SELECT c.vec_id, c.v, k.cid,
+           row_number() OVER (PARTITION BY c.vec_id
+                              ORDER BY {cos.format(a='c.v', b='k.cvec')} DESC, k.cid ASC) AS rn
+    FROM corpus c CROSS JOIN cent1 k)
+  WHERE rn = 1
+),
+probes AS (
+  SELECT cid, vec_id AS query_id, v AS qv FROM (
+    SELECT q.vec_id, q.v, k.cid,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {cos.format(a='q.v', b='k.cvec')} DESC, k.cid ASC) AS rn
+    FROM q CROSS JOIN cent1 k)
+  WHERE rn <= {nprobe}
+),
+s AS (
+  SELECT query_id, neighbor_id, round({cos.format(a='qv', b='cv')}, 6) AS sim
+  FROM inv JOIN probes USING (cid)
+  WHERE query_id <> neighbor_id
+)
+SELECT query_id, neighbor_id, rank, sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank FROM s)
+WHERE rank <= {k}
+"""
 
 
 def q_embedding_project(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1628,7 +1691,7 @@ def build_registry() -> dict[str, tuple[QueryFn, str | None]]:
             # fully deterministic, so its DuckDB twin replays the same
             # seed/Lloyd/probe pipeline; multimodal's hex-chain kernel is
             # reproduced link-by-link in SQL.
-            "knn_ivf": (q_knn_ivf, None),
+            "knn_ivf": (q_knn_ivf, sql_knn_ivf()),
             "multimodal_features": (q_multimodal_features, sql_multimodal_features()),
         }
     )
