@@ -73,3 +73,48 @@ def sql_stratified_sample_predicate(
     )
     case = f"(CASE {branches} ELSE {float(default_fraction)} END)"
     return f"{sql_uniform01(key_expr, seed)} < {case}"
+
+
+# --------------------------------------------------- weighted sampling (A-ES)
+
+_WSAMPLE_SALT = "wsample"
+
+
+def weighted_sample_key(key_col: Column, weight_col: Column, seed: int = DEFAULT_SEED) -> Column:
+    """A-ES (Efraimidis–Spirakis) sort key: ln(u)/w, u deterministic per key.
+
+    Ranking rows by this key DESCENDING and keeping the top k draws a
+    weighted sample without replacement: P(row i in sample) follows the
+    successive-sampling distribution with inclusion odds proportional
+    to w_i. ln(u)/w is the log of the classic u^(1/w) key, monotone in
+    it, and avoids pow() — one fewer libm call whose rounding could
+    differ across engines.
+    """
+    return F.log(uniform01(key_col, seed, _WSAMPLE_SALT)) / weight_col.cast("double")
+
+
+def weighted_sample_topk(
+    df: DataFrame, key_col: str, weight_col: str, k: int, seed: int = DEFAULT_SEED
+) -> DataFrame:
+    """Weighted sample-without-replacement of ``k`` rows.
+
+    Distributed shape: orderBy(key).limit(k) compiles to
+    TakeOrderedAndProject — each partition keeps its local top-k and
+    the driver merges k-sized heaps. No global sort, no shuffle of the
+    data; the only cross-executor traffic is num_partitions·k rows.
+    Rows with non-positive weight are excluded (their key is undefined),
+    matching the A-ES convention that w must be > 0.
+    """
+    key = weighted_sample_key(F.col(key_col), F.col(weight_col), seed)
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("__wkey", key)
+        .orderBy(F.col("__wkey").desc(), F.col(key_col).asc())
+        .limit(k)
+        .drop("__wkey")
+    )
+
+
+def sql_weighted_sample_key(key_expr: str, weight_expr: str, seed: int = DEFAULT_SEED) -> str:
+    """DuckDB twin of ``weighted_sample_key``."""
+    return f"(ln({sql_uniform01(key_expr, seed, _WSAMPLE_SALT)}) / ({weight_expr})::DOUBLE)"
