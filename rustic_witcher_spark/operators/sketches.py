@@ -98,3 +98,209 @@ SELECT grp,
                   ELSE {_ALPHA_64 * m * m} / (s + ({m} - present)) END, 4) AS hll_est
 FROM agg
 """
+
+
+# ----------------------------------------------------------------- count-min
+#
+# Count-min sketch (Cormode & Muthukrishnan): d independent hash rows of
+# w counters; est(key) = min_r cell[r][h_r(key)] >= true count, with
+# overestimate bounded by e*N/w at confidence 1 - e^-d. Like the HLL
+# above, the hashes are engine-portable md5 arithmetic, so every counter
+# — and therefore every estimate — is oracle-checkable bit-for-bit.
+#
+# Scale shape: the build is ONE map-side-combinable groupBy of
+# (row, bucket) — d*w cells of state total, independent of input size.
+# The d-way per-input-row expansion happens inside the partial
+# aggregate, so nothing raw is shuffled.
+
+CM_DEPTH = 4
+CM_WIDTH = 256
+_CM_SALT = "cm"
+
+
+def _cm_bucket(key: Column, r: int, seed: int, width: int) -> Column:
+    return hash64(key, seed, f"{_CM_SALT}{r}") % width
+
+
+def countmin_build(
+    df: DataFrame,
+    key_col: str,
+    depth: int = CM_DEPTH,
+    width: int = CM_WIDTH,
+    seed: int = DEFAULT_SEED,
+) -> DataFrame:
+    """Count-min table as (r, bucket, cnt) — d*w rows, broadcastable."""
+    k = F.col(key_col).cast("string")
+    cells = F.array(
+        *[
+            F.struct(F.lit(r).alias("r"), _cm_bucket(k, r, seed, width).alias("bucket"))
+            for r in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(cells).alias("c"))
+        .groupBy(F.col("c.r").alias("r"), F.col("c.bucket").alias("bucket"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def countmin_estimate(
+    keys: DataFrame,
+    sketch: DataFrame,
+    key_col: str,
+    depth: int = CM_DEPTH,
+    width: int = CM_WIDTH,
+    seed: int = DEFAULT_SEED,
+) -> DataFrame:
+    """Point-estimate each key against a built sketch: (key, cm_est).
+
+    The sketch side is d*w rows — broadcast; the probe is one scan of
+    ``keys`` with no shuffle beyond the final per-key min (map-side
+    combinable, one row per key per hash row)."""
+    k = F.col(key_col).cast("string")
+    probes = keys.select(
+        F.col(key_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(r).alias("r"), _cm_bucket(k, r, seed, width).alias("bucket"))
+                    for r in range(depth)
+                ]
+            )
+        ).alias("c"),
+    ).select(key_col, F.col("c.r").alias("r"), F.col("c.bucket").alias("bucket"))
+    return (
+        probes.join(F.broadcast(sketch), ["r", "bucket"])
+        .groupBy(key_col)
+        .agg(F.min("cnt").alias("cm_est"))
+    )
+
+
+def sql_countmin_heavy_hitters(
+    key_expr: str,
+    table: str,
+    threshold: int,
+    depth: int = CM_DEPTH,
+    width: int = CM_WIDTH,
+    seed: int = DEFAULT_SEED,
+) -> str:
+    """DuckDB twin of build + distinct-key probe + threshold filter."""
+    bucket_cases = " UNION ALL ".join(
+        f"SELECT {r} AS r, ({sql_hash64(key_expr, seed, f'{_CM_SALT}{r}')}) % {width} AS bucket, k "
+        f"FROM (SELECT ({key_expr})::VARCHAR AS k, {key_expr} FROM {table})"
+        for r in range(depth)
+    )
+    return f"""
+WITH cells AS ({bucket_cases}),
+sketch AS (SELECT r, bucket, count(*) AS cnt FROM cells GROUP BY 1, 2),
+probe AS (SELECT DISTINCT r, bucket, k FROM cells),
+est AS (
+  SELECT p.k, min(s.cnt) AS cm_est
+  FROM probe p JOIN sketch s ON s.r = p.r AND s.bucket = p.bucket
+  GROUP BY p.k
+)
+SELECT k, cm_est FROM est WHERE cm_est >= {threshold}
+"""
+
+
+# -------------------------------------------------------------- bloom filter
+#
+# Deterministic k-hash bloom filter over an m-bit array stored as
+# m/32 words (32 payload bits per BIGINT — bit 63 stays clear because
+# DuckDB's left shift refuses 1 << 63) (bit_or-aggregated — bounded state, broadcastable).
+# No false negatives ever; false-positive rate ~ (1 - e^{-kn/m})^k.
+# Use-case at 100 TB: build on the small side's join key, probe the big
+# side at scan time to drop rows that cannot match — a semi-join
+# without shuffling the big side.
+
+BF_BITS = 4096          # must be a multiple of 64
+BF_HASHES = 5
+_BF_SALT = "bf"
+
+
+def _bf_positions(key: Column, k: int, m: int, seed: int) -> list[Column]:
+    return [hash64(key, seed, f"{_BF_SALT}{i}") % m for i in range(k)]
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    m_bits: int = BF_BITS,
+    k_hashes: int = BF_HASHES,
+    seed: int = DEFAULT_SEED,
+) -> DataFrame:
+    """Bitmap as (word, bits) rows — at most m/32 of them."""
+    key = F.col(key_col).cast("string")
+    pos = F.explode(F.array(*_bf_positions(key, k_hashes, m_bits, seed))).alias("p")
+    return (
+        df.select(pos)
+        .select((F.col("p") / 32).cast("long").alias("word"),
+                F.expr("shiftleft(1L, int(p % 32))").alias("mask"))
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+def bloom_probe(
+    probe: DataFrame,
+    bitmap: DataFrame,
+    key_col: str,
+    m_bits: int = BF_BITS,
+    k_hashes: int = BF_HASHES,
+    seed: int = DEFAULT_SEED,
+) -> DataFrame:
+    """Adds ``bf_maybe`` (boolean): false ⇒ key definitely not in the
+    build set. Bitmap side is ≤ m/32 rows — broadcast join; the probe
+    side is never shuffled (the per-key all-bits conjunction groups on
+    the probe's own key, map-side combinable)."""
+    key = F.col(key_col).cast("string")
+    pk = probe.select(
+        F.col(key_col),
+        F.explode(F.array(*_bf_positions(key, k_hashes, m_bits, seed))).alias("p"),
+    ).select(
+        key_col,
+        (F.col("p") / 32).cast("long").alias("word"),
+        F.expr("shiftleft(1L, int(p % 32))").alias("mask"),
+    )
+    hit = (
+        pk.join(F.broadcast(bitmap), "word", "left")
+        .withColumn("__ok", (F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("mask"))) == F.col("mask"))
+        .groupBy(key_col)
+        .agg(F.min("__ok").alias("bf_maybe"))
+    )
+    return probe.join(hit, key_col)
+
+
+def sql_bloom_probe(
+    build_key: str,
+    build_table: str,
+    probe_key: str,
+    probe_table: str,
+    m_bits: int = BF_BITS,
+    k_hashes: int = BF_HASHES,
+    seed: int = DEFAULT_SEED,
+) -> str:
+    """DuckDB twin: bitmap CTE + per-probe-key conjunction, as
+    (probe_key, bf_maybe)."""
+    build_pos = " UNION ALL ".join(
+        f"SELECT ({sql_hash64(build_key, seed, f'{_BF_SALT}{i}')}) % {m_bits} AS p FROM {build_table}"
+        for i in range(k_hashes)
+    )
+    probe_pos = " UNION ALL ".join(
+        f"SELECT {probe_key} AS k, ({sql_hash64(probe_key, seed, f'{_BF_SALT}{i}')}) % {m_bits} AS p FROM {probe_table}"
+        for i in range(k_hashes)
+    )
+    return f"""
+WITH bpos AS ({build_pos}),
+bitmap AS (SELECT p // 32 AS word, bit_or(1::BIGINT << (p % 32)::INT) AS bits
+           FROM bpos GROUP BY 1),
+ppos AS ({probe_pos}),
+hit AS (
+  SELECT ppos.k,
+         min((coalesce(bitmap.bits, 0) & (1::BIGINT << (ppos.p % 32)::INT))
+             = (1::BIGINT << (ppos.p % 32)::INT)) AS bf_maybe
+  FROM ppos LEFT JOIN bitmap ON bitmap.word = ppos.p // 32
+  GROUP BY ppos.k
+)
+SELECT k, bf_maybe FROM hit
+"""

@@ -29,6 +29,7 @@ from rustic_witcher_spark.functions.hashing import hash64, sql_hash64
 from rustic_witcher_spark.operators import (
     decontam,
     dedup,
+    mixing,
     multimodal,
     packing,
     quality,
@@ -1773,7 +1774,7 @@ GROUP BY tg.doc_id
 """
 
 
-_SEMDEDUP_K = 8
+_SEMDEDUP_K = 16
 _SEMDEDUP_TAU = 0.45  # synthetic embeddings have no true near-dups
 # (max pairwise cosine ~0.51 at sf0.01), so the registry entry prunes
 # aggressively to exercise the drop path; production SemDeDup uses ~0.95+
@@ -1821,7 +1822,9 @@ cent1 AS (
   ) GROUP BY cid
 ),
 inv AS (
-  SELECT cid, vec_id, v FROM (
+  SELECT cid, vec_id,
+         list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
+  FROM (
     SELECT c.vec_id, c.v, k.cid,
            row_number() OVER (PARTITION BY c.vec_id
                               ORDER BY {cos.format(a='c.v', b='k.cvec')} DESC, k.cid ASC) AS rn
@@ -1831,10 +1834,94 @@ inv AS (
 dropped AS (
   SELECT DISTINCT y.vec_id
   FROM inv x JOIN inv y ON x.cid = y.cid AND x.vec_id < y.vec_id
-  WHERE round({cos.format(a='x.v', b='y.v')}, 6) >= {tau}
+  WHERE round(list_dot_product(x.nv, y.nv), 6) >= {tau}
 )
 SELECT vec_id, cid FROM inv WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
 """
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min heavy hitters: users with >= 40 events, detected via a
+    4x256 count-min sketch (register-exact md5 arithmetic — the oracle
+    replays every counter). The sketch build is one bounded-state
+    groupBy (1024 cells); the probe joins the broadcast sketch against
+    the distinct keys. cm_est >= true count always, so no true heavy
+    hitter is missed."""
+    ev = read_events(spark, sf_dir)
+    sk = sketches.countmin_build(ev, "user_id", seed=SEED)
+    keys = ev.select(F.col("user_id").cast("string").alias("k")).distinct()
+    est = sketches.countmin_estimate(keys, sk, "k", seed=SEED)
+    return est.filter(F.col("cm_est") >= 40)
+
+
+def sql_heavy_hitters() -> str:
+    return sketches.sql_countmin_heavy_hitters("user_id", "events", 40, seed=SEED)
+
+
+def q_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pruning: build a 4096-bit/5-hash bloom on
+    the customer keys that appear in orders, probe every customer, and
+    emit each customer's maybe/definitely-not verdict next to ground
+    truth. bf_maybe = false ⇒ has_orders = false (no false negatives) —
+    the invariant the oracle hash-checks row by row. At 100 TB the
+    bitmap (64 longs) broadcasts to every scan task and prunes the big
+    side before any shuffle."""
+    orders = _read(spark, sf_dir, "orders").select(F.col("o_custkey").alias("ck"))
+    cust = _spread(spark, _read(spark, sf_dir, "customer")).select("c_custkey")
+    bitmap = sketches.bloom_build(orders, "ck", seed=SEED)
+    probed = sketches.bloom_probe(cust, bitmap, "c_custkey", seed=SEED)
+    truth = orders.distinct().withColumnRenamed("ck", "c_custkey").withColumn(
+        "has_orders", F.lit(True)
+    )
+    return (
+        probed.join(truth, "c_custkey", "left")
+        .select(
+            "c_custkey",
+            "bf_maybe",
+            F.coalesce("has_orders", F.lit(False)).alias("has_orders"),
+        )
+    )
+
+
+def sql_bloom_probe() -> str:
+    probe = sketches.sql_bloom_probe(
+        "ck", "(SELECT o_custkey AS ck FROM orders)", "c_custkey", "customer", seed=SEED
+    )
+    return f"""
+WITH bf AS ({probe})
+SELECT c.c_custkey, bf.bf_maybe,
+       (c.c_custkey IN (SELECT o_custkey FROM orders)) AS has_orders
+FROM customer c JOIN bf ON bf.k = c.c_custkey
+"""
+
+
+_MIX_SHARES = {"en": 0.5, "zh": 0.2, "de": 0.15, "fr": 0.1, "es": 0.05}
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mixture construction: resample documents so kept char
+    mass approaches 50/20/15/10/5 en/zh/de/fr/es within half the
+    corpus's total chars (budget computed in-plan — one config scales
+    across corpus sizes). Per-stratum availability is a broadcast join;
+    the keep rule is the deterministic scan-side hash threshold."""
+    d = _spread(spark, _read(spark, sf_dir, "documents"))
+    kept = mixing.mixture_sample_relative(
+        d, "doc_id", "lang", "n_chars", _MIX_SHARES, budget_frac=0.5, seed=SEED
+    )
+    return kept.select("doc_id", "lang", "n_chars")
+
+
+def sql_mixture_sample() -> str:
+    return mixing.sql_mixture_sample_relative(
+        "doc_id",
+        "lang",
+        "n_chars",
+        "documents",
+        _MIX_SHARES,
+        0.5,
+        "doc_id, lang, n_chars",
+        seed=SEED,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1914,8 +2001,11 @@ def build_registry() -> dict[str, tuple[QueryFn, str | None]]:
             # --- (2) LLM pipeline: sampling / packing / sketches ---
             "stratified_sample": (q_stratified_sample, sql_stratified_sample()),
             "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
+            "mixture_sample": (q_mixture_sample, sql_mixture_sample()),
             "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
             "hll_users": (q_hll_users, sql_hll_users()),
+            "heavy_hitters": (q_heavy_hitters, sql_heavy_hitters()),
+            "bloom_probe": (q_bloom_probe, sql_bloom_probe()),
             # --- (3) analytics (TPC-H-ish; driver-green r01+r02) ---
             "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
             "q3_top_revenue": (q3_top_revenue, SQL_Q3),

@@ -235,3 +235,109 @@ def test_semdedup_partition_invariant(spark):
     a = sorted((r["vec_id"], r["cid"]) for r in semdedup(df1, n_clusters=4, threshold=0.9).collect())
     b = sorted((r["vec_id"], r["cid"]) for r in semdedup(df2, n_clusters=4, threshold=0.9).collect())
     assert a == b
+
+
+# ----------------------------------------------------------------- count-min
+
+
+def test_countmin_overestimates_never_under(spark):
+    from rustic_witcher_spark.operators import sketches
+
+    df = spark.range(5_000).select((F.col("id") % 100).alias("k"))
+    sk = sketches.countmin_build(df, "k")
+    keys = df.select(F.col("k").cast("string").alias("ks")).distinct()
+    est = {r["ks"]: r["cm_est"] for r in sketches.countmin_estimate(keys, sk, "ks").collect()}
+    for k, e in est.items():
+        assert e >= 50, (k, e)  # true count is exactly 50 for every key
+    # width 256 >> 100 keys: most estimates should be exact
+    assert sum(1 for e in est.values() if e == 50) > 80
+
+
+def test_countmin_partition_invariant(spark):
+    from rustic_witcher_spark.operators import sketches
+
+    a = sketches.countmin_build(spark.range(3_000).select((F.col("id") % 37).alias("k")).coalesce(1), "k")
+    b = sketches.countmin_build(spark.range(3_000).select((F.col("id") % 37).alias("k")).repartition(16), "k")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_countmin_state_is_bounded(spark):
+    from rustic_witcher_spark.operators import sketches
+
+    sk = sketches.countmin_build(spark.range(50_000).select(F.col("id").alias("k")), "k")
+    assert sk.count() <= sketches.CM_DEPTH * sketches.CM_WIDTH
+
+
+# -------------------------------------------------------------- bloom filter
+
+
+def test_bloom_no_false_negatives(spark):
+    from rustic_witcher_spark.operators import sketches
+
+    build = spark.range(0, 1_000).select(F.col("id").alias("k"))
+    bitmap = sketches.bloom_build(build, "k")
+    probe = spark.range(0, 2_000).select(F.col("id").alias("k"))
+    got = {r["k"]: r["bf_maybe"] for r in sketches.bloom_probe(probe, bitmap, "k").collect()}
+    for k in range(1_000):
+        assert got[k] is True, k  # member -> always maybe
+    fp = sum(1 for k in range(1_000, 2_000) if got[k])
+    # m=4096, k=5, n=1000 -> theoretical fpr ~ 9%; allow slack
+    assert fp < 250, fp
+
+
+def test_bloom_bitmap_bounded_and_partition_invariant(spark):
+    from rustic_witcher_spark.operators import sketches
+
+    build = spark.range(500).select(F.col("id").alias("k"))
+    a = sketches.bloom_build(build.coalesce(1), "k")
+    b = sketches.bloom_build(build.repartition(8), "k")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    assert a.count() <= sketches.BF_BITS // 32
+
+
+# ----------------------------------------------------------- mixture sampling
+
+
+def test_mixture_respects_budget_shares(spark):
+    from rustic_witcher_spark.operators import mixing
+
+    df = spark.range(10_000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 10 < 7, "en").otherwise("zh").alias("lang"),
+        F.lit(100).alias("w"),
+    )
+    # en: 700k mass, zh: 300k. budget=500k, shares 50/50 -> en frac
+    # 250k/700k ~ .357, zh frac 250k/300k ~ .833
+    kept = mixing.mixture_sample(df, "k", "lang", "w", {"en": 0.5, "zh": 0.5}, budget=500_000)
+    m = {r["lang"]: r["cnt"] for r in kept.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    assert abs(m["en"] * 100 - 250_000) / 250_000 < 0.1
+    assert abs(m["zh"] * 100 - 250_000) / 250_000 < 0.1
+
+
+def test_mixture_caps_at_full_stratum(spark):
+    from rustic_witcher_spark.operators import mixing
+
+    df = spark.range(1_000).select(
+        F.col("k") if "k" in [] else F.col("id").alias("k"),
+        F.when(F.col("id") < 100, "rare").otherwise("common").alias("lang"),
+        F.lit(1).alias("w"),
+    )
+    # rare has 100 mass but its target is 0.9*1000=900 -> frac capped at 1.0
+    kept = mixing.mixture_sample(df, "k", "lang", "w", {"rare": 0.9, "common": 0.1}, budget=1_000)
+    rare = kept.filter(F.col("lang") == "rare").count()
+    assert rare == 100  # every rare row kept
+
+
+def test_mixture_relative_matches_absolute(spark):
+    from rustic_witcher_spark.operators import mixing
+
+    df = spark.range(2_000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 3 == 0, "a").otherwise("b").alias("s"),
+        (F.col("id") % 5 + 1).alias("w"),
+    )
+    total = df.agg(F.sum("w")).collect()[0][0]
+    sh = {"a": 0.6, "b": 0.4}
+    abs_kept = sorted(r["k"] for r in mixing.mixture_sample(df, "k", "s", "w", sh, budget=0.3 * total).collect())
+    rel_kept = sorted(r["k"] for r in mixing.mixture_sample_relative(df, "k", "s", "w", sh, budget_frac=0.3).collect())
+    assert abs_kept == rel_kept
