@@ -82,3 +82,59 @@ def pack_summary(packed: DataFrame, count_col: str) -> DataFrame:
     return packed.groupBy("seq_id").agg(
         F.count("*").alias("n_docs"), F.sum(count_col).alias("total_tokens")
     )
+
+
+# ------------------------------------------------------------ shard layout
+#
+# The last step of a pretraining data pipeline: write the corpus as S
+# shard files in a deterministic pseudo-random order (a "global
+# shuffle" that no worker coordination can skew). Shard assignment is
+# a pure hash; the within-shard order is a SECOND independent hash, so
+# the layout is fully determined by (corpus, seed) — rerunning the
+# pipeline, on any cluster size, yields byte-identical shards.
+#
+# Scale shape: shard = scan-side expression (no shuffle); the rank
+# window is PARTITIONED BY shard, so the sort parallelizes S-ways and
+# each sort is corpus/S-sized. Contrast with a single global
+# orderBy(rand()) — one range-partitioned sort whose determinism dies
+# with partition boundaries.
+
+
+def training_shards(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Adds ``shard`` (0..n_shards-1) and ``rank`` (1-based position
+    within the shard, in deterministic shuffled order)."""
+    from pyspark.sql import Window
+
+    from rustic_witcher_spark.functions.hashing import hash64
+
+    key = F.col(id_col).cast("string")
+    shard = (hash64(key, seed, "shard") % n_shards).alias("shard")
+    order = hash64(key, seed, "order").alias("__ord")
+    w = Window.partitionBy("shard").orderBy(F.col("__ord").asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("shard", shard)
+        .withColumn("__ord", order)
+        .withColumn("rank", F.row_number().over(w))
+        .drop("__ord")
+    )
+
+
+def sql_training_shards(id_expr: str, table: str, n_shards: int, select: str, seed: int = 42) -> str:
+    """DuckDB twin of ``training_shards``."""
+    from rustic_witcher_spark.functions.hashing import sql_hash64
+
+    shard = f"({sql_hash64(id_expr, seed, 'shard')}) % {n_shards}"
+    order = sql_hash64(id_expr, seed, "order")
+    return f"""
+WITH s AS (
+  SELECT *, {shard} AS shard, {order} AS __ord FROM {table}
+)
+SELECT {select},
+       row_number() OVER (PARTITION BY shard ORDER BY __ord ASC, {id_expr} ASC) AS rank
+FROM s
+"""

@@ -341,3 +341,89 @@ def test_mixture_relative_matches_absolute(spark):
     abs_kept = sorted(r["k"] for r in mixing.mixture_sample(df, "k", "s", "w", sh, budget=0.3 * total).collect())
     rel_kept = sorted(r["k"] for r in mixing.mixture_sample_relative(df, "k", "s", "w", sh, budget_frac=0.3).collect())
     assert abs_kept == rel_kept
+
+
+# ---------------------------------------------------------- unigram LM score
+
+
+def test_unigram_nll_python_reference(spark):
+    from collections import Counter
+
+    from rustic_witcher_spark.operators import lm
+
+    rows = [(1, "a b a c"), (2, "a a a a"), (3, "c d")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    toks = [t for _, s in rows for t in s.split(" ")]
+    cnt, n = Counter(toks), len(toks)
+    expect = {
+        i: round(sum(-math.log(cnt[t] / n) for t in s.split(" ")) / len(s.split(" ")), 4)
+        for i, s in rows
+    }
+    got = {r["doc_id"]: r["nll"] for r in lm.unigram_logprob_score(df, "text", "doc_id").collect()}
+    assert got == expect
+    # rarer vocabulary -> higher cross-entropy
+    assert got[2] < got[1] < got[3]
+
+
+# -------------------------------------------------------------- chunk dedup
+
+
+def test_chunk_dup_stats_semantics(spark):
+    from rustic_witcher_spark.operators import lm
+
+    w10 = " ".join(f"w{i}" for i in range(10))          # shared chunk
+    uniq = lambda p: " ".join(f"{p}{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [
+            (1, f"{w10} {uniq('a')}"),   # 2 chunks, 1 shared
+            (2, f"{w10} {uniq('b')}"),   # 2 chunks, 1 shared
+            (3, uniq("c")),              # 1 chunk, unique
+            (4, "short text"),           # < 10 tokens -> no chunks -> absent
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_chunks"], r["n_dup_chunks"], r["dup_ratio"])
+        for r in lm.chunk_dup_stats(df, "text", "doc_id", chunk_words=10).collect()
+    }
+    assert got == {1: (2, 1, 0.5), 2: (2, 1, 0.5), 3: (1, 0, 0.0)}
+
+
+def test_chunk_internal_repeat_not_cross_doc_dup(spark):
+    from rustic_witcher_spark.operators import lm
+
+    w10 = " ".join(f"x{i}" for i in range(10))
+    df = spark.createDataFrame([(1, f"{w10} {w10}")], "doc_id long, text string")
+    [r] = lm.chunk_dup_stats(df, "text", "doc_id", chunk_words=10).collect()
+    # the repeated chunk lives in ONE doc -> not a cross-doc duplicate
+    assert (r["n_chunks"], r["n_dup_chunks"]) == (2, 0)
+
+
+# -------------------------------------------------------------- shard layout
+
+
+def test_training_shards_deterministic_partition_invariant(spark):
+    from rustic_witcher_spark.operators import packing
+
+    df = spark.range(2_000).select(F.col("id").alias("k"))
+    a = sorted(map(tuple, packing.training_shards(df.coalesce(1), "k", 8).select("k", "shard", "rank").collect()))
+    b = sorted(map(tuple, packing.training_shards(df.repartition(16), "k", 8).select("k", "shard", "rank").collect()))
+    assert a == b
+
+
+def test_training_shards_ranks_dense_and_balanced(spark):
+    from rustic_witcher_spark.operators import packing
+
+    df = spark.range(4_000).select(F.col("id").alias("k"))
+    out = packing.training_shards(df, "k", 8).collect()
+    by_shard: dict[int, list[int]] = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r["rank"])
+    assert set(by_shard) == set(range(8))
+    for s, ranks in by_shard.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), s  # dense 1..n
+        assert abs(len(ranks) - 500) < 150, s  # hash-balanced
+    # the shuffled order is not the id order: rank 1..5 of shard 0 are
+    # not simply the 5 smallest ids in the shard
+    first = [r["k"] for r in sorted(out, key=lambda r: (r["shard"], r["rank"]))[:5]]
+    assert first != sorted(r["k"] for r in out if r["shard"] == 0)[:5]
