@@ -49,23 +49,29 @@ def _rho(w: Column) -> Column:
     )
 
 
-def approx_distinct(
+def hll_registers(
     df: DataFrame, key_col: str, group_cols: list[str], seed: int = DEFAULT_SEED
 ) -> DataFrame:
-    """Per-group HLL cardinality estimate as ``hll_est`` (4-dp double).
+    """The sketch state: (group, register index ``__j``, max rank
+    ``__m``) — at most M_REG rows per group, regardless of input size.
 
-    Two partial-aggregating groupBys: (group, register) -> max(rank),
-    then group -> estimate. State per group is bounded by M_REG rows
-    regardless of input size.
+    This single max-aggregation is also the STREAMING form of the
+    sketch: max is monotone, so maintaining this table over a stream
+    (update/complete mode) keeps exactly the bounded per-group state a
+    distinct-count needs; finalize with ``hll_estimate`` at read time.
     """
     h = hash64(F.col(key_col).cast("string"), seed, _SALT)
-    regs = (
+    return (
         df.select(*group_cols, h.alias("__h"))
         .select(*group_cols, (F.col("__h") % M_REG).alias("__j"), F.expr(f"__h div {M_REG}").alias("__w"))
         .select(*group_cols, "__j", _rho(F.col("__w")).alias("__rho"))
         .groupBy(*group_cols, "__j")
         .agg(F.max("__rho").alias("__m"))
     )
+
+
+def hll_estimate(regs: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Finalize register rows into per-group ``hll_est`` (4-dp)."""
     m = float(M_REG)
     agg = regs.groupBy(*group_cols).agg(
         F.sum(F.pow(F.lit(2.0), -F.col("__m"))).alias("__s"),
@@ -76,6 +82,16 @@ def approx_distinct(
     raw = F.lit(_ALPHA_64 * m * m) / (F.col("__s") + v)
     est = F.when((raw <= 2.5 * m) & (v > 0), F.lit(m) * F.log(F.lit(m) / v)).otherwise(raw)
     return agg.select(*group_cols, F.round(est, 4).alias("hll_est"))
+
+
+def approx_distinct(
+    df: DataFrame, key_col: str, group_cols: list[str], seed: int = DEFAULT_SEED
+) -> DataFrame:
+    """Per-group HLL cardinality estimate as ``hll_est`` (4-dp double).
+
+    Two partial-aggregating groupBys: (group, register) -> max(rank),
+    then group -> estimate."""
+    return hll_estimate(hll_registers(df, key_col, group_cols, seed), group_cols)
 
 
 def sql_approx_distinct(key_expr: str, group_expr: str, table: str, seed: int = DEFAULT_SEED) -> str:

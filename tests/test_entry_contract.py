@@ -67,3 +67,38 @@ def test_every_oracle_sql_parses_in_duckdb():
         except Exception as exc:  # noqa: BLE001
             bad.append(f"{name}: {exc}")
     assert not bad, "oracle SQL failed to plan:\n" + "\n".join(bad)
+
+
+# Enforce the round-4 registry freeze: the driver's correctness gate
+# grades a 50-entry PREFIX, so reordering silently changes which
+# operators get driver verdicts. New entries may be APPENDED to their
+# logical subgroup (shifting later groups back is fine and expected);
+# the relative order of existing entries must never change.
+FROZEN_ORDER_R4 = [
+    "filter_contains", "filter_startswith", "filter_endswith",
+    "filter_startsends", "filter_equals", "filter_anyofint",
+    "filter_anyofstring", "anonymize_customer", "anonymize_supplier",
+    "anonymize_orders", "faker_suite", "fake_multi_email",
+    "fake_email_id_prefix", "sanitize_null_bytes", "keep_num_of_records",
+    "cdc_upsert", "agg_max_pk", "validation_check", "datadiff_check",
+    "dedup_exact", "minhash_signatures", "minhash_lsh_candidates",
+    "simhash", "simhash_near_dups", "dedup_clusters",
+    "ngram_jaccard_adjacent", "knn_bruteforce", "knn_lsh", "knn_ivf",
+    "embedding_near_dups", "embedding_project", "semdedup",
+    "stratified_sample", "weighted_sample", "mixture_sample",
+    "pack_sequences", "training_shards", "hll_users", "heavy_hitters",
+    "bloom_probe", "decontaminate", "unigram_nll", "chunk_dedup",
+    "media_metadata", "multimodal_features", "text_stats", "text_langid",
+    "text_fingerprint", "token_count_bpe", "vocab_top_terms",
+]
+
+
+def test_registry_order_frozen():
+    import __spark_entry__ as entrymod
+
+    names = list(entrymod.queries())
+    existing = [n for n in names if n in set(FROZEN_ORDER_R4)]
+    assert existing == FROZEN_ORDER_R4, (
+        "registry order changed for pre-freeze entries — the driver "
+        "gate grades a 50-entry prefix; see build_registry() docstring"
+    )

@@ -427,3 +427,32 @@ def test_training_shards_ranks_dense_and_balanced(spark):
     # not simply the 5 smallest ids in the shard
     first = [r["k"] for r in sorted(out, key=lambda r: (r["shard"], r["rank"]))[:5]]
     assert first != sorted(r["k"] for r in out if r["shard"] == 0)[:5]
+
+
+def test_hll_streaming_registers_match_batch(spark, tmp_path):
+    """The register table maintained over a STREAM (single monotone
+    max-aggregation — valid bounded streaming state) finalizes to the
+    same estimate as the batch sketch. This is the 100 TB streaming
+    distinct-count story: state per group is 64 register rows, not a
+    seen-keys set."""
+    from rustic_witcher_spark.operators import sketches
+
+    df = spark.range(5_000).select(
+        (F.col("id") % 3).cast("long").alias("g"), (F.col("id") % 700).alias("k")
+    )
+    src = str(tmp_path / "hll_src")
+    df.write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    regs = sketches.hll_registers(stream, "k", ["g"])
+    q = (
+        regs.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("hll_regs")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = sketches.hll_estimate(spark.table("hll_regs"), ["g"])
+    got = {r["g"]: r["hll_est"] for r in streamed.collect()}
+    batch = {r["g"]: r["hll_est"] for r in sketches.approx_distinct(df, "k", ["g"]).collect()}
+    assert got == batch
