@@ -1965,6 +1965,66 @@ def sql_mixture_sample() -> str:
     )
 
 
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship end-to-end curation pipeline — the four stages a
+    pretraining corpus actually goes through, composed from the
+    engine's own operators:
+
+        exact dedup (lowest-id survivor per normalized text)
+        → benchmark decontamination (drop docs sharing a 3-gram with
+          the doc_id%97==0 eval set; dedup itself already removed
+          verbatim eval copies)
+        → language-mixture resampling (50/20/15/10/5 en/zh/de/fr/es
+          toward half the remaining char mass, budget in-plan)
+        → deterministic shard layout (8 shards, hash order)
+
+    Emits (doc_id, lang, shard, rank). Every stage keeps its scale
+    shape (scan-side predicates, broadcast gram set / availability,
+    per-shard parallel rank windows), and the DuckDB oracle replays
+    the whole chain as nested CTEs — one hash over the composed result
+    verifies all four stages at once."""
+    d = _spread(spark, _read(spark, sf_dir, "documents"))
+    dd = dedup.exact_dedup(d, "text", "doc_id")
+    ev = d.filter(F.col("doc_id") % 97 == 0)
+    tr = dd.filter(F.col("doc_id") % 97 != 0)
+    flagged = decontam.decontaminate(tr, ev, "text", "doc_id", n=3, seed=SEED)
+    clean = tr.join(flagged.select("doc_id"), "doc_id", "left_anti")
+    mx = mixing.mixture_sample_relative(
+        clean, "doc_id", "lang", "n_chars", _MIX_SHARES, budget_frac=0.5, seed=SEED
+    )
+    return packing.training_shards(mx, "doc_id", n_shards=8, seed=SEED).select(
+        "doc_id", "lang", "shard", "rank"
+    )
+
+
+def sql_curation_pipeline() -> str:
+    th = decontam.sql_token_hashes(_norm_sql("text"), SEED)
+    grams = decontam.sql_word_ngram_hashes(3)
+    mx = mixing.sql_mixture_sample_relative(
+        "doc_id", "lang", "n_chars", "clean", _MIX_SHARES, 0.5,
+        "doc_id, lang, n_chars", seed=SEED,
+    )
+    shards = packing.sql_training_shards("doc_id", "mx", 8, "doc_id, lang, shard", seed=SEED)
+    return f"""
+WITH dd AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY md5({_norm_sql('text')}) ORDER BY doc_id ASC) AS rn
+    FROM documents)
+  WHERE rn = 1
+),
+tr AS (SELECT doc_id, text, lang, n_chars FROM dd WHERE doc_id % 97 <> 0),
+evth AS (SELECT {th} AS __th FROM documents WHERE doc_id % 97 = 0),
+eg AS (SELECT DISTINCT unnest({grams}) AS gr FROM evth),
+trth AS (SELECT doc_id, {th} AS __th FROM tr),
+tg AS (SELECT doc_id, unnest(gs) AS gr FROM (SELECT doc_id, {grams} AS gs FROM trth)),
+flagged AS (SELECT DISTINCT tg.doc_id FROM tg JOIN eg USING (gr)),
+clean AS (SELECT tr.* FROM tr WHERE doc_id NOT IN (SELECT doc_id FROM flagged)),
+mx AS ({mx}),
+sh AS ({shards})
+SELECT doc_id, lang, shard, rank FROM sh
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2040,6 +2100,8 @@ def build_registry() -> dict[str, tuple[QueryFn, str | None]]:
             "decontaminate": (q_decontaminate, sql_decontaminate()),
             "unigram_nll": (q_unigram_nll, sql_unigram_nll()),
             "chunk_dedup": (q_chunk_dedup, sql_chunk_dedup()),
+            # the composed flagship: dedup → decontam → mixture → shards
+            "curation_pipeline": (q_curation_pipeline, sql_curation_pipeline()),
             # --- (2) LLM pipeline: multimodal ---
             "media_metadata": (q_media_metadata, SQL_MEDIA_METADATA),
             # multimodal's hex-chain kernel is reproduced link-by-link in SQL.

@@ -456,3 +456,24 @@ def test_hll_streaming_registers_match_batch(spark, tmp_path):
     got = {r["g"]: r["hll_est"] for r in streamed.collect()}
     batch = {r["g"]: r["hll_est"] for r in sketches.approx_distinct(df, "k", ["g"]).collect()}
     assert got == batch
+
+
+# ----------------------------------------------------------- curation pipeline
+
+
+def test_curation_pipeline_invariants(spark):
+    from rustic_witcher_spark.queries import q_curation_pipeline
+
+    out = q_curation_pipeline(spark, "/root/testdata/sf0.001").collect()
+    assert out, "pipeline produced no rows"
+    ids = [r["doc_id"] for r in out]
+    assert len(ids) == len(set(ids))                      # no dup docs survive
+    assert all(i % 97 != 0 for i in ids)                  # eval set excluded
+    by_shard: dict[int, list[int]] = {}
+    for r in out:
+        assert 0 <= r["shard"] < 8
+        by_shard.setdefault(r["shard"], []).append(r["rank"])
+    for s, ranks in by_shard.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), s   # dense ranks
+    langs = {r["lang"] for r in out}
+    assert "en" in langs                                   # dominant share survives
