@@ -158,3 +158,47 @@ def test_table_diff_self_is_empty(spark, rows):
 
     df = spark.createDataFrame(rows, "k int, v string, x float")
     assert table_diff(df, df, ["k"]).count() == 0
+
+
+# ------------------------------------------------------- round-4 operators
+
+
+@given(
+    counts=st.lists(st.integers(min_value=1, max_value=500), min_size=1, max_size=60),
+    budget=st.integers(min_value=16, max_value=1024),
+    block=st.sampled_from([1, 3, 16, 64]),
+)
+@settings(**SETTINGS)
+def test_pack_sequences_equals_naive_cumsum(spark, counts, budget, block):
+    """The two-level distributed prefix scan equals the sequential
+    cumsum for ANY sizes/budget/block — including block=1 (one block
+    per id) and blocks larger than the corpus."""
+    from rustic_witcher_spark.operators import packing
+
+    df = spark.createDataFrame(list(enumerate(counts)), "doc_id long, n long").repartition(7)
+    got = {
+        r["doc_id"]: (r["start_offset"], r["seq_id"])
+        for r in packing.pack_sequences(df, "doc_id", "n", budget, block=block).collect()
+    }
+    off = 0
+    for i, n in enumerate(counts):
+        assert got[i] == (off, off // budget), (i, block, budget)
+        off += n
+
+
+@given(
+    weights=st.lists(st.floats(min_value=0.01, max_value=100.0, allow_nan=False), min_size=2, max_size=50),
+    k=st.integers(min_value=1, max_value=10),
+)
+@settings(**SETTINGS)
+def test_weighted_sample_subset_and_size(spark, weights, k):
+    """A-ES sample: exactly min(k, n) rows, all from the input, stable
+    across two runs (pure function of corpus + seed)."""
+    from rustic_witcher_spark.operators.sampling import weighted_sample_topk
+
+    df = spark.createDataFrame(list(enumerate(weights)), "k long, w double")
+    got1 = sorted(r["k"] for r in weighted_sample_topk(df, "k", "w", k).collect())
+    got2 = sorted(r["k"] for r in weighted_sample_topk(df, "k", "w", k).collect())
+    assert got1 == got2
+    assert len(got1) == min(k, len(weights))
+    assert set(got1) <= set(range(len(weights)))

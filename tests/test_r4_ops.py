@@ -477,3 +477,68 @@ def test_curation_pipeline_invariants(spark):
         assert sorted(ranks) == list(range(1, len(ranks) + 1)), s   # dense ranks
     langs = {r["lang"] for r in out}
     assert "en" in langs                                   # dominant share survives
+
+
+def test_countmin_streaming_matches_batch(spark, tmp_path):
+    """Count-min cells are additive counts — the sketch table maintains
+    over a stream (complete mode) and equals the batch build."""
+    from rustic_witcher_spark.operators import sketches
+
+    df = spark.range(4_000).select((F.col("id") % 120).alias("k"))
+    src = str(tmp_path / "cm_src")
+    df.write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = (
+        sketches.countmin_build(stream, "k")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("cm_cells")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = sorted(map(tuple, spark.table("cm_cells").collect()))
+    batch = sorted(map(tuple, sketches.countmin_build(df, "k").collect()))
+    assert streamed == batch
+
+
+def test_bloom_streaming_matches_batch(spark, tmp_path):
+    """bit_or is monotone — the bloom bitmap maintains over a stream."""
+    from rustic_witcher_spark.operators import sketches
+
+    df = spark.range(800).select(F.col("id").alias("k"))
+    src = str(tmp_path / "bf_src")
+    df.write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = (
+        sketches.bloom_build(stream, "k")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("bf_bitmap")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = sorted(map(tuple, spark.table("bf_bitmap").collect()))
+    batch = sorted(map(tuple, sketches.bloom_build(df, "k").collect()))
+    assert streamed == batch
+
+
+def test_decontam_eval_side_broadcasts(spark):
+    """The eval gram set must reach the corpus scan as a BROADCAST hash
+    join — a sort-merge join here would shuffle the training corpus."""
+    from rustic_witcher_spark.operators import decontam
+
+    train = spark.range(1_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("tok"), (F.col("id") % 50).cast("string"), F.lit(" a b c d")).alias("text"),
+    )
+    ev = spark.range(5).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("tok"), F.col("id").cast("string"), F.lit(" a b c d")).alias("text"),
+    )
+    out = decontam.decontaminate(train, ev, "text", "doc_id", n=3)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
