@@ -31,6 +31,23 @@ from rustic_witcher_spark.operators.sampling import sql_uniform01, uniform01
 _SALT = "mix"
 
 
+def _share_expr(stratum_col: str, shares: dict[str, float]):
+    """Per-row target share as a Column CASE over sorted strata (0.0
+    for strata outside the allowlist) — shared by both Spark variants."""
+    share = F.lit(0.0)
+    for s, p in sorted(shares.items()):
+        share = F.when(F.col(stratum_col) == s, F.lit(float(p))).otherwise(share)
+    return share
+
+
+def _sql_share_case(stratum_expr: str, shares: dict[str, float]) -> str:
+    """DuckDB twin of ``_share_expr``."""
+    branches = " ".join(
+        f"WHEN {stratum_expr} = '{s}' THEN {float(p)}" for s, p in sorted(shares.items())
+    )
+    return f"(CASE {branches} ELSE 0.0 END)"
+
+
 def mixture_sample(
     df: DataFrame,
     key_col: str,
@@ -44,10 +61,9 @@ def mixture_sample(
     weight approaches ``share * budget``. Strata absent from ``shares``
     are dropped (explicit allowlist)."""
     avail = df.groupBy(stratum_col).agg(F.sum(weight_col).alias("__avail"))
-    share = F.lit(0.0)
-    for s, p in sorted(shares.items()):
-        share = F.when(F.col(stratum_col) == s, F.lit(float(p))).otherwise(share)
-    frac = F.least(F.lit(1.0), share * F.lit(float(budget)) / F.col("__avail"))
+    frac = F.least(
+        F.lit(1.0), _share_expr(stratum_col, shares) * F.lit(float(budget)) / F.col("__avail")
+    )
     return (
         df.join(F.broadcast(avail), stratum_col)
         .filter(uniform01(F.col(key_col), seed, _SALT) < frac)
@@ -69,11 +85,9 @@ def mixture_sample_relative(
     driver collect), so one config scales across corpus sizes."""
     avail = df.groupBy(stratum_col).agg(F.sum(weight_col).alias("__avail"))
     total = df.agg(F.sum(weight_col).alias("__total"))
-    share = F.lit(0.0)
-    for s, p in sorted(shares.items()):
-        share = F.when(F.col(stratum_col) == s, F.lit(float(p))).otherwise(share)
     frac = F.least(
-        F.lit(1.0), share * F.lit(float(budget_frac)) * F.col("__total") / F.col("__avail")
+        F.lit(1.0),
+        _share_expr(stratum_col, shares) * F.lit(float(budget_frac)) * F.col("__total") / F.col("__avail"),
     )
     return (
         df.join(F.broadcast(avail), stratum_col)
@@ -94,9 +108,6 @@ def sql_mixture_sample_relative(
     seed: int = DEFAULT_SEED,
 ) -> str:
     """DuckDB twin of ``mixture_sample_relative``."""
-    branches = " ".join(
-        f"WHEN {stratum_expr} = '{s}' THEN {float(p)}" for s, p in sorted(shares.items())
-    )
     return f"""
 WITH avail AS (SELECT {stratum_expr} AS strat, sum({weight_expr}) AS av FROM {table} GROUP BY 1),
 tot AS (SELECT sum({weight_expr}) AS total FROM {table}),
@@ -104,7 +115,7 @@ j AS (SELECT t.*, a.av, tot.total FROM {table} t
       JOIN avail a ON a.strat = t.{stratum_expr} CROSS JOIN tot)
 SELECT {select} FROM j
 WHERE {sql_uniform01(key_expr, seed, _SALT)}
-      < least(1.0, (CASE {branches} ELSE 0.0 END) * {float(budget_frac)} * total / av)
+      < least(1.0, {_sql_share_case(stratum_expr, shares)} * {float(budget_frac)} * total / av)
 """
 
 
@@ -119,13 +130,10 @@ def sql_mixture_sample(
     seed: int = DEFAULT_SEED,
 ) -> str:
     """DuckDB twin; ``select`` is the output column list."""
-    branches = " ".join(
-        f"WHEN {stratum_expr} = '{s}' THEN {float(p)}" for s, p in sorted(shares.items())
-    )
     return f"""
 WITH avail AS (SELECT {stratum_expr} AS strat, sum({weight_expr}) AS av FROM {table} GROUP BY 1),
 j AS (SELECT t.*, a.av FROM {table} t JOIN avail a ON a.strat = t.{stratum_expr})
 SELECT {select} FROM j
 WHERE {sql_uniform01(key_expr, seed, _SALT)}
-      < least(1.0, (CASE {branches} ELSE 0.0 END) * {float(budget)} / av)
+      < least(1.0, {_sql_share_case(stratum_expr, shares)} * {float(budget)} / av)
 """

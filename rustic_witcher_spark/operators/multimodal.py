@@ -100,11 +100,14 @@ def extract_features(
     """Decode → feature-extract as an Arrow-batched ``mapInPandas`` stage.
 
     Narrow transformation: each partition's rows stream through Python in
-    Arrow batches; output schema = input + ``features array<float>``. The
-    kernel is pluggable — swap ``fake_decode_features`` for a real
-    Pillow/torchvision kernel where the libs exist.
+    Arrow batches; output schema = input + ``features array<double>``
+    (double, not float32: the kernel computes exact doubles and the
+    DuckDB oracle averages exact doubles — a float32 truncation here
+    injects ~3e-8 per element that can flip a 4-dp rounding boundary
+    downstream). The kernel is pluggable — swap ``fake_decode_features``
+    for a real Pillow/torchvision kernel where the libs exist.
     """
-    out_schema = T.StructType(df.schema.fields + [T.StructField("features", T.ArrayType(T.FloatType()))])
+    out_schema = T.StructType(df.schema.fields + [T.StructField("features", T.ArrayType(T.DoubleType()))])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -90,7 +90,13 @@ def weighted_sample_key(key_col: Column, weight_col: Column, seed: int = DEFAULT
     it, and avoids pow() — one fewer libm call whose rounding could
     differ across engines.
     """
-    return F.log(uniform01(key_col, seed, _WSAMPLE_SALT)) / weight_col.cast("double")
+    # greatest(u, 2^-64): uniform01 is an 8-hex-digit draw, so u = 0
+    # occurs with probability 2^-32 per key — Spark's log would yield
+    # NULL there while DuckDB's ln(0) hard-errors and aborts the whole
+    # oracle query. Clamping to 2^-64 (below any nonzero draw) keeps
+    # both engines on the same finite key.
+    u = F.greatest(uniform01(key_col, seed, _WSAMPLE_SALT), F.lit(2.0**-64))
+    return F.log(u) / weight_col.cast("double")
 
 
 def weighted_sample_topk(
@@ -116,5 +122,6 @@ def weighted_sample_topk(
 
 
 def sql_weighted_sample_key(key_expr: str, weight_expr: str, seed: int = DEFAULT_SEED) -> str:
-    """DuckDB twin of ``weighted_sample_key``."""
-    return f"(ln({sql_uniform01(key_expr, seed, _WSAMPLE_SALT)}) / ({weight_expr})::DOUBLE)"
+    """DuckDB twin of ``weighted_sample_key`` (same 2^-64 clamp)."""
+    u = f"greatest({sql_uniform01(key_expr, seed, _WSAMPLE_SALT)}, {2.0**-64!r})"
+    return f"(ln({u}) / ({weight_expr})::DOUBLE)"

@@ -43,7 +43,7 @@ _SALT = "hll"
 
 
 def _rho(w: Column) -> Column:
-    lowbit = F.expr("__w & -__w")
+    lowbit = w.bitwiseAND(-w)
     return F.when(w == 0, F.lit(_MAX_RHO)).otherwise(
         F.round(F.log2(lowbit), 0).cast("int") + F.lit(1)
     )
@@ -185,10 +185,14 @@ def countmin_estimate(
             )
         ).alias("c"),
     ).select(key_col, F.col("c.r").alias("r"), F.col("c.bucket").alias("bucket"))
+    # LEFT join + coalesce(0): a probe key absent from the build set has
+    # untouched cells (no sketch row) and must estimate 0, not vanish
+    # from the output (and a partial match must min over 0, not only
+    # over the cells other keys happened to touch).
     return (
-        probes.join(F.broadcast(sketch), ["r", "bucket"])
+        probes.join(F.broadcast(sketch), ["r", "bucket"], "left")
         .groupBy(key_col)
-        .agg(F.min("cnt").alias("cm_est"))
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cm_est"))
     )
 
 

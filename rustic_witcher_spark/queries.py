@@ -1221,20 +1221,21 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def sql_knn_ivf(n_clusters: int = 8, nprobe: int = 2, k: int = 5, dim: int = 64, seed: int = 42) -> str:
-    """DuckDB twin of ``similarity.ivf_topk(iters=1)``: md5-seeded
-    centroid sample, one Lloyd step (nearest-centroid assignment →
-    per-position mean → list rebuild), nprobe probing, exact re-rank
-    inside the probed inverted lists. The cosine uses the same explicit
-    dot/norm fold as SQL_KNN so scores match Spark's bit-for-bit after
-    6-dp rounding."""
-    cos = (
-        "list_dot_product({a}, {b}) / "
-        "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
-    )
-    return f"""
-WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-q AS (SELECT vec_id, v FROM corpus WHERE vec_id < 5),
+_SQL_IVF_COS = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+def _sql_ivf_cent1_ctes(n_clusters: int, dim: int, seed: int) -> str:
+    """Shared CTE skeleton replaying ``similarity.ivf_centroids``
+    (iters=1): md5-seeded centroid sample + one Lloyd step
+    (nearest-centroid assignment → per-position mean → list rebuild).
+    Embedded by BOTH sql_knn_ivf and sql_semdedup so the two oracles
+    cannot drift from each other; defines CTEs corpus/seeds/cent0/a0/
+    m0/cent1 (cent1 = (cid, cvec))."""
+    cos = _SQL_IVF_COS
+    return f"""corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 seeds AS (
   SELECT vec_id, v, md5('{seed}|ivf|' || vec_id::VARCHAR) AS r
   FROM corpus ORDER BY r, vec_id LIMIT {n_clusters}
@@ -1253,7 +1254,19 @@ cent1 AS (
     FROM m0 CROSS JOIN (SELECT unnest(range(1, {dim + 1})) AS pos)
     GROUP BY cid, pos
   ) GROUP BY cid
-),
+)"""
+
+
+def sql_knn_ivf(n_clusters: int = 8, nprobe: int = 2, k: int = 5, dim: int = 64, seed: int = 42) -> str:
+    """DuckDB twin of ``similarity.ivf_topk(iters=1)``: the shared
+    seed/Lloyd skeleton (``_sql_ivf_cent1_ctes``), nprobe probing,
+    exact re-rank inside the probed inverted lists. The cosine uses the
+    same explicit dot/norm fold as SQL_KNN so scores match Spark's
+    bit-for-bit after 6-dp rounding."""
+    cos = _SQL_IVF_COS
+    return f"""
+WITH {_sql_ivf_cent1_ctes(n_clusters, dim, seed)},
+q AS (SELECT vec_id, v FROM corpus WHERE vec_id < 5),
 inv AS (
   SELECT cid, vec_id AS neighbor_id, v AS cv FROM (
     SELECT c.vec_id, c.v, k.cid,
@@ -1794,34 +1807,13 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sql_semdedup(n_clusters: int = _SEMDEDUP_K, tau: float = _SEMDEDUP_TAU, dim: int = 64, seed: int = SEED) -> str:
-    """DuckDB twin: replays the md5-seeded centroid sample, one Lloyd
-    step, nearest-centroid assignment, and the smaller-id-wins drop
-    rule (same CTE skeleton as sql_knn_ivf)."""
-    cos = (
-        "list_dot_product({a}, {b}) / "
-        "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
-    )
+    """DuckDB twin: the shared seed/Lloyd skeleton
+    (``_sql_ivf_cent1_ctes`` — same CTEs as sql_knn_ivf, so the two
+    oracles cannot drift), nearest-centroid assignment, and the
+    smaller-id-wins drop rule over pre-normalized dot products."""
+    cos = _SQL_IVF_COS
     return f"""
-WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-seeds AS (
-  SELECT vec_id, v, md5('{seed}|ivf|' || vec_id::VARCHAR) AS r
-  FROM corpus ORDER BY r, vec_id LIMIT {n_clusters}
-),
-cent0 AS (SELECT row_number() OVER (ORDER BY r, vec_id) AS cid, v AS cvec FROM seeds),
-a0 AS (
-  SELECT c.vec_id, c.v, k.cid,
-         row_number() OVER (PARTITION BY c.vec_id
-                            ORDER BY {cos.format(a='c.v', b='k.cvec')} DESC, k.cid ASC) AS rn
-  FROM corpus c CROSS JOIN cent0 k
-),
-m0 AS (SELECT cid, v FROM a0 WHERE rn = 1),
-cent1 AS (
-  SELECT cid, list(m ORDER BY pos) AS cvec FROM (
-    SELECT cid, pos, avg(v[pos]) AS m
-    FROM m0 CROSS JOIN (SELECT unnest(range(1, {dim + 1})) AS pos)
-    GROUP BY cid, pos
-  ) GROUP BY cid
-),
+WITH {_sql_ivf_cent1_ctes(n_clusters, dim, seed)},
 inv AS (
   SELECT cid, vec_id,
          list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv

@@ -20,17 +20,13 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import duckdb
 
 import __spark_entry__ as entrymod
-
-TABLES = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events", "documents", "embeddings"]
+from scripts.compare_oracle import create_views
 
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     con = duckdb.connect()
-    for t in TABLES:
-        p = Path(sf_dir) / f"{t}.parquet"
-        if p.exists():
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    create_views(con, sf_dir)
     oracles = entrymod.oracle_sql()
     timings: dict[str, float] = {}
     for _ in range(2):  # best-of-2, same as bench.py

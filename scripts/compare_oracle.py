@@ -21,6 +21,15 @@ import __spark_entry__ as entrymod
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events", "documents", "embeddings"]
 
 
+def create_views(con, sf_dir: str) -> None:
+    """Register every synthetic table present in ``sf_dir`` as a DuckDB
+    view — shared with scripts/bench_duck.py."""
+    for t in TABLES:
+        p = Path(sf_dir) / f"{t}.parquet"
+        if p.exists():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+
 def normalize(v):
     if isinstance(v, float):
         return f"{v:.6f}"
@@ -41,10 +50,7 @@ def main():
         .getOrCreate()
     )
     con = duckdb.connect()
-    for t in TABLES:
-        p = Path(sf_dir) / f"{t}.parquet"
-        if p.exists():
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    create_views(con, sf_dir)
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()

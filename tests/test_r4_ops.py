@@ -318,7 +318,7 @@ def test_mixture_caps_at_full_stratum(spark):
     from rustic_witcher_spark.operators import mixing
 
     df = spark.range(1_000).select(
-        F.col("k") if "k" in [] else F.col("id").alias("k"),
+        F.col("id").alias("k"),
         F.when(F.col("id") < 100, "rare").otherwise("common").alias("lang"),
         F.lit(1).alias("w"),
     )
@@ -542,3 +542,19 @@ def test_decontam_eval_side_broadcasts(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_countmin_absent_key_estimates_zero(spark):
+    """A probe key outside the build set must yield cm_est=0, not
+    disappear (left join + coalesce — an inner join would drop it)."""
+    from rustic_witcher_spark.operators import sketches
+
+    build = spark.range(100).select(F.concat(F.lit("in"), F.col("id").cast("string")).alias("k"))
+    sk = sketches.countmin_build(build, "k")
+    probe = spark.createDataFrame([("absent-key-xyz",), ("in5",)], "k string")
+    got = {r["k"]: r["cm_est"] for r in sketches.countmin_estimate(probe, sk, "k").collect()}
+    assert got["in5"] >= 1
+    # the key MUST appear; its estimate is 0 unless all 4 of its cells
+    # collide with built keys (rare, and still a small overestimate)
+    assert "absent-key-xyz" in got
+    assert got["absent-key-xyz"] <= 5
