@@ -2,12 +2,15 @@
 
 entry(spark)  — flagship query (TPC-H Q1 shape) at sf0.001.
 queries()     — one entry per implemented operator from SURVEY.md §2
-                plus the north-star extensions (dedup, clustering,
-                similarity, sampling, quality/PII, text analysis,
-                windowed events, datadiff).
-oracle_sql()  — DuckDB-dialect twins for every SQL-expressible query
-                (omitted only for IVF — recall-gated in tests instead —
-                and the hashlib multimodal feature kernel → rows-only).
+                plus the north-star extensions (dedup/semdedup,
+                clustering, similarity, sampling/mixing, packing/shard
+                layout, sketches, decontamination, LM scoring,
+                quality/PII, text analysis, multimodal, windowed
+                events, datadiff, and the composed curation pipeline).
+oracle_sql()  — DuckDB-dialect twins for EVERY entry (75/75 — the
+                deterministic IVF seed/Lloyd/probe replay and the md5
+                hex-chain multimodal kernel included); IVF additionally
+                carries a recall-vs-brute-force gate in tests.
 """
 
 from __future__ import annotations
