@@ -7,7 +7,7 @@ queries()     — one entry per implemented operator from SURVEY.md §2
                 layout, sketches, decontamination, LM scoring,
                 quality/PII, text analysis, multimodal, windowed
                 events, datadiff, and the composed curation pipeline).
-oracle_sql()  — DuckDB-dialect twins for EVERY entry (75/75 — the
+oracle_sql()  — DuckDB-dialect twins for EVERY entry (76/76 — the
                 deterministic IVF seed/Lloyd/probe replay and the md5
                 hex-chain multimodal kernel included); IVF additionally
                 carries a recall-vs-brute-force gate in tests.

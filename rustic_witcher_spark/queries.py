@@ -1873,6 +1873,46 @@ def sql_training_shards() -> str:
     return packing.sql_training_shards("doc_id", "documents", 8, "doc_id, shard", seed=SEED)
 
 
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus health report — the per-(source, lang) rollup every
+    curation run starts with: doc/char volumes, length spread, and the
+    exact-duplicate rate (docs sharing a normalized-text digest with
+    another doc anywhere in the corpus). One digest groupBy + one
+    rollup groupBy, both map-side combinable."""
+    d = _spread(spark, _read(spark, sf_dir, "documents"))
+    digests = d.select(
+        "source", "lang", "n_chars", F.md5(dedup.normalized_text(F.col("text"))).alias("__fp")
+    )
+    owners = digests.groupBy("__fp").agg(F.count("*").alias("__copies"))
+    return (
+        digests.join(owners, "__fp")
+        .groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.sum(F.when(F.col("__copies") >= 2, 1).otherwise(0)).alias("n_dup_docs"),
+        )
+    )
+
+
+SQL_CORPUS_REPORT = f"""
+WITH digests AS (
+  SELECT source, lang, n_chars, md5({_norm_sql('text')}) AS fp FROM documents
+),
+owners AS (SELECT fp, count(*) AS copies FROM digests GROUP BY 1)
+SELECT source, lang, count(*) AS n_docs,
+       sum(n_chars)::BIGINT AS total_chars,
+       min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+       round(avg(n_chars), 4) AS avg_chars,
+       sum(CASE WHEN owners.copies >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup_docs
+FROM digests JOIN owners USING (fp)
+GROUP BY 1, 2
+"""
+
+
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min heavy hitters: users with >= 40 events, detected via a
     4x256 count-min sketch (register-exact md5 arithmetic — the oracle
@@ -2094,6 +2134,7 @@ def build_registry() -> dict[str, tuple[QueryFn, str | None]]:
             "chunk_dedup": (q_chunk_dedup, sql_chunk_dedup()),
             # the composed flagship: dedup → decontam → mixture → shards
             "curation_pipeline": (q_curation_pipeline, sql_curation_pipeline()),
+            "corpus_report": (q_corpus_report, SQL_CORPUS_REPORT),
             # --- (2) LLM pipeline: multimodal ---
             "media_metadata": (q_media_metadata, SQL_MEDIA_METADATA),
             # multimodal's hex-chain kernel is reproduced link-by-link in SQL.
