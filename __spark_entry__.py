@@ -6,8 +6,12 @@ queries()     — one entry per implemented operator from SURVEY.md §2
                 clustering, similarity, sampling/mixing, packing/shard
                 layout, sketches, decontamination, LM scoring,
                 quality/PII, text analysis, multimodal, windowed
-                events, datadiff, and the composed curation pipeline).
-oracle_sql()  — DuckDB-dialect twins for EVERY entry (76/76 — the
+                events, datadiff, the composed curation pipeline, and
+                the round-5 incremental-curation set: quality-aware
+                survivors, batch-vs-corpus dedup, LSH calibration,
+                threshold sweep, ANN recall eval, frame sampling,
+                inter-event gap stats).
+oracle_sql()  — DuckDB-dialect twins for EVERY entry (83/83 — the
                 deterministic IVF seed/Lloyd/probe replay and the md5
                 hex-chain multimodal kernel included); IVF additionally
                 carries a recall-vs-brute-force gate in tests.

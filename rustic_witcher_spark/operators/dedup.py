@@ -374,6 +374,170 @@ def simhash_near_duplicates(
     )
 
 
+# ------------------------------------------------- quality-aware survivors
+
+
+def quality_survivors(df: DataFrame, text_col: str, id_col: str, score: Column) -> DataFrame:
+    """Exact-dup groups keep their BEST member, not their first.
+
+    ``exact_dedup`` keeps the lowest id per group — fine for identical
+    texts, but exact-dup groups formed on the *normalized* text can
+    differ in casing/whitespace, and a curation pipeline wants the
+    highest-quality representative. Survivor = argmax(score), id
+    ascending as the tiebreak; ``n_dups`` = group size (the signal a
+    corpus-health report aggregates).
+
+    Scale shape: identical to exact_dedup — one shuffle on the text
+    digest; the score is computed once per row in the same projection
+    (extends reference T2-T4's "replace column by computed column"
+    surface to group-wise selection, ref:
+    anonymization_dataframe_operator.rs:295-312).
+    """
+    digest = F.md5(normalized_text(F.col(text_col))).alias("__digest")
+    w = Window.partitionBy("__digest")
+    wr = w.orderBy(F.col("__score").desc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__digest", digest)
+        .withColumn("__score", score)
+        .withColumn("__rn", F.row_number().over(wr))
+        .withColumn("n_dups", F.count("*").over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__digest", "__rn")
+        .withColumnRenamed("__score", "quality_score")
+    )
+
+
+# ------------------------------------------------------- incremental dedup
+
+
+def incremental_dedup_flags(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    is_new: Column,
+    num_perm: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    seed: int = DEFAULT_SEED,
+) -> DataFrame:
+    """Dedup a NEW batch against an EXISTING corpus — the production
+    shape: nightly ingest must not re-shuffle the whole historical
+    corpus against itself, only batch-vs-corpus.
+
+    Returns one row per new-batch doc: (id, exact_dup, near_dup) where
+    ``exact_dup`` = normalized text digest already present in the
+    corpus, ``near_dup`` = shares at least one MinHash LSH band bucket
+    with a corpus doc (candidate-level signal; exact verification is a
+    downstream join, as in ``verify_candidates_jaccard``).
+
+    Scale shape: two hash joins, each shuffling on a SMALL key —
+    (digest) and (band, band_hash) — never the text payload; the corpus
+    side of each join is projected to just those keys. At 100 TB the
+    corpus band/digest tables are exactly what you'd persist as the
+    dedup *index* (cf. ivf_write_index), so steady-state cost is one
+    scan of the new batch plus two index joins.
+    """
+    digest = F.md5(normalized_text(F.col(text_col)))
+    sig = minhash_signature(F.col(text_col), num_perm, n, seed)
+    rows_per_band = num_perm // bands
+    band_arr = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[F.element_at(F.col("__sig"), b * rows_per_band + r + 1).cast("string") for r in range(rows_per_band)],
+                )
+            ).alias("bhash"),
+        )
+        for b in range(bands)
+    ])
+    keyed = df.select(F.col(id_col).alias("__id"), is_new.alias("__new"), digest.alias("__digest"), sig.alias("__sig"))
+    batch = keyed.filter(F.col("__new"))
+    corpus = keyed.filter(~F.col("__new"))
+
+    corpus_digests = corpus.select("__digest").distinct()
+    exact = (
+        batch.select("__id", "__digest")
+        .join(corpus_digests, "__digest", "left_semi")
+        .select("__id", F.lit(True).alias("exact_dup"))
+    )
+
+    def banded(d: DataFrame) -> DataFrame:
+        return d.select("__id", F.explode(band_arr).alias("bk")).select(
+            "__id", F.col("bk.band").alias("band"), F.col("bk.bhash").alias("bhash")
+        )
+
+    corpus_bands = banded(corpus).select("band", "bhash").distinct()
+    near = (
+        banded(batch)
+        .join(corpus_bands, ["band", "bhash"], "left_semi")
+        .select("__id")
+        .distinct()
+        .withColumn("near_dup", F.lit(True))
+    )
+
+    return (
+        batch.select(F.col("__id"))
+        .join(exact, "__id", "left")
+        .join(near, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce(F.col("exact_dup"), F.lit(False)).alias("exact_dup"),
+            F.coalesce(F.col("near_dup"), F.lit(False)).alias("near_dup"),
+        )
+    )
+
+
+# --------------------------------------------------------- LSH calibration
+
+
+def lsh_calibration(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    seed: int = DEFAULT_SEED,
+) -> DataFrame:
+    """Per-candidate-pair MinHash estimation error — the tuning signal
+    for (num_perm, bands): run on a sample, inspect the error
+    distribution, pick the banding that hits the target
+    precision/recall before burning a full-corpus pass.
+
+    For every banding candidate pair: ``est_jaccard`` (signature
+    agreement) vs ``exact_jaccard`` (true Jaccard over the DISTINCT
+    word-n-gram hash sets — the exact quantity MinHash estimates) and
+    ``abs_err``. Scale shape: same single (band, bhash) shuffle as
+    ``minhash_lsh_candidates``; the exact-Jaccard join ships the
+    distinct gram-hash arrays (ints), not texts.
+    """
+    cands = minhash_lsh_candidates(
+        df, text_col, id_col, num_perm=num_perm, bands=bands, n=n, seed=seed, max_bucket_size=1 << 40
+    )
+    grams = df.select(
+        F.col(id_col).alias("__gid"),
+        F.array_distinct(word_shingle_hashes(F.col(text_col), seed)).alias("__grams"),
+    )
+    ga = grams.select(F.col("__gid").alias("id_a"), F.col("__grams").alias("__ga"))
+    gb = grams.select(F.col("__gid").alias("id_b"), F.col("__grams").alias("__gb"))
+    inter = F.size(F.array_intersect("__ga", "__gb"))
+    union = F.size(F.array_union("__ga", "__gb"))
+    exact = F.when(union == 0, F.lit(1.0)).otherwise(inter / union)
+    return (
+        cands.join(ga, "id_a").join(gb, "id_b")
+        .withColumn("exact_jaccard", exact)
+        .select(
+            "id_a",
+            "id_b",
+            F.round("est_jaccard", 4).alias("est_jaccard"),
+            F.round("exact_jaccard", 4).alias("exact_jaccard"),
+            F.round(F.abs(F.col("est_jaccard") - F.col("exact_jaccard")), 4).alias("abs_err"),
+        )
+    )
+
+
 # ----------------------------------------------------------- n-gram Jaccard
 
 

@@ -135,7 +135,26 @@ def resize_stub(df: DataFrame, binary_col: str = "media", target: tuple[int, int
     return df.mapInPandas(run, schema=out_schema)
 
 
-def frame_sample_stub(df: DataFrame, binary_col: str = "media", every_ms: int = 1000) -> DataFrame:
+def default_frame_digest(data: bytes, i: int) -> bytes:
+    """Raw-byte frame digest (fast path when no SQL twin is needed)."""
+    return hashlib.md5(data + bytes([i])).digest()
+
+
+def hex_chain_frame_digest(data: bytes, i: int) -> bytes:
+    """Frame digest over lowercase-hex strings — same trick as
+    ``fake_decode_features``: DuckDB's md5 is VARCHAR-only, so hashing
+    ``hex(bytes) + '%02x' % i`` keeps the digest reproducible by an
+    external SQL oracle. Returns the ascii hexdigest as bytes (the
+    frame column stays binary)."""
+    return hashlib.md5((data.hex() + format(i, "02x")).encode()).hexdigest().encode()
+
+
+def frame_sample_stub(
+    df: DataFrame,
+    binary_col: str = "media",
+    every_ms: int = 1000,
+    digest_fn: Callable[[bytes, int], bytes] = default_frame_digest,
+) -> DataFrame:
     """Frame-sampling plumbing for video: one input row → N frame rows
     (explode shape). The stub emits deterministic frame digests; a real
     kernel would demux with pyav/ffmpeg per batch."""
@@ -163,7 +182,7 @@ def frame_sample_stub(df: DataFrame, binary_col: str = "media", every_ms: int = 
                         {
                             "frame_index": i,
                             "frame_ts_ms": i * every_ms,
-                            "frame": hashlib.md5(data + bytes([i])).digest(),
+                            "frame": digest_fn(data, i),
                             **{c: row[c] for c in in_cols},
                         }
                     )

@@ -119,6 +119,41 @@ def symbol_token_ratio(col: Column) -> Column:
     return F.round(F.when(F.size(t) == 0, F.lit(0.0)).otherwise(n_sym / F.size(t)), 6)
 
 
+# ----------------------------------------------------- threshold sweep
+
+
+def threshold_sweep(df, text_col: str, thresholds: list[float]):
+    """Survival curve for a quality filter: for each candidate threshold,
+    how many documents and tokens survive ``alpha_word_frac >= t``.
+
+    The tuning loop every corpus filter goes through — pick the knee of
+    the doc/token survival curve instead of guessing a cutoff.
+
+    Scale shape: ONE pass computes the score + token count per doc, a
+    literal threshold array explodes to |thresholds| rows per doc, and
+    map-side partial aggregation collapses each partition to at most
+    |thresholds| rows before the single tiny shuffle (|thresholds|
+    keys). No second scan per threshold — the naive loop would scan the
+    corpus once per candidate cutoff.
+    """
+    t = F.col("__t")
+    scored = df.select(tokens(F.col(text_col)).alias("__t")).select(
+        alpha_word_fraction_of(t).alias("__score"), F.size(t).alias("__ntok")
+    )
+    th = F.explode(F.array(*[F.lit(float(x)) for x in thresholds])).alias("threshold")
+    return (
+        scored.select("__score", "__ntok", th)
+        .groupBy("threshold")
+        .agg(
+            F.count(F.when(F.col("__score") >= F.col("threshold"), 1)).alias("n_docs"),
+            F.coalesce(
+                F.sum(F.when(F.col("__score") >= F.col("threshold"), F.col("__ntok"))), F.lit(0)
+            ).alias("n_tokens"),
+        )
+        .orderBy("threshold")
+    )
+
+
 # ------------------------------------------------------------ PII scrubbing
 
 # Conservative patterns valid (and identical) in Java regex and RE2.

@@ -2058,6 +2058,267 @@ SELECT doc_id, lang, shard, rank FROM sh
 
 
 # ---------------------------------------------------------------------------
+# Round 5: incremental curation ops (survivor selection, batch-vs-corpus
+# dedup, LSH calibration, filter tuning, ANN evaluation, frame sampling,
+# event-gap stats)
+# ---------------------------------------------------------------------------
+
+_SQL_ALPHA_FRAC = (
+    "round(coalesce(len(list_filter(t, x -> regexp_full_match(x, '[a-z]+')))::DOUBLE"
+    " / nullif(len(t), 0), 0), 6)"
+)
+
+
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware exact-dedup: each duplicate group keeps its
+    highest-alpha-fraction member (id as tiebreak) instead of its first.
+    One digest shuffle, score computed in the same projection
+    (operators/dedup.quality_survivors)."""
+    d = _spread(spark, _read(spark, sf_dir, "documents"))
+    return dedup.quality_survivors(d, "text", "doc_id", quality.alpha_word_fraction(F.col("text"))).select(
+        "doc_id", "quality_score", "n_dups"
+    )
+
+
+def sql_dedup_survivors() -> str:
+    return f"""
+WITH s AS (
+  SELECT doc_id, md5({_norm_sql('text')}) AS dg, {_SQL_ALPHA_FRAC} AS q
+  FROM (SELECT doc_id, text, {_toks_sql('text')} AS t FROM documents)
+)
+SELECT doc_id, q AS quality_score, n_dups FROM (
+  SELECT doc_id, q,
+         row_number() OVER (PARTITION BY dg ORDER BY q DESC, doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY dg) AS n_dups
+  FROM s)
+WHERE rn = 1
+"""
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-vs-corpus dedup (the nightly-ingest shape): docs with
+    doc_id % 10 >= 8 are the new batch, the rest the standing corpus;
+    each batch doc is flagged exact-dup (digest already in corpus) and
+    near-dup (shares a MinHash LSH band bucket with a corpus doc).
+    Two small-key joins, no corpus self-join
+    (operators/dedup.incremental_dedup_flags)."""
+    d = _spread(spark, _read(spark, sf_dir, "documents"))
+    return dedup.incremental_dedup_flags(
+        d, "text", "doc_id", (F.col("doc_id") % 10) >= 8, num_perm=32, bands=8, n=3, seed=SEED
+    )
+
+
+def sql_dedup_incremental(num_perm: int = 32, bands: int = 8) -> str:
+    rpb = num_perm // bands
+    return f"""
+WITH sig AS ({_sql_minhash_sig_array(num_perm)}),
+dg AS (SELECT doc_id, md5({_norm_sql('text')}) AS dg FROM documents),
+bands AS (
+  SELECT doc_id, t.b,
+         md5(array_to_string(list_transform(sig[t.b*{rpb}+1 : t.b*{rpb}+{rpb}], x -> x::VARCHAR), ',')) AS bhash
+  FROM sig, generate_series(0, {bands - 1}) t(b)
+),
+ex AS (
+  SELECT DISTINCT a.doc_id FROM dg a JOIN dg c ON a.dg = c.dg
+  WHERE a.doc_id % 10 >= 8 AND c.doc_id % 10 < 8
+),
+nr AS (
+  SELECT DISTINCT a.doc_id FROM bands a JOIN bands c ON a.b = c.b AND a.bhash = c.bhash
+  WHERE a.doc_id % 10 >= 8 AND c.doc_id % 10 < 8
+)
+SELECT doc_id,
+       doc_id IN (SELECT doc_id FROM ex) AS exact_dup,
+       doc_id IN (SELECT doc_id FROM nr) AS near_dup
+FROM documents WHERE doc_id % 10 >= 8
+"""
+
+
+def q_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash banding-parameter tuning: per candidate pair, signature
+    estimate vs the exact Jaccard over distinct word-3-gram hash sets
+    (the quantity MinHash actually estimates) and the absolute error.
+    Same single (band, bhash) shuffle as the candidate generator; the
+    verify join ships int arrays, not texts."""
+    d = _spread(spark, _read(spark, sf_dir, "documents"))
+    return dedup.lsh_calibration(d, "text", "doc_id", num_perm=32, bands=8, n=3, seed=SEED)
+
+
+def sql_lsh_calibration(num_perm: int = 32, bands: int = 8) -> str:
+    from rustic_witcher_spark.operators.dedup import _GRAM_W1, _GRAM_W2
+
+    rpb = num_perm // bands
+    norm = _norm_sql("text")
+    toks = f"string_split({norm}, ' ')"
+    th = f"list_transform({toks}, t -> ({sql_hash64('t', SEED, 'mh')}) % {MERSENNE_31})"
+    grams = (
+        f"list_transform(generate_series(1, len(tok_h) - 2), "
+        f"i -> ((tok_h[i] * {_GRAM_W1}) % {MERSENNE_31} + (tok_h[i+1] * {_GRAM_W2}) % {MERSENNE_31} + tok_h[i+2]) % {MERSENNE_31})"
+    )
+    whole = f"[({sql_hash64(norm, SEED, 'mh')}) % {MERSENNE_31}]"
+    base = f"(CASE WHEN len(tok_h) >= 3 THEN {grams} ELSE {whole} END)"
+    return f"""
+WITH sig AS ({_sql_minhash_sig_array(num_perm)}),
+gh AS (
+  SELECT doc_id, list_distinct(base_h) AS g FROM (
+    SELECT doc_id, {base} AS base_h FROM (SELECT doc_id, text, {th} AS tok_h FROM documents))
+),
+bands AS (
+  SELECT doc_id, t.b,
+         md5(array_to_string(list_transform(sig[t.b*{rpb}+1 : t.b*{rpb}+{rpb}], x -> x::VARCHAR), ',')) AS bhash
+  FROM sig, generate_series(0, {bands - 1}) t(b)
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.b = b.b AND a.bhash = b.bhash AND a.doc_id < b.doc_id
+),
+est AS (
+  SELECT p.id_a, p.id_b,
+         len(list_filter(generate_series(1, {num_perm}), i -> sa.sig[i] = sb.sig[i])) / {num_perm}.0 AS est
+  FROM pairs p JOIN sig sa ON sa.doc_id = p.id_a JOIN sig sb ON sb.doc_id = p.id_b
+),
+ex AS (
+  SELECT e.id_a, e.id_b, e.est,
+         CASE WHEN len(list_distinct(list_concat(ga.g, gb.g))) = 0 THEN 1.0
+              ELSE len(list_intersect(ga.g, gb.g))::DOUBLE / len(list_distinct(list_concat(ga.g, gb.g))) END AS exact
+  FROM est e JOIN gh ga ON ga.doc_id = e.id_a JOIN gh gb ON gb.doc_id = e.id_b
+)
+SELECT id_a, id_b, round(est, 4) AS est_jaccard, round(exact, 4) AS exact_jaccard,
+       round(abs(est - exact), 4) AS abs_err
+FROM ex
+"""
+
+
+_SWEEP_THRESHOLDS = [x / 10.0 for x in range(10)]
+
+
+def q_quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survival curve for the alpha-word-fraction filter: docs and
+    tokens surviving each candidate threshold, from ONE corpus pass
+    (operators/quality.threshold_sweep)."""
+    d = _spread(spark, _read(spark, sf_dir, "documents"))
+    return quality.threshold_sweep(d, "text", _SWEEP_THRESHOLDS)
+
+
+def sql_quality_threshold_sweep() -> str:
+    th_list = ", ".join(str(x) for x in _SWEEP_THRESHOLDS)
+    return f"""
+WITH s AS (
+  SELECT {_SQL_ALPHA_FRAC} AS score, len(t) AS ntok
+  FROM (SELECT {_toks_sql('text')} AS t FROM documents)
+)
+SELECT threshold,
+       count(CASE WHEN score >= threshold THEN 1 END) AS n_docs,
+       coalesce(sum(CASE WHEN score >= threshold THEN ntok END), 0)::BIGINT AS n_tokens
+FROM s CROSS JOIN (SELECT unnest([{th_list}]::DOUBLE[]) AS threshold)
+GROUP BY threshold
+"""
+
+
+def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality monitoring: recall@5 of the hyperplane-LSH ANN
+    against the brute-force ground truth, per query vector. Both sides
+    are deterministic, so the DuckDB twin replays them exactly."""
+    emb = _read(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5)
+    bf = similarity.brute_force_topk(emb, qs, k=5).select("query_id", "neighbor_id")
+    approx = similarity.lsh_topk(emb, qs, dim=64, k=5, n_planes=8).select("query_id", "neighbor_id")
+    hits = (
+        bf.join(approx, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        bf.groupBy("query_id")
+        .agg(F.count("*").alias("n_exact"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0).cast("long")).alias("n_hits"),
+            F.round(F.coalesce(F.col("n_hits"), F.lit(0).cast("long")) / F.lit(5.0), 4).alias("recall"),
+        )
+    )
+
+
+def sql_ann_recall_eval() -> str:
+    return f"""
+WITH bf AS (SELECT query_id, neighbor_id FROM ({SQL_KNN}) t),
+approx AS (SELECT query_id, neighbor_id FROM ({sql_knn_lsh()}) t)
+SELECT bf.query_id,
+       count(approx.neighbor_id) AS n_hits,
+       round(count(approx.neighbor_id) / 5.0, 4) AS recall
+FROM bf LEFT JOIN approx ON bf.query_id = approx.query_id AND bf.neighbor_id = approx.neighbor_id
+GROUP BY bf.query_id
+"""
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing end-to-end: one media row explodes
+    to N frame rows through the Arrow-batched mapInPandas stage; the
+    stub digest chains md5 over lowercase-hex strings so every frame
+    digest is reproduced by the DuckDB twin (same contract as
+    multimodal_features)."""
+    m = _media_df(spark, sf_dir)
+    frames = multimodal.frame_sample_stub(
+        m, "media", every_ms=1000, digest_fn=multimodal.hex_chain_frame_digest
+    )
+    return frames.select(
+        "doc_id", "frame_index", "frame_ts_ms", F.decode("frame", "UTF-8").alias("frame_digest")
+    )
+
+
+def sql_frame_sample() -> str:
+    magic_case = (
+        "CASE doc_id % 4 "
+        + " ".join(f"WHEN {k} THEN '{_MAGIC[k].lower()}'" for k in (0, 1, 2))
+        + f" ELSE '{_MAGIC[3].lower()}' END"
+    )
+    return f"""
+WITH m AS (
+  SELECT doc_id,
+         {magic_case} || lower(hex(encode(text))) AS mh,
+         4 + octet_length(encode(text)) AS blen
+  FROM documents
+)
+SELECT doc_id,
+       i AS frame_index,
+       (i * 1000)::BIGINT AS frame_ts_ms,
+       md5(mh || printf('%02x', i)) AS frame_digest
+FROM m CROSS JOIN LATERAL (SELECT unnest(generate_series(0, blen % 4)) AS i) f
+"""
+
+
+def q_user_dwell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event gap statistics via lag(): engagement/dwell
+    signal. The lag window and the groupBy share the user_id hash
+    partitioning, so the plan has ONE shuffle."""
+    ev = read_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap = F.unix_millis(F.col("ts")) - F.unix_millis(F.lag("ts").over(w))
+    return (
+        ev.select("user_id", gap.alias("__gap"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count("__gap").alias("n_gaps"),
+            F.round(F.avg("__gap"), 2).alias("avg_gap_ms"),
+            F.max("__gap").alias("max_gap_ms"),
+        )
+    )
+
+
+SQL_USER_DWELL = """
+WITH g AS (
+  SELECT user_id,
+         epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap
+  FROM events
+)
+SELECT user_id, count(*) AS n_events, count(gap) AS n_gaps,
+       round(avg(gap), 2) AS avg_gap_ms, max(gap) AS max_gap_ms
+FROM g GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -2171,6 +2432,14 @@ def build_registry() -> dict[str, tuple[QueryFn, str | None]]:
             "events_in_campaign_windows": (q_events_in_campaign_windows, SQL_CAMPAIGN_WINDOWS),
             "events_json_extract": (q_events_json_extract, SQL_EVENTS_JSON),
             "events_rollup_cascade": (q_events_rollup_cascade, SQL_ROLLUP_CASCADE),
+            # --- (5) round-5 additions (appended — prefix stays frozen) ---
+            "dedup_survivors": (q_dedup_survivors, sql_dedup_survivors()),
+            "dedup_incremental": (q_dedup_incremental, sql_dedup_incremental()),
+            "lsh_calibration": (q_lsh_calibration, sql_lsh_calibration()),
+            "quality_threshold_sweep": (q_quality_threshold_sweep, sql_quality_threshold_sweep()),
+            "ann_recall_eval": (q_ann_recall_eval, sql_ann_recall_eval()),
+            "frame_sample": (q_frame_sample, sql_frame_sample()),
+            "user_dwell_stats": (q_user_dwell_stats, SQL_USER_DWELL),
         }
     )
     return reg

@@ -30,7 +30,7 @@ except Exception as exc:  # noqa: BLE001 — any registry bug lands here
     REGISTRY_ERROR = exc
 
 # queries whose operators legitimately use Arrow-batched Python
-ARROW_OK = {"embedding_near_dups", "multimodal_features"}
+ARROW_OK = {"embedding_near_dups", "multimodal_features", "frame_sample"}
 
 
 def test_registry_importable():
