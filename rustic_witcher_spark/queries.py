@@ -58,6 +58,12 @@ def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
         # events.parquet carries ns-precision timestamps; read_events sets
         # the runtime conf a vanilla session lacks and truncates to micros.
         return read_events(spark, sf_dir)
+    # Driver sessions are vanilla: pin the runtime confs the engine's own
+    # factory sets. Naive parquet timestamps must arrive as TIMESTAMP (not
+    # NTZ, which can't cast to double/long) and render in UTC to match the
+    # DuckDB oracles' naive reading.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 

@@ -37,6 +37,12 @@ def get_spark(app_name: str = "rustic_witcher_spark", shuffle_partitions: int | 
         # columns (e.g. the events table's ts) as raw long nanos and
         # convert explicitly (sources.parquet.read_events)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Naive (non-UTC-adjusted) parquet timestamps must read as
+        # session-TZ TIMESTAMP, not TIMESTAMP_NTZ: NTZ can't cast to
+        # double/long (range/as-of bucketing needs epoch math) and the
+        # DuckDB oracles read the same columns as naive TIMESTAMP under
+        # a UTC session — TimestampType keeps both engines aligned.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         # Several operators compile large generated methods (hyperplane
         # signatures, 63-bit simhash folds, faker projections). The
         # default codegen class cache (100 entries) thrashes once a

@@ -170,6 +170,10 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # naive (non-UTC-adjusted) us-precision timestamps must read as
+    # session-TZ TIMESTAMP, not NTZ (NTZ can't cast to double/long and
+    # diverges from the DuckDB oracles' naive TIMESTAMP reading)
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     # timestamps are formatted to strings for oracle comparison; DuckDB's
     # are naive, so the session must render in UTC even when the caller's
     # session (e.g. an external driver's) didn't pin it. NB: these are
