@@ -60,13 +60,47 @@ def main() -> None:
             timings[name] = min(timings.get(name, dt), dt)
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
-        "metric": "total_wall_seconds_headline_queries",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "sf": sf,
-    }))
+    # Full-precision per-query detail goes to a repo file; the stdout
+    # line is budget-fitted (see _fit_line) because the driver captures
+    # only the last 2000 chars of output — round 4's 83-query line was
+    # 2305 chars, got front-truncated, and failed to parse.
+    try:
+        with open(Path(__file__).resolve().parent / "BENCH_DETAIL.json", "w") as fh:
+            json.dump({"value": total, "unit": "sec", "sf": sf, "queries": timings}, fh, indent=1)
+    except OSError:
+        pass
+    print(_fit_line(total, sf, timings))
+
+
+def _fit_line(total: float, sf: float | None, timings: dict[str, float], budget: int = 1900) -> str:
+    """ONE JSON line under `budget` chars: all queries at reduced
+    precision; if the inventory outgrows the budget, the fastest
+    queries are dropped from the line (never from BENCH_DETAIL.json)
+    and counted in queries_omitted."""
+
+    def render(qs: dict[str, float]) -> str:
+        return json.dumps(
+            {
+                "metric": "total_wall_seconds_headline_queries",
+                "value": total,
+                "unit": "sec",
+                "sf": sf,
+                "queries_omitted": len(timings) - len(qs),
+                "queries": qs,
+            },
+            separators=(",", ":"),
+        )
+
+    slim = {k: round(v, 2) if v < 10 else round(v, 1) for k, v in timings.items()}
+    line = render(slim)
+    if len(line) > budget:
+        slim = {k: round(v, 1) if v < 100 else round(v) for k, v in slim.items()}
+        line = render(slim)
+    by_speed = sorted(slim, key=slim.get)
+    while len(line) > budget and by_speed:
+        del slim[by_speed.pop(0)]
+        line = render(slim)
+    return line
 
 
 if __name__ == "__main__":

@@ -152,6 +152,22 @@ def prune_load_files(load_files: tuple[str, ...], keep_num_of_records: int | Non
     return tuple(f for f in load_files if classify_file(f) == FileClass.FIRST_LOAD) or load_files[:1]
 
 
+def _pin_parquet_confs(spark: SparkSession) -> None:
+    """Pin the runtime confs every engine read path depends on.
+
+    Callers may hand us an arbitrary (vanilla) SparkSession — e.g. the
+    driver's — so these are set at read time, not only in the engine's
+    own session factory. Naive parquet timestamps must arrive as
+    session-TZ TIMESTAMP (NTZ can't cast to double/long) and render in
+    UTC to match the DuckDB oracles' naive reading. Both confs are
+    runtime-settable and take effect at ACTION time, so there is
+    deliberately no save/restore: the returned DataFrames are lazy,
+    and the confs must still hold when the caller materializes them.
+    """
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Read the events table, converting its ns-precision ``ts`` to a
     microsecond TimestampType column.
@@ -170,17 +186,10 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # naive (non-UTC-adjusted) us-precision timestamps must read as
-    # session-TZ TIMESTAMP, not NTZ (NTZ can't cast to double/long and
-    # diverges from the DuckDB oracles' naive TIMESTAMP reading)
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    # timestamps are formatted to strings for oracle comparison; DuckDB's
-    # are naive, so the session must render in UTC even when the caller's
-    # session (e.g. an external driver's) didn't pin it. NB: these are
-    # session-wide runtime confs — a host embedding this engine in a
+    # NB: session-wide runtime confs — a host embedding this engine in a
     # non-UTC session shares the setting for subsequent queries (the
-    # engine's own session factory pins UTC anyway).
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # engine's own session factory pins UTC anyway; see helper docstring).
+    _pin_parquet_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     ts_field = df.schema["ts"].dataType.typeName()
     if ts_field in ("long", "bigint"):
@@ -200,6 +209,10 @@ def read_table_files(
     (the reference's slice pushdown, ref :116-125).
     """
     pruned = prune_load_files(files, keep_num_of_records)
+    # DMS tables carry the same naive-timestamp layout as the synthetic
+    # tables: pin the defensive confs here too, so a vanilla caller
+    # session doesn't get TIMESTAMP_NTZ (ADVICE r04).
+    _pin_parquet_confs(spark)
     df = spark.read.parquet(*pruned)
     if keep_num_of_records is not None:
         df = df.limit(keep_num_of_records)

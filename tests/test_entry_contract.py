@@ -69,36 +69,22 @@ def test_every_oracle_sql_parses_in_duckdb():
     assert not bad, "oracle SQL failed to plan:\n" + "\n".join(bad)
 
 
-# Enforce the round-4 registry freeze: the driver's correctness gate
-# grades a 50-entry PREFIX, so reordering silently changes which
-# operators get driver verdicts. New entries may be APPENDED to their
-# logical subgroup (shifting later groups back is fine and expected);
-# the relative order of existing entries must never change.
-FROZEN_ORDER_R4 = [
-    "filter_contains", "filter_startswith", "filter_endswith",
-    "filter_startsends", "filter_equals", "filter_anyofint",
-    "filter_anyofstring", "anonymize_customer", "anonymize_supplier",
-    "anonymize_orders", "faker_suite", "fake_multi_email",
-    "fake_email_id_prefix", "sanitize_null_bytes", "keep_num_of_records",
-    "cdc_upsert", "agg_max_pk", "validation_check", "datadiff_check",
-    "dedup_exact", "minhash_signatures", "minhash_lsh_candidates",
-    "simhash", "simhash_near_dups", "dedup_clusters",
-    "ngram_jaccard_adjacent", "knn_bruteforce", "knn_lsh", "knn_ivf",
-    "embedding_near_dups", "embedding_project", "semdedup",
-    "stratified_sample", "weighted_sample", "mixture_sample",
-    "pack_sequences", "training_shards", "hll_users", "heavy_hitters",
-    "bloom_probe", "decontaminate", "unigram_nll", "chunk_dedup",
-    "media_metadata", "multimodal_features", "text_stats", "text_langid",
-    "text_fingerprint", "token_count_bpe", "vocab_top_terms",
-]
+# Enforce the round-5 rotation: the driver's correctness gate grades a
+# 50-entry PREFIX, and the prefix is an explicit list (ROUND5_PREFIX)
+# leading with never/stale-verified entries so consecutive rounds'
+# CORRECTNESS files jointly cover the whole inventory. This test pins
+# the prefix so an accidental reorder (the round-3 failure mode) fails
+# loudly here instead of silently rotating verdict coverage.
 
 
-def test_registry_order_frozen():
+def test_registry_prefix_matches_rotation_plan():
     import __spark_entry__ as entrymod
+    from rustic_witcher_spark.queries import ROUND5_PREFIX
 
     names = list(entrymod.queries())
-    existing = [n for n in names if n in set(FROZEN_ORDER_R4)]
-    assert existing == FROZEN_ORDER_R4, (
-        "registry order changed for pre-freeze entries — the driver "
-        "gate grades a 50-entry prefix; see build_registry() docstring"
+    assert len(ROUND5_PREFIX) == 50
+    assert names[: len(ROUND5_PREFIX)] == ROUND5_PREFIX, (
+        "registry prefix diverged from ROUND5_PREFIX — the driver gate "
+        "grades a 50-entry prefix; see build_registry() docstring"
     )
+    assert len(names) == len(set(names))
