@@ -420,6 +420,266 @@ GROUP BY 1, 2, 3
 """
 
 
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape — pure scan + filter + global agg. Every
+    predicate reaches the parquet scan (PushedFilters on shipdate /
+    discount / quantity); no shuffle beyond the 1-row partial-agg
+    exchange."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & F.col("l_discount").between(0.02, 0.04)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias("revenue"))
+    )
+
+
+SQL_Q6 = """
+SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.02 AND 0.04
+  AND l_quantity < 24
+"""
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape — returned-item revenue per customer, top 20.
+    The orders→lineitem fact-fact join shuffles once on orderkey; the
+    customer enrich happens AFTER the per-customer aggregate (only
+    ~top-heavy grouped rows reach it) with nation broadcast."""
+    o = _read(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01")) & (F.col("o_orderdate") < F.lit("1996-10-01"))
+    ).select("o_orderkey", "o_custkey")
+    li = _read(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_extendedprice", "l_discount"
+    )
+    rev = (
+        o.join(li, "o_orderkey")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+    )
+    c = _read(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+    n = _read(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        rev.join(c, "c_custkey")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", "c_name", F.round("c_acctbal", 2).alias("c_acctbal"), "n_name", "revenue")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+SQL_Q10 = """
+WITH rev AS (
+  SELECT o_custkey AS c_custkey,
+         round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+  WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+    AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+    AND l_returnflag = 'R'
+  GROUP BY 1
+)
+SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal, n_name, revenue
+FROM rev JOIN customer USING (c_custkey) JOIN nation ON n_nationkey = c_nationkey
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def q12_shipping_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (adapted: the synthetic schema has no shipmode,
+    so the group key is an on-time/late shipping bucket): conditional
+    CASE aggregation of order priorities per bucket. One fact-fact
+    shuffle on orderkey; the CASE sums are map-side partials."""
+    o = _read(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = _read(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("o_orderkey"), "l_shipdate")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, "o_orderkey")
+        .withColumn(
+            "ship_bucket",
+            F.when(F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 60, F.lit("late")).otherwise(F.lit("ontime")),
+        )
+        .groupBy("ship_bucket")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+SQL_Q12 = """
+SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 60 THEN 'late' ELSE 'ontime' END AS ship_bucket,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+GROUP BY 1
+"""
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape — conditional-revenue ratio over a broadcast
+    dim join. part is broadcast; the month filter reaches the lineitem
+    scan; single-row output via one partial-agg exchange."""
+    li = _read(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01")) & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    p = _read(spark, sf_dir, "part").select("p_partkey", "p_type")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100 * F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0.0))) / F.sum(disc), 4
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+SQL_Q14 = """
+SELECT round(100 * sum(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape — supplier(s) whose quarterly revenue equals the
+    global max: a scalar-subquery pattern done Spark-side as a
+    broadcast join against the 1-row max (no driver collect, no
+    single-partition window over the whole revenue table)."""
+    li = _read(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01")) & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("s_suppkey"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("total_revenue"))
+    )
+    top = rev.agg(F.max("total_revenue").alias("total_revenue"))
+    s = _read(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(top), "total_revenue")
+        .join(F.broadcast(s), "s_suppkey")
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+SQL_Q15 = """
+WITH rev AS (
+  SELECT l_suppkey AS s_suppkey,
+         round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY 1
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier USING (s_suppkey)
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+"""
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — correlated scalar subquery (per-part average
+    quantity) decorrelated into a broadcast aggregate join: lineitems
+    below 20% of their part's average quantity for one brand. The
+    per-part threshold table is tiny (filtered brand) → broadcast both
+    the dim and the threshold; lineitem is scanned twice but never
+    shuffled."""
+    p = _read(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#13") & (F.col("p_size") <= 10)
+    ).select("p_partkey")
+    li = _read(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("p_partkey"), "l_quantity", "l_extendedprice"
+    )
+    li_b = li.join(F.broadcast(p), "p_partkey")
+    thr = li_b.groupBy("p_partkey").agg((0.2 * F.avg("l_quantity")).alias("qty_threshold"))
+    return (
+        li_b.join(F.broadcast(thr), "p_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
+    )
+
+
+SQL_Q17 = """
+WITH pk AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#13' AND p_size <= 10),
+li AS (SELECT l_partkey, l_quantity, l_extendedprice FROM lineitem JOIN pk ON p_partkey = l_partkey),
+thr AS (SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_threshold FROM li GROUP BY 1)
+SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+FROM li JOIN thr USING (l_partkey)
+WHERE l_quantity < qty_threshold
+"""
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape — disjunction of conjunctive brand/size/quantity
+    bands over a dim join. Catalyst keeps the p_partkey equi-key as the
+    (broadcast) join condition and evaluates the OR-of-ANDs as a
+    post-join residual; the quantity bounds still push to the scan as
+    l_quantity <= 40."""
+    li = _read(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    p = _read(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size").between(1, 10)) & (F.col("l_quantity").between(1, 15)))
+        | ((F.col("p_brand") == "Brand#7") & (F.col("p_size").between(1, 20)) & (F.col("l_quantity").between(10, 25)))
+        | ((F.col("p_brand") == "Brand#20") & (F.col("p_size").between(1, 30)) & (F.col("l_quantity").between(25, 40)))
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+    )
+
+
+SQL_Q19 = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 15)
+   OR (p_brand = 'Brand#7' AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 10 AND 25)
+   OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 30 AND l_quantity BETWEEN 25 AND 40)
+"""
+
+
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape — anti-join + scalar subquery: customers with
+    above-average positive balance and no URGENT orders (every
+    synthetic customer has at least one order, so the classic
+    no-orders-at-all predicate would be vacuous), rolled up by market
+    segment. The average is a 1-row broadcast (no driver collect); the
+    NOT EXISTS compiles to a left-anti hash join on custkey."""
+    c = _read(spark, sf_dir, "customer").select("c_custkey", "c_acctbal", "c_mktsegment")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("avg_bal"))
+    o = _read(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, "c_custkey", "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+SQL_Q22 = """
+SELECT c_mktsegment, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+GROUP BY 1
+"""
+
+
 # -------------------------------------------------------------- aggregates
 
 
@@ -2431,6 +2691,14 @@ def build_registry() -> dict[str, tuple[QueryFn, str | None]]:
             "q4_priority_returns": (q4_priority_with_returns, SQL_Q4_RETURNS),
             "q18_large_orders": (q18_large_orders, SQL_Q18_LARGE),
             "q7_nation_volume": (q7_nation_volume, SQL_Q7_VOLUME),
+            "q6_forecast_revenue": (q6_forecast_revenue, SQL_Q6),
+            "q10_returned_items": (q10_returned_items, SQL_Q10),
+            "q12_shipping_lateness": (q12_shipping_lateness, SQL_Q12),
+            "q14_promo_revenue": (q14_promo_revenue, SQL_Q14),
+            "q15_top_supplier": (q15_top_supplier, SQL_Q15),
+            "q17_small_quantity_revenue": (q17_small_quantity_revenue, SQL_Q17),
+            "q19_disjunctive_revenue": (q19_disjunctive_revenue, SQL_Q19),
+            "q22_idle_customers": (q22_idle_customers, SQL_Q22),
             "rollup_revenue": (q_rollup_revenue, SQL_ROLLUP),
             "distinct_parts_per_supplier": (q_distinct_parts_per_supplier, SQL_DISTINCT_PARTS),
             "top_customers_per_nation": (q_top_customers_per_nation, SQL_TOP_CUSTOMERS),
@@ -2463,9 +2731,10 @@ def build_registry() -> dict[str, tuple[QueryFn, str | None]]:
 # The driver gate's 50-entry window for round 5 (see build_registry
 # docstring for the rotation policy). Slots 1–13: never driver-verified
 # (event windows + the round-"5" additions that landed past r04's
-# window). Slots 14–33: last verified in r01/r02 (text-analysis tail,
-# TPC-H group, beyond-equi joins). Slots 34–50: r04-green refill,
-# chosen for reference-surface centrality.
+# window). Slots 14–21: new in round 5 (TPC-H join-pattern widening).
+# Slots 22–41: last verified in r01/r02 (text-analysis tail, TPC-H
+# group, beyond-equi joins). Slots 42–50: r04-green refill, chosen for
+# reference-surface centrality.
 ROUND5_PREFIX = [
     # never driver-verified
     "events_tumbling", "events_sliding", "events_session",
@@ -2473,6 +2742,10 @@ ROUND5_PREFIX = [
     "dedup_survivors", "dedup_incremental", "lsh_calibration",
     "quality_threshold_sweep", "ann_recall_eval", "frame_sample",
     "user_dwell_stats",
+    # new in round 5
+    "q6_forecast_revenue", "q10_returned_items", "q12_shipping_lateness",
+    "q14_promo_revenue", "q15_top_supplier", "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue", "q22_idle_customers",
     # stale (r01/r02 verdicts only)
     "token_count_bpe", "vocab_top_terms", "langid_confusion",
     "tfidf_top_terms", "doc_quality", "pii_redact",
@@ -2483,10 +2756,7 @@ ROUND5_PREFIX = [
     "events_in_campaign_windows", "events_json_extract",
     "events_rollup_cascade",
     # r04-green refill
-    "filter_contains", "filter_anyofstring", "anonymize_customer",
-    "anonymize_orders", "faker_suite", "cdc_upsert", "agg_max_pk",
-    "validation_check", "dedup_exact", "minhash_lsh_candidates",
-    "simhash_near_dups", "dedup_clusters", "knn_ivf",
-    "embedding_near_dups", "curation_pipeline", "multimodal_features",
-    "semdedup",
+    "filter_contains", "anonymize_customer", "faker_suite", "cdc_upsert",
+    "dedup_exact", "minhash_lsh_candidates", "knn_ivf",
+    "curation_pipeline", "multimodal_features",
 ]
