@@ -2287,7 +2287,11 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _spread(spark, _read(spark, sf_dir, "documents"))
     dd = dedup.exact_dedup(d, "text", "doc_id")
     ev = d.filter(F.col("doc_id") % 97 == 0)
-    tr = dd.filter(F.col("doc_id") % 97 != 0)
+    # tr feeds BOTH the decontamination gram join and the survivor
+    # anti-join; materialize the dedup window's output once instead of
+    # recomputing its shuffle per consumer (measured ~25% at sf0.1 —
+    # same tradeoff note as semdedup.py).
+    tr = dd.filter(F.col("doc_id") % 97 != 0).localCheckpoint(eager=False)
     flagged = decontam.decontaminate(tr, ev, "text", "doc_id", n=3, seed=SEED)
     clean = tr.join(flagged.select("doc_id"), "doc_id", "left_anti")
     mx = mixing.mixture_sample_relative(
