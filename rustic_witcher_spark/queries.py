@@ -45,7 +45,7 @@ from rustic_witcher_spark.operators.cdc import apply_cdc
 from rustic_witcher_spark.operators.range_join import range_join
 from rustic_witcher_spark.operators.dedup import MERSENNE_31, perm_params
 from rustic_witcher_spark.plans.pipeline import anonymize_table, pipeline_oracle_sql
-from rustic_witcher_spark.sources.parquet import _pin_parquet_confs, read_events
+from rustic_witcher_spark.sources.parquet import pin_parquet_confs, read_events
 from rustic_witcher_spark.streaming import rollup, windows
 
 SEED = 42
@@ -59,14 +59,14 @@ def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
         # the runtime conf a vanilla session lacks and truncates to micros.
         return read_events(spark, sf_dir)
     # Driver sessions are vanilla: pin the runtime confs the engine's own
-    # factory sets (see _pin_parquet_confs). The timezone conf is NOT
+    # factory sets (see pin_parquet_confs). The timezone conf is NOT
     # snapshot-and-restored on purpose: Spark confs take effect when an
     # ACTION runs, not when the lazy DataFrame is built, so restoring
     # after this call would silently re-break the UTC rendering the
     # engine's results depend on. Hosts embedding the engine in a
     # non-UTC session should materialize engine results before running
     # their own timezone-sensitive queries, or use a separate session.
-    _pin_parquet_confs(spark)
+    pin_parquet_confs(spark)
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 

@@ -32,7 +32,7 @@ from rustic_witcher_spark.operators.cdc import apply_cdc
 from rustic_witcher_spark.operators.transforms import check_schema_drift
 from rustic_witcher_spark.plans.pipeline import anonymize_table
 from rustic_witcher_spark.sinks.parquet import write_parquet
-from rustic_witcher_spark.sources.parquet import _pin_parquet_confs, list_table_files, prune_load_files
+from rustic_witcher_spark.sources.parquet import pin_parquet_confs, list_table_files, prune_load_files
 
 # ref default NUM_OF_BUFFERS=80; local mode needs far less
 DEFAULT_NUM_OF_BUFFERS = int(os.environ.get("NUM_OF_BUFFERS", "8"))
@@ -97,9 +97,9 @@ def process_table(
 ) -> TableResult:
     out_path = target_dir / f"{table}.parquet"
     # defensive conf pinning for vanilla caller sessions (see
-    # sources.parquet._pin_parquet_confs) — DMS tables carry naive
+    # sources.parquet.pin_parquet_confs) — DMS tables carry naive
     # timestamps that must not arrive as TIMESTAMP_NTZ
-    _pin_parquet_confs(spark)
+    pin_parquet_confs(spark)
     try:
         if cfg is None or (
             not cfg.column_transformations

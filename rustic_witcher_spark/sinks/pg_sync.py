@@ -45,7 +45,7 @@ from rustic_witcher_spark.sinks.postgres_ops import (
     setval_sql,
     split_post_import_sql,
 )
-from rustic_witcher_spark.sources.parquet import _pin_parquet_confs, list_table_files, prune_load_files
+from rustic_witcher_spark.sources.parquet import pin_parquet_confs, list_table_files, prune_load_files
 
 
 @dataclass
@@ -136,7 +136,7 @@ def sync_table(
     hitting the database — the reference anonymizes every file it
     ships, both classes.
     """
-    _pin_parquet_confs(spark)  # vanilla caller sessions: no TIMESTAMP_NTZ
+    pin_parquet_confs(spark)  # vanilla caller sessions: no TIMESTAMP_NTZ
     cfg = config.table(table)
     qualified = f"{schema}.{table}"
     res = TableSyncResult(table)

@@ -152,7 +152,7 @@ def prune_load_files(load_files: tuple[str, ...], keep_num_of_records: int | Non
     return tuple(f for f in load_files if classify_file(f) == FileClass.FIRST_LOAD) or load_files[:1]
 
 
-def _pin_parquet_confs(spark: SparkSession) -> None:
+def pin_parquet_confs(spark: SparkSession) -> None:
     """Pin the runtime confs every engine read path depends on.
 
     Callers may hand us an arbitrary (vanilla) SparkSession — e.g. the
@@ -189,7 +189,7 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NB: session-wide runtime confs — a host embedding this engine in a
     # non-UTC session shares the setting for subsequent queries (the
     # engine's own session factory pins UTC anyway; see helper docstring).
-    _pin_parquet_confs(spark)
+    pin_parquet_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     ts_field = df.schema["ts"].dataType.typeName()
     if ts_field in ("long", "bigint"):
@@ -212,7 +212,7 @@ def read_table_files(
     # DMS tables carry the same naive-timestamp layout as the synthetic
     # tables: pin the defensive confs here too, so a vanilla caller
     # session doesn't get TIMESTAMP_NTZ (ADVICE r04).
-    _pin_parquet_confs(spark)
+    pin_parquet_confs(spark)
     df = spark.read.parquet(*pruned)
     if keep_num_of_records is not None:
         df = df.limit(keep_num_of_records)

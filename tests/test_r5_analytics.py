@@ -2,9 +2,10 @@
 
 Oracle hash-equality is covered by the driver gate / compare_oracle;
 these tests pin the SEMANTICS (anti-join exclusion, scalar-max
-selection, correlated-threshold filtering, bucket completeness) so a
-refactor that stays self-consistent with its oracle twin but drifts
-from the intended query meaning still fails loudly.
+selection, correlated-threshold filtering, bucket completeness,
+conditional-ratio bounds, disjunctive-band membership) so a refactor
+that stays self-consistent with its oracle twin but drifts from the
+intended query meaning still fails loudly.
 """
 
 from __future__ import annotations
@@ -16,22 +17,17 @@ from rustic_witcher_spark.queries import (
     q6_forecast_revenue,
     q10_returned_items,
     q12_shipping_lateness,
+    q14_promo_revenue,
     q15_top_supplier,
     q17_small_quantity_revenue,
+    q19_disjunctive_revenue,
     q22_idle_customers,
     _read,
 )
 
-SF_DIR = "/root/testdata/sf0.001"
 
-
-@pytest.fixture(scope="module")
-def sf(spark):
-    return spark
-
-
-def test_q6_matches_manual_filter(sf):
-    li = _read(sf, SF_DIR, "lineitem").collect()
+def test_q6_matches_manual_filter(spark, sf_dir):
+    li = _read(spark, sf_dir, "lineitem").collect()
     expected = round(
         sum(
             r.l_extendedprice * r.l_discount
@@ -42,30 +38,45 @@ def test_q6_matches_manual_filter(sf):
         ),
         4,
     )
-    got = q6_forecast_revenue(sf, SF_DIR).collect()[0].revenue
+    got = q6_forecast_revenue(spark, sf_dir).collect()[0].revenue
     assert got == pytest.approx(expected, abs=1e-3)
 
 
-def test_q10_sorted_and_bounded(sf):
-    rows = q10_returned_items(sf, SF_DIR).collect()
+def test_q10_sorted_and_bounded(spark, sf_dir):
+    rows = q10_returned_items(spark, sf_dir).collect()
     assert 0 < len(rows) <= 20
     revs = [r.revenue for r in rows]
     assert revs == sorted(revs, reverse=True)
 
 
-def test_q12_buckets_partition_the_join(sf):
-    rows = q12_shipping_lateness(sf, SF_DIR).collect()
+def test_q12_buckets_partition_the_join(spark, sf_dir):
+    rows = q12_shipping_lateness(spark, sf_dir).collect()
     assert {r.ship_bucket for r in rows} <= {"late", "ontime"}
-    o = _read(sf, SF_DIR, "orders").select("o_orderkey")
-    li = _read(sf, SF_DIR, "lineitem").select(F.col("l_orderkey").alias("o_orderkey"))
+    o = _read(spark, sf_dir, "orders").select("o_orderkey")
+    li = _read(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("o_orderkey"))
     joined = li.join(o, "o_orderkey").count()
     assert sum(r.high_line_count + r.low_line_count for r in rows) == joined
 
 
-def test_q15_selects_the_global_max(sf):
-    rows = q15_top_supplier(sf, SF_DIR).collect()
+def test_q14_ratio_bounds_and_promo_only_numerator(spark, sf_dir):
+    pct = q14_promo_revenue(spark, sf_dir).collect()[0].promo_revenue_pct
+    assert 0.0 <= pct <= 100.0
+    # recompute the ratio from the raw join — the query must equal it
+    li = _read(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01")) & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    p = _read(spark, sf_dir, "part").select("p_partkey", "p_type")
+    j = li.join(p, li.l_partkey == p.p_partkey).select("p_type", "l_extendedprice", "l_discount").collect()
+    num = sum(r.l_extendedprice * (1 - r.l_discount) for r in j if r.p_type == "PROMO")
+    den = sum(r.l_extendedprice * (1 - r.l_discount) for r in j)
+    assert den > 0, "test window selected no lineitems"
+    assert pct == pytest.approx(round(100 * num / den, 4), abs=1e-3)
+
+
+def test_q15_selects_the_global_max(spark, sf_dir):
+    rows = q15_top_supplier(spark, sf_dir).collect()
     assert rows, "no top supplier found"
-    li = _read(sf, SF_DIR, "lineitem").filter(
+    li = _read(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01")) & (F.col("l_shipdate") < F.lit("1996-04-01"))
     )
     max_rev = (
@@ -77,13 +88,15 @@ def test_q15_selects_the_global_max(sf):
     assert all(r.total_revenue == max_rev for r in rows)
 
 
-def test_q17_only_below_threshold_lines_counted(sf):
+def test_q17_agrees_with_window_formulation(spark, sf_dir):
     # recompute with an explicit window instead of the broadcast-join
-    # decorrelation; both formulations must agree
+    # decorrelation; both formulations must agree (and both must
+    # actually produce a value — a None here means the fixture data
+    # stopped exercising the query and the test needs a wider filter)
     from pyspark.sql import Window
 
-    p = _read(sf, SF_DIR, "part").filter((F.col("p_brand") == "Brand#13") & (F.col("p_size") <= 10)).select("p_partkey")
-    li = _read(sf, SF_DIR, "lineitem").join(
+    p = _read(spark, sf_dir, "part").filter((F.col("p_brand") == "Brand#13") & (F.col("p_size") <= 10)).select("p_partkey")
+    li = _read(spark, sf_dir, "lineitem").join(
         p, F.col("l_partkey") == F.col("p_partkey")
     )
     w = Window.partitionBy("l_partkey")
@@ -93,14 +106,35 @@ def test_q17_only_below_threshold_lines_counted(sf):
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 4))
         .collect()[0][0]
     )
-    got = q17_small_quantity_revenue(sf, SF_DIR).collect()[0].avg_yearly
-    assert got == pytest.approx(expected if expected is not None else got, abs=1e-3)
+    got = q17_small_quantity_revenue(spark, sf_dir).collect()[0].avg_yearly
+    assert expected is not None, "window recompute selected no rows — brand/size filter too narrow for fixture data"
+    assert got is not None
+    assert got == pytest.approx(expected, abs=1e-3)
 
 
-def test_q22_excludes_urgent_customers(sf):
-    out = q22_idle_customers(sf, SF_DIR)
-    c = _read(sf, SF_DIR, "customer")
-    o = _read(sf, SF_DIR, "orders")
+def test_q19_only_band_members_counted(spark, sf_dir):
+    got = q19_disjunctive_revenue(spark, sf_dir).collect()[0].revenue
+    li = _read(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    p = _read(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(p, li.l_partkey == p.p_partkey).collect()
+
+    def in_band(r):
+        return (
+            (r.p_brand == "Brand#1" and 1 <= r.p_size <= 10 and 1 <= r.l_quantity <= 15)
+            or (r.p_brand == "Brand#7" and 1 <= r.p_size <= 20 and 10 <= r.l_quantity <= 25)
+            or (r.p_brand == "Brand#20" and 1 <= r.p_size <= 30 and 25 <= r.l_quantity <= 40)
+        )
+
+    kept = [r for r in j if in_band(r)]
+    assert kept, "no lineitems fall in any band — bands too narrow for fixture data"
+    expected = round(sum(r.l_extendedprice * (1 - r.l_discount) for r in kept), 4)
+    assert got == pytest.approx(expected, abs=1e-3)
+
+
+def test_q22_excludes_urgent_customers(spark, sf_dir):
+    out = q22_idle_customers(spark, sf_dir)
+    c = _read(spark, sf_dir, "customer")
+    o = _read(spark, sf_dir, "orders")
     urgent_cust = {r.o_custkey for r in o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey").distinct().collect()}
     avg_bal = c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal")).collect()[0][0]
     eligible = [
