@@ -38,6 +38,7 @@ from rustic_witcher_spark.operators import (
     semdedup as semdedup_ops,
     similarity,
     sketches,
+    skew,
     text,
 )
 from rustic_witcher_spark.operators.asof import asof_join
@@ -1598,6 +1599,39 @@ def sql_embedding_project() -> str:
     )
 
 
+def q_skew_salted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Above-type-average event stats through a SALTED join
+    (operators/skew.py): event_type is the engine's most skewed key
+    (a handful of distinct values over the whole fact table), so the
+    fact side is fanned across 16 content-derived salts and the tiny
+    type-average dim is exploded 16×. Locally Catalyst broadcasts the
+    80-row exploded dim (zero shuffle); at 100 TB with a
+    non-broadcastable right side the identical plan shuffles on
+    (event_type, salt) — 16-way spread of each hot key instead of one
+    straggler partition. Results are salt-invariant by construction,
+    which is exactly what the plain-join oracle verifies."""
+    ev = read_events(spark, sf_dir).select("event_type", "value")
+    dim = ev.groupBy("event_type").agg(F.round(F.avg("value"), 6).alias("type_avg"))
+    j = skew.salted_join(ev, dim, on=["event_type"], n_salts=16)
+    return (
+        j.filter(F.col("value") > F.col("type_avg"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_above"),
+            F.round(F.sum("value"), 4).alias("sum_above"),
+        )
+    )
+
+
+SQL_SKEW_SALTED = """
+WITH dim AS (SELECT event_type, round(avg(value), 6) AS type_avg FROM events GROUP BY 1)
+SELECT event_type, count(*) AS n_above, round(sum(value), 4) AS sum_above
+FROM events JOIN dim USING (event_type)
+WHERE value > type_avg
+GROUP BY 1
+"""
+
+
 def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact value-distribution percentiles per event type (p50/p90/p99,
     linear interpolation — Spark's `percentile` and DuckDB's
@@ -2713,6 +2747,7 @@ def build_registry() -> dict[str, tuple[QueryFn, str | None]]:
             "funnel_click_purchase": (q_funnel_click_purchase, SQL_FUNNEL),
             "cohort_retention": (q_cohort_retention, SQL_COHORT),
             "value_percentiles": (q_value_percentiles, SQL_VALUE_PERCENTILES),
+            "skew_salted_stats": (q_skew_salted_stats, SQL_SKEW_SALTED),
             "asof_last_purchase": (q_asof_last_purchase, SQL_ASOF),
             "events_in_campaign_windows": (q_events_in_campaign_windows, SQL_CAMPAIGN_WINDOWS),
             "events_json_extract": (q_events_json_extract, SQL_EVENTS_JSON),
@@ -2735,10 +2770,10 @@ def build_registry() -> dict[str, tuple[QueryFn, str | None]]:
 # The driver gate's 50-entry window for round 5 (see build_registry
 # docstring for the rotation policy). Slots 1–13: never driver-verified
 # (event windows + the round-"5" additions that landed past r04's
-# window). Slots 14–21: new in round 5 (TPC-H join-pattern widening).
-# Slots 22–41: last verified in r01/r02 (text-analysis tail, TPC-H
-# group, beyond-equi joins). Slots 42–50: r04-green refill, chosen for
-# reference-surface centrality.
+# window). Slots 14–22: new in round 5 (TPC-H join-pattern widening +
+# the salted skew join). Slots 23–42: last verified in r01/r02
+# (text-analysis tail, TPC-H group, beyond-equi joins). Slots 43–50:
+# r04-green refill, chosen for reference-surface centrality.
 ROUND5_PREFIX = [
     # never driver-verified
     "events_tumbling", "events_sliding", "events_session",
@@ -2749,7 +2784,7 @@ ROUND5_PREFIX = [
     # new in round 5
     "q6_forecast_revenue", "q10_returned_items", "q12_shipping_lateness",
     "q14_promo_revenue", "q15_top_supplier", "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue", "q22_idle_customers",
+    "q19_disjunctive_revenue", "q22_idle_customers", "skew_salted_stats",
     # stale (r01/r02 verdicts only)
     "token_count_bpe", "vocab_top_terms", "langid_confusion",
     "tfidf_top_terms", "doc_quality", "pii_redact",
@@ -2760,7 +2795,7 @@ ROUND5_PREFIX = [
     "events_in_campaign_windows", "events_json_extract",
     "events_rollup_cascade",
     # r04-green refill
-    "filter_contains", "anonymize_customer", "faker_suite", "cdc_upsert",
+    "filter_contains", "anonymize_customer", "cdc_upsert",
     "dedup_exact", "minhash_lsh_candidates", "knn_ivf",
     "curation_pipeline", "multimodal_features",
 ]
