@@ -47,18 +47,20 @@ def connected_components(
             .groupBy("dst")
             .agg(F.min("label").alias("nbr_min"))
         )
-        new_lab = (
+        # carry the pre-round label through the propagation join so
+        # convergence is a filter+count on the checkpointed result —
+        # not an extra new⋈old join (one fewer shuffle per round)
+        stepped = (
             lab.join(prop, lab["node"] == prop["dst"], "left")
-            .select("node", F.least(F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))).alias("label"))
+            .select(
+                "node",
+                F.col("label").alias("__old"),
+                F.least(F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))).alias("label"),
+            )
             .localCheckpoint(eager=True)  # truncate lineage per round
         )
-        changed = (
-            new_lab.alias("n")
-            .join(lab.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        lab = new_lab
+        changed = stepped.filter(F.col("label") != F.col("__old")).count()
+        lab = stepped.select("node", "label")
         if changed == 0:
             break
     else:
