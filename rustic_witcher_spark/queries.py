@@ -1599,6 +1599,59 @@ def sql_embedding_project() -> str:
     )
 
 
+def q_doc_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-decile document-length profile WITHOUT a global sort: a
+    naive ``ntile(10) OVER (ORDER BY ...)`` moves the whole table into
+    one partition — the classic scale-killer window. Instead the nine
+    decile boundaries are computed as ONE scalar aggregate row
+    (Spark's `percentile` ≡ DuckDB's quantile_cont, rounded 4 dp),
+    broadcast, and each row's decile is an array fold over the
+    boundaries — scan-parallel assignment, two narrow exchanges total
+    (the 1-row aggregate + the 10-group final agg)."""
+    d = _read(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    fracs = [i / 10 for i in range(1, 10)]
+    bounds = d.agg(
+        F.expr(
+            "transform(percentile(n_chars, array({fs})), x -> round(x, 4))".format(
+                fs=", ".join(str(f) for f in fracs)
+            )
+        ).alias("__bounds")
+    )
+    return (
+        d.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "decile",
+            1
+            + F.aggregate(
+                "__bounds",
+                F.lit(0),
+                lambda acc, b: acc + F.when(F.col("n_chars") > b, 1).otherwise(0),
+            ),
+        )
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+    )
+
+
+SQL_DOC_LENGTH_DECILES = """
+WITH b AS (
+  SELECT list_transform(quantile_cont(n_chars, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+                        x -> round(x, 4)) AS bounds
+  FROM documents
+)
+SELECT 1 + len(list_filter(bounds, x -> n_chars > x)) AS decile,
+       count(*) AS n_docs, min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+       round(avg(n_chars), 4) AS avg_chars
+FROM documents CROSS JOIN b
+GROUP BY 1
+"""
+
+
 def q_skew_salted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Above-type-average event stats through a SALTED join
     (operators/skew.py): event_type is the engine's most skewed key
@@ -2748,6 +2801,7 @@ def build_registry() -> dict[str, tuple[QueryFn, str | None]]:
             "cohort_retention": (q_cohort_retention, SQL_COHORT),
             "value_percentiles": (q_value_percentiles, SQL_VALUE_PERCENTILES),
             "skew_salted_stats": (q_skew_salted_stats, SQL_SKEW_SALTED),
+            "doc_length_deciles": (q_doc_length_deciles, SQL_DOC_LENGTH_DECILES),
             "asof_last_purchase": (q_asof_last_purchase, SQL_ASOF),
             "events_in_campaign_windows": (q_events_in_campaign_windows, SQL_CAMPAIGN_WINDOWS),
             "events_json_extract": (q_events_json_extract, SQL_EVENTS_JSON),
@@ -2770,10 +2824,11 @@ def build_registry() -> dict[str, tuple[QueryFn, str | None]]:
 # The driver gate's 50-entry window for round 5 (see build_registry
 # docstring for the rotation policy). Slots 1–13: never driver-verified
 # (event windows + the round-"5" additions that landed past r04's
-# window). Slots 14–22: new in round 5 (TPC-H join-pattern widening +
-# the salted skew join). Slots 23–42: last verified in r01/r02
-# (text-analysis tail, TPC-H group, beyond-equi joins). Slots 43–50:
-# r04-green refill, chosen for reference-surface centrality.
+# window). Slots 14–23: new in round 5 (TPC-H join-pattern widening,
+# the salted skew join, decile profiling). Slots 24–43: last verified
+# in r01/r02 (text-analysis tail, TPC-H group, beyond-equi joins).
+# Slots 44–50: r04-green refill, chosen for reference-surface
+# centrality.
 ROUND5_PREFIX = [
     # never driver-verified
     "events_tumbling", "events_sliding", "events_session",
@@ -2785,6 +2840,7 @@ ROUND5_PREFIX = [
     "q6_forecast_revenue", "q10_returned_items", "q12_shipping_lateness",
     "q14_promo_revenue", "q15_top_supplier", "q17_small_quantity_revenue",
     "q19_disjunctive_revenue", "q22_idle_customers", "skew_salted_stats",
+    "doc_length_deciles",
     # stale (r01/r02 verdicts only)
     "token_count_bpe", "vocab_top_terms", "langid_confusion",
     "tfidf_top_terms", "doc_quality", "pii_redact",
@@ -2796,6 +2852,6 @@ ROUND5_PREFIX = [
     "events_rollup_cascade",
     # r04-green refill
     "filter_contains", "anonymize_customer", "cdc_upsert",
-    "dedup_exact", "minhash_lsh_candidates", "knn_ivf",
+    "minhash_lsh_candidates", "knn_ivf",
     "curation_pipeline", "multimodal_features",
 ]
