@@ -421,6 +421,103 @@ GROUP BY 1, 2, 3
 """
 
 
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape — national market share: a 6-table join where
+    every dimension chain (part type filter, customer→nation→region,
+    supplier→nation) collapses to a broadcast, so the only shuffle is
+    the lineitem⋈orders fact-fact join on orderkey. The share is a
+    conditional-sum ratio per order year."""
+    n = _read(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = _read(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    cust = (
+        _read(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r.filter(F.col("r_name") == "AMERICA")), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    supp = (
+        _read(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+        .join(F.broadcast(n.select(F.col("n_nationkey"), F.col("n_name").alias("supp_nation"))),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(F.col("s_suppkey").alias("l_suppkey"), "supp_nation")
+    )
+    p = _read(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD").select("p_partkey")
+    o = _read(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    ).select("o_orderkey", "o_custkey", F.year("o_orderdate").alias("o_year"))
+    li = _read(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, "o_orderkey")
+        .join(F.broadcast(cust), "o_custkey")
+        .join(F.broadcast(supp), "l_suppkey")
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_1", vol).otherwise(F.lit(0.0))) / F.sum(vol), 6
+            ).alias("mkt_share")
+        )
+    )
+
+
+SQL_Q8 = """
+SELECT year(o_orderdate) AS o_year,
+       round(sum(CASE WHEN sn.n_name = 'NATION_1' THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+FROM lineitem
+JOIN part ON p_partkey = l_partkey AND p_type = 'STANDARD'
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation cn ON cn.n_nationkey = c_nationkey
+JOIN region ON r_regionkey = cn.n_regionkey AND r_name = 'AMERICA'
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation sn ON sn.n_nationkey = s_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY 1
+"""
+
+
+def q9_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (adapted: the synthetic schema has no partsupp /
+    supplycost, so profit is discounted revenue): per supplier-nation
+    per order-year rollup over the lineitem⋈orders fact-fact join with
+    broadcast part/supplier/nation dims."""
+    p = _read(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#13").select("p_partkey")
+    n = _read(spark, sf_dir, "nation").select("n_nationkey", F.col("n_name").alias("nation"))
+    supp = (
+        _read(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(F.col("s_suppkey").alias("l_suppkey"), "nation")
+    )
+    o = _read(spark, sf_dir, "orders").select("o_orderkey", F.year("o_orderdate").alias("o_year"))
+    li = _read(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, "o_orderkey")
+        .join(F.broadcast(supp), "l_suppkey")
+        .groupBy("nation", "o_year")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("profit"))
+    )
+
+
+SQL_Q9 = """
+SELECT n_name AS nation, year(o_orderdate) AS o_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS profit
+FROM lineitem
+JOIN part ON p_partkey = l_partkey AND p_brand = 'Brand#13'
+JOIN orders ON o_orderkey = l_orderkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+GROUP BY 1, 2
+"""
+
+
 def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 shape — pure scan + filter + global agg. Every
     predicate reaches the parquet scan (PushedFilters on shipdate /
@@ -2783,6 +2880,8 @@ def build_registry() -> dict[str, tuple[QueryFn, str | None]]:
             "q18_large_orders": (q18_large_orders, SQL_Q18_LARGE),
             "q7_nation_volume": (q7_nation_volume, SQL_Q7_VOLUME),
             "q6_forecast_revenue": (q6_forecast_revenue, SQL_Q6),
+            "q8_market_share": (q8_market_share, SQL_Q8),
+            "q9_profit_by_nation": (q9_profit_by_nation, SQL_Q9),
             "q10_returned_items": (q10_returned_items, SQL_Q10),
             "q12_shipping_lateness": (q12_shipping_lateness, SQL_Q12),
             "q14_promo_revenue": (q14_promo_revenue, SQL_Q14),
@@ -2824,10 +2923,10 @@ def build_registry() -> dict[str, tuple[QueryFn, str | None]]:
 # The driver gate's 50-entry window for round 5 (see build_registry
 # docstring for the rotation policy). Slots 1–13: never driver-verified
 # (event windows + the round-"5" additions that landed past r04's
-# window). Slots 14–23: new in round 5 (TPC-H join-pattern widening,
-# the salted skew join, decile profiling). Slots 24–43: last verified
+# window). Slots 14–25: new in round 5 (TPC-H join-pattern widening,
+# the salted skew join, decile profiling). Slots 26–45: last verified
 # in r01/r02 (text-analysis tail, TPC-H group, beyond-equi joins).
-# Slots 44–50: r04-green refill, chosen for reference-surface
+# Slots 46–50: r04-green refill, chosen for reference-surface
 # centrality.
 ROUND5_PREFIX = [
     # never driver-verified
@@ -2839,8 +2938,8 @@ ROUND5_PREFIX = [
     # new in round 5
     "q6_forecast_revenue", "q10_returned_items", "q12_shipping_lateness",
     "q14_promo_revenue", "q15_top_supplier", "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue", "q22_idle_customers", "skew_salted_stats",
-    "doc_length_deciles",
+    "q19_disjunctive_revenue", "q22_idle_customers", "q8_market_share",
+    "q9_profit_by_nation", "skew_salted_stats", "doc_length_deciles",
     # stale (r01/r02 verdicts only)
     "token_count_bpe", "vocab_top_terms", "langid_confusion",
     "tfidf_top_terms", "doc_quality", "pii_redact",
@@ -2852,6 +2951,5 @@ ROUND5_PREFIX = [
     "events_rollup_cascade",
     # r04-green refill
     "filter_contains", "anonymize_customer", "cdc_upsert",
-    "minhash_lsh_candidates", "knn_ivf",
-    "curation_pipeline", "multimodal_features",
+    "minhash_lsh_candidates", "curation_pipeline",
 ]
