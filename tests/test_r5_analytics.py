@@ -15,6 +15,8 @@ import pytest
 
 from rustic_witcher_spark.queries import (
     q6_forecast_revenue,
+    q8_market_share,
+    q9_profit_by_nation,
     q10_returned_items,
     q12_shipping_lateness,
     q14_promo_revenue,
@@ -129,6 +131,29 @@ def test_q19_only_band_members_counted(spark, sf_dir):
     assert kept, "no lineitems fall in any band — bands too narrow for fixture data"
     expected = round(sum(r.l_extendedprice * (1 - r.l_discount) for r in kept), 4)
     assert got == pytest.approx(expected, abs=1e-3)
+
+
+def test_q8_share_is_a_fraction_of_unfiltered_volume(spark, sf_dir):
+    rows = q8_market_share(spark, sf_dir).collect()
+    assert rows, "no order years in the window"
+    assert {r.o_year for r in rows} <= {1996, 1997}
+    assert all(0.0 <= r.mkt_share <= 1.0 for r in rows)
+
+
+def test_q9_rollup_is_complete(spark, sf_dir):
+    rows = q9_profit_by_nation(spark, sf_dir).collect()
+    assert rows
+    nations = {r.n_name for r in _read(spark, sf_dir, "nation").collect()}
+    assert {r.nation for r in rows} <= nations
+    # grouped sum must equal the ungrouped total of the same join
+    p = _read(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#13").select("p_partkey")
+    li = _read(spark, sf_dir, "lineitem")
+    total = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+        .collect()[0][0]
+    )
+    assert sum(r.profit for r in rows) == pytest.approx(total, rel=1e-6)
 
 
 def test_q22_excludes_urgent_customers(spark, sf_dir):
