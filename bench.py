@@ -67,8 +67,11 @@ def main() -> None:
     try:
         with open(Path(__file__).resolve().parent / "BENCH_DETAIL.json", "w") as fh:
             json.dump({"value": total, "unit": "sec", "sf": sf, "queries": timings}, fh, indent=1)
-    except OSError:
-        pass
+            fh.write("\n")
+    except OSError as exc:
+        # A stale BENCH_DETAIL.json silently disagreeing with the stdout
+        # line is worse than a loud miss.
+        print(f"WARNING: BENCH_DETAIL.json write failed: {exc}", file=sys.stderr)
     print(_fit_line(total, sf, timings))
 
 

@@ -13,7 +13,9 @@ Scale shape: each round is ONE shuffle (edges joined to current
 labels, min per node); rounds ≈ component diameter, and near-dup
 components are shallow (stars around a template, chains of revisions),
 so 3–5 rounds typically converge. Lineage is truncated every round
-(``localCheckpoint``) — without it the plan doubles per iteration and
+(``materialize``, default ``localCheckpoint`` — see
+``operators/materialize.py`` for the cluster-scale reliable-checkpoint
+strategy) — without it the plan doubles per iteration and
 the driver dies of analysis time long before the executors hurt.
 A DuckDB recursive-CTE oracle reproduces the fixpoint exactly.
 """
@@ -22,6 +24,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from rustic_witcher_spark.operators.materialize import materialize
 
 
 def connected_components(
@@ -40,7 +44,7 @@ def connected_components(
         .unionByName(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
         .distinct()
     )
-    und = und.localCheckpoint(eager=True)
+    und = materialize(und, eager=True)
     for _ in range(max_iter):
         prop = (
             und.join(lab, und["src"] == lab["node"])
@@ -50,14 +54,14 @@ def connected_components(
         # carry the pre-round label through the propagation join so
         # convergence is a filter+count on the checkpointed result —
         # not an extra new⋈old join (one fewer shuffle per round)
-        stepped = (
+        stepped = materialize(  # truncate lineage per round
             lab.join(prop, lab["node"] == prop["dst"], "left")
             .select(
                 "node",
                 F.col("label").alias("__old"),
                 F.least(F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))).alias("label"),
-            )
-            .localCheckpoint(eager=True)  # truncate lineage per round
+            ),
+            eager=True,
         )
         changed = stepped.filter(F.col("label") != F.col("__old")).count()
         lab = stepped.select("node", "label")

@@ -45,6 +45,7 @@ from rustic_witcher_spark.operators.asof import asof_join
 from rustic_witcher_spark.operators.cdc import apply_cdc
 from rustic_witcher_spark.operators.range_join import range_join
 from rustic_witcher_spark.operators.dedup import MERSENNE_31, perm_params
+from rustic_witcher_spark.operators.materialize import materialize
 from rustic_witcher_spark.plans.pipeline import anonymize_table, pipeline_oracle_sql
 from rustic_witcher_spark.sources.parquet import pin_parquet_confs, read_events
 from rustic_witcher_spark.streaming import rollup, windows
@@ -2618,8 +2619,8 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tr feeds BOTH the decontamination gram join and the survivor
     # anti-join; materialize the dedup window's output once instead of
     # recomputing its shuffle per consumer (measured ~25% at sf0.1 —
-    # same tradeoff note as semdedup.py).
-    tr = dd.filter(F.col("doc_id") % 97 != 0).localCheckpoint(eager=False)
+    # strategy via SPARK_GRAFT_MATERIALIZE, see operators/materialize.py).
+    tr = materialize(dd.filter(F.col("doc_id") % 97 != 0), eager=False)
     flagged = decontam.decontaminate(tr, ev, "text", "doc_id", n=3, seed=SEED)
     clean = tr.join(flagged.select("doc_id"), "doc_id", "left_anti")
     mx = mixing.mixture_sample_relative(
