@@ -16,7 +16,7 @@ from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from rustic_witcher_spark.functions import fake
-from rustic_witcher_spark.operators import transforms
+from rustic_witcher_spark.operators import packing, transforms
 from rustic_witcher_spark.operators.dedup import char_shingles, normalized_text
 
 SEED = 42
@@ -167,22 +167,24 @@ def test_table_diff_self_is_empty(spark, rows):
     counts=st.lists(st.integers(min_value=1, max_value=500), min_size=1, max_size=60),
     budget=st.integers(min_value=16, max_value=1024),
     block=st.sampled_from([1, 3, 16, 64]),
+    scan_threshold=st.sampled_from([2, 7, packing.SCAN_THRESHOLD]),
 )
 @settings(**SETTINGS)
-def test_pack_sequences_equals_naive_cumsum(spark, counts, budget, block):
-    """The two-level distributed prefix scan equals the sequential
-    cumsum for ANY sizes/budget/block — including block=1 (one block
-    per id) and blocks larger than the corpus."""
-    from rustic_witcher_spark.operators import packing
-
+def test_pack_sequences_equals_naive_cumsum(spark, counts, budget, block, scan_threshold):
+    """The k-level distributed prefix scan equals the sequential cumsum
+    for ANY sizes/budget/block/threshold — including block=1 (one block
+    per id), blocks larger than the corpus, and thresholds small enough
+    to force multi-level recursion."""
     df = spark.createDataFrame(list(enumerate(counts)), "doc_id long, n long").repartition(7)
     got = {
         r["doc_id"]: (r["start_offset"], r["seq_id"])
-        for r in packing.pack_sequences(df, "doc_id", "n", budget, block=block).collect()
+        for r in packing.pack_sequences(
+            df, "doc_id", "n", budget, block=block, scan_threshold=scan_threshold
+        ).collect()
     }
     off = 0
     for i, n in enumerate(counts):
-        assert got[i] == (off, off // budget), (i, block, budget)
+        assert got[i] == (off, off // budget), (i, block, budget, scan_threshold)
         off += n
 
 

@@ -86,6 +86,39 @@ def test_pack_block_size_invariance(spark):
     assert a == b
 
 
+def test_pack_recursion_threshold_invariance(spark):
+    # 3rd+ scan level: force the block table (n/block rows) past a tiny
+    # scan_threshold so the prefix sum recurses 1-3 extra levels, and
+    # assert the assignment is IDENTICAL to the single-level scan. With
+    # 400 docs: block=2 → 200 blocks, threshold=4 → recursion depth 3
+    # (200 → 100 → 50 → ... ≤4); threshold=10**6 → no recursion.
+    rows = [(i, (i * 29) % 80 + 1) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, n long").repartition(8)
+    base = sorted(packing.pack_sequences(df, "doc_id", "n", 128, block=2).collect())
+    for thr in (4, 50, 199):
+        deep = sorted(
+            packing.pack_sequences(df, "doc_id", "n", 128, block=2, scan_threshold=thr).collect()
+        )
+        assert deep == base, f"scan_threshold={thr} changed the packing"
+
+
+def test_pack_recursive_prefix_matches_naive(spark):
+    # recursion correctness straight against the sequential cumsum
+    # (not just self-consistency), sparse ids, ragged blocks.
+    rows = [(i * 7 + 3, (i * 11) % 60 + 1) for i in range(250)]
+    df = spark.createDataFrame(rows, "doc_id long, n long").repartition(5)
+    got = {
+        r["doc_id"]: (r["start_offset"], r["seq_id"])
+        for r in packing.pack_sequences(
+            df, "doc_id", "n", budget=100, block=3, scan_threshold=8
+        ).collect()
+    }
+    off = 0
+    for i, n in rows:
+        assert got[i] == (off, off // 100), i
+        off += n
+
+
 def test_pack_sparse_ids_and_summary_lossless(spark):
     # doc ids need not be dense — blocks may be ragged/empty.
     rows = [(i * 97 + 5, 10) for i in range(200)]
