@@ -26,7 +26,14 @@ ExecuteFn = Callable[[str], None]
 
 
 def pg_dump_command(source_url: str, schema: str, out_file: str) -> list[str]:
-    return ["pg_dump", "--schema-only", "--schema", schema, "--file", out_file, source_url]
+    """Schema-only dump in CUSTOM format (--format=c) — pg_restore
+    rejects plain-SQL dumps, so the format flag is load-bearing for the
+    O1→O3 pipeline (ref: target_db_preparator.rs:41 uses --format=c
+    --no-owner --no-privileges; caught live by test_pg_live.py)."""
+    return [
+        "pg_dump", "--no-owner", "--no-privileges", "--schema-only",
+        f"--schema={schema}", "--format=c", "--file", out_file, "--dbname", source_url,
+    ]
 
 
 def pg_restore_command(target_url: str, dump_file: str) -> list[str]:
