@@ -923,6 +923,131 @@ LIMIT 20
 """
 
 
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (adapted: no partsupp, so "min supply cost"
+    becomes "min observed unit price in lineitem"): the correlated
+    scalar-subquery argmin, decorrelated into agg + join-back. The
+    per-part min and the achiever lookup share ONE l_partkey hash
+    partitioning (groupBy then join on the same key — no second
+    shuffle of the big side); the float-equality join-back is exact
+    because both sides carry the identical double computed once from
+    the same parquet values, and min() selects an element, not a new
+    value. Ties broken by min suppkey. supplier dim broadcast."""
+    p = _read(spark, sf_dir, "part").filter(F.col("p_size") <= 5).select("p_partkey")
+    li = _read(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("p_partkey"),
+        "l_suppkey",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
+    )
+    li_p = li.join(F.broadcast(p), "p_partkey")
+    mn = li_p.groupBy("p_partkey").agg(F.min("unit_price").alias("min_price"))
+    ach = (
+        li_p.join(mn, "p_partkey")
+        .filter(F.col("unit_price") == F.col("min_price"))
+        .groupBy("p_partkey", "min_price")
+        .agg(F.min("l_suppkey").alias("s_suppkey"))
+    )
+    s = _read(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        ach.join(F.broadcast(s), "s_suppkey")
+        .select("p_partkey", "s_suppkey", "s_name", F.round("min_price", 4).alias("min_unit_price"))
+        .orderBy("p_partkey")
+    )
+
+
+SQL_Q2 = """
+WITH pk AS (SELECT p_partkey FROM part WHERE p_size <= 5),
+li AS (
+  SELECT l_partkey AS p_partkey, l_suppkey, l_extendedprice / l_quantity AS unit_price
+  FROM lineitem JOIN pk ON p_partkey = l_partkey
+),
+mn AS (SELECT p_partkey, min(unit_price) AS min_price FROM li GROUP BY 1),
+ach AS (
+  SELECT li.p_partkey, mn.min_price, min(li.l_suppkey) AS s_suppkey
+  FROM li JOIN mn ON li.p_partkey = mn.p_partkey AND li.unit_price = mn.min_price
+  GROUP BY li.p_partkey, mn.min_price
+)
+SELECT p_partkey, s_suppkey, s_name, round(min_price, 4) AS min_unit_price
+FROM ach JOIN supplier USING (s_suppkey)
+ORDER BY p_partkey
+"""
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape — group value vs a GLOBAL scalar (HAVING
+    sum > fraction * grand total). The grand total is a 1-row
+    aggregate broadcast into the filter (never a driver collect, never
+    a single-partition window). Quantities are summed as BIGINT so the
+    share threshold compares exact integers against one deterministic
+    double — no parallel-float-sum ordering hazard on the HAVING
+    boundary at any scale. The threshold is RELATIVE (1.5x the mean
+    per-part volume) so selectivity is scale-invariant — an absolute
+    fraction degenerates to all-pass or none-pass as the part count
+    grows."""
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_partkey", F.col("l_quantity").cast("bigint").alias("qty")
+    )
+    per_part = li.groupBy("l_partkey").agg(F.sum("qty").alias("part_qty"))
+    tot = per_part.agg(
+        F.sum("part_qty").alias("total_qty"), F.count("*").alias("n_parts")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(tot))
+        .filter(F.col("part_qty") > 1.5 * F.col("total_qty") / F.col("n_parts"))
+        .select("l_partkey", "part_qty")
+        .orderBy(F.col("part_qty").desc(), F.col("l_partkey").asc())
+    )
+
+
+SQL_Q11 = """
+WITH per_part AS (
+  SELECT l_partkey, sum(CAST(l_quantity AS BIGINT)) AS part_qty
+  FROM lineitem GROUP BY 1
+)
+SELECT l_partkey, part_qty
+FROM per_part
+WHERE part_qty > 1.5 * (SELECT sum(part_qty) FROM per_part) / (SELECT count(*) FROM per_part)
+ORDER BY part_qty DESC, l_partkey ASC
+"""
+
+
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape — supplier-variety count-distinct per part
+    group, with a NOT-IN supplier exclusion list (the "customer
+    complaints" analog: suppliers with balance under 1000) applied as a
+    broadcast LEFT ANTI join, and dim-filter exclusions (brand/type)
+    pushed to the part scan. The countDistinct shuffles (brand, size,
+    suppkey) once; the anti join and the part join are both broadcast
+    — the fact table is shuffled exactly once."""
+    excl = _read(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 1000).select(
+        F.col("s_suppkey").alias("l_suppkey")
+    )
+    p = _read(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45") & (F.col("p_type") != "PROMO")
+    ).select("p_partkey", "p_brand", "p_size")
+    li = _read(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("p_partkey"), "l_suppkey"
+    )
+    return (
+        li.join(F.broadcast(p), "p_partkey")
+        .join(F.broadcast(excl), "l_suppkey", "left_anti")
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), F.col("p_brand").asc(), F.col("p_size").asc())
+    )
+
+
+SQL_Q16 = """
+SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#45' AND p_type <> 'PROMO'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000)
+GROUP BY p_brand, p_size
+ORDER BY supplier_cnt DESC, p_brand ASC, p_size ASC
+"""
+
+
 # -------------------------------------------------------------- aggregates
 
 
@@ -2941,7 +3066,9 @@ def build_registry() -> dict[str, tuple[QueryFn, str | None]]:
     prefix leads with the entries that have never held a driver
     verdict, then those whose last verdict is oldest, then refills
     with the previous round's greens — so consecutive CORRECTNESS
-    files jointly cover the whole inventory (r05 ∪ r06 = all 97).
+    files jointly cover the whole inventory (r05 ∪ r06 = all entries
+    except the three past-window round-6 additions q2/q11/q16, which
+    rotate into the r07 window).
     The full local gate (`scripts/compare_oracle.py`) runs ALL
     entries every round regardless of ordering.
     """
@@ -3060,6 +3187,12 @@ def build_registry() -> dict[str, tuple[QueryFn, str | None]]:
             "ann_recall_eval": (q_ann_recall_eval, sql_ann_recall_eval()),
             "frame_sample": (q_frame_sample, sql_frame_sample()),
             "user_dwell_stats": (q_user_dwell_stats, SQL_USER_DWELL),
+            # --- (6) round-6 additions (past the 50-entry driver
+            # window — graded by the local gate this round, rotated
+            # into the driver window next round) ---
+            "q2_min_cost_supplier": (q2_min_cost_supplier, SQL_Q2),
+            "q11_important_parts": (q11_important_parts, SQL_Q11),
+            "q16_supplier_variety": (q16_supplier_variety, SQL_Q16),
         }
     )
     ordered = {name: reg.pop(name) for name in ROUND6_PREFIX}
