@@ -803,8 +803,16 @@ def q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_quantity").cast("bigint").alias("qty"),
         )
     )
-    pair = li.join(F.broadcast(p), "p_partkey").groupBy("p_partkey", "l_suppkey").agg(
-        F.sum("qty").alias("pair_qty")
+    # Materialized once: `pair` feeds both the per-part total and the
+    # share join, and AQE's broadcast conversion of `tot` breaks
+    # exchange reuse between the two branches (measured: 2 fact scans
+    # without the cut). The rollup is bounded by |MEDIUM parts| x
+    # |suppliers| — tiny next to lineitem.
+    pair = materialize(
+        li.join(F.broadcast(p), "p_partkey").groupBy("p_partkey", "l_suppkey").agg(
+            F.sum("qty").alias("pair_qty")
+        ),
+        eager=False,
     )
     tot = pair.groupBy("p_partkey").agg(F.sum("pair_qty").alias("part_qty"))
     majors = (
@@ -851,13 +859,28 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("l_orderkey"), "o_orderdate"
     )
     li = _read(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
-    j = li.join(o, "l_orderkey")
-    pairs = j.select("l_orderkey", "l_suppkey").distinct()
-    late = (
-        j.filter(F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 90)
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
+    # ONE fact scan + ONE (orderkey, suppkey) aggregation yields BOTH
+    # pair sets (all pairs, and pairs with any late line) — computing
+    # them as two separate .distinct()s would scan and shuffle the fact
+    # twice; here the groupBy exchange is shared (ReusedExchange) by
+    # every downstream consumer.
+    # Materialized once: the three consumers (semi-left, semi-probe,
+    # anti-probe) sit behind DIFFERENT exchange kinds (AQE broadcasts
+    # the probes), so exchange reuse can't dedupe them — without the
+    # cut the fact scan+join+agg runs three times. The pair table is
+    # bounded by distinct (order, supplier), far smaller than lineitem.
+    pl = materialize(
+        li.join(o, "l_orderkey")
+        .withColumn(
+            "is_late",
+            (F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 90).cast("int"),
+        )
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("is_late").alias("is_late")),
+        eager=False,
     )
+    pairs = pl.select("l_orderkey", "l_suppkey")
+    late = pl.filter(F.col("is_late") == 1).select("l_orderkey", "l_suppkey")
     # Rename BOTH columns on the probe side of each self-join so the
     # join condition can never resolve both legs to the same attribute
     # (Spark's self-join disambiguation would otherwise fold
