@@ -76,7 +76,11 @@ def _exclusive_prefix(
     # previous level's (__sbid1, __ssum1), and withColumn would
     # silently REPLACE a same-named bid column instead of adding one.
     sbid, ssum, soff_col = f"__sbid{level}", f"__ssum{level}", f"__soff{level}"
-    sup = sums.withColumn(sbid, F.floor(F.col(bid_col) / F.lit(block)))
+    # fan-out must be ≥ 2: with block=1 (a legal packing block size —
+    # one block per id), floor(bid / 1) == bid and the table would
+    # never shrink → unbounded recursion, one Spark job per level.
+    fan = max(block, 2)
+    sup = sums.withColumn(sbid, F.floor(F.col(bid_col) / F.lit(fan)))
     ssums = sup.groupBy(sbid).agg(F.sum(sum_col).alias(ssum))
     soff = _exclusive_prefix(ssums, sbid, ssum, soff_col, block, threshold, level + 1)
     # within each super-block: exclusive local prefix + the super-block

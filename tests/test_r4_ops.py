@@ -102,6 +102,23 @@ def test_pack_recursion_threshold_invariance(spark):
         assert deep == base, f"scan_threshold={thr} changed the packing"
 
 
+def test_pack_block1_recursion_terminates(spark):
+    # block=1 is legal (one block per id) but floor(bid/1) == bid, so
+    # without the fan-out>=2 guard the recursion never shrank the
+    # table — unbounded depth, one Spark job per level (froze the
+    # suite). Must finish AND match the naive cumsum.
+    rows = [(i, (i * 13) % 50 + 1) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, n long")
+    got = {
+        r["doc_id"]: r["start_offset"]
+        for r in packing.pack_sequences(df, "doc_id", "n", 64, block=1, scan_threshold=2).collect()
+    }
+    off = 0
+    for i, n in rows:
+        assert got[i] == off, i
+        off += n
+
+
 def test_pack_recursive_prefix_matches_naive(spark):
     # recursion correctness straight against the sequential cumsum
     # (not just self-consistency), sparse ids, ragged blocks.
