@@ -973,7 +973,15 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _read(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
         ach.join(F.broadcast(s), "s_suppkey")
-        .select("p_partkey", "s_suppkey", "s_name", F.round("min_price", 4).alias("min_unit_price"))
+        # explicit floor(x*1e4+0.5)/1e4 instead of round(): the min
+        # unit price can land exactly on a 4-dp rounding boundary
+        # (seen at sf0.1), where Spark's HALF_UP-on-decimal and
+        # DuckDB's scaled-double round() disagree on the last digit;
+        # floor over identical IEEE doubles is engine-invariant.
+        .select(
+            "p_partkey", "s_suppkey", "s_name",
+            (F.floor(F.col("min_price") * 10000 + F.lit(0.5)) / 10000.0).alias("min_unit_price"),
+        )
         .orderBy("p_partkey")
     )
 
@@ -990,7 +998,7 @@ ach AS (
   FROM li JOIN mn ON li.p_partkey = mn.p_partkey AND li.unit_price = mn.min_price
   GROUP BY li.p_partkey, mn.min_price
 )
-SELECT p_partkey, s_suppkey, s_name, round(min_price, 4) AS min_unit_price
+SELECT p_partkey, s_suppkey, s_name, floor(min_price * 10000 + 0.5) / 10000.0 AS min_unit_price
 FROM ach JOIN supplier USING (s_suppkey)
 ORDER BY p_partkey
 """

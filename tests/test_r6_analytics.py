@@ -95,10 +95,13 @@ def test_q2_argmin_is_true_minimum(spark, sf_dir):
         cur = best.get(r.l_partkey)
         if cur is None or (r.up, r.l_suppkey) < cur:
             best[r.l_partkey] = (r.up, r.l_suppkey)
+    import math
+
     got = {r.p_partkey: (r.s_suppkey, r.min_unit_price) for r in q2_min_cost_supplier(spark, sf_dir).collect()}
     assert set(got) == set(best)
     for pk, (up, sk) in best.items():
-        assert got[pk] == (sk, round(up, 4)), pk
+        # same explicit floor-rounding as the query (engine-invariant)
+        assert got[pk] == (sk, math.floor(up * 10000 + 0.5) / 10000.0), pk
 
 
 def test_q11_threshold_is_strictly_applied(spark, sf_dir):
