@@ -3076,6 +3076,50 @@ FROM g GROUP BY user_id
 """
 
 
+def q_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs click→purchase attribution within 1 hour — the BATCH
+    face of the watermarked stream-stream interval join
+    (streaming/joins.attribution_join; batch ≡ stream is pinned in
+    test_streaming_joins.py). Complements the funnel entry: the funnel
+    reports first-click conversion per user; attribution reports EVERY
+    (click, purchase) pair inside the window — the ad-attribution /
+    touchpoint-credit shape. Equi hash join on user_id with the time
+    bound as a residual condition (no nested loop); in streaming form
+    the same condition bounds the join state via both watermarks."""
+    from rustic_witcher_spark.streaming.joins import attribution_join
+
+    ev = read_events(spark, sf_dir).select("user_id", "event_type", "ts")
+    c = ev.filter(F.col("event_type") == "click").select("user_id", F.col("ts").alias("click_ts"))
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("purchase_ts")
+    )
+    return (
+        attribution_join(c, p, streaming=False)
+        .select(
+            "user_id",
+            _fmt(F.col("click_ts")).alias("click_at"),
+            _fmt(F.col("purchase_ts")).alias("purchase_at"),
+            "lag_seconds",
+        )
+        .orderBy("user_id", "click_at", "purchase_at")
+    )
+
+
+SQL_CLICK_ATTRIBUTION = """
+SELECT c.user_id,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_at,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_at,
+       floor(epoch(p.ts))::BIGINT - floor(epoch(c.ts))::BIGINT AS lag_seconds
+FROM events c
+JOIN events p
+  ON p.user_id = c.user_id
+ AND p.ts >= c.ts
+ AND p.ts <= c.ts + INTERVAL 1 HOUR
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+ORDER BY 1, 2, 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3098,8 +3142,8 @@ def build_registry() -> dict[str, tuple[QueryFn, str | None]]:
     verdict, then those whose last verdict is oldest, then refills
     with the previous round's greens — so consecutive CORRECTNESS
     files jointly cover the whole inventory (r05 ∪ r06 = all entries
-    except the three past-window round-6 additions q2/q11/q16, which
-    rotate into the r07 window).
+    except the four past-window round-6 additions q2/q11/q16/
+    click_attribution, which rotate into the r07 window).
     The full local gate (`scripts/compare_oracle.py`) runs ALL
     entries every round regardless of ordering.
     """
@@ -3224,6 +3268,7 @@ def build_registry() -> dict[str, tuple[QueryFn, str | None]]:
             "q2_min_cost_supplier": (q2_min_cost_supplier, SQL_Q2),
             "q11_important_parts": (q11_important_parts, SQL_Q11),
             "q16_supplier_variety": (q16_supplier_variety, SQL_Q16),
+            "click_attribution": (q_click_attribution, SQL_CLICK_ATTRIBUTION),
         }
     )
     ordered = {name: reg.pop(name) for name in ROUND6_PREFIX}
