@@ -36,10 +36,19 @@ def attribution_join(
     within: str = "1 hour",
     watermark_delay: str = "2 hours",
     streaming: bool | None = None,
+    how: str = "inner",
 ) -> DataFrame:
     """Attribute each purchase to the clicks that preceded it by at
     most ``within``. Works identically on batch and streaming inputs
     (pass streaming frames and the watermarks bound the join state).
+
+    ``how="leftOuter"`` additionally emits never-converted clicks with
+    NULL purchase columns — in streaming mode such a row is emitted
+    only once the watermark proves no future purchase can match (the
+    click's state is evicted), so the unmatched output is LATE by up
+    to ``watermark_delay`` but exactly-once. Spark requires the
+    time-interval condition for outer stream-stream joins; inner joins
+    merely want it for state bounding.
 
     Returns (key, click_ts, purchase_ts, lag_seconds).
     """
@@ -56,7 +65,7 @@ def attribution_join(
         & (F.col(purchase_ts) <= F.col(click_ts) + F.expr(f"INTERVAL {within}"))
     )
     return (
-        c.join(p, cond, "inner")
+        c.join(p, cond, how)
         .select(
             key,
             click_ts,

@@ -40,6 +40,47 @@ def test_batch_attribution(spark):
     assert _got(rows) == EXPECTED
 
 
+def test_batch_left_outer_keeps_unconverted_clicks(spark):
+    c = spark.createDataFrame(CLICKS, C_SCHEMA)
+    p = spark.createDataFrame(PURCHASES, P_SCHEMA)
+    rows = attribution_join(c, p, how="leftOuter").collect()
+    matched = {t for t in _got(rows) if t[1] is not None}
+    unmatched = [r for r in rows if r["lag_seconds"] is None]
+    assert matched == EXPECTED
+    assert {(r["user_id"], r["click_ts"]) for r in unmatched} == {(2, _ts(9, 0)), (3, _ts(12, 0))}
+
+
+def test_stream_left_outer_emits_unmatched_after_watermark(spark, tmp_path):
+    """Outer stream-stream semantics: an unmatched click surfaces with
+    NULL purchase once the watermark passes click_ts + within — proven
+    by advancing event time with a later batch."""
+    csrc, psrc = str(tmp_path / "oc"), str(tmp_path / "op")
+    spark.createDataFrame(CLICKS, C_SCHEMA).write.parquet(csrc)
+    spark.createDataFrame(PURCHASES, P_SCHEMA).write.parquet(psrc)
+    cs = spark.readStream.schema(C_SCHEMA).parquet(csrc)
+    ps = spark.readStream.schema(P_SCHEMA).parquet(psrc)
+    out = attribution_join(cs, ps, watermark_delay="10 minutes", how="leftOuter")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("oattrib")
+        .option("checkpointLocation", str(tmp_path / "ock"))
+        .start()
+    )
+    q.processAllAvailable()
+    # advance BOTH watermarks far past every click's interval end
+    spark.createDataFrame([(99, _ts(23, 0))], C_SCHEMA).write.mode("append").parquet(csrc)
+    spark.createDataFrame([(99, _ts(23, 1))], P_SCHEMA).write.mode("append").parquet(psrc)
+    q.processAllAvailable()
+    q.processAllAvailable()  # one more cycle so eviction lands in the sink
+    rows = spark.sql("SELECT * FROM oattrib WHERE user_id < 99").collect()
+    q.stop()
+    assert {t for t in _got(rows) if t[1] is not None} == EXPECTED
+    assert {(r["user_id"], r["click_ts"]) for r in rows if r["lag_seconds"] is None} == {
+        (2, _ts(9, 0)), (3, _ts(12, 0)),
+    }
+
+
 def test_stream_matches_batch_across_microbatches(spark, tmp_path):
     csrc, psrc = str(tmp_path / "clicks"), str(tmp_path / "purchases")
     # batch 1: the clicks only
