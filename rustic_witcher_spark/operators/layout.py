@@ -1,0 +1,63 @@
+"""Z-order (Morton-curve) data layout for multi-dimensional data
+skipping.
+
+Motivation: the reference prunes input files by name/date
+(ref: file listing modes, SURVEY §2.1 S3/S4) — one-dimensional
+pruning. At lake scale the analogous physical-layout tool for TWO
+selective key columns is Z-ordering: interleave the bits of both keys
+into one Morton value and range-partition files by it, so a predicate
+on EITHER key touches a bounded band of files (each z-range bucket
+spans a bounded rectangle of (x, y) space — min/max column stats per
+file stay tight on both dimensions at once).
+
+The interleave is a pure integer expression — whole-stage codegen on
+the Spark side and the IDENTICAL arithmetic in ANSI SQL for the
+oracle: sum over bit positions of ``((x >> i) & 1) << 2i`` and
+``((y >> i) & 1) << (2i+1)``.
+
+100 TB story: computing z is embarrassingly parallel (no shuffle); the
+layout write is ONE range-repartition by z (Spark samples bounds —
+``repartitionByRange`` — a single shuffle that replaces the table's
+layout forever after). The profiling query in queries.py groups by
+z-bucket and reports per-bucket min/max of both dimensions — the
+quantitative "how tight would my file stats be" answer, with no
+extra shuffle beyond the bucket groupBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def z_value(x: Column, y: Column, bits: int = 8) -> Column:
+    """Morton-interleave the low ``bits`` bits of two non-negative
+    integer columns: x occupies even bit positions, y odd ones."""
+    z = F.lit(0)
+    for i in range(bits):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(x.cast("long"), i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(F.shiftright(y.cast("long"), i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z.alias("z")
+
+
+def sql_z_value(x_expr: str, y_expr: str, bits: int = 8) -> str:
+    """The identical Morton interleave as a DuckDB SQL expression."""
+    terms = []
+    for i in range(bits):
+        # fully parenthesized: DuckDB (like C) binds + tighter than <<,
+        # so unparenthesized shift terms would cascade into each other
+        terms.append(f"(((({x_expr}) >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((({y_expr}) >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def zorder_layout(df: DataFrame, x_col: str, y_col: str, bits: int = 8) -> DataFrame:
+    """Attach the z value and range-repartition by it — the physical
+    re-layout step (callers then write one file per partition). Kept
+    separate from the profiling query so the repartition (the only
+    shuffle) is opt-in."""
+    withz = df.withColumn("z", z_value(F.col(x_col), F.col(y_col), bits))
+    return withz.repartitionByRange("z")

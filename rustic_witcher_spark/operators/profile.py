@@ -1,0 +1,92 @@
+"""ANALYZE-style column profiling and referential-integrity auditing.
+
+The reference validates exports with per-table predicates
+(ref: rustic-witcher validation config, SURVEY §2.10 O9) and syncs
+sequence maxima with ``MAX(pk)`` catalog queries (§2.5 A1). This module
+generalizes both into the two audits every warehouse/export run wants:
+
+- ``column_profile``: one-pass per-column stats (nulls, distinct count,
+  min/max) in long format — the input to drift detection, config
+  generation, and optimizer statistics.
+- referential-integrity orphan counts (built in queries.py on top of
+  left-anti joins) — "does every child row still have its parent after
+  the export/anonymization?".
+
+100 TB story: ``column_profile`` is a SINGLE global aggregate. Exact
+``count(distinct)`` over k columns makes Catalyst plan an Expand (k+1
+rows per input row) before the partial aggregate — acceptable for
+profiling runs, but the scale path is ``approx_count_distinct``
+(HLL++, rsd 0.05 default), which keeps the plan a plain two-phase
+hash aggregate with NO Expand and NO extra shuffle. Both variants do
+map-side partial aggregation, so the shuffle carries one row per
+partition, not per value. Min/max are rendered as strings so
+heterogeneous column types can share the long-format schema.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def column_profile(df: DataFrame, cols: Sequence[str], exact: bool = True) -> DataFrame:
+    """Long-format per-column stats: (column, n_rows, n_nulls,
+    n_distinct, min_value, max_value), one row per profiled column.
+
+    ``exact=False`` swaps count(distinct) for approx_count_distinct —
+    the 100 TB default (no Expand in the plan; see module docstring).
+    """
+    ndv = (lambda c: F.count_distinct(F.col(c))) if exact else (
+        lambda c: F.approx_count_distinct(F.col(c))
+    )
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__nulls_{c}"),
+            ndv(c).alias(f"__ndv_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    # unpivot the single wide row into one row per column; stack() is a
+    # generator expression — no shuffle, runs on the 1-row aggregate
+    stack_args = ", ".join(
+        f"'{c}', __nulls_{c}, __ndv_{c}, __min_{c}, __max_{c}" for c in cols
+    )
+    return wide.selectExpr(
+        "n_rows",
+        f"stack({len(cols)}, {stack_args}) AS (column, n_nulls, n_distinct, min_value, max_value)",
+    ).select("column", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value")
+
+
+def ri_orphan_counts(
+    child: DataFrame,
+    child_key: str,
+    parent: DataFrame,
+    parent_key: str,
+    check_name: str,
+    broadcast_parent: bool = False,
+) -> DataFrame:
+    """One referential-integrity edge: (check_name, n_child_rows,
+    n_orphans) in a single pass — LEFT join against the parent's
+    distinct keys plus a conditional count (an anti-join would need a
+    second job for the total). ``broadcast_parent`` for dim-table
+    parents (zero child shuffle); fact-fact edges leave the strategy
+    to AQE, which shuffles both sides on the key — the correct plan
+    when neither side fits in memory."""
+    pkeys = (
+        parent.select(F.col(parent_key).alias("__k")).distinct().withColumn("__hit", F.lit(1))
+    )
+    if broadcast_parent:
+        pkeys = F.broadcast(pkeys)
+    return (
+        child.select(F.col(child_key).alias("__k"))
+        .join(pkeys, "__k", "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_child_rows"),
+            F.sum(F.when(F.col("__hit").isNull(), 1).otherwise(0)).alias("n_orphans"),
+        )
+        .select(F.lit(check_name).alias("check_name"), "n_child_rows", "n_orphans")
+    )

@@ -41,6 +41,7 @@ from rustic_witcher_spark.operators import (
     skew,
     text,
 )
+from rustic_witcher_spark.operators import layout, profile, scd2
 from rustic_witcher_spark.operators.asof import asof_join
 from rustic_witcher_spark.operators.cdc import apply_cdc
 from rustic_witcher_spark.operators.range_join import range_join
@@ -3121,6 +3122,380 @@ ORDER BY 1, 2, 3
 
 
 # ---------------------------------------------------------------------------
+# (7) round-6 warehouse-ops additions: SCD2 history, profiling/auditing,
+#     gap-fill, mergeable histograms, Z-order layout, span-level dedup
+# ---------------------------------------------------------------------------
+
+
+def q_scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension build from the event log: collapse each user's
+    consecutive same-state events into validity intervals
+    [valid_from, valid_to) with an open current version. The complement
+    of CDC's last-writer-wins merge (J1): keep EVERY version,
+    queryable by time. Both windows + the run groupBy share ONE
+    user_id hash partitioning — a single Exchange in the whole plan."""
+    ev = read_events(spark, sf_dir)
+    hist = scd2.scd2_intervals(
+        ev, ["user_id"], ["event_type"], "ts", tiebreak_cols=["event_id"]
+    )
+    return hist.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        _fmt(F.col("valid_from")).alias("valid_from"),
+        _fmt(F.col("valid_to")).alias("valid_to"),
+        "is_current",
+        "n_changes",
+    ).orderBy("user_id", "valid_from")
+
+
+SQL_SCD2_HISTORY = """
+WITH marked AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR lag(event_type) OVER w IS DISTINCT FROM event_type
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+runs AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS run
+  FROM marked
+),
+per_run AS (
+  SELECT user_id, run, min(event_type) AS state,
+         min(ts) AS vf, count(*) AS n_changes
+  FROM runs GROUP BY user_id, run
+)
+SELECT user_id, state,
+       strftime(vf, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       strftime(lead(vf) OVER w2, '%Y-%m-%d %H:%M:%S') AS valid_to,
+       (lead(vf) OVER w2 IS NULL) AS is_current,
+       n_changes
+FROM per_run
+WINDOW w2 AS (PARTITION BY user_id ORDER BY vf)
+ORDER BY user_id, valid_from
+"""
+
+_SCD2_AT = "2024-01-15 00:00:00"
+
+
+def q_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time snapshot over the SCD2 history: each user's single
+    valid state at a fixed timestamp. A pure filter over the interval
+    table — no join, no window beyond the history build; on a
+    date-partitioned history table this predicate prunes files."""
+    ev = read_events(spark, sf_dir)
+    hist = scd2.scd2_intervals(
+        ev, ["user_id"], ["event_type"], "ts", tiebreak_cols=["event_id"]
+    )
+    snap = scd2.scd2_snapshot(hist, _SCD2_AT)
+    return snap.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        _fmt(F.col("valid_from")).alias("state_since"),
+    ).orderBy("user_id")
+
+
+SQL_SCD2_SNAPSHOT = f"""
+WITH marked AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR lag(event_type) OVER w IS DISTINCT FROM event_type
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+runs AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS run
+  FROM marked
+),
+per_run AS (
+  SELECT user_id, run, min(event_type) AS state,
+         min(ts) AS vf, count(*) AS n_changes
+  FROM runs GROUP BY user_id, run
+),
+hist AS (
+  SELECT user_id, state, vf, lead(vf) OVER (PARTITION BY user_id ORDER BY vf) AS vt
+  FROM per_run
+)
+SELECT user_id, state, strftime(vf, '%Y-%m-%d %H:%M:%S') AS state_since
+FROM hist
+WHERE vf <= TIMESTAMP '{_SCD2_AT}' AND (vt IS NULL OR vt > TIMESTAMP '{_SCD2_AT}')
+ORDER BY user_id
+"""
+
+_PROFILE_COLS = ["l_orderkey", "l_quantity", "l_discount", "l_returnflag"]
+
+
+def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style one-pass column profiling of lineitem (nulls,
+    exact NDV, min/max) in long format — drift detection / config
+    generation / optimizer-stats input. Exact count(distinct) over k
+    columns costs one Expand (k+1 rows per input) before the partial
+    agg; profile.column_profile(exact=False) is the documented 100 TB
+    path (HLL++, no Expand). Map-side partials either way: the shuffle
+    carries one row per partition."""
+    li = _read(spark, sf_dir, "lineitem")
+    return profile.column_profile(li, _PROFILE_COLS, exact=True).orderBy("column")
+
+
+def sql_column_profile() -> str:
+    parts = [
+        f"""SELECT '{c}' AS "column", count(*) AS n_rows,
+       sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+       count(DISTINCT {c}) AS n_distinct,
+       min({c})::VARCHAR AS min_value, max({c})::VARCHAR AS max_value
+FROM lineitem"""
+        for c in _PROFILE_COLS
+    ]
+    return "\nUNION ALL\n".join(parts) + '\nORDER BY "column"'
+
+
+_RI_CHECKS: list[tuple[str, str, str, str, str, bool]] = [
+    # (name, child table, child key, parent table, parent key, parent-is-dim)
+    ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey", False),
+    ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey", True),
+    ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey", True),
+    ("orders->customer", "orders", "o_custkey", "customer", "c_custkey", True),
+]
+
+
+def q_ri_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit after an export/anonymization run:
+    per FK edge, child-row count and orphan count (child rows whose
+    parent key vanished). One pass per edge: LEFT join against the
+    parent's distinct keys + conditional count — dim-table parents are
+    broadcast (zero fact shuffle); the fact-fact edge
+    (lineitem->orders) is left to AQE, which shuffles both sides on
+    the key — the correct 100 TB plan. Generalizes the reference's
+    validation predicates (SURVEY §2.10 O9) to cross-table invariants."""
+    out = None
+    for name, child_t, ck, parent_t, pk, is_dim in _RI_CHECKS:
+        row = profile.ri_orphan_counts(
+            _read(spark, sf_dir, child_t),
+            ck,
+            _read(spark, sf_dir, parent_t),
+            pk,
+            name,
+            broadcast_parent=is_dim,
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("check_name")
+
+
+def sql_ri_orphans() -> str:
+    parts = [
+        f"""SELECT '{name}' AS check_name, count(*) AS n_child_rows,
+       sum(CASE WHEN p.__k IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_orphans
+FROM {child_t} c LEFT JOIN (SELECT DISTINCT {pk} AS __k FROM {parent_t}) p
+  ON c.{ck} = p.__k"""
+        for name, child_t, ck, parent_t, pk, _ in _RI_CHECKS
+    ]
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY check_name"
+
+
+def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample with gap fill: per (event_type, hour) event
+    counts over a COMPLETE hourly spine — missing hours appear with
+    zeros (the shape every downstream charting/anomaly job wants).
+    Scale shape: the fact table is aggregated FIRST (one map-side
+    combinable groupBy); the spine is generated from a 1-row global
+    min/max aggregate via sequence+explode (never a driver loop) and
+    is tiny (#hours x #types), so the final LEFT join broadcasts the
+    aggregated counts — zero extra shuffle."""
+    ev = read_events(spark, sf_dir)
+    counts = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour_ts")
+    ).agg(F.count(F.lit(1)).alias("__n"), F.round(F.sum("value"), 2).alias("__sv"))
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("hour_ts")
+    )
+    types = ev.select("event_type").distinct()
+    spine = hours.crossJoin(F.broadcast(types))
+    return (
+        spine.join(F.broadcast(counts), ["event_type", "hour_ts"], "left")
+        .select(
+            "event_type",
+            _fmt(F.col("hour_ts")).alias("hour_ts"),
+            F.coalesce(F.col("__n"), F.lit(0)).alias("n_events"),
+            F.coalesce(F.col("__sv"), F.lit(0.0)).alias("sum_value"),
+        )
+        .orderBy("event_type", "hour_ts")
+    )
+
+
+SQL_EVENTS_GAPFILL = """
+WITH counts AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+         count(*) AS n, round(sum(value), 2) AS sv
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+  FROM events
+),
+spine AS (
+  SELECT t.event_type, unnest(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS hour_ts
+  FROM bounds b CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+)
+SELECT s.event_type, strftime(s.hour_ts, '%Y-%m-%d %H:%M:%S') AS hour_ts,
+       coalesce(c.n, 0) AS n_events, coalesce(c.sv, 0.0) AS sum_value
+FROM spine s LEFT JOIN counts c
+  ON c.event_type = s.event_type AND c.hour_ts = s.hour_ts
+ORDER BY 1, 2
+"""
+
+
+def q_latency_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable log2-bucket histogram of event values per type, with
+    per-type share and cumulative share. The bucket id is EXACT integer
+    arithmetic (length of the binary rep of floor(value)+1, not
+    float log2 — immune to libm last-ulp differences across engines).
+    Fixed buckets make the histogram algebraically mergeable across
+    partitions/days at 100 TB (unlike exact percentiles); the CDF
+    window runs over ~#types x #buckets rows, not the data."""
+    ev = read_events(spark, sf_dir)
+    bucket = (
+        F.length(F.conv((F.floor(F.col("value")) + F.lit(1)).cast("long"), 10, 2)) - 1
+    ).alias("bucket")
+    h = ev.select("event_type", bucket).groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wt = Window.partitionBy("event_type")
+    wc = Window.partitionBy("event_type").orderBy("bucket")
+    return (
+        h.withColumn("lo", F.pow(F.lit(2.0), F.col("bucket")).cast("long") - 1)
+        .withColumn("share", F.round(F.col("n") / F.sum("n").over(wt), 6))
+        .withColumn("cum_share", F.round(F.sum("n").over(wc) / F.sum("n").over(wt), 6))
+        .select("event_type", "bucket", "lo", "n", "share", "cum_share")
+        .orderBy("event_type", "bucket")
+    )
+
+
+SQL_LATENCY_HISTOGRAM = """
+WITH h AS (
+  SELECT event_type,
+         length(bin((floor(value) + 1)::BIGINT)) - 1 AS bucket,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, bucket, power(2, bucket)::BIGINT - 1 AS lo, n,
+       round(n / sum(n) OVER (PARTITION BY event_type), 6) AS share,
+       round(sum(n) OVER (PARTITION BY event_type ORDER BY bucket)
+             / sum(n) OVER (PARTITION BY event_type), 6) AS cum_share
+FROM h
+ORDER BY event_type, bucket
+"""
+
+_Z_BITS = 8
+
+
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout profile: Morton-interleave the low 8 bits of
+    (l_partkey, l_suppkey), bucket by the top interleaved byte, and
+    report per-bucket min/max of BOTH dimensions — every bucket spans
+    a <=16-wide range in each, which is exactly why z-range file
+    layout keeps per-file min/max stats tight on two columns at once
+    (2-D data skipping; the reference's file pruning is 1-D, SURVEY
+    §2.1 S3/S4). The z computation is shuffle-free codegen; the
+    physical re-layout (layout.zorder_layout) is ONE range
+    repartition, profiled here with a bucket groupBy instead."""
+    li = _read(spark, sf_dir, "lineitem")
+    x = F.col("l_partkey").bitwiseAND(F.lit(255))
+    y = F.col("l_suppkey").bitwiseAND(F.lit(255))
+    withz = li.select(
+        x.alias("x"), y.alias("y"), layout.z_value(x, y, _Z_BITS).alias("z")
+    )
+    return (
+        withz.groupBy(F.shiftright(F.col("z"), _Z_BITS).alias("z_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("x").alias("x_min"),
+            F.max("x").alias("x_max"),
+            F.min("y").alias("y_min"),
+            F.max("y").alias("y_max"),
+        )
+        .orderBy("z_bucket")
+    )
+
+
+def sql_zorder_layout() -> str:
+    z = layout.sql_z_value("(l_partkey & 255)", "(l_suppkey & 255)", _Z_BITS)
+    return f"""
+WITH withz AS (
+  SELECT (l_partkey & 255) AS x, (l_suppkey & 255) AS y, {z} AS z
+  FROM lineitem
+)
+SELECT (z >> {_Z_BITS}) AS z_bucket, count(*) AS n_rows,
+       min(x) AS x_min, max(x) AS x_max, min(y) AS y_min, max(y) AS y_max
+FROM withz GROUP BY 1 ORDER BY 1
+"""
+
+_SPAN_N = 12
+
+
+def q_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alignment-robust exact-substring dup signal (the sliding-window
+    counterpart of chunk_dedup's disjoint chunks): per document, the
+    fraction of its distinct sliding 12-word grams that occur in at
+    least one other document. Catches dups that straddle chunk
+    boundaries. Pipeline: one rolling-hash projection per doc
+    (decontam.word_ngram_hashes — one md5 per token), explode, ONE
+    gram-hash shuffle where a count(*) window marks shared grams (no
+    self-join, no pair explosion), then a map-side-combinable per-doc
+    rollup. Cost at 100 TB: two shuffles (gram, doc), both linear in
+    gram count."""
+    d = _spread(spark, _read(spark, sf_dir, "documents"))
+    grams = decontam.word_ngram_hashes(F.col("text"), _SPAN_N)
+    g = d.select("doc_id", F.explode(grams).alias("g"))
+    counted = g.withColumn("n_owners", F.count(F.lit(1)).over(Window.partitionBy("g")))
+    per_doc = counted.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(F.when(F.col("n_owners") >= 2, 1).otherwise(0)).alias("n_dup_grams"),
+    )
+    return (
+        d.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),
+            F.coalesce(F.col("n_dup_grams"), F.lit(0)).alias("n_dup_grams"),
+            F.round(
+                F.coalesce(F.col("n_dup_grams"), F.lit(0))
+                / F.greatest(F.coalesce(F.col("n_grams"), F.lit(0)), F.lit(1)),
+                6,
+            ).alias("dup_fraction"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def sql_dup_span_fraction() -> str:
+    th = decontam.sql_token_hashes(_norm_sql("text"))
+    grams = decontam.sql_word_ngram_hashes(_SPAN_N)
+    return f"""
+WITH th AS (SELECT doc_id, {th} AS __th FROM documents),
+g AS (SELECT doc_id, unnest({grams}) AS g FROM th),
+c AS (SELECT doc_id, count(*) OVER (PARTITION BY g) AS n_owners FROM g),
+p AS (
+  SELECT doc_id, count(*) AS n_grams,
+         sum(CASE WHEN n_owners >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup_grams
+  FROM c GROUP BY 1
+)
+SELECT d.doc_id, coalesce(p.n_grams, 0) AS n_grams,
+       coalesce(p.n_dup_grams, 0) AS n_dup_grams,
+       round(coalesce(p.n_dup_grams, 0) / greatest(coalesce(p.n_grams, 0), 1), 6)
+         AS dup_fraction
+FROM documents d LEFT JOIN p ON d.doc_id = p.doc_id
+ORDER BY d.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -3269,6 +3644,16 @@ def build_registry() -> dict[str, tuple[QueryFn, str | None]]:
             "q11_important_parts": (q11_important_parts, SQL_Q11),
             "q16_supplier_variety": (q16_supplier_variety, SQL_Q16),
             "click_attribution": (q_click_attribution, SQL_CLICK_ATTRIBUTION),
+            # --- (7) round-6 warehouse-ops additions (past the driver
+            # window — local gate this round, rotate into r07) ---
+            "scd2_user_history": (q_scd2_user_history, SQL_SCD2_HISTORY),
+            "scd2_point_in_time": (q_scd2_point_in_time, SQL_SCD2_SNAPSHOT),
+            "column_profile": (q_column_profile, sql_column_profile()),
+            "ri_orphans": (q_ri_orphans, sql_ri_orphans()),
+            "events_gapfill": (q_events_gapfill, SQL_EVENTS_GAPFILL),
+            "latency_histogram": (q_latency_histogram, SQL_LATENCY_HISTOGRAM),
+            "zorder_layout": (q_zorder_layout, sql_zorder_layout()),
+            "dup_span_fraction": (q_dup_span_fraction, sql_dup_span_fraction()),
         }
     )
     ordered = {name: reg.pop(name) for name in ROUND6_PREFIX}
