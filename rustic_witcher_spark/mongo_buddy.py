@@ -10,6 +10,8 @@ tooling, which is not in this container.
 
 from __future__ import annotations
 
+import os
+
 
 class ProductionGuardError(RuntimeError):
     pass
@@ -70,6 +72,58 @@ def multipart_part_size(total_bytes: int) -> int | None:
     if total_bytes < MULTIPART_THRESHOLD_BYTES:
         return None
     return -(-total_bytes // TARGET_MULTIPART_PARTS)  # ceil division
+
+
+def multipart_upload(client, bucket: str, key: str, path: str, part_size: int) -> None:
+    """Real S3 multipart sequence (ref: mongo_data_exporter.rs:105-237):
+    CreateMultipartUpload → UploadPart per ``part_size`` chunk (read
+    streamed, never the whole archive in memory) → CompleteMultipartUpload
+    with the collected (PartNumber, ETag) list; AbortMultipartUpload on
+    any failure so S3 doesn't accumulate orphaned billable parts.
+
+    ``client`` is boto3-shaped and injected (the container has no S3);
+    tests drive a fake asserting the exact call/chunk sequence.
+    """
+    mpu = client.create_multipart_upload(Bucket=bucket, Key=key)
+    upload_id = mpu["UploadId"]
+    parts = []
+    try:
+        with open(path, "rb") as fh:
+            num = 1
+            while True:
+                chunk = fh.read(part_size)
+                if not chunk:
+                    break
+                resp = client.upload_part(
+                    Bucket=bucket, Key=key, UploadId=upload_id, PartNumber=num, Body=chunk
+                )
+                parts.append({"PartNumber": num, "ETag": resp["ETag"]})
+                num += 1
+        client.complete_multipart_upload(
+            Bucket=bucket, Key=key, UploadId=upload_id, MultipartUpload={"Parts": parts}
+        )
+    except Exception:
+        client.abort_multipart_upload(Bucket=bucket, Key=key, UploadId=upload_id)
+        raise
+
+
+def upload_archive(client, bucket: str, key: str, path: str) -> None:
+    """Size-routed upload: single PutObject under the 5 GiB threshold,
+    else the ~10-part multipart sequence — the exporter's decision rule
+    (``multipart_part_size``) wired to a real client call sequence."""
+    total = os.path.getsize(path)
+    part_size = multipart_part_size(total)
+    if part_size is None:
+        with open(path, "rb") as fh:
+            client.put_object(Bucket=bucket, Key=key, Body=fh)
+        return
+    multipart_upload(client, bucket, key, path, part_size)
+
+
+def s3_upload_hook(client):
+    """Adapter binding a boto3 client to ``export_data``'s
+    ``upload(bucket, key, file)`` hook with size-routed multipart."""
+    return lambda bucket, key, path: upload_archive(client, bucket, key, path)
 
 
 def split_s3_path(s3_path: str) -> tuple[str, str]:

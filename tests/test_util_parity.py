@@ -45,6 +45,76 @@ def test_multipart_sizing():
     assert part is not None and 9 <= (6 * 1024**3) / part <= 10
 
 
+class _FakeS3:
+    """boto3-shaped recorder for the multipart sequence."""
+
+    def __init__(self, fail_on_part: int | None = None):
+        self.calls: list[tuple] = []
+        self.fail_on_part = fail_on_part
+
+    def create_multipart_upload(self, Bucket, Key):
+        self.calls.append(("create", Bucket, Key))
+        return {"UploadId": "uid-1"}
+
+    def upload_part(self, Bucket, Key, UploadId, PartNumber, Body):
+        if self.fail_on_part == PartNumber:
+            raise IOError("network")
+        self.calls.append(("part", UploadId, PartNumber, len(Body), bytes(Body[:2])))
+        return {"ETag": f"etag-{PartNumber}"}
+
+    def complete_multipart_upload(self, Bucket, Key, UploadId, MultipartUpload):
+        self.calls.append(("complete", UploadId, MultipartUpload["Parts"]))
+
+    def abort_multipart_upload(self, Bucket, Key, UploadId):
+        self.calls.append(("abort", UploadId))
+
+    def put_object(self, Bucket, Key, Body):
+        self.calls.append(("put", Bucket, Key, len(Body.read())))
+
+
+def test_multipart_upload_chunks_and_completes(tmp_path):
+    p = tmp_path / "archive.tar.zst"
+    p.write_bytes(b"ab" * 13)  # 26 bytes
+    s3 = _FakeS3()
+    mb.multipart_upload(s3, "bkt", "k/a.tar.zst", str(p), part_size=10)
+    kinds = [c[0] for c in s3.calls]
+    assert kinds == ["create", "part", "part", "part", "complete"]
+    # chunk sizes 10/10/6, part numbers sequential, first bytes correct
+    parts = [c for c in s3.calls if c[0] == "part"]
+    assert [(c[2], c[3]) for c in parts] == [(1, 10), (2, 10), (3, 6)]
+    assert parts[0][4] == b"ab"
+    # completion carries every (PartNumber, ETag) in order
+    assert s3.calls[-1][2] == [
+        {"PartNumber": 1, "ETag": "etag-1"},
+        {"PartNumber": 2, "ETag": "etag-2"},
+        {"PartNumber": 3, "ETag": "etag-3"},
+    ]
+
+
+def test_multipart_upload_aborts_on_failure(tmp_path):
+    p = tmp_path / "a.bin"
+    p.write_bytes(b"x" * 30)
+    s3 = _FakeS3(fail_on_part=2)
+    with pytest.raises(IOError):
+        mb.multipart_upload(s3, "b", "k", str(p), part_size=10)
+    assert s3.calls[-1] == ("abort", "uid-1")  # no orphaned billable parts
+
+
+def test_upload_archive_routes_by_size(tmp_path, monkeypatch):
+    p = tmp_path / "small.bin"
+    p.write_bytes(b"y" * 100)
+    s3 = _FakeS3()
+    mb.upload_archive(s3, "b", "k", str(p))
+    assert s3.calls == [("put", "b", "k", 100)]  # under threshold: single PUT
+    # shrink the threshold to exercise the multipart branch on a tiny file
+    monkeypatch.setattr(mb, "MULTIPART_THRESHOLD_BYTES", 50)
+    s3b = _FakeS3()
+    mb.upload_archive(s3b, "b", "k", str(p))
+    kinds = [c[0] for c in s3b.calls]
+    assert kinds[0] == "create" and kinds[-1] == "complete"
+    assert sum(c[3] for c in s3b.calls if c[0] == "part") == 100
+
+
 def test_skip_validations_env(spark, monkeypatch):
     from rustic_witcher_spark.config.model import ValidationCheck, ValidationConfig
     from rustic_witcher_spark.validation import run_validations
