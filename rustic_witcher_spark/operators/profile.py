@@ -35,21 +35,32 @@ def column_profile(df: DataFrame, cols: Sequence[str], exact: bool = True) -> Da
     """Long-format per-column stats: (column, n_rows, n_nulls,
     n_distinct, min_value, max_value), one row per profiled column.
 
-    ``exact=False`` swaps count(distinct) for approx_count_distinct —
-    the 100 TB default (no Expand in the plan; see module docstring).
+    ``exact=False`` keeps everything in ONE aggregate using
+    approx_count_distinct (HLL++) — the 100 TB default.
+
+    ``exact=True`` splits the NDVs into one single-column distinct
+    aggregate per column instead of a multi-distinct agg: Catalyst
+    rewrites k distinct aggs in one Aggregate through Expand (k+1 rows
+    per input) + a SortAggregate of first()s — measured 6x slower at
+    sf0.1 than k separate two-phase hash aggregates, each of which
+    column-prunes its scan (total bytes ~ 2 scans of the profiled
+    columns). The 1-row results re-assemble by broadcast join — no
+    data shuffle.
     """
-    ndv = (lambda c: F.count_distinct(F.col(c))) if exact else (
-        lambda c: F.approx_count_distinct(F.col(c))
-    )
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c in cols:
         aggs += [
             F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__nulls_{c}"),
-            ndv(c).alias(f"__ndv_{c}"),
             F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
             F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
         ]
+    if not exact:
+        aggs += [F.approx_count_distinct(F.col(c)).alias(f"__ndv_{c}") for c in cols]
     wide = df.agg(*aggs)
+    if exact:
+        for c in cols:
+            ndv = df.agg(F.count_distinct(F.col(c)).alias(f"__ndv_{c}"))
+            wide = wide.join(F.broadcast(ndv))
     # unpivot the single wide row into one row per column; stack() is a
     # generator expression — no shuffle, runs on the 1-row aggregate
     stack_args = ", ".join(

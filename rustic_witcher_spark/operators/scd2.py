@@ -41,6 +41,7 @@ def scd2_intervals(
     attr_cols: Sequence[str],
     ts_col: str,
     tiebreak_cols: Sequence[str] = (),
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Collapse an event/change log into SCD2 validity intervals.
 
@@ -52,6 +53,11 @@ def scd2_intervals(
     ``tiebreak_cols`` must make (ts, tiebreak) a total order per key —
     pass the log's unique id so same-timestamp events order
     deterministically across engines and partitionings.
+
+    ``weight_col``: each input row counts as this many changes instead
+    of 1 — lets the incremental merger (streaming/scd2_stream.py) feed
+    already-collapsed history rows back through without losing their
+    accumulated ``n_changes``.
     """
     order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in tiebreak_cols]
     w = Window.partitionBy(*key_cols).orderBy(*order)
@@ -66,13 +72,15 @@ def scd2_intervals(
             out = out | c
         return out
 
-    runs = df.select(*key_cols, *attr_cols, ts_col, *tiebreak_cols).withColumn(
+    weight = F.col(weight_col) if weight_col else F.lit(1)
+    extra = [weight_col] if weight_col else []
+    runs = df.select(*key_cols, *attr_cols, ts_col, *tiebreak_cols, *extra).withColumn(
         "__run", F.sum(F.when(changed(), 1).otherwise(0)).over(w)
     )
     per_run = runs.groupBy(*key_cols, F.col("__run")).agg(
         *[F.first(c).alias(c) for c in attr_cols],
         F.min(ts_col).alias("valid_from"),
-        F.count("*").alias("n_changes"),
+        F.sum(weight).cast("long").alias("n_changes"),
     )
     w2 = Window.partitionBy(*key_cols).orderBy(F.col("valid_from").asc())
     return (

@@ -119,17 +119,23 @@ def test_column_profile_counts(spark):
     assert rows["s"]["min_value"] == "a" and rows["s"]["max_value"] == "b"
 
 
-def test_column_profile_approx_has_no_expand(spark):
+def test_column_profile_no_expand_either_path(spark):
     df = spark.range(1000).withColumn("y", F.col("id") % 7)
     exact = profile.column_profile(df, ["id", "y"], exact=True)
     approx = profile.column_profile(df, ["id", "y"], exact=False)
     exact_plan = exact._jdf.queryExecution().executedPlan().toString()
     approx_plan = approx._jdf.queryExecution().executedPlan().toString()
-    assert "Expand" in exact_plan  # the documented exact-NDV cost
-    assert "Expand" not in approx_plan  # the 100 TB path avoids it
+    # exact NDVs run as per-column two-phase aggregates joined back by
+    # broadcast — never the multi-distinct Expand rewrite (measured 6x
+    # slower at sf0.1); approx stays one HLL++ aggregate
+    assert "Expand" not in exact_plan
+    assert "Expand" not in approx_plan
+    assert exact_plan.count("BroadcastNestedLoopJoin") == 2  # 1-row joins only
     got = {r["column"]: r for r in approx.collect()}
     assert got["y"]["n_distinct"] == 7  # HLL++ exact at tiny cardinality
     assert abs(got["id"]["n_distinct"] - 1000) <= 50  # rsd 0.05
+    exact_rows = {r["column"]: r for r in exact.collect()}
+    assert exact_rows["id"]["n_distinct"] == 1000 and exact_rows["y"]["n_distinct"] == 7
 
 
 # ------------------------------------------------------------- RI audit
