@@ -1,0 +1,150 @@
+"""Continuous SCD2 maintenance — the streaming face of
+``operators.scd2.scd2_intervals``.
+
+Each micro-batch of change events merges into a materialized SCD2
+history (parquet snapshot via the same crash-safe swap as
+cdc_stream.py; production points the merger at Delta/Iceberg MERGE):
+
+1. split the history into TOUCHED keys (present in the batch — an
+   inner semi join on the batch's distinct keys, broadcast when small)
+   and UNTOUCHED keys (left-anti) — only touched keys are rebuilt;
+2. feed the touched intervals BACK through the interval builder as
+   pseudo-events (ts = valid_from, weight = n_changes — the
+   ``weight_col`` hook preserves accumulated change counts) together
+   with the batch's real events;
+3. union the rebuilt slice with the untouched slice and swap.
+
+Ordering contract (tested in test_scd2_stream.py):
+- batch ≡ stream EXACTLY when each key's events arrive across batches
+  in nondecreasing event time (any within-batch order, any cross-key
+  interleaving) — the normal CDC delivery guarantee;
+- a LATE event splices into the middle of the history correctly (new
+  interval inserted, neighbors re-closed) — the property a naive
+  "close current row, append new row" SCD2 apply silently lacks;
+- the one approximation: a late event landing strictly inside a run
+  that had already COLLAPSED several same-state events loses the
+  collapsed interior change points (the run re-splits at its recorded
+  start, not at the erased interior event). That information loss is
+  inherent to ANY compacted interval store; the merged history is
+  still structurally consistent (contiguous, disjoint, exactly one
+  open version per key). Keep the raw change log (the DMS file layout
+  this engine ingests already is one) and rebuild the key from it
+  when exact out-of-order repair matters.
+
+100 TB shape: per batch, cost is one semi + one anti join against the
+history (both on the key's hash partitioning; at lake scale the
+history table is partitioned so untouched partitions aren't
+rewritten — Delta/Iceberg MERGE does exactly this) plus the
+single-Exchange interval rebuild over ONLY the touched keys' rows —
+proportional to batch key cardinality, never to history size.
+"""
+
+from __future__ import annotations
+
+import shutil
+from collections.abc import Sequence
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rustic_witcher_spark.operators.scd2 import scd2_intervals
+from rustic_witcher_spark.streaming.cdc_stream import _recover, _swap_in
+
+
+def scd2_merge(
+    history: DataFrame,
+    batch: DataFrame,
+    key_cols: Sequence[str],
+    attr_cols: Sequence[str],
+    ts_col: str,
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Merge a batch of change events into an existing SCD2 history.
+
+    Pure DataFrame logic (no IO) so batch and streaming share one
+    implementation; returns the full new history.
+    """
+    keys = [F.col(c) for c in key_cols]
+    batch_keys = batch.select(*key_cols).distinct()
+    touched = history.join(F.broadcast(batch_keys), list(key_cols), "left_semi")
+    untouched = history.join(F.broadcast(batch_keys), list(key_cols), "left_anti")
+
+    # history rows -> weighted pseudo-events at their change points;
+    # real batch events carry weight 1. The tiebreak column must exist
+    # on both sides: pseudo-events sort before same-ts batch events
+    # (tiebreak -1), which only matters for the degenerate case of a
+    # batch event exactly at an existing change point.
+    pseudo = touched.select(
+        *keys,
+        *[F.col(c) for c in attr_cols],
+        F.col("valid_from").alias(ts_col),
+        *[F.lit(-1).alias(c) for c in tiebreak_cols],
+        F.col("n_changes").cast("long").alias("__w"),
+    )
+    events = batch.select(
+        *keys,
+        *[F.col(c) for c in attr_cols],
+        F.col(ts_col),
+        *[F.col(c) for c in tiebreak_cols],
+        F.lit(1).cast("long").alias("__w"),
+    )
+    rebuilt = scd2_intervals(
+        pseudo.unionByName(events),
+        key_cols,
+        attr_cols,
+        ts_col,
+        tiebreak_cols=tiebreak_cols,
+        weight_col="__w",
+    )
+    return untouched.unionByName(rebuilt)
+
+
+def scd2_snapshot_merger(
+    spark: SparkSession,
+    history_path: str,
+    key_cols: Sequence[str],
+    attr_cols: Sequence[str],
+    ts_col: str,
+    tiebreak_cols: Sequence[str] = (),
+):
+    """foreachBatch callable maintaining a parquet SCD2 history with
+    the crash-safe backup/promote swap from cdc_stream."""
+    final = Path(history_path)
+    tmp = Path(f"{history_path}__next")
+    _recover(final)
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        _recover(final)
+        if final.exists():
+            history = spark.read.parquet(str(final))
+            merged = scd2_merge(history, batch_df, key_cols, attr_cols, ts_col, tiebreak_cols)
+        else:
+            merged = scd2_intervals(batch_df, key_cols, attr_cols, ts_col, tiebreak_cols)
+        merged.write.mode("overwrite").parquet(str(tmp))
+        _swap_in(tmp, final)
+
+    return merge
+
+
+def streaming_scd2_apply(
+    spark: SparkSession,
+    change_stream: DataFrame,
+    history_path: str,
+    key_cols: Sequence[str],
+    attr_cols: Sequence[str],
+    ts_col: str,
+    checkpoint: str,
+    tiebreak_cols: Sequence[str] = (),
+    merge_fn=None,
+):
+    """Start the continuous SCD2-maintenance query."""
+    fn = merge_fn or scd2_snapshot_merger(
+        spark, history_path, key_cols, attr_cols, ts_col, tiebreak_cols
+    )
+    return (
+        change_stream.writeStream.foreachBatch(fn)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .start()
+    )
