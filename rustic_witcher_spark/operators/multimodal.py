@@ -118,6 +118,81 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
     return w, h, ch, bytes(out)
 
 
+_WAV_MAGIC = b"RIFF"
+
+
+def decode_wav(data: bytes) -> tuple[int, int, int, int, bytes]:
+    """REAL WAV (RIFF/PCM) decode, pure stdlib struct parsing: returns
+    ``(sample_rate, n_channels, bits_per_sample, n_frames, pcm_bytes)``.
+    Supports integer PCM (format tag 1) at 8/16 bits — the training-
+    audio interchange subset; compressed variants (float, ADPCM, ...)
+    raise ``DecoderUnavailable`` the same way non-PNG images do.
+
+    Like ``decode_png`` this is the fixture-speed reference kernel
+    proving the mapInPandas plumbing end-to-end; production swaps in
+    soundfile/ffmpeg via the pluggable kernel argument.
+    """
+    if data is None or data[:4] != _WAV_MAGIC or data[8:12] != b"WAVE":
+        raise DecoderUnavailable("not a RIFF/WAVE byte stream")
+    pos, fmt, pcm = 12, None, None
+    while pos + 8 <= len(data):
+        cid, ln = data[pos : pos + 4], struct.unpack("<I", data[pos + 4 : pos + 8])[0]
+        body = data[pos + 8 : pos + 8 + ln]
+        pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            pcm = body
+    if fmt is None or pcm is None:
+        raise DecoderUnavailable("WAV missing fmt/data chunk")
+    tag, ch, rate, _byterate, block, bits = fmt
+    if tag != 1 or bits not in (8, 16) or ch == 0 or block != ch * (bits // 8):
+        raise DecoderUnavailable(f"unsupported WAV variant (tag={tag} bits={bits})")
+    return rate, ch, bits, len(pcm) // block, pcm
+
+
+def real_audio_features(data: bytes, n_features: int = 8) -> list[float]:
+    """REAL decode→featurize kernel (WAV path): 8 floats in [0, 1] —
+    sample_rate/48000, channels/4, duration_s/60 (capped), per-channel
+    mean abs amplitude (up to 2, zero-padded), RMS, zero-crossing rate
+    of channel 0. Same contract as ``real_image_features``."""
+    if n_features != 8:
+        raise ValueError("real_audio_features emits exactly 8 features")
+    rate, ch, bits, n_frames, pcm = decode_wav(data)
+    if bits == 16:
+        samples = list(struct.unpack(f"<{len(pcm) // 2}h", pcm))
+        scale = 32768.0
+    else:  # 8-bit WAV is unsigned, centered at 128
+        samples = [b - 128 for b in pcm]
+        scale = 128.0
+    chans = [samples[c::ch] for c in range(ch)]
+    means = [
+        (sum(abs(s) for s in chans[c]) / len(chans[c]) / scale) if c < ch and chans[c] else 0.0
+        for c in range(2)
+    ]
+    flat_n = len(samples)
+    rms = (sum(s * s for s in samples) / flat_n) ** 0.5 / scale if flat_n else 0.0
+    c0 = chans[0]
+    zc = (
+        sum(1 for a, b in zip(c0, c0[1:]) if (a >= 0) != (b >= 0)) / (len(c0) - 1)
+        if len(c0) > 1
+        else 0.0
+    )
+    dur = min(n_frames / rate, 60.0) / 60.0 if rate else 0.0
+    return [min(rate / 48000.0, 1.0), ch / 4.0, dur, *means, min(rms, 1.0), zc, bits / 16.0]
+
+
+def real_decode_media_features(data: bytes, n_features: int = 8) -> list[float]:
+    """Magic-byte-routed REAL kernel: PNG → image features, WAV → audio
+    features; everything else raises ``DecoderUnavailable``. This is the
+    per-format decode stage ``attach_media_metadata`` routes to."""
+    if data is not None and data[:8] == _PNG_MAGIC:
+        return real_image_features(data, n_features)
+    if data is not None and data[:4] == _WAV_MAGIC:
+        return real_audio_features(data, n_features)
+    raise DecoderUnavailable("no real codec for this byte stream in this environment")
+
+
 def real_decode_image(data: bytes) -> tuple[int, int, int, bytes]:
     """Real image decode. PNG decodes natively (``decode_png``); JPEG
     and everything else still needs Pillow/opencv, which are not in

@@ -83,3 +83,81 @@ def test_real_kernel_failure_is_loud_in_spark(spark):
     df = spark.createDataFrame([(1, b"\xff\xd8\xff\xe0fakejpeg")], "id long, media binary")
     with pytest.raises(Exception, match="DecoderUnavailable|not available"):
         extract_features(df, kernel=real_image_features).collect()
+
+
+# ----------------------------------------------------------- WAV (audio)
+
+
+def _make_wav(rate=8000, ch=1, bits=16, n=800) -> bytes:
+    """Deterministic PCM sine via the stdlib wave module."""
+    import io
+    import math
+    import struct as st
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(ch)
+        w.setsampwidth(bits // 8)
+        w.setframerate(rate)
+        frames = bytearray()
+        for i in range(n):
+            for c in range(ch):
+                v = math.sin(2 * math.pi * 440 * i / rate) * 0.5
+                if bits == 16:
+                    frames += st.pack("<h", int(v * 32767))
+                else:
+                    frames += bytes([int(v * 127) + 128])
+        w.writeframes(bytes(frames))
+    return buf.getvalue()
+
+
+def test_decode_wav_params_roundtrip():
+    from rustic_witcher_spark.operators.multimodal import decode_wav
+
+    data = _make_wav(rate=8000, ch=2, bits=16, n=400)
+    rate, ch, bits, n_frames, pcm = decode_wav(data)
+    assert (rate, ch, bits, n_frames) == (8000, 2, 16, 400)
+    assert len(pcm) == 400 * 2 * 2
+    # 8-bit mono too
+    rate, ch, bits, n_frames, _ = decode_wav(_make_wav(rate=4000, ch=1, bits=8, n=100))
+    assert (rate, ch, bits, n_frames) == (4000, 1, 8, 100)
+
+
+def test_decode_wav_rejects_non_pcm():
+    from rustic_witcher_spark.operators.multimodal import decode_wav
+
+    with pytest.raises(DecoderUnavailable):
+        decode_wav(b"RIFFxxxxWAVE")  # no fmt/data chunks
+    with pytest.raises(DecoderUnavailable):
+        decode_wav(b"not audio at all")
+
+
+def test_real_audio_features_values():
+    from rustic_witcher_spark.operators.multimodal import real_audio_features
+
+    feats = real_audio_features(_make_wav(rate=8000, ch=1, bits=16, n=800))
+    assert feats[0] == pytest.approx(8000 / 48000.0)
+    assert feats[1] == 1 / 4.0
+    assert feats[2] == pytest.approx((800 / 8000) / 60.0)
+    # a 0.5-amplitude sine: mean |x| ~ 0.5*2/pi ~ 0.318, rms ~ 0.354
+    assert feats[3] == pytest.approx(0.318, abs=0.02)
+    assert feats[4] == 0.0  # mono: no 2nd channel
+    assert feats[5] == pytest.approx(0.354, abs=0.02)
+    # 440 Hz at 8 kHz: ~2*440/8000 crossings per sample
+    assert feats[6] == pytest.approx(2 * 440 / 8000, abs=0.02)
+    assert feats[7] == 1.0  # 16-bit
+
+
+def test_mixed_media_routing_end_to_end(spark):
+    """PNG and WAV rows flow through ONE mapInPandas stage with the
+    magic-byte-routed real kernel."""
+    from rustic_witcher_spark.operators.multimodal import real_decode_media_features
+
+    png = FIXTURE.read_bytes()
+    wav = _make_wav()
+    df = spark.createDataFrame([(1, png), (2, wav)], "id long, media binary")
+    routed = attach_media_metadata(df)
+    rows = {r["id"]: r for r in extract_features(routed, kernel=real_decode_media_features).collect()}
+    assert rows[1]["media_type"] == "image" and rows[1]["features"][0] == W / 4096.0
+    assert rows[2]["media_type"] == "audio" and rows[2]["features"][0] == pytest.approx(8000 / 48000.0)
