@@ -26,6 +26,14 @@ BENCH_QUERIES: list[str] = []  # filled from the registry in main()
 
 
 def main() -> None:
+    # 109 plans sharing one JVM at the factory's 16g default showed
+    # multi-second GC banding that moved between queries run-to-run
+    # (r04's embedding_near_dups "5s ghost", r05's three no-code-change
+    # regressions). At 32g the banding vanishes entirely: same code,
+    # same data, total 97.1s -> 67.2s with every ghost back to its solo
+    # time. Heap pressure, not plan quality — size the bench JVM like
+    # the executor fleet it stands in for. Env still overrides.
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "32g")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([\d.]+)", sf_dir)
     sf = float(m.group(1)) if m else None

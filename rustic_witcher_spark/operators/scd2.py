@@ -42,6 +42,7 @@ def scd2_intervals(
     ts_col: str,
     tiebreak_cols: Sequence[str] = (),
     weight_col: str | None = None,
+    keep_tiebreak: bool = False,
 ) -> DataFrame:
     """Collapse an event/change log into SCD2 validity intervals.
 
@@ -58,6 +59,12 @@ def scd2_intervals(
     of 1 — lets the incremental merger (streaming/scd2_stream.py) feed
     already-collapsed history rows back through without losing their
     accumulated ``n_changes``.
+
+    ``keep_tiebreak``: also output each run's START tiebreak values
+    (min_by (ts, tiebreak)) — required by the incremental merger:
+    several versions can share one valid_from timestamp (zero-length
+    intervals from same-ts changes), and only the stored tiebreak can
+    re-order them correctly on a later rebuild.
     """
     order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in tiebreak_cols]
     w = Window.partitionBy(*key_cols).orderBy(*order)
@@ -77,12 +84,20 @@ def scd2_intervals(
     runs = df.select(*key_cols, *attr_cols, ts_col, *tiebreak_cols, *extra).withColumn(
         "__run", F.sum(F.when(changed(), 1).otherwise(0)).over(w)
     )
+    run_order = F.struct(F.col(ts_col), *[F.col(c) for c in tiebreak_cols])
+    tb_aggs = (
+        [F.min_by(F.col(c), run_order).alias(c) for c in tiebreak_cols] if keep_tiebreak else []
+    )
     per_run = runs.groupBy(*key_cols, F.col("__run")).agg(
         *[F.first(c).alias(c) for c in attr_cols],
         F.min(ts_col).alias("valid_from"),
         F.sum(weight).cast("long").alias("n_changes"),
+        *tb_aggs,
     )
-    w2 = Window.partitionBy(*key_cols).orderBy(F.col("valid_from").asc())
+    # runs were numbered along (ts, tiebreak); order intervals the same
+    # way — ordering by valid_from alone is ambiguous when several
+    # same-ts versions share it (zero-length intervals)
+    w2 = Window.partitionBy(*key_cols).orderBy(F.col("__run").asc())
     return (
         per_run.withColumn("valid_to", F.lead("valid_from").over(w2))
         .withColumn("is_current", F.col("valid_to").isNull())

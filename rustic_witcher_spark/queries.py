@@ -3172,7 +3172,7 @@ SELECT user_id, state,
        (lead(vf) OVER w2 IS NULL) AS is_current,
        n_changes
 FROM per_run
-WINDOW w2 AS (PARTITION BY user_id ORDER BY vf)
+WINDOW w2 AS (PARTITION BY user_id ORDER BY run)
 ORDER BY user_id, valid_from
 """
 
@@ -3215,7 +3215,7 @@ per_run AS (
   FROM runs GROUP BY user_id, run
 ),
 hist AS (
-  SELECT user_id, state, vf, lead(vf) OVER (PARTITION BY user_id ORDER BY vf) AS vt
+  SELECT user_id, state, vf, lead(vf) OVER (PARTITION BY user_id ORDER BY run) AS vt
   FROM per_run
 )
 SELECT user_id, state, strftime(vf, '%Y-%m-%d %H:%M:%S') AS state_since

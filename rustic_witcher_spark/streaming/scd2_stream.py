@@ -71,15 +71,17 @@ def scd2_merge(
     untouched = history.join(F.broadcast(batch_keys), list(key_cols), "left_anti")
 
     # history rows -> weighted pseudo-events at their change points;
-    # real batch events carry weight 1. The tiebreak column must exist
-    # on both sides: pseudo-events sort before same-ts batch events
-    # (tiebreak -1), which only matters for the degenerate case of a
-    # batch event exactly at an existing change point.
+    # real batch events carry weight 1. Pseudo-events reuse the run's
+    # STORED start tiebreak (kept by keep_tiebreak=True): several
+    # versions can share one valid_from (zero-length intervals from
+    # same-ts changes), and only the original tiebreak reconstructs
+    # their order — a constant sentinel provably collapses them
+    # (caught by the randomized chunking property test).
     pseudo = touched.select(
         *keys,
         *[F.col(c) for c in attr_cols],
         F.col("valid_from").alias(ts_col),
-        *[F.lit(-1).alias(c) for c in tiebreak_cols],
+        *[F.col(c) for c in tiebreak_cols],
         F.col("n_changes").cast("long").alias("__w"),
     )
     events = batch.select(
@@ -96,6 +98,7 @@ def scd2_merge(
         ts_col,
         tiebreak_cols=tiebreak_cols,
         weight_col="__w",
+        keep_tiebreak=True,
     )
     return untouched.unionByName(rebuilt)
 
@@ -120,7 +123,9 @@ def scd2_snapshot_merger(
             history = spark.read.parquet(str(final))
             merged = scd2_merge(history, batch_df, key_cols, attr_cols, ts_col, tiebreak_cols)
         else:
-            merged = scd2_intervals(batch_df, key_cols, attr_cols, ts_col, tiebreak_cols)
+            merged = scd2_intervals(
+                batch_df, key_cols, attr_cols, ts_col, tiebreak_cols, keep_tiebreak=True
+            )
         merged.write.mode("overwrite").parquet(str(tmp))
         _swap_in(tmp, final)
 

@@ -57,7 +57,7 @@ def test_inorder_chunked_stream_equals_batch(spark):
         df.filter((F.col("ts") >= T(2024, 1, 3)) & (F.col("ts") < T(2024, 1, 6))),
         df.filter(F.col("ts") >= T(2024, 1, 6)),
     ]
-    hist = scd2_intervals(chunks[0], ["k"], ["state"], "ts", ["eid"])
+    hist = scd2_intervals(chunks[0], ["k"], ["state"], "ts", ["eid"], keep_tiebreak=True)
     for chunk in chunks[1:]:
         hist = scd2_merge(hist, chunk, ["k"], ["state"], "ts", ["eid"])
     _assert_equal_history(hist.collect(), batch_hist)
@@ -67,7 +67,7 @@ def test_late_event_splices_into_middle(spark):
     base = spark.createDataFrame(
         [(1, "a", T(2024, 1, 1), 10), (1, "b", T(2024, 1, 5), 11)], SCHEMA
     )
-    hist = scd2_intervals(base, ["k"], ["state"], "ts", ["eid"])
+    hist = scd2_intervals(base, ["k"], ["state"], "ts", ["eid"], keep_tiebreak=True)
     late = spark.createDataFrame([(1, "c", T(2024, 1, 3), 12)], SCHEMA)
     merged = scd2_merge(hist, late, ["k"], ["state"], "ts", ["eid"]).collect()
     rows = sorted(merged, key=lambda r: r["valid_from"])
@@ -86,7 +86,7 @@ def test_untouched_keys_are_not_rewritten_logically(spark):
     base = spark.createDataFrame(
         [(1, "a", T(2024, 1, 1), 1), (2, "x", T(2024, 1, 1), 2)], SCHEMA
     )
-    hist = scd2_intervals(base, ["k"], ["state"], "ts", ["eid"])
+    hist = scd2_intervals(base, ["k"], ["state"], "ts", ["eid"], keep_tiebreak=True)
     batch = spark.createDataFrame([(1, "b", T(2024, 1, 2), 3)], SCHEMA)
     merged = scd2_merge(hist, batch, ["k"], ["state"], "ts", ["eid"]).collect()
     k2 = [r for r in merged if r["k"] == 2]
@@ -103,7 +103,7 @@ def test_adversarial_disorder_stays_consistent(spark):
     ]
     df = spark.createDataFrame(events, SCHEMA)
     order = [5, 2, 6, 1, 4, 3]
-    hist = scd2_intervals(df.filter(F.col("eid") == order[0]), ["k"], ["state"], "ts", ["eid"])
+    hist = scd2_intervals(df.filter(F.col("eid") == order[0]), ["k"], ["state"], "ts", ["eid"], keep_tiebreak=True)
     for eid in order[1:]:
         hist = scd2_merge(hist, df.filter(F.col("eid") == eid), ["k"], ["state"], "ts", ["eid"])
     rows = hist.collect()
@@ -153,3 +153,39 @@ def test_merger_bootstrap_and_restart(spark, tmp_path):
     rows = sorted(spark.read.parquet(hist_path).collect(), key=lambda r: r["valid_from"])
     assert [r["state"] for r in rows] == ["a", "b"]
     assert rows[0]["valid_to"] == rows[1]["valid_from"] and rows[1]["is_current"]
+
+
+# -------------------------------------------------- property: random logs
+
+
+def test_property_random_inorder_chunking_equals_batch(spark):
+    """Randomized logs: ANY chunking that respects per-key (ts, eid)
+    order reproduces the batch history exactly — including same-ts
+    ties, single-event keys, and all-same-state runs. One Spark job
+    per example batch (hypothesis-style, inlined: a fixed seed sweep
+    keeps runtime bounded while varying shapes)."""
+    import random
+
+    for seed in range(6):
+        rng = random.Random(seed)
+        events = []
+        eid = 0
+        for k in range(1, rng.randint(2, 5)):
+            t = 0
+            for _ in range(rng.randint(1, 12)):
+                t += rng.randint(0, 3)  # 0 -> same-ts ties happen
+                events.append((k, rng.choice("abc"), T(2024, 1, 1, 0, t % 60, t // 60), eid))
+                eid += 1
+        df = spark.createDataFrame(events, SCHEMA)
+        batch_hist = scd2_intervals(df, ["k"], ["state"], "ts", ["eid"]).collect()
+
+        # chunk by global (ts, eid) order — per-key order follows
+        events_sorted = sorted(events, key=lambda e: (e[2], e[3]))
+        n_chunks = rng.randint(2, 4)
+        cuts = sorted(rng.sample(range(1, len(events_sorted)), min(n_chunks - 1, len(events_sorted) - 1)))
+        chunks = [events_sorted[a:b] for a, b in zip([0] + cuts, cuts + [len(events_sorted)])]
+        hist = scd2_intervals(spark.createDataFrame(chunks[0], SCHEMA), ["k"], ["state"], "ts", ["eid"], keep_tiebreak=True)
+        for chunk in chunks[1:]:
+            hist = scd2_merge(hist, spark.createDataFrame(chunk, SCHEMA), ["k"], ["state"], "ts", ["eid"])
+        _assert_equal_history(hist.collect(), batch_hist)
+        _assert_consistent(hist.collect())
