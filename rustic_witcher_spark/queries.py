@@ -3224,6 +3224,74 @@ WHERE vf <= TIMESTAMP '{_SCD2_AT}' AND (vt IS NULL OR vt > TIMESTAMP '{_SCD2_AT}
 ORDER BY user_id
 """
 
+def q_purchases_with_state_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 CONSUMPTION — the reason histories exist: enrich a fact
+    with the dimension's state AS OF each fact row's time. Here: every
+    purchase tagged with what the user was doing just before it (SCD2
+    over the user's non-purchase events; 'what state converts').
+    The interval-containment join keeps user_id as the hash-join equi
+    key with the [valid_from, valid_to) bound as a residual — never a
+    nested loop; history build + join share one user_id partitioning.
+    Half-open disjoint intervals guarantee at most one match per
+    purchase (zero-length intervals can contain nothing)."""
+    ev = read_events(spark, sf_dir)
+    hist = scd2.scd2_intervals(
+        ev.filter(F.col("event_type") != "purchase"),
+        ["user_id"],
+        ["event_type"],
+        "ts",
+        tiebreak_cols=["event_id"],
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("purchase_ts"), "event_id", "value"
+    )
+    j = p.join(
+        hist,
+        (p["user_id"] == hist["user_id"])
+        & (F.col("purchase_ts") >= hist["valid_from"])
+        & (hist["valid_to"].isNull() | (F.col("purchase_ts") < hist["valid_to"])),
+        "left",
+    )
+    return j.select(
+        p["user_id"],
+        _fmt(F.col("purchase_ts")).alias("purchase_at"),
+        F.col("event_id"),
+        F.round(F.col("value"), 2).alias("value"),
+        F.coalesce(hist["event_type"], F.lit("none")).alias("state_before"),
+    ).orderBy("user_id", "purchase_at", "event_id")
+
+
+SQL_PURCHASES_STATE_ASOF = """
+WITH marked AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR lag(event_type) OVER w IS DISTINCT FROM event_type
+              THEN 1 ELSE 0 END AS is_new
+  FROM events WHERE event_type <> 'purchase'
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+runs AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS run
+  FROM marked
+),
+per_run AS (
+  SELECT user_id, run, min(event_type) AS state, min(ts) AS vf, count(*) AS n_changes
+  FROM runs GROUP BY user_id, run
+),
+hist AS (
+  SELECT user_id, state, vf, lead(vf) OVER (PARTITION BY user_id ORDER BY run) AS vt
+  FROM per_run
+)
+SELECT p.user_id, strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_at,
+       p.event_id, round(p.value, 2) AS value,
+       coalesce(h.state, 'none') AS state_before
+FROM events p
+LEFT JOIN hist h
+  ON h.user_id = p.user_id AND p.ts >= h.vf AND (h.vt IS NULL OR p.ts < h.vt)
+WHERE p.event_type = 'purchase'
+ORDER BY 1, 2, 3
+"""
+
 _PROFILE_COLS = ["l_orderkey", "l_quantity", "l_discount", "l_returnflag"]
 
 
@@ -3518,8 +3586,11 @@ def build_registry() -> dict[str, tuple[QueryFn, str | None]]:
     verdict, then those whose last verdict is oldest, then refills
     with the previous round's greens — so consecutive CORRECTNESS
     files jointly cover the whole inventory (r05 ∪ r06 = all entries
-    except the four past-window round-6 additions q2/q11/q16/
-    click_attribution, which rotate into the r07 window).
+    except the twelve past-window round-6 additions — q2/q11/q16/
+    click_attribution plus the warehouse-ops group scd2_user_history/
+    scd2_point_in_time/column_profile/ri_orphans/events_gapfill/
+    latency_histogram/zorder_layout/dup_span_fraction — which have
+    never held a driver verdict and MUST lead the r07 window).
     The full local gate (`scripts/compare_oracle.py`) runs ALL
     entries every round regardless of ordering.
     """
@@ -3649,6 +3720,7 @@ def build_registry() -> dict[str, tuple[QueryFn, str | None]]:
             # window — local gate this round, rotate into r07) ---
             "scd2_user_history": (q_scd2_user_history, SQL_SCD2_HISTORY),
             "scd2_point_in_time": (q_scd2_point_in_time, SQL_SCD2_SNAPSHOT),
+            "purchases_with_state_asof": (q_purchases_with_state_asof, SQL_PURCHASES_STATE_ASOF),
             "column_profile": (q_column_profile, sql_column_profile()),
             "ri_orphans": (q_ri_orphans, sql_ri_orphans()),
             "events_gapfill": (q_events_gapfill, SQL_EVENTS_GAPFILL),
