@@ -3419,6 +3419,47 @@ ORDER BY 1, 2
 """
 
 
+def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection over the gap-filled hourly series:
+    hours whose count deviates >2 population-stddevs from the type's
+    mean rate. Composes events_gapfill (zero-filled spine — WITHOUT
+    gap fill, silent outage hours are invisible to the detector, which
+    is exactly the incident class this query exists to catch). The
+    mean/std window runs over the tiny spine, not the fact table; at
+    100 TB the fact is reduced to #hours x #types rows before any
+    window. Population stddev (stddev_pop) matches the oracle exactly;
+    z is rounded before the threshold compare so engine ULP noise
+    cannot flip membership."""
+    series = q_events_gapfill(spark, sf_dir)
+    wt = Window.partitionBy("event_type")
+    z = F.round(
+        (F.col("n_events") - F.avg("n_events").over(wt))
+        / F.stddev_pop(F.col("n_events").cast("double")).over(wt),
+        4,
+    )
+    return (
+        series.withColumn("z_score", z)
+        .filter(F.abs(F.col("z_score")) > 2.0)
+        .select("event_type", "hour_ts", "n_events", "z_score")
+        .orderBy("event_type", "hour_ts")
+    )
+
+
+SQL_EVENTS_ANOMALY = f"""
+WITH series AS ({SQL_EVENTS_GAPFILL.replace("ORDER BY 1, 2", "")}),
+scored AS (
+  SELECT event_type, hour_ts, n_events,
+         round((n_events - avg(n_events) OVER w)
+               / stddev_pop(n_events) OVER w, 4) AS z_score
+  FROM series
+  WINDOW w AS (PARTITION BY event_type)
+)
+SELECT event_type, hour_ts, n_events, z_score
+FROM scored WHERE abs(z_score) > 2.0
+ORDER BY 1, 2
+"""
+
+
 def q_latency_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable log2-bucket histogram of event values per type, with
     per-type share and cumulative share. The bucket id is EXACT integer
@@ -3724,6 +3765,7 @@ def build_registry() -> dict[str, tuple[QueryFn, str | None]]:
             "column_profile": (q_column_profile, sql_column_profile()),
             "ri_orphans": (q_ri_orphans, sql_ri_orphans()),
             "events_gapfill": (q_events_gapfill, SQL_EVENTS_GAPFILL),
+            "events_anomaly": (q_events_anomaly, SQL_EVENTS_ANOMALY),
             "latency_histogram": (q_latency_histogram, SQL_LATENCY_HISTOGRAM),
             "zorder_layout": (q_zorder_layout, sql_zorder_layout()),
             "dup_span_fraction": (q_dup_span_fraction, sql_dup_span_fraction()),

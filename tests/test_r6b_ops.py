@@ -279,3 +279,16 @@ def test_dup_span_short_docs_survive_with_zero_grams(spark, tmp_path):
     rows = {r["doc_id"]: r for r in q_dup_span_fraction(spark, str(tmp_path)).collect()}
     assert rows[1]["n_grams"] == 0 and rows[1]["dup_fraction"] == 0.0
     assert rows[2]["n_grams"] == 19 and rows[2]["n_dup_grams"] == 0
+
+
+def test_events_anomaly_flags_respect_threshold(spark):
+    from rustic_witcher_spark.queries import q_events_anomaly
+
+    rows = q_events_anomaly(spark, SF_DIR).collect()
+    assert rows  # sf0.001 is sparse: plenty of deviant hours
+    assert all(abs(r["z_score"]) > 2.0 for r in rows)
+    # zero-filled hours are visible to the detector (the outage class):
+    # at sf0.001 some flagged hours have n_events == 0 for rare types
+    flagged = q_events_anomaly(spark, SF_DIR)
+    gap = q_events_gapfill(spark, SF_DIR)
+    assert flagged.count() < gap.count()  # anomalies are a strict subset
