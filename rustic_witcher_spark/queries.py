@@ -3501,6 +3501,75 @@ FROM h
 ORDER BY event_type, bucket
 """
 
+def q_ops_healthcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The warehouse-ops composed flagship (the ops-side analog of
+    curation_pipeline): one normalized (section, check, value) report
+    a scheduled platform job would page on — per-table row counts,
+    referential-integrity orphans, null counts on critical columns,
+    and the volume-anomaly count. Every section is an aggregate
+    reduced BEFORE the union, so the report assembly unions a handful
+    of 1-row frames; fact tables are scanned once per section with
+    column-pruned projections."""
+    sections = []
+    for t in ["customer", "orders", "lineitem", "events", "documents"]:
+        sections.append(
+            _read(spark, sf_dir, t)
+            .agg(F.count(F.lit(1)).alias("value"))
+            .select(F.lit("row_count").alias("section"), F.lit(t).alias("check"), "value")
+        )
+    for name, child_t, ck, parent_t, pk, is_dim in _RI_CHECKS:
+        sections.append(
+            profile.ri_orphan_counts(
+                _read(spark, sf_dir, child_t), ck, _read(spark, sf_dir, parent_t), pk, name,
+                broadcast_parent=is_dim,
+            ).select(
+                F.lit("ri_orphans").alias("section"),
+                F.col("check_name").alias("check"),
+                F.col("n_orphans").alias("value"),
+            )
+        )
+    for t, c in [("customer", "c_name"), ("orders", "o_orderstatus"), ("documents", "text")]:
+        sections.append(
+            _read(spark, sf_dir, t)
+            .agg(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias("value"))
+            .select(F.lit("null_count").alias("section"), F.lit(f"{t}.{c}").alias("check"), "value")
+        )
+    sections.append(
+        q_events_anomaly(spark, sf_dir)
+        .agg(F.count(F.lit(1)).alias("value"))
+        .select(F.lit("anomaly").alias("section"), F.lit("hourly_volume_z2").alias("check"), "value")
+    )
+    out = sections[0]
+    for s in sections[1:]:
+        out = out.unionByName(s)
+    return out.orderBy("section", "check")
+
+
+def sql_ops_healthcheck() -> str:
+    parts = [
+        f"SELECT 'row_count' AS section, '{t}' AS check, count(*) AS value FROM {t}"
+        for t in ["customer", "orders", "lineitem", "events", "documents"]
+    ]
+    for name, child_t, ck, parent_t, pk, _ in _RI_CHECKS:
+        parts.append(
+            f"""SELECT 'ri_orphans' AS section, '{name}' AS check,
+       sum(CASE WHEN p.__k IS NULL THEN 1 ELSE 0 END)::BIGINT AS value
+FROM {child_t} c LEFT JOIN (SELECT DISTINCT {pk} AS __k FROM {parent_t}) p
+  ON c.{ck} = p.__k"""
+        )
+    for t, c in [("customer", "c_name"), ("orders", "o_orderstatus"), ("documents", "text")]:
+        parts.append(
+            f"SELECT 'null_count' AS section, '{t}.{c}' AS check, "
+            f"sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::BIGINT AS value FROM {t}"
+        )
+    parts.append(
+        "SELECT 'anomaly' AS section, 'hourly_volume_z2' AS check, count(*) AS value FROM ("
+        + SQL_EVENTS_ANOMALY.replace("ORDER BY 1, 2", "")
+        + ") a"
+    )
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY section, \"check\""
+
+
 _Z_BITS = 8
 
 
@@ -3766,6 +3835,7 @@ def build_registry() -> dict[str, tuple[QueryFn, str | None]]:
             "ri_orphans": (q_ri_orphans, sql_ri_orphans()),
             "events_gapfill": (q_events_gapfill, SQL_EVENTS_GAPFILL),
             "events_anomaly": (q_events_anomaly, SQL_EVENTS_ANOMALY),
+            "ops_healthcheck": (q_ops_healthcheck, sql_ops_healthcheck()),
             "latency_histogram": (q_latency_histogram, SQL_LATENCY_HISTOGRAM),
             "zorder_layout": (q_zorder_layout, sql_zorder_layout()),
             "dup_span_fraction": (q_dup_span_fraction, sql_dup_span_fraction()),
