@@ -54,6 +54,43 @@ def sql_z_value(x_expr: str, y_expr: str, bits: int = 8) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def compaction_plan(
+    files: DataFrame,
+    path_col: str,
+    size_col: str,
+    target_bytes: int,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Small-files compaction planning — the other recurring lake-layout
+    job beside Z-ordering: group a file listing into near-
+    ``target_bytes`` rewrite groups (column ``compaction_group``).
+
+    Reuses the packing operator's distributed concat-and-chunk prefix
+    scan (operators/packing.py): group id = floor(cumulative_bytes /
+    target), so every group lands within ``target ± max_file_size`` of
+    the target with NO driver-side loop and no global sort — the same
+    k-level block decomposition that packs token sequences handles a
+    10M-file listing.
+
+    ``id_col``: a numeric ordering for the cumulative scan. Pass a
+    locality-encoding id (e.g. date-ordinal * 1e6 + seq) to keep
+    groups contiguous in partition order — compacted files then stay
+    prunable. Default: a deterministic 60-bit hash of the path
+    (balanced groups, no locality guarantee).
+    """
+    from rustic_witcher_spark.functions.hashing import hash64
+    from rustic_witcher_spark.operators.packing import pack_sequences
+
+    d = files
+    fid = id_col
+    if fid is None:
+        fid = "__fid"
+        d = d.withColumn(fid, hash64(F.col(path_col), 0, "compact"))
+    out = pack_sequences(d, fid, size_col, target_bytes)
+    out = out.withColumnRenamed("seq_id", "compaction_group").drop("start_offset")
+    return out.drop("__fid") if id_col is None else out
+
+
 def zorder_layout(df: DataFrame, x_col: str, y_col: str, bits: int = 8) -> DataFrame:
     """Attach the z value and range-repartition by it — the physical
     re-layout step (callers then write one file per partition). Kept

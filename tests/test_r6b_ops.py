@@ -292,3 +292,37 @@ def test_events_anomaly_flags_respect_threshold(spark):
     flagged = q_events_anomaly(spark, SF_DIR)
     gap = q_events_gapfill(spark, SF_DIR)
     assert flagged.count() < gap.count()  # anomalies are a strict subset
+
+
+# ----------------------------------------------------------- compaction
+
+
+def test_compaction_plan_groups_near_target(spark):
+    files = spark.createDataFrame(
+        [(i, f"part-{i:05}.parquet", 40 + (i * 37) % 50) for i in range(200)],
+        "fid long, path string, bytes long",
+    )
+    out = layout.compaction_plan(files, "path", "bytes", target_bytes=500, id_col="fid")
+    rows = out.collect()
+    assert len(rows) == 200  # every file assigned exactly once
+    sizes: dict[int, int] = {}
+    for r in rows:
+        sizes[r["compaction_group"]] = sizes.get(r["compaction_group"], 0) + r["bytes"]
+    groups = sorted(sizes)
+    assert groups == list(range(len(groups)))  # dense group ids
+    # all groups but the last land within target ± max file size
+    for g in groups[:-1]:
+        assert 500 - 90 <= sizes[g] <= 500 + 90
+    total = sum(r["bytes"] for r in rows)
+    assert sum(sizes.values()) == total
+
+
+def test_compaction_plan_is_partitioning_invariant_with_hashed_ids(spark):
+    files = spark.createDataFrame(
+        [(f"f{i}", 100 + i % 7) for i in range(64)], "path string, bytes long"
+    )
+    a = layout.compaction_plan(files, "path", "bytes", 400).collect()
+    b = layout.compaction_plan(files.repartition(9), "path", "bytes", 400).collect()
+    ka = sorted((r["path"], r["compaction_group"]) for r in a)
+    kb = sorted((r["path"], r["compaction_group"]) for r in b)
+    assert ka == kb
