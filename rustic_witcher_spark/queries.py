@@ -3501,6 +3501,45 @@ FROM h
 ORDER BY event_type, bucket
 """
 
+def q_session_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence analytics: the event-type transition matrix (Markov
+    first-order counts) over per-user event streams — 'what do users
+    do NEXT after X' — with each row's share of its source state.
+    lag() over (user_id; ts, event_id) shares its hash partitioning
+    with nothing downstream of the tiny (from,to) aggregate; one data
+    shuffle on user_id, one map-side-combinable rollup to a
+    #types x #types matrix. The share window runs over that matrix,
+    not the data."""
+    ev = read_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    pairs = ev.select(
+        F.lag("event_type").over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).filter(F.col("from_type").isNotNull())
+    m = pairs.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
+    wf = Window.partitionBy("from_type")
+    return (
+        m.withColumn("share", F.round(F.col("n") / F.sum("n").over(wf), 6))
+        .orderBy("from_type", "to_type")
+    )
+
+
+SQL_SESSION_TRANSITIONS = """
+WITH pairs AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_type,
+         event_type AS to_type
+  FROM events
+),
+m AS (
+  SELECT from_type, to_type, count(*) AS n
+  FROM pairs WHERE from_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+       round(n / sum(n) OVER (PARTITION BY from_type), 6) AS share
+FROM m ORDER BY 1, 2
+"""
+
+
 def q_ops_healthcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The warehouse-ops composed flagship (the ops-side analog of
     curation_pipeline): one normalized (section, check, value) report
@@ -3696,10 +3735,12 @@ def build_registry() -> dict[str, tuple[QueryFn, str | None]]:
     verdict, then those whose last verdict is oldest, then refills
     with the previous round's greens — so consecutive CORRECTNESS
     files jointly cover the whole inventory (r05 ∪ r06 = all entries
-    except the twelve past-window round-6 additions — q2/q11/q16/
+    except the sixteen past-window round-6 additions — q2/q11/q16/
     click_attribution plus the warehouse-ops group scd2_user_history/
-    scd2_point_in_time/column_profile/ri_orphans/events_gapfill/
-    latency_histogram/zorder_layout/dup_span_fraction — which have
+    scd2_point_in_time/purchases_with_state_asof/column_profile/
+    ri_orphans/events_gapfill/events_anomaly/latency_histogram/
+    zorder_layout/dup_span_fraction/ops_healthcheck/
+    session_transitions — which have
     never held a driver verdict and MUST lead the r07 window).
     The full local gate (`scripts/compare_oracle.py`) runs ALL
     entries every round regardless of ordering.
@@ -3836,6 +3877,7 @@ def build_registry() -> dict[str, tuple[QueryFn, str | None]]:
             "events_gapfill": (q_events_gapfill, SQL_EVENTS_GAPFILL),
             "events_anomaly": (q_events_anomaly, SQL_EVENTS_ANOMALY),
             "ops_healthcheck": (q_ops_healthcheck, sql_ops_healthcheck()),
+            "session_transitions": (q_session_transitions, SQL_SESSION_TRANSITIONS),
             "latency_histogram": (q_latency_histogram, SQL_LATENCY_HISTOGRAM),
             "zorder_layout": (q_zorder_layout, sql_zorder_layout()),
             "dup_span_fraction": (q_dup_span_fraction, sql_dup_span_fraction()),
