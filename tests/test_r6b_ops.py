@@ -326,3 +326,43 @@ def test_compaction_plan_is_partitioning_invariant_with_hashed_ids(spark):
     ka = sorted((r["path"], r["compaction_group"]) for r in a)
     kb = sorted((r["path"], r["compaction_group"]) for r in b)
     assert ka == kb
+
+
+# ------------------------------------------------- plan-shape enforcement
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_scd2_history_has_single_data_exchange(spark):
+    from rustic_witcher_spark.queries import q_scd2_user_history
+
+    plan = _plan(q_scd2_user_history(spark, SF_DIR))
+    # one hash Exchange on user_id shared by both windows + the run
+    # groupBy; the only other Exchange is the output orderBy's range
+    # partitioning (a sink would drop it)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Exchange rangepartitioning") == 1
+
+
+def test_gapfill_joins_are_broadcast_only(spark):
+    plan = _plan(q_events_gapfill(spark, SF_DIR))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastExchange") >= 2  # types cross + counts join
+
+
+def test_session_transitions_single_data_shuffle(spark):
+    from rustic_witcher_spark.queries import q_session_transitions
+
+    plan = _plan(q_session_transitions(spark, SF_DIR))
+    # ONE data-sized shuffle (user_id for the lag window); the rollup
+    # and share-window exchanges move only the <= |types|^2 matrix
+    assert plan.count("hashpartitioning(user_id") == 1
+    assert plan.count("Exchange hashpartitioning") == 3
+
+
+def test_zorder_is_shuffle_free_before_the_rollup(spark):
+    plan = _plan(q_zorder_layout(spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1  # the bucket groupBy only
