@@ -75,9 +75,16 @@ def compaction_plan(
     ``id_col``: a numeric ordering for the cumulative scan. Pass a
     locality-encoding id (e.g. date-ordinal * 1e6 + seq) to keep
     groups contiguous in partition order — compacted files then stay
-    prunable. Default: a deterministic 60-bit hash of the path
-    (balanced groups, no locality guarantee).
+    prunable. Default: a DENSE 0..n-1 rank derived from the path hash
+    by shard decomposition (hash into 1024 shards → parallel per-shard
+    row_number windows → broadcast shard offsets), because
+    pack_sequences' block scan assumes a dense-ish id space — feeding
+    it raw 60-bit hashes would leave the block table un-shrunk for ~6
+    recursion levels on a 10M-file listing. The only unpartitioned
+    window runs over the 1024 shard counts.
     """
+    from pyspark.sql import Window
+
     from rustic_witcher_spark.functions.hashing import hash64
     from rustic_witcher_spark.operators.packing import pack_sequences
 
@@ -85,10 +92,22 @@ def compaction_plan(
     fid = id_col
     if fid is None:
         fid = "__fid"
-        d = d.withColumn(fid, hash64(F.col(path_col), 0, "compact"))
+        n_shards = 1024
+        d = d.withColumn("__h", hash64(F.col(path_col), 0, "compact"))
+        d = d.withColumn("__shard", F.col("__h") % n_shards)
+        rw = Window.partitionBy("__shard").orderBy(F.col("__h").asc(), F.col(path_col).asc())
+        d = d.withColumn("__r", F.row_number().over(rw))
+        counts = d.groupBy("__shard").agg(F.count(F.lit(1)).alias("__c"))
+        cw = Window.orderBy("__shard").rowsBetween(Window.unboundedPreceding, -1)
+        offs = counts.withColumn(
+            "__off", F.coalesce(F.sum("__c").over(cw), F.lit(0))
+        ).select("__shard", "__off")
+        d = d.join(F.broadcast(offs), "__shard").withColumn(
+            fid, F.col("__off") + F.col("__r") - 1
+        )
     out = pack_sequences(d, fid, size_col, target_bytes)
     out = out.withColumnRenamed("seq_id", "compaction_group").drop("start_offset")
-    return out.drop("__fid") if id_col is None else out
+    return out.drop("__fid", "__h", "__shard", "__r", "__off") if id_col is None else out
 
 
 def zorder_layout(df: DataFrame, x_col: str, y_col: str, bits: int = 8) -> DataFrame:

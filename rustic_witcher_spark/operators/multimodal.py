@@ -140,6 +140,8 @@ def decode_wav(data: bytes) -> tuple[int, int, int, int, bytes]:
         body = data[pos + 8 : pos + 8 + ln]
         pos += 8 + ln + (ln & 1)  # chunks are word-aligned
         if cid == b"fmt ":
+            if len(body) < 16:  # truncated chunk: contract is DecoderUnavailable, not struct.error
+                raise DecoderUnavailable("WAV fmt chunk truncated")
             fmt = struct.unpack("<HHIIHH", body[:16])
         elif cid == b"data":
             pcm = body
@@ -148,7 +150,10 @@ def decode_wav(data: bytes) -> tuple[int, int, int, int, bytes]:
     tag, ch, rate, _byterate, block, bits = fmt
     if tag != 1 or bits not in (8, 16) or ch == 0 or block != ch * (bits // 8):
         raise DecoderUnavailable(f"unsupported WAV variant (tag={tag} bits={bits})")
-    return rate, ch, bits, len(pcm) // block, pcm
+    n_frames = len(pcm) // block
+    # drop a trailing partial frame (truncated data chunk) so sample
+    # unpacking downstream never sees a ragged buffer
+    return rate, ch, bits, n_frames, pcm[: n_frames * block]
 
 
 def real_audio_features(data: bytes, n_features: int = 8) -> list[float]:
@@ -179,7 +184,9 @@ def real_audio_features(data: bytes, n_features: int = 8) -> list[float]:
         else 0.0
     )
     dur = min(n_frames / rate, 60.0) / 60.0 if rate else 0.0
-    return [min(rate / 48000.0, 1.0), ch / 4.0, dur, *means, min(rms, 1.0), zc, bits / 16.0]
+    # every feature capped to [0, 1] — ch included (8-channel surround
+    # WAVs are valid PCM and must not emit 2.0)
+    return [min(rate / 48000.0, 1.0), min(ch / 4.0, 1.0), dur, *means, min(rms, 1.0), zc, bits / 16.0]
 
 
 def real_decode_media_features(data: bytes, n_features: int = 8) -> list[float]:

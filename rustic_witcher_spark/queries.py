@@ -3145,7 +3145,18 @@ def q_scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         _fmt(F.col("valid_to")).alias("valid_to"),
         "is_current",
         "n_changes",
-    ).orderBy("user_id", "valid_from")
+    ).orderBy(
+        # (user_id, valid_from) alone is ambiguous when same-ts changes
+        # produce zero-length intervals sharing a valid_from — the r05
+        # q12 failure class. (state, valid_to) breaks every such tie
+        # (consecutive runs differ in state; an a-b-a pattern repeats a
+        # state but with distinct valid_to). nulls_last matches
+        # DuckDB's ASC default for the open interval's NULL.
+        F.col("user_id").asc(),
+        F.col("valid_from").asc(),
+        F.col("state").asc(),
+        F.col("valid_to").asc_nulls_last(),
+    )
 
 
 SQL_SCD2_HISTORY = """
@@ -3173,7 +3184,7 @@ SELECT user_id, state,
        n_changes
 FROM per_run
 WINDOW w2 AS (PARTITION BY user_id ORDER BY run)
-ORDER BY user_id, valid_from
+ORDER BY user_id, valid_from, state, valid_to
 """
 
 _SCD2_AT = "2024-01-15 00:00:00"
@@ -3242,22 +3253,29 @@ def q_purchases_with_state_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         tiebreak_cols=["event_id"],
     )
-    p = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", F.col("ts").alias("purchase_ts"), "event_id", "value"
+    # both sides derive from the same events scan — alias explicitly so
+    # the join condition never leans on Spark's dataset-id self-join
+    # disambiguation heuristic (which warns today and hard-fails once
+    # lineage is transformed or cached)
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("purchase_ts"), "event_id", "value")
+        .alias("p")
     )
+    h = hist.alias("h")
     j = p.join(
-        hist,
-        (p["user_id"] == hist["user_id"])
-        & (F.col("purchase_ts") >= hist["valid_from"])
-        & (hist["valid_to"].isNull() | (F.col("purchase_ts") < hist["valid_to"])),
+        h,
+        (F.col("p.user_id") == F.col("h.user_id"))
+        & (F.col("p.purchase_ts") >= F.col("h.valid_from"))
+        & (F.col("h.valid_to").isNull() | (F.col("p.purchase_ts") < F.col("h.valid_to"))),
         "left",
     )
     return j.select(
-        p["user_id"],
-        _fmt(F.col("purchase_ts")).alias("purchase_at"),
-        F.col("event_id"),
-        F.round(F.col("value"), 2).alias("value"),
-        F.coalesce(hist["event_type"], F.lit("none")).alias("state_before"),
+        F.col("p.user_id").alias("user_id"),
+        _fmt(F.col("p.purchase_ts")).alias("purchase_at"),
+        F.col("p.event_id").alias("event_id"),
+        F.round(F.col("p.value"), 2).alias("value"),
+        F.coalesce(F.col("h.event_type"), F.lit("none")).alias("state_before"),
     ).orderBy("user_id", "purchase_at", "event_id")
 
 
@@ -3432,10 +3450,14 @@ def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     cannot flip membership."""
     series = q_events_gapfill(spark, sf_dir)
     wt = Window.partitionBy("event_type")
-    z = F.round(
-        (F.col("n_events") - F.avg("n_events").over(wt))
-        / F.stddev_pop(F.col("n_events").cast("double")).over(wt),
-        4,
+    std = F.stddev_pop(F.col("n_events").cast("double")).over(wt)
+    # guard the constant-series case: stddev 0 must yield NULL (no
+    # anomaly), not an ANSI DIVIDE_BY_ZERO (Spark 4 default) / NaN —
+    # and DuckDB returns NULL for 0.0/0.0, so the guard also keeps the
+    # two engines row-identical
+    z = F.when(
+        std > 0,
+        F.round((F.col("n_events") - F.avg("n_events").over(wt)) / std, 4),
     )
     return (
         series.withColumn("z_score", z)
@@ -3449,8 +3471,10 @@ SQL_EVENTS_ANOMALY = f"""
 WITH series AS ({SQL_EVENTS_GAPFILL.replace("ORDER BY 1, 2", "")}),
 scored AS (
   SELECT event_type, hour_ts, n_events,
-         round((n_events - avg(n_events) OVER w)
-               / stddev_pop(n_events) OVER w, 4) AS z_score
+         CASE WHEN stddev_pop(n_events) OVER w > 0
+              THEN round((n_events - avg(n_events) OVER w)
+                         / stddev_pop(n_events) OVER w, 4)
+         END AS z_score
   FROM series
   WINDOW w AS (PARTITION BY event_type)
 )

@@ -90,13 +90,31 @@ def psql_copy_runner(sock: str, port: str, db: str, sql: str, user: str = "postg
     def run(lines: Iterator[str]) -> None:
         import subprocess
 
-        payload = "\n".join(lines)
-        if not payload:
-            return
-        subprocess.run(
+        it = iter(lines)
+        try:
+            first = next(it)
+        except StopIteration:
+            return  # empty partition: don't open a COPY at all
+        # stream into psql's stdin line-by-line — the partition must
+        # never be materialized as one Python string (that's the whole
+        # backpressure contract of copy_load); the OS pipe throttles us
+        # to what the Postgres backend absorbs
+        proc = subprocess.Popen(
             ["psql", "-h", sock, "-p", port, "-U", user, "-d", db,
              "-v", "ON_ERROR_STOP=1", "-qAtX", "-c", sql],
-            input=payload + "\n", text=True, check=True, capture_output=True,
+            stdin=subprocess.PIPE, stdout=subprocess.DEVNULL,
+            stderr=subprocess.PIPE, text=True,
         )
+        try:
+            assert proc.stdin is not None
+            proc.stdin.write(first + "\n")
+            for line in it:
+                proc.stdin.write(line + "\n")
+            proc.stdin.close()
+        except BrokenPipeError:
+            pass  # psql died mid-stream; surface its stderr below
+        err = proc.stderr.read() if proc.stderr else ""
+        if proc.wait() != 0:
+            raise RuntimeError(f"psql COPY failed (rc={proc.returncode}): {err.strip()}")
 
     return run

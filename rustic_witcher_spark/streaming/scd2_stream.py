@@ -5,8 +5,9 @@ Each micro-batch of change events merges into a materialized SCD2
 history (parquet snapshot via the same crash-safe swap as
 cdc_stream.py; production points the merger at Delta/Iceberg MERGE):
 
-1. split the history into TOUCHED keys (present in the batch — an
-   inner semi join on the batch's distinct keys, broadcast when small)
+1. split the history into TOUCHED keys (present in the batch — a semi
+   join on the batch's distinct keys; AQE broadcasts a normal-sized
+   CDC batch and falls back to shuffle-hash for a backfill replay)
    and UNTOUCHED keys (left-anti) — only touched keys are rebuilt;
 2. feed the touched intervals BACK through the interval builder as
    pseudo-events (ts = valid_from, weight = n_changes — the
@@ -41,7 +42,6 @@ proportional to batch key cardinality, never to history size.
 
 from __future__ import annotations
 
-import shutil
 from collections.abc import Sequence
 from pathlib import Path
 
@@ -66,9 +66,13 @@ def scd2_merge(
     implementation; returns the full new history.
     """
     keys = [F.col(c) for c in key_cols]
+    # strategy left to AQE: normal CDC batches broadcast themselves via
+    # the size threshold; a replay/backfill batch with millions of
+    # distinct keys must NOT be force-broadcast (driver collect x2) —
+    # AQE picks shuffle-hash on the key instead
     batch_keys = batch.select(*key_cols).distinct()
-    touched = history.join(F.broadcast(batch_keys), list(key_cols), "left_semi")
-    untouched = history.join(F.broadcast(batch_keys), list(key_cols), "left_anti")
+    touched = history.join(batch_keys, list(key_cols), "left_semi")
+    untouched = history.join(batch_keys, list(key_cols), "left_anti")
 
     # history rows -> weighted pseudo-events at their change points;
     # real batch events carry weight 1. Pseudo-events reuse the run's

@@ -161,3 +161,25 @@ def test_mixed_media_routing_end_to_end(spark):
     rows = {r["id"]: r for r in extract_features(routed, kernel=real_decode_media_features).collect()}
     assert rows[1]["media_type"] == "image" and rows[1]["features"][0] == W / 4096.0
     assert rows[2]["media_type"] == "audio" and rows[2]["features"][0] == pytest.approx(8000 / 48000.0)
+
+
+def test_decode_wav_truncated_chunks_raise_decoder_unavailable():
+    """Review regression: malformed RIFF must raise DecoderUnavailable
+    (the routing contract), never a bare struct.error."""
+    from rustic_witcher_spark.operators.multimodal import decode_wav
+
+    with pytest.raises(DecoderUnavailable):
+        decode_wav(b"RIFF\x24\x00\x00\x00WAVEfmt \x10\x00\x00\x00shrt")  # fmt body < 16
+    # odd-length 16-bit data chunk: partial trailing frame is dropped
+    good = _make_wav(rate=4000, ch=1, bits=16, n=10)
+    truncated = good[:-1]  # chop one byte off the data chunk
+    rate, ch, bits, n_frames, pcm = decode_wav(truncated)
+    assert n_frames == 9 and len(pcm) == 18  # ragged tail discarded
+
+
+def test_real_audio_features_caps_channels():
+    from rustic_witcher_spark.operators.multimodal import real_audio_features
+
+    feats = real_audio_features(_make_wav(rate=8000, ch=6, bits=16, n=60))
+    assert feats[1] == 1.0  # 6 channels capped, contract is [0, 1]
+    assert all(0.0 <= f <= 1.0 for f in feats)

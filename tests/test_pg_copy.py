@@ -59,9 +59,14 @@ def test_copy_load_fans_out_streams(spark):
     tmp = tempfile.mkdtemp(prefix="copyload-")
 
     def runner(lines):
+        import uuid
+
         n = sum(1 for _ in lines)
         if n:
-            Path(tmp, f"part-{os.getpid()}-{id(lines)}").write_text(str(n))
+            # uuid, not id(lines): CPython reuses freed generator
+            # addresses, so sequential partitions on one worker would
+            # collide and overwrite each other's count file
+            Path(tmp, f"part-{os.getpid()}-{uuid.uuid4().hex}").write_text(str(n))
 
     df = spark.range(100).selectExpr("id AS k", "concat('n', id) AS name")
     pg_copy.copy_load(df, runner, num_streams=3)

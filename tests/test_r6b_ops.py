@@ -366,3 +366,22 @@ def test_session_transitions_single_data_shuffle(spark):
 def test_zorder_is_shuffle_free_before_the_rollup(spark):
     plan = _plan(q_zorder_layout(spark, SF_DIR))
     assert plan.count("Exchange hashpartitioning") == 1  # the bucket groupBy only
+
+
+def test_events_anomaly_constant_series_yields_no_anomalies(spark, tmp_path):
+    """Review regression: stddev 0 (constant per-type series) must be
+    'no anomaly', not ANSI DIVIDE_BY_ZERO / NaN-flagging-everything."""
+    import pandas as pd
+
+    # one event per hour per type -> every per-type hourly count == 1
+    rows = [
+        (i * 2 + t, pd.Timestamp(2024, 1, 1, i), 1, typ, 1.0, "{}")
+        for i in range(4)
+        for t, typ in enumerate(["click", "view"])
+    ]
+    pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).to_parquet(tmp_path / "events.parquet")
+    from rustic_witcher_spark.queries import q_events_anomaly
+
+    assert q_events_anomaly(spark, str(tmp_path)).collect() == []
