@@ -110,10 +110,16 @@ def compaction_plan(
     return out.drop("__fid", "__h", "__shard", "__r", "__off") if id_col is None else out
 
 
-def zorder_layout(df: DataFrame, x_col: str, y_col: str, bits: int = 8) -> DataFrame:
+def zorder_layout(
+    df: DataFrame, x_col: str, y_col: str, bits: int = 8, num_files: int | None = None
+) -> DataFrame:
     """Attach the z value and range-repartition by it — the physical
     re-layout step (callers then write one file per partition). Kept
     separate from the profiling query so the repartition (the only
-    shuffle) is opt-in."""
+    shuffle) is opt-in. ``num_files`` pins the output file count
+    (size it to target file bytes); None lets AQE pick — which on a
+    small input coalesces to few/one file."""
     withz = df.withColumn("z", z_value(F.col(x_col), F.col(y_col), bits))
+    if num_files is not None:
+        return withz.repartitionByRange(num_files, "z")
     return withz.repartitionByRange("z")

@@ -3564,6 +3564,47 @@ FROM m ORDER BY 1, 2
 """
 
 
+def q_dedup_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup — the sampling-weight alternative to dropping
+    duplicates: every copy of a duplicated document keeps weight
+    1/n_copies, so a downstream weighted sampler sees each unique
+    text exactly once in expectation WITHOUT destroying provenance
+    (per-source attribution of the surviving mass is the point: which
+    sources are mostly mirrors?). Same one-digest-shuffle shape as
+    exact dedup; the per-(source, lang) rollup of raw vs effective
+    counts is map-side combinable."""
+    d = _spread(spark, _read(spark, sf_dir, "documents"))
+    digests = d.select("source", "lang", F.md5(dedup.normalized_text(F.col("text"))).alias("__fp"))
+    owners = digests.groupBy("__fp").agg(F.count(F.lit(1)).alias("__copies"))
+    return (
+        digests.join(owners, "__fp")
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.sum(F.lit(1.0) / F.col("__copies")), 6).alias("effective_docs"),
+            F.round(
+                F.sum(F.lit(1.0) / F.col("__copies")) / F.count(F.lit(1)), 6
+            ).alias("unique_mass"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+def sql_dedup_weighted() -> str:
+    return f"""
+WITH digests AS (
+  SELECT source, lang, md5({_norm_sql('text')}) AS fp FROM documents
+),
+owners AS (SELECT fp, count(*) AS copies FROM digests GROUP BY 1)
+SELECT d.source, d.lang, count(*) AS n_docs,
+       round(sum(1.0 / o.copies), 6) AS effective_docs,
+       round(sum(1.0 / o.copies) / count(*), 6) AS unique_mass
+FROM digests d JOIN owners o ON d.fp = o.fp
+GROUP BY d.source, d.lang
+ORDER BY 1, 2
+"""
+
+
 def q_ops_healthcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The warehouse-ops composed flagship (the ops-side analog of
     curation_pipeline): one normalized (section, check, value) report
@@ -3759,12 +3800,12 @@ def build_registry() -> dict[str, tuple[QueryFn, str | None]]:
     verdict, then those whose last verdict is oldest, then refills
     with the previous round's greens — so consecutive CORRECTNESS
     files jointly cover the whole inventory (r05 ∪ r06 = all entries
-    except the sixteen past-window round-6 additions — q2/q11/q16/
+    except the seventeen past-window round-6 additions — q2/q11/q16/
     click_attribution plus the warehouse-ops group scd2_user_history/
     scd2_point_in_time/purchases_with_state_asof/column_profile/
     ri_orphans/events_gapfill/events_anomaly/latency_histogram/
     zorder_layout/dup_span_fraction/ops_healthcheck/
-    session_transitions — which have
+    session_transitions/dedup_weighted — which have
     never held a driver verdict and MUST lead the r07 window).
     The full local gate (`scripts/compare_oracle.py`) runs ALL
     entries every round regardless of ordering.
@@ -3902,6 +3943,7 @@ def build_registry() -> dict[str, tuple[QueryFn, str | None]]:
             "events_anomaly": (q_events_anomaly, SQL_EVENTS_ANOMALY),
             "ops_healthcheck": (q_ops_healthcheck, sql_ops_healthcheck()),
             "session_transitions": (q_session_transitions, SQL_SESSION_TRANSITIONS),
+            "dedup_weighted": (q_dedup_weighted, sql_dedup_weighted()),
             "latency_histogram": (q_latency_histogram, SQL_LATENCY_HISTOGRAM),
             "zorder_layout": (q_zorder_layout, sql_zorder_layout()),
             "dup_span_fraction": (q_dup_span_fraction, sql_dup_span_fraction()),
