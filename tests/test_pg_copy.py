@@ -146,3 +146,40 @@ def test_live_parallel_copy_roundtrip(spark, pgc):
     assert _psql(pgc, "SELECT count(*) FROM t WHERE ts IS NULL", "bulk") == [["201"]]
     # timestamp with microseconds survives Spark's string rendering
     assert _psql(pgc, "SELECT ts FROM t WHERE k = 3", "bulk") == [["2024-06-07 08:09:10.123456"]]
+
+
+def test_copy_escaping_roundtrips_arbitrary_text(spark):
+    """Property: un-escaping a rendered line recovers the exact cell
+    values for adversarial strings (escape-order bugs — e.g. escaping
+    backslash last — would double-unescape)."""
+    from hypothesis import given, settings, HealthCheck
+    from hypothesis import strategies as st
+
+    def unescape(cell: str):
+        if cell == r"\N":
+            return None
+        out, i = [], 0
+        while i < len(cell):
+            c = cell[i]
+            if c == "\\" and i + 1 < len(cell):
+                nxt = cell[i + 1]
+                out.append({"t": "\t", "n": "\n", "r": "\r", "\\": "\\"}.get(nxt, nxt))
+                i += 2
+            else:
+                out.append(c)
+                i += 1
+        return "".join(out)
+
+    @settings(max_examples=5, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture])
+    @given(st.lists(st.one_of(st.none(), st.text(max_size=30)), min_size=1, max_size=25))
+    def prop(values):
+        df = spark.createDataFrame([(i, v) for i, v in enumerate(values)], "i long, s string")
+        lines = {r["line"] for r in pg_copy.copy_lines(df).collect()}
+        got = {}
+        for line in lines:
+            idx, cell = line.split("\t", 1)
+            got[int(idx)] = unescape(cell)
+        assert got == dict(enumerate(values))
+
+    prop()
