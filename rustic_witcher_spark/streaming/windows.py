@@ -41,6 +41,22 @@ def sliding(df: DataFrame, ts_col: str = "ts", width: str = "1 hour", slide: str
     )
 
 
+def value_histogram(df: DataFrame, value_col: str = "value", keys: list[str] | None = None) -> DataFrame:
+    """Mergeable log2-bucket histogram — the streaming face of the
+    batch ``latency_histogram`` entry. Fixed integer buckets (binary
+    length of floor(v)+1, no float log2) are what make the counts
+    ALGEBRAICALLY mergeable: per-micro-batch partial counts combine by
+    addition, so the same expression runs over ``readStream`` in
+    update/complete mode with bounded state (#keys × #buckets rows) —
+    unlike exact percentiles, which cannot stream. Batch ≡ stream is
+    pinned in test_windows.py."""
+    keys = keys or []
+    bucket = (
+        F.length(F.conv((F.floor(F.col(value_col)) + F.lit(1)).cast("long"), 10, 2)) - 1
+    ).alias("bucket")
+    return df.groupBy(*keys, bucket).agg(F.count(F.lit(1)).alias("n"))
+
+
 def session(df: DataFrame, ts_col: str = "ts", gap: str = "30 minutes", key: str = "user_id") -> DataFrame:
     """Session windows per key with a fixed inactivity gap.
 

@@ -96,3 +96,45 @@ def test_watermark_drops_late_events(spark, tmp_path):
     # the 00:00 window emitted with ONLY the on-time event; the late
     # arrival (event 3) was dropped by the watermark, not re-counted
     assert rows.get("2024-01-01 00:00:00") == 1
+
+
+def test_streaming_histogram_merges_across_microbatches(spark, tmp_path):
+    """The mergeability claim, proven: the SAME value_histogram
+    expression over a two-micro-batch stream (complete mode) equals
+    the batch histogram over the union — per-batch partial counts
+    combined by addition, state bounded by #keys x #buckets."""
+    from rustic_witcher_spark.streaming.windows import value_histogram
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    src = str(tmp_path / "hist_ev")
+    b1 = spark.createDataFrame(
+        [(i, datetime(2024, 1, 1, 0, i), 1, "c", float(i)) for i in range(10)], schema
+    )
+    b2 = spark.createDataFrame(
+        [(100 + i, datetime(2024, 1, 1, 1, i), 1, "c", float(i * 3)) for i in range(10)], schema
+    )
+    b1.write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(b1.schema).parquet(src)
+    q = (
+        value_histogram(stream, keys=["event_type"])
+        .writeStream.outputMode("complete")
+        .format("memory").queryName("hist_stream")
+        .option("checkpointLocation", str(tmp_path / "hist_ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        b2.write.mode("append").parquet(src)  # second micro-batch
+        q.processAllAvailable()
+        got = {
+            (r["event_type"], r["bucket"]): r["n"]
+            for r in spark.sql("SELECT * FROM hist_stream").collect()
+        }
+    finally:
+        q.stop()
+    batch = {
+        (r["event_type"], r["bucket"]): r["n"]
+        for r in value_histogram(b1.unionByName(b2), keys=["event_type"]).collect()
+    }
+    assert got == batch and len(batch) >= 4
