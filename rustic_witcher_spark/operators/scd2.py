@@ -105,6 +105,54 @@ def scd2_intervals(
     )
 
 
+_FAR_FUTURE = "9999-01-01 00:00:00"
+
+
+def temporal_join(
+    a: DataFrame,
+    b: DataFrame,
+    key_cols: Sequence[str],
+    a_prefix: str = "a_",
+    b_prefix: str = "b_",
+) -> DataFrame:
+    """SQL:2011-style temporal join of two SCD2 histories: per key,
+    intersect the validity intervals, yielding one row per time
+    segment where BOTH attribute sets are constant —
+    ``[greatest(valid_from), least(valid_to))``, open ends (NULL
+    valid_to) treated as +infinity and restored to NULL on output.
+
+    Plan shape: an equi hash join on the key with the overlap
+    condition (``a.vf < b.vt AND b.vf < a.vt``) as a residual — never
+    a nested loop; both histories and the output share the key's hash
+    partitioning. Per key the output size is |A| + |B| segments at
+    most (intervals within one history are disjoint), so no quadratic
+    blow-up is possible.
+
+    Attribute columns (everything except keys / valid_from / valid_to
+    / is_current / n_changes) are emitted with ``a_prefix`` /
+    ``b_prefix``.
+    """
+    meta = {"valid_from", "valid_to", "is_current", "n_changes"}
+    a_attrs = [c for c in a.columns if c not in meta and c not in key_cols]
+    b_attrs = [c for c in b.columns if c not in meta and c not in key_cols]
+    far = F.to_timestamp(F.lit(_FAR_FUTURE))
+    aa, bb = a.alias("ta"), b.alias("tb")
+    cond = F.lit(True)
+    for k in key_cols:
+        cond = cond & (F.col(f"ta.{k}") == F.col(f"tb.{k}"))
+    a_vt = F.coalesce(F.col("ta.valid_to"), far)
+    b_vt = F.coalesce(F.col("tb.valid_to"), far)
+    cond = cond & (F.col("ta.valid_from") < b_vt) & (F.col("tb.valid_from") < a_vt)
+    seg_to = F.least(a_vt, b_vt)
+    return aa.join(bb, cond).select(
+        *[F.col(f"ta.{k}").alias(k) for k in key_cols],
+        *[F.col(f"ta.{c}").alias(f"{a_prefix}{c}") for c in a_attrs],
+        *[F.col(f"tb.{c}").alias(f"{b_prefix}{c}") for c in b_attrs],
+        F.greatest(F.col("ta.valid_from"), F.col("tb.valid_from")).alias("valid_from"),
+        F.when(seg_to < far, seg_to).alias("valid_to"),
+    )
+
+
 def scd2_snapshot(history: DataFrame, at_ts: str) -> DataFrame:
     """Point-in-time state: the single valid version per key at ``at_ts``.
 

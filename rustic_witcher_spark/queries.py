@@ -3310,6 +3310,105 @@ WHERE p.event_type = 'purchase'
 ORDER BY 1, 2, 3
 """
 
+def q_state_tier_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL:2011-style TEMPORAL JOIN of two SCD2 histories
+    (scd2.temporal_join): per user, the activity-state history joined
+    with a loyalty-tier history (tier = running purchase count bucket,
+    itself an SCD2 build over the purchase stream) — one row per time
+    segment where BOTH are constant. Equi hash join on user_id with
+    the interval-overlap condition as residual; per-key output is at
+    most |A|+|B| segments (disjoint inputs), so no quadratic risk.
+    All three stages (two history builds + the join) share the
+    user_id hash partitioning."""
+    ev = read_events(spark, sf_dir)
+    state_hist = scd2.scd2_intervals(
+        ev, ["user_id"], ["event_type"], "ts", tiebreak_cols=["event_id"]
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .withColumn("__cnt", F.row_number().over(w))
+        .withColumn(
+            "tier",
+            F.when(F.col("__cnt") >= 10, "gold")
+            .when(F.col("__cnt") >= 3, "silver")
+            .otherwise("bronze"),
+        )
+    )
+    tier_hist = scd2.scd2_intervals(p, ["user_id"], ["tier"], "ts", tiebreak_cols=["event_id"])
+    t = scd2.temporal_join(state_hist, tier_hist, ["user_id"])
+    return t.select(
+        "user_id",
+        F.col("a_event_type").alias("state"),
+        F.col("b_tier").alias("tier"),
+        _fmt(F.col("valid_from")).alias("seg_from"),
+        _fmt(F.col("valid_to")).alias("seg_to"),
+    ).orderBy(
+        F.col("user_id").asc(),
+        F.col("seg_from").asc(),
+        F.col("state").asc(),
+        F.col("tier").asc(),
+        F.col("seg_to").asc_nulls_last(),
+    )
+
+
+SQL_STATE_TIER_TIMELINE = """
+WITH marked AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR lag(event_type) OVER w IS DISTINCT FROM event_type
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+runs AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS run FROM marked
+),
+state_hist AS (
+  SELECT user_id, state, vf, lead(vf) OVER (PARTITION BY user_id ORDER BY run) AS vt
+  FROM (SELECT user_id, run, min(event_type) AS state, min(ts) AS vf
+        FROM runs GROUP BY user_id, run)
+),
+purch AS (
+  SELECT user_id, ts, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS cnt
+  FROM events WHERE event_type = 'purchase'
+),
+tiers AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN cnt >= 10 THEN 'gold' WHEN cnt >= 3 THEN 'silver' ELSE 'bronze' END AS tier
+  FROM purch
+),
+tmarked AS (
+  SELECT user_id, tier, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR lag(tier) OVER w IS DISTINCT FROM tier
+              THEN 1 ELSE 0 END AS is_new
+  FROM tiers
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+truns AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS run FROM tmarked
+),
+tier_hist AS (
+  SELECT user_id, tier, vf, lead(vf) OVER (PARTITION BY user_id ORDER BY run) AS vt
+  FROM (SELECT user_id, run, min(tier) AS tier, min(ts) AS vf
+        FROM truns GROUP BY user_id, run)
+),
+far AS (SELECT TIMESTAMP '9999-01-01 00:00:00' AS inf)
+SELECT a.user_id, a.state, b.tier,
+       strftime(greatest(a.vf, b.vf), '%Y-%m-%d %H:%M:%S') AS seg_from,
+       strftime(CASE WHEN least(coalesce(a.vt, f.inf), coalesce(b.vt, f.inf)) < f.inf
+                     THEN least(coalesce(a.vt, f.inf), coalesce(b.vt, f.inf)) END,
+                '%Y-%m-%d %H:%M:%S') AS seg_to
+FROM state_hist a
+JOIN tier_hist b ON b.user_id = a.user_id
+CROSS JOIN far f
+WHERE a.vf < coalesce(b.vt, f.inf) AND b.vf < coalesce(a.vt, f.inf)
+ORDER BY 1, 4, 2, 3, 5 NULLS LAST
+"""
+
+
 _PROFILE_COLS = ["l_orderkey", "l_quantity", "l_discount", "l_returnflag"]
 
 
@@ -3800,12 +3899,12 @@ def build_registry() -> dict[str, tuple[QueryFn, str | None]]:
     verdict, then those whose last verdict is oldest, then refills
     with the previous round's greens — so consecutive CORRECTNESS
     files jointly cover the whole inventory (r05 ∪ r06 = all entries
-    except the seventeen past-window round-6 additions — q2/q11/q16/
+    except the eighteen past-window round-6 additions — q2/q11/q16/
     click_attribution plus the warehouse-ops group scd2_user_history/
-    scd2_point_in_time/purchases_with_state_asof/column_profile/
-    ri_orphans/events_gapfill/events_anomaly/latency_histogram/
-    zorder_layout/dup_span_fraction/ops_healthcheck/
-    session_transitions/dedup_weighted — which have
+    scd2_point_in_time/purchases_with_state_asof/state_tier_timeline/
+    column_profile/ri_orphans/events_gapfill/events_anomaly/
+    latency_histogram/zorder_layout/dup_span_fraction/
+    ops_healthcheck/session_transitions/dedup_weighted — which have
     never held a driver verdict and MUST lead the r07 window).
     The full local gate (`scripts/compare_oracle.py`) runs ALL
     entries every round regardless of ordering.
@@ -3944,6 +4043,7 @@ def build_registry() -> dict[str, tuple[QueryFn, str | None]]:
             "ops_healthcheck": (q_ops_healthcheck, sql_ops_healthcheck()),
             "session_transitions": (q_session_transitions, SQL_SESSION_TRANSITIONS),
             "dedup_weighted": (q_dedup_weighted, sql_dedup_weighted()),
+            "state_tier_timeline": (q_state_tier_timeline, SQL_STATE_TIER_TIMELINE),
             "latency_histogram": (q_latency_histogram, SQL_LATENCY_HISTOGRAM),
             "zorder_layout": (q_zorder_layout, sql_zorder_layout()),
             "dup_span_fraction": (q_dup_span_fraction, sql_dup_span_fraction()),

@@ -420,3 +420,57 @@ def test_zorder_write_produces_tight_file_stats(spark, tmp_path):
     avg_x = sum(s[0] for s in spans) / len(spans)
     avg_y = sum(s[1] for s in spans) / len(spans)
     assert avg_x < 128 and avg_y < 16  # vs 255 / 15 full spans
+
+
+# ------------------------------------------------------- temporal join
+
+
+def test_temporal_join_intersects_intervals(spark):
+    T = dt.datetime
+    a = spark.createDataFrame(
+        [(1, "x", T(2024, 1, 1), T(2024, 1, 5), False, 1),
+         (1, "y", T(2024, 1, 5), None, True, 1)],
+        "k long, sa string, valid_from timestamp, valid_to timestamp, is_current boolean, n_changes long",
+    )
+    b = spark.createDataFrame(
+        [(1, "p", T(2024, 1, 3), T(2024, 1, 7), False, 1),
+         (1, "q", T(2024, 1, 7), None, True, 1)],
+        "k long, sb string, valid_from timestamp, valid_to timestamp, is_current boolean, n_changes long",
+    )
+    rows = sorted(
+        scd2.temporal_join(a, b, ["k"]).collect(), key=lambda r: r["valid_from"]
+    )
+    got = [
+        (r["a_sa"], r["b_sb"], str(r["valid_from"])[:10],
+         str(r["valid_to"])[:10] if r["valid_to"] else None)
+        for r in rows
+    ]
+    assert got == [
+        ("x", "p", "2024-01-03", "2024-01-05"),
+        ("y", "p", "2024-01-05", "2024-01-07"),
+        ("y", "q", "2024-01-07", None),  # both open ends -> NULL restored
+    ]
+    # adjacent-but-not-overlapping intervals excluded: a's [1,3) x b's
+    # [3,7) did not appear; per-key output bounded by |A|+|B|
+    assert len(rows) <= 4
+
+
+def test_temporal_join_disjoint_keys_and_histories(spark):
+    T = dt.datetime
+    a = spark.createDataFrame(
+        [(1, "x", T(2024, 1, 1), T(2024, 1, 2), False, 1)],
+        "k long, sa string, valid_from timestamp, valid_to timestamp, is_current boolean, n_changes long",
+    )
+    b = spark.createDataFrame(
+        [(2, "p", T(2024, 1, 1), None, True, 1),       # different key
+         (1, "q", T(2024, 1, 2), None, True, 1)],      # touches, no overlap
+        "k long, sb string, valid_from timestamp, valid_to timestamp, is_current boolean, n_changes long",
+    )
+    assert scd2.temporal_join(a, b, ["k"]).count() == 0
+
+
+def test_temporal_join_plan_is_hash_join(spark):
+    from rustic_witcher_spark.queries import q_state_tier_timeline
+
+    plan = q_state_tier_timeline(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
