@@ -3590,14 +3590,11 @@ def q_latency_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     float log2 — immune to libm last-ulp differences across engines).
     Fixed buckets make the histogram algebraically mergeable across
     partitions/days at 100 TB (unlike exact percentiles); the CDF
-    window runs over ~#types x #buckets rows, not the data."""
+    window runs over ~#types x #buckets rows, not the data. The bucket
+    aggregate IS windows.value_histogram — the streaming face shares
+    this exact code, so batch and stream cannot drift."""
     ev = read_events(spark, sf_dir)
-    bucket = (
-        F.length(F.conv((F.floor(F.col("value")) + F.lit(1)).cast("long"), 10, 2)) - 1
-    ).alias("bucket")
-    h = ev.select("event_type", bucket).groupBy("event_type", "bucket").agg(
-        F.count(F.lit(1)).alias("n")
-    )
+    h = windows.value_histogram(ev, "value", keys=["event_type"])
     wt = Window.partitionBy("event_type")
     wc = Window.partitionBy("event_type").orderBy("bucket")
     return (
@@ -3674,9 +3671,11 @@ def q_dedup_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts is map-side combinable."""
     d = _spread(spark, _read(spark, sf_dir, "documents"))
     digests = d.select("source", "lang", F.md5(dedup.normalized_text(F.col("text"))).alias("__fp"))
-    owners = digests.groupBy("__fp").agg(F.count(F.lit(1)).alias("__copies"))
+    # copy counts via a window over the digest partition (the exact_dedup
+    # pattern): ONE unconditional scan + one digest shuffle — the
+    # groupBy-and-rejoin alternative only scans once if ReuseExchange fires
     return (
-        digests.join(owners, "__fp")
+        digests.withColumn("__copies", F.count(F.lit(1)).over(Window.partitionBy("__fp")))
         .groupBy("source", "lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

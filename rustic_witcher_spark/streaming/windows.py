@@ -49,7 +49,14 @@ def value_histogram(df: DataFrame, value_col: str = "value", keys: list[str] | N
     addition, so the same expression runs over ``readStream`` in
     update/complete mode with bounded state (#keys × #buckets rows) —
     unlike exact percentiles, which cannot stream. Batch ≡ stream is
-    pinned in test_windows.py."""
+    pinned in test_windows.py; the batch registry entry
+    (q_latency_histogram) builds on THIS function so the two faces
+    cannot drift.
+
+    Contract: ``value_col`` must be non-negative. floor(v)+1 <= 0
+    makes F.conv read the long as unsigned 64-bit (bucket 63) and
+    v in [-1, 0) collides with the [0, 1) bucket — clamp or abs
+    signed metrics before calling."""
     keys = keys or []
     bucket = (
         F.length(F.conv((F.floor(F.col(value_col)) + F.lit(1)).cast("long"), 10, 2)) - 1
