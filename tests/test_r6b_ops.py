@@ -475,3 +475,43 @@ def test_temporal_join_plan_is_hash_join(spark):
 
     plan = q_state_tier_timeline(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_temporal_join_commutes_with_snapshot(spark):
+    """Algebraic law: snapshotting the temporal join at time t equals
+    joining the two snapshots at t — for random histories and probe
+    times, including interval boundaries (half-open semantics must
+    agree on both paths)."""
+    import random
+
+    T = dt.datetime
+    rng = random.Random(7)
+    for trial in range(3):
+        def mk(attr):
+            rows, eid = [], 0
+            for k in range(1, 4):
+                t = 0
+                for _ in range(rng.randint(1, 6)):
+                    t += rng.randint(1, 4)
+                    rows.append((k, f"{attr}{rng.randint(0, 2)}", T(2024, 1, 1, t), eid))
+                    eid += 1
+            return scd2.scd2_intervals(
+                spark.createDataFrame(rows, "k long, s string, ts timestamp, eid long"),
+                ["k"], ["s"], "ts", ["eid"],
+            )
+
+        a, b = mk("a"), mk("b")
+        joined = scd2.temporal_join(a, b, ["k"])
+        for t in [f"2024-01-01 {h:02d}:00:00" for h in (1, 3, 7, 12)] + [
+            "2024-01-02 00:00:00"
+        ]:
+            via_join = {
+                (r["k"], r["a_s"], r["b_s"])
+                for r in scd2.scd2_snapshot(
+                    joined.withColumn("is_current", F.lit(False)), t
+                ).collect()
+            }
+            sa = {r["k"]: r["s"] for r in scd2.scd2_snapshot(a, t).collect()}
+            sb = {r["k"]: r["s"] for r in scd2.scd2_snapshot(b, t).collect()}
+            via_snap = {(k, sa[k], sb[k]) for k in set(sa) & set(sb)}
+            assert via_join == via_snap, (trial, t)
