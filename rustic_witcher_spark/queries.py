@@ -3703,6 +3703,34 @@ ORDER BY 1, 2
 """
 
 
+def q_customer_churn_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operator pattern class (EXCEPT / INTERSECT), not yet
+    represented elsewhere in the registry: customers who ordered in
+    1995 but never again (churned = 1995-buyers EXCEPT later-buyers)
+    vs customers active in both periods (retained = INTERSECT), as
+    labeled key sets. Spark compiles exceptAll-free DISTINCT set ops
+    to left-anti / left-semi hash joins over the deduplicated key
+    projections — the same aggregate-before-join shape as the NOT
+    EXISTS entries; no full-row comparison ever happens, only keys
+    move."""
+    o = _read(spark, sf_dir, "orders")
+    y1995 = o.filter(F.year("o_orderdate") == 1995).select("o_custkey").distinct()
+    later = o.filter(F.year("o_orderdate") > 1995).select("o_custkey").distinct()
+    churned = y1995.exceptAll(later).withColumn("cohort", F.lit("churned_after_1995"))
+    retained = y1995.intersect(later).withColumn("cohort", F.lit("retained"))
+    return churned.unionByName(retained).orderBy("cohort", "o_custkey")
+
+
+SQL_CUSTOMER_CHURN_SETS = """
+WITH y1995 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+later AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) > 1995)
+SELECT o_custkey, 'churned_after_1995' AS cohort FROM (SELECT * FROM y1995 EXCEPT SELECT * FROM later)
+UNION ALL
+SELECT o_custkey, 'retained' AS cohort FROM (SELECT * FROM y1995 INTERSECT SELECT * FROM later)
+ORDER BY cohort, o_custkey
+"""
+
+
 def q_ops_healthcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The warehouse-ops composed flagship (the ops-side analog of
     curation_pipeline): one normalized (section, check, value) report
@@ -3898,12 +3926,13 @@ def build_registry() -> dict[str, tuple[QueryFn, str | None]]:
     verdict, then those whose last verdict is oldest, then refills
     with the previous round's greens — so consecutive CORRECTNESS
     files jointly cover the whole inventory (r05 ∪ r06 = all entries
-    except the eighteen past-window round-6 additions — q2/q11/q16/
+    except the nineteen past-window round-6 additions — q2/q11/q16/
     click_attribution plus the warehouse-ops group scd2_user_history/
     scd2_point_in_time/purchases_with_state_asof/state_tier_timeline/
     column_profile/ri_orphans/events_gapfill/events_anomaly/
     latency_histogram/zorder_layout/dup_span_fraction/
-    ops_healthcheck/session_transitions/dedup_weighted — which have
+    ops_healthcheck/session_transitions/dedup_weighted/
+    customer_churn_sets — which have
     never held a driver verdict and MUST lead the r07 window).
     The full local gate (`scripts/compare_oracle.py`) runs ALL
     entries every round regardless of ordering.
@@ -4043,6 +4072,7 @@ def build_registry() -> dict[str, tuple[QueryFn, str | None]]:
             "session_transitions": (q_session_transitions, SQL_SESSION_TRANSITIONS),
             "dedup_weighted": (q_dedup_weighted, sql_dedup_weighted()),
             "state_tier_timeline": (q_state_tier_timeline, SQL_STATE_TIER_TIMELINE),
+            "customer_churn_sets": (q_customer_churn_sets, SQL_CUSTOMER_CHURN_SETS),
             "latency_histogram": (q_latency_histogram, SQL_LATENCY_HISTOGRAM),
             "zorder_layout": (q_zorder_layout, sql_zorder_layout()),
             "dup_span_fraction": (q_dup_span_fraction, sql_dup_span_fraction()),
