@@ -3905,6 +3905,328 @@ ORDER BY d.doc_id
 
 
 # ---------------------------------------------------------------------------
+# Round-6 late additions: pivot / grouping-sets / capping / budgeting /
+# embedding stats / range-frame windows / PMI phrase mining
+# ---------------------------------------------------------------------------
+
+
+def q_orders_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT cross-tab (priority × status order counts) — the one
+    relational reshaping operator the registry lacked. The pivot
+    values are passed EXPLICITLY: without them Spark runs an extra
+    collect-distinct job over the pivot column before it can even
+    plan — at 100 TB that is a full-table pre-pass just to learn
+    column names, so production pivots should always enumerate their
+    (small, known) value set. With values given this compiles to one
+    partial-aggregated groupBy: a 5×3 cross-tab from a single fact
+    shuffle of 15 pre-combined rows per map task."""
+    o = _read(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["F", "O", "P"])
+        .orderBy("o_orderpriority")
+    )
+
+
+SQL_ORDERS_PIVOT = """
+SELECT o_orderpriority,
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+       count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+       count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS with grouping_id — subtotal lattices beyond the
+    plain ROLLUP entry: {(flag,status), (flag), ()} in ONE scan via
+    Catalyst's Expand (3 grouping sets → 3× map-side row fan-out,
+    partially aggregated before the single shuffle — vs 3 separate
+    scans of the fact table). grouping_id() uses the same bit order
+    as DuckDB's GROUPING(a, b) (first column = MSB), asserted by the
+    oracle hash. NULL group keys are coalesced to 'ALL' so the
+    subtotal rows order identically in both engines."""
+    l = _read(spark, sf_dir, "lineitem")
+    g = l.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+    )
+    return (
+        g.select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "gid",
+            "n_items",
+            "revenue",
+        )
+        .orderBy("gid", "returnflag", "linestatus")
+    )
+
+
+SQL_GROUPING_SETS_REVENUE = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       GROUPING(l_returnflag, l_linestatus) AS gid,
+       count(*) AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+ORDER BY gid, returnflag, linestatus
+"""
+
+SOURCE_CAP = 10
+
+
+def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source frequency capping — the web-pipeline staple that
+    stops one mirror-heavy domain from dominating the training mix:
+    keep at most SOURCE_CAP docs per source, best-first (longest doc
+    wins, doc_id tiebreak). One rank window = one shuffle on source;
+    when a single source is pathologically hot the 100 TB variant
+    pre-filters with a per-source count sketch and tops up only the
+    sources actually over cap (noted in SCALE.md) — but the rank
+    window is already partial-agg-free and spills cleanly."""
+    d = _spread(spark, _read(spark, sf_dir, "documents"))
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        d.select("doc_id", "source", "n_chars")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= SOURCE_CAP)
+        .orderBy("source", "rk")
+    )
+
+
+SQL_SOURCE_CAP = f"""
+SELECT doc_id, source, n_chars, rk FROM (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk
+  FROM documents
+) WHERE rk <= {SOURCE_CAP} ORDER BY source, rk
+"""
+
+
+def q_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection: take documents best-first
+    (longest first, doc_id tiebreak) until 50% of the corpus's token
+    mass is spent — the 'fill the training budget by priority' shape.
+    The semantic spec is a GLOBAL cumulative sum in priority order;
+    a naive ``sum() OVER (ORDER BY ...)`` is the single-partition
+    window scale-killer, so this runs the packing-style two-level
+    prefix scan instead: decile bounds of the priority score are ONE
+    broadcast scalar row, per-bucket token totals (10 rows) get
+    exclusive offsets from a tiny driver-safe window, and each doc's
+    global cum is its within-bucket window cum + its bucket offset —
+    bucket-partitioned windows only, integer-exact, so it equals the
+    oracle's global window bit-for-bit."""
+    d = _spread(spark, _read(spark, sf_dir, "documents"))
+    toks = d.select(
+        "doc_id", "source", "n_chars", text.token_count(F.col("text")).alias("n_tokens")
+    )
+    fracs = ", ".join(str(i / 10) for i in range(1, 10))
+    glob = toks.agg(
+        F.expr(f"transform(percentile(n_chars, array({fracs})), x -> round(x, 4))").alias("__bounds"),
+        F.floor(F.sum("n_tokens") * 0.5).cast("bigint").alias("__budget"),
+    )
+    b = toks.crossJoin(F.broadcast(glob)).withColumn(
+        "__bucket",
+        F.aggregate(
+            "__bounds", F.lit(0), lambda acc, bd: acc + F.when(F.col("n_chars") > bd, 1).otherwise(0)
+        ),
+    )
+    # 10-row bucket totals: the deliberate tiny unpartitioned window
+    # (same class as the IVF seed ranking — bounded by the bucket count,
+    # never by the data).
+    wb = Window.orderBy(F.desc("__bucket")).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        b.groupBy("__bucket")
+        .agg(F.sum("n_tokens").alias("__btoks"))
+        .withColumn("__off", F.coalesce(F.sum("__btoks").over(wb), F.lit(0)))
+        .select("__bucket", "__off")
+    )
+    ww = (
+        Window.partitionBy("__bucket")
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        b.join(F.broadcast(offsets), "__bucket")
+        .withColumn("cum_tokens", (F.sum("n_tokens").over(ww) + F.col("__off")).cast("bigint"))
+        .filter(F.col("cum_tokens") - F.col("n_tokens") < F.col("__budget"))
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
+        .orderBy("cum_tokens")
+    )
+
+
+def sql_token_budget_selection() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, source, n_chars, len({_toks_sql('text')})::BIGINT AS n_tokens FROM documents
+),
+tot AS (SELECT floor(sum(n_tokens) * 0.5)::BIGINT AS budget FROM toks),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         (sum(n_tokens) OVER (ORDER BY n_chars DESC, doc_id))::BIGINT AS cum_tokens
+  FROM toks
+)
+SELECT doc_id, source, n_tokens, cum_tokens
+FROM c, tot WHERE cum_tokens - n_tokens < budget ORDER BY cum_tokens
+"""
+
+
+def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding statistics (mean/var/min/max) — the
+    feature-drift monitor every embedding pipeline runs before
+    training. posexplode fans each row ×64, but the groupBy(dim)
+    partial-aggregates map-side, so the shuffle is partitions×64
+    tiny stat tuples regardless of corpus size — the d×n explosion
+    never crosses the wire. Elements are cast to double BEFORE
+    aggregation so both engines accumulate in the same precision."""
+    e = _spread(spark, _read(spark, sf_dir, "embeddings"))
+    ex = e.select(F.posexplode("embedding").alias("dim", "v")).withColumn(
+        "v", F.col("v").cast("double")
+    )
+    return (
+        ex.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("v"), 6).alias("mean_v"),
+            F.round(F.var_pop("v"), 6).alias("var_v"),
+            F.round(F.min("v"), 6).alias("min_v"),
+            F.round(F.max("v"), 6).alias("max_v"),
+        )
+        .orderBy("dim")
+    )
+
+
+SQL_EMBEDDING_DIM_STATS = """
+WITH ex AS (
+  SELECT i - 1 AS dim, embedding[i]::DOUBLE AS v
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS r(i)
+)
+SELECT dim, count(*) AS n, round(avg(v), 6) AS mean_v, round(var_pop(v), 6) AS var_v,
+       round(min(v), 6) AS min_v, round(max(v), 6) AS max_v
+FROM ex GROUP BY dim ORDER BY dim
+"""
+
+
+def q_events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame rolling average — the time-based window frame the
+    registry's ROWS-frame entries don't cover: per-type 4-hour
+    trailing mean of hourly value volume. Events are aggregated to
+    hourly grain FIRST (the fact shuffle carries pre-combined hour
+    rows, not raw events), then the range window runs over the tiny
+    per-type hourly series — frame membership by epoch distance, so
+    missing hours correctly shrink the frame instead of silently
+    widening it the way a ROWS 3 PRECEDING frame would."""
+    ev = _read(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 6).alias("hour_value"))
+        .withColumn("__ep", F.unix_timestamp("hour"))
+    )
+    w = Window.partitionBy("event_type").orderBy("__ep").rangeBetween(-3 * 3600, 0)
+    return (
+        hourly.withColumn("moving_avg", F.round(F.avg("hour_value").over(w), 6))
+        .select(
+            "event_type",
+            F.date_format("hour", _FMT).alias("hour"),
+            "n_events",
+            "hour_value",
+            "moving_avg",
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
+SQL_EVENTS_MOVING_AVG = f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n_events,
+         round(sum(value), 6) AS hour_value, epoch(date_trunc('hour', ts))::BIGINT AS ep
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, {_fmt_sql('hour')} AS hour, n_events, hour_value,
+       round(avg(hour_value) OVER (
+         PARTITION BY event_type ORDER BY ep
+         RANGE BETWEEN 10800 PRECEDING AND CURRENT ROW), 6) AS moving_avg
+FROM hourly ORDER BY event_type, hour
+"""
+
+PMI_MIN_COUNT = 10
+
+
+def q_term_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI phrase mining: top-50 adjacent token pairs by pointwise
+    mutual information ln(n12·N / (n1·n2)) — the collocation signal
+    tokenizer-vocabulary and phrase-detection passes start from.
+    Unigram and bigram counts are two independent explode→groupBy
+    partial aggregations over the SAME token arrays; the pair table
+    then joins the unigram counts twice ON TERM (a vocabulary-sized
+    shuffle join — at 100 TB the vocab is still millions of rows, so
+    no broadcast is assumed). All PMI inputs are exact integers;
+    the double division is IEEE-identical in both engines."""
+    d = _spread(spark, _read(spark, sf_dir, "documents"))
+    toks = d.select(text.tokens(F.col("text")).alias("t"))
+    uni = toks.select(F.explode("t").alias("term")).groupBy("term").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    total = uni.agg(F.sum("n").cast("bigint").alias("N"))
+    grams = toks.select(
+        F.explode(
+            F.when(
+                F.size("t") >= 2,
+                F.expr("transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i + 1]))"),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("g")
+    )
+    bc = grams.groupBy("g").agg(F.count(F.lit(1)).alias("n12")).filter(
+        F.col("n12") >= PMI_MIN_COUNT
+    )
+    pairs = (
+        bc.withColumn("w1", F.split("g", " ")[0])
+        .withColumn("w2", F.split("g", " ")[1])
+        .join(uni.select(F.col("term").alias("w1"), F.col("n").alias("n1")), "w1")
+        .join(uni.select(F.col("term").alias("w2"), F.col("n").alias("n2")), "w2")
+        .crossJoin(F.broadcast(total))
+    )
+    return (
+        pairs.select(
+            F.col("g").alias("bigram"),
+            "n12",
+            "n1",
+            "n2",
+            F.round(F.log((F.col("n12") * F.col("N")) / (F.col("n1") * F.col("n2"))), 6).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("bigram"))
+        .limit(50)
+    )
+
+
+def sql_term_pmi() -> str:
+    return f"""
+WITH toks AS (SELECT {_toks_sql('text')} AS t FROM documents),
+tu AS (SELECT unnest(t) AS term FROM toks),
+uni AS (SELECT term, count(*) AS n FROM tu GROUP BY 1),
+tot AS (SELECT sum(n)::BIGINT AS n_total FROM uni),
+bg AS (SELECT t[i] || ' ' || t[i + 1] AS g FROM toks, unnest(range(1, len(t))) AS r(i)),
+bc AS (SELECT g, count(*) AS n12 FROM bg GROUP BY 1 HAVING count(*) >= {PMI_MIN_COUNT})
+SELECT bc.g AS bigram, bc.n12, u1.n AS n1, u2.n AS n2,
+       round(ln((bc.n12 * n_total) / (u1.n * u2.n)), 6) AS pmi
+FROM bc
+JOIN uni u1 ON u1.term = string_split(bc.g, ' ')[1]
+JOIN uni u2 ON u2.term = string_split(bc.g, ' ')[2]
+CROSS JOIN tot
+ORDER BY pmi DESC, bigram ASC LIMIT 50
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -3932,7 +4254,9 @@ def build_registry() -> dict[str, tuple[QueryFn, str | None]]:
     column_profile/ri_orphans/events_gapfill/events_anomaly/
     latency_histogram/zorder_layout/dup_span_fraction/
     ops_healthcheck/session_transitions/dedup_weighted/
-    customer_churn_sets — which have
+    customer_churn_sets, and the late-addition group orders_pivot/
+    grouping_sets_revenue/source_cap/token_budget_selection/
+    embedding_dim_stats/events_moving_avg/term_pmi — which have
     never held a driver verdict and MUST lead the r07 window).
     The full local gate (`scripts/compare_oracle.py`) runs ALL
     entries every round regardless of ordering.
@@ -4076,6 +4400,15 @@ def build_registry() -> dict[str, tuple[QueryFn, str | None]]:
             "latency_histogram": (q_latency_histogram, SQL_LATENCY_HISTOGRAM),
             "zorder_layout": (q_zorder_layout, sql_zorder_layout()),
             "dup_span_fraction": (q_dup_span_fraction, sql_dup_span_fraction()),
+            # --- (8) round-6 late additions (past the driver window —
+            # local gate this round, rotate into r07) ---
+            "orders_pivot": (q_orders_pivot, SQL_ORDERS_PIVOT),
+            "grouping_sets_revenue": (q_grouping_sets_revenue, SQL_GROUPING_SETS_REVENUE),
+            "source_cap": (q_source_cap, SQL_SOURCE_CAP),
+            "token_budget_selection": (q_token_budget_selection, sql_token_budget_selection()),
+            "embedding_dim_stats": (q_embedding_dim_stats, SQL_EMBEDDING_DIM_STATS),
+            "events_moving_avg": (q_events_moving_avg, SQL_EVENTS_MOVING_AVG),
+            "term_pmi": (q_term_pmi, sql_term_pmi()),
         }
     )
     ordered = {name: reg.pop(name) for name in ROUND6_PREFIX}

@@ -1,0 +1,209 @@
+"""Round-6 late additions: pivot, grouping sets, per-source capping,
+token-budget selection, embedding dimension stats, range-frame moving
+averages, PMI phrase mining.
+
+Same contract as test_r4/r5/r6b_ops: (a) semantic checks vs an
+independently-computed expectation (Python replays or adversarial
+synthetic inputs), (b) the structural properties the 100 TB story
+depends on. Oracle equality runs in scripts/compare_oracle.py and the
+driver gate.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from rustic_witcher_spark.queries import (
+    PMI_MIN_COUNT,
+    SOURCE_CAP,
+    q_embedding_dim_stats,
+    q_events_moving_avg,
+    q_grouping_sets_revenue,
+    q_orders_pivot,
+    q_source_cap,
+    q_term_pmi,
+    q_token_budget_selection,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# --------------------------------------------------------------- pivot
+
+
+def test_pivot_row_sums_equal_priority_counts(spark):
+    rows = q_orders_pivot(spark, SF_DIR).collect()
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    per_prio = {
+        r["o_orderpriority"]: r["n"]
+        for r in orders.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert len(rows) == len(per_prio)
+    for r in rows:
+        assert r["F"] + r["O"] + r["P"] == per_prio[r["o_orderpriority"]]
+
+
+def test_pivot_fills_missing_cells_with_zero(spark, tmp_path):
+    # priority 'B' never appears with status 'P' — the pivot cell must
+    # read 0 (matching the oracle's FILTER count), not NULL
+    rows_in = [("A", "F"), ("A", "O"), ("A", "P"), ("B", "F"), ("B", "O")]
+    pd.DataFrame(rows_in, columns=["o_orderpriority", "o_orderstatus"]).to_parquet(
+        tmp_path / "orders.parquet"
+    )
+    rows = {r["o_orderpriority"]: r for r in q_orders_pivot(spark, str(tmp_path)).collect()}
+    assert rows["B"]["P"] == 0
+    assert rows["A"]["F"] == rows["A"]["O"] == rows["A"]["P"] == 1
+
+
+# ------------------------------------------------------- grouping sets
+
+
+def test_grouping_sets_lattice_is_consistent(spark):
+    rows = q_grouping_sets_revenue(spark, SF_DIR).collect()
+    assert {r["gid"] for r in rows} == {0, 1, 3}
+    detail = [r for r in rows if r["gid"] == 0]
+    by_flag = [r for r in rows if r["gid"] == 1]
+    grand = [r for r in rows if r["gid"] == 3]
+    assert len(grand) == 1 and grand[0]["returnflag"] == "ALL" and grand[0]["linestatus"] == "ALL"
+    # n_items is integer-exact across the lattice
+    assert grand[0]["n_items"] == sum(r["n_items"] for r in detail)
+    for fr in by_flag:
+        assert fr["linestatus"] == "ALL"
+        mine = [r for r in detail if r["returnflag"] == fr["returnflag"]]
+        assert fr["n_items"] == sum(r["n_items"] for r in mine)
+        # revenue rounded per-level: subtotal equals sum of details
+        # up to the per-row rounding slack
+        assert abs(fr["revenue"] - sum(r["revenue"] for r in mine)) < 1e-2 * (len(mine) + 1)
+
+
+# ----------------------------------------------------------- source cap
+
+
+def test_source_cap_keeps_longest_docs_densely_ranked(spark):
+    rows = q_source_cap(spark, SF_DIR).collect()
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "source", "n_chars"
+    ).collect()
+    full: dict[str, list] = {}
+    for d in docs:
+        full.setdefault(d["source"], []).append(d)
+    assert set(by_src) == set(full)  # no source vanishes
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: r["rk"])
+        assert [r["rk"] for r in rs] == list(range(1, len(rs) + 1))  # dense ranks
+        assert len(rs) == min(SOURCE_CAP, len(full[src]))
+        # kept set == the true top-k by (n_chars desc, doc_id asc)
+        expect = sorted(full[src], key=lambda d: (-d["n_chars"], d["doc_id"]))[: SOURCE_CAP]
+        assert [r["doc_id"] for r in rs] == [d["doc_id"] for d in expect]
+
+
+# --------------------------------------------------------- token budget
+
+
+def test_token_budget_two_level_scan_equals_global_cumsum(spark):
+    """The scale path (bucketed two-level prefix scan) must reproduce
+    the naive global-window spec bit-for-bit."""
+    out = {r["doc_id"]: r for r in q_token_budget_selection(spark, SF_DIR).collect()}
+    from rustic_witcher_spark.operators import text
+
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "n_chars", text.token_count(F.col("text")).alias("nt"))
+        .collect()
+    )
+    # python replay of the spec: global order, exact integer cumsum
+    ordered = sorted(docs, key=lambda d: (-d["n_chars"], d["doc_id"]))
+    total = sum(d["nt"] for d in ordered)
+    budget = math.floor(total * 0.5)
+    cum, expect = 0, {}
+    for d in ordered:
+        if cum < budget:  # doc starts strictly before the budget line
+            expect[d["doc_id"]] = cum + d["nt"]
+        cum += d["nt"]
+    assert set(out) == set(expect)
+    for doc_id, cum_tokens in expect.items():
+        assert out[doc_id]["cum_tokens"] == cum_tokens  # integer-exact, not approximate
+
+
+# ------------------------------------------------------ embedding stats
+
+
+def test_embedding_dim_stats_match_python_replay(spark):
+    rows = {r["dim"]: r for r in q_embedding_dim_stats(spark, SF_DIR).collect()}
+    vecs = [r["embedding"] for r in spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()]
+    dim = len(vecs[0])
+    assert set(rows) == set(range(dim))
+    for d in (0, dim // 2, dim - 1):
+        vals = [float(v[d]) for v in vecs]
+        r = rows[d]
+        assert r["n"] == len(vals)
+        assert abs(r["mean_v"] - sum(vals) / len(vals)) < 1e-5
+        mean = sum(vals) / len(vals)
+        assert abs(r["var_v"] - sum((x - mean) ** 2 for x in vals) / len(vals)) < 1e-5
+        assert r["min_v"] <= r["mean_v"] <= r["max_v"]
+        assert r["var_v"] >= 0
+
+
+# ----------------------------------------------------- range-frame window
+
+
+def test_moving_avg_range_frame_excludes_distant_hours(spark, tmp_path):
+    T = dt.datetime
+    rows_in = [
+        # contiguous hours 0,1,2 then a 7-hour gap to hour 10
+        (1, T(2024, 1, 1, 0, 30), 7, "view", 10.0, "{}"),
+        (2, T(2024, 1, 1, 1, 15), 7, "view", 20.0, "{}"),
+        (3, T(2024, 1, 1, 2, 45), 7, "view", 60.0, "{}"),
+        (4, T(2024, 1, 1, 10, 5), 7, "view", 100.0, "{}"),
+    ]
+    pd.DataFrame(
+        rows_in, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).to_parquet(tmp_path / "events.parquet")
+    out = {r["hour"]: r for r in q_events_moving_avg(spark, str(tmp_path)).collect()}
+    assert out["2024-01-01 02:00:00"]["moving_avg"] == 30.0  # mean(10, 20, 60)
+    # hour 10 is > 3h from every earlier hour: the RANGE frame holds
+    # only itself — a ROWS 3 PRECEDING frame would wrongly average in
+    # the pre-gap hours
+    assert out["2024-01-01 10:00:00"]["moving_avg"] == 100.0
+
+
+def test_moving_avg_aggregates_before_windowing(spark):
+    # hourly grain: one output row per (type, hour) — the window input
+    # is the reduced series, not raw events
+    out = q_events_moving_avg(spark, SF_DIR)
+    n = out.count()
+    assert out.select("event_type", "hour").distinct().count() == n
+
+
+# ------------------------------------------------------------------ PMI
+
+
+def test_term_pmi_known_collocation(spark, tmp_path):
+    # 'alpha beta' always co-occurs; 'noise' tokens inflate N without
+    # forming frequent bigrams (each noise doc is a single token)
+    k = PMI_MIN_COUNT + 2
+    docs = [(i, "alpha beta") for i in range(k)]
+    docs += [(1000 + i, f"zz{i}") for i in range(k)]
+    pd.DataFrame(docs, columns=["doc_id", "text"]).to_parquet(tmp_path / "documents.parquet")
+    rows = q_term_pmi(spark, str(tmp_path)).collect()
+    assert len(rows) == 1  # only the one bigram clears PMI_MIN_COUNT
+    r = rows[0]
+    n_total = 3 * k  # alpha, beta, and one zz token per noise doc
+    expect = math.log(k * n_total / (k * k))
+    assert r["bigram"] == "alpha beta" and r["n12"] == k and r["n1"] == k and r["n2"] == k
+    assert abs(r["pmi"] - round(expect, 6)) < 1e-9
+
+
+def test_term_pmi_threshold_and_ranking(spark):
+    rows = q_term_pmi(spark, SF_DIR).collect()
+    assert 0 < len(rows) <= 50
+    assert all(r["n12"] >= PMI_MIN_COUNT for r in rows)
+    pmis = [(r["pmi"], r["bigram"]) for r in rows]
+    assert pmis == sorted(pmis, key=lambda t: (-t[0], t[1]))  # desc pmi, asc bigram
