@@ -4226,6 +4226,41 @@ ORDER BY pmi DESC, bigram ASC LIMIT 50
 """
 
 
+def q_lineitem_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT — the inverse reshaping of the pivot entry: per-flag
+    average measures computed WIDE (one aggregate scan), then melted
+    to long (flag, metric, value) via DataFrame.unpivot (Catalyst
+    Expand). The melt happens AFTER aggregation, on the 3-row wide
+    frame — melting the fact table first would triple the shuffle
+    for identical results. Long format is what metric stores and
+    plotting layers ingest, so this wide-agg-then-melt shape is the
+    standard reporting tail."""
+    l = _read(spark, sf_dir, "lineitem")
+    wide = l.groupBy("l_returnflag").agg(
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+    )
+    return (
+        wide.unpivot(["l_returnflag"], ["avg_qty", "avg_price", "avg_disc"], "metric", "value")
+        .orderBy("l_returnflag", "metric")
+    )
+
+
+SQL_LINEITEM_UNPIVOT = """
+WITH wide AS (
+  SELECT l_returnflag,
+         round(avg(l_quantity), 4) AS avg_qty,
+         round(avg(l_extendedprice), 4) AS avg_price,
+         round(avg(l_discount), 4) AS avg_disc
+  FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag, metric, value
+FROM wide UNPIVOT (value FOR metric IN (avg_qty, avg_price, avg_disc))
+ORDER BY l_returnflag, metric
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4256,7 +4291,8 @@ def build_registry() -> dict[str, tuple[QueryFn, str | None]]:
     ops_healthcheck/session_transitions/dedup_weighted/
     customer_churn_sets, and the late-addition group orders_pivot/
     grouping_sets_revenue/source_cap/token_budget_selection/
-    embedding_dim_stats/events_moving_avg/term_pmi — which have
+    embedding_dim_stats/events_moving_avg/term_pmi/
+    lineitem_unpivot — which have
     never held a driver verdict and MUST lead the r07 window).
     The full local gate (`scripts/compare_oracle.py`) runs ALL
     entries every round regardless of ordering.
@@ -4409,6 +4445,7 @@ def build_registry() -> dict[str, tuple[QueryFn, str | None]]:
             "embedding_dim_stats": (q_embedding_dim_stats, SQL_EMBEDDING_DIM_STATS),
             "events_moving_avg": (q_events_moving_avg, SQL_EVENTS_MOVING_AVG),
             "term_pmi": (q_term_pmi, sql_term_pmi()),
+            "lineitem_unpivot": (q_lineitem_unpivot, SQL_LINEITEM_UNPIVOT),
         }
     )
     ordered = {name: reg.pop(name) for name in ROUND6_PREFIX}

@@ -1,3 +1,3 @@
-from rustic_witcher_spark.streaming import stateful, windows
+from rustic_witcher_spark.streaming import quota, stateful, windows
 
-__all__ = ["stateful", "windows"]
+__all__ = ["quota", "stateful", "windows"]

@@ -207,3 +207,58 @@ def test_term_pmi_threshold_and_ranking(spark):
     assert all(r["n12"] >= PMI_MIN_COUNT for r in rows)
     pmis = [(r["pmi"], r["bigram"]) for r in rows]
     assert pmis == sorted(pmis, key=lambda t: (-t[0], t[1]))  # desc pmi, asc bigram
+
+
+# ------------------------------------------------- budget property test
+
+import re
+import tempfile
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_words = st.lists(
+    st.text(alphabet="abcdefgh", min_size=1, max_size=5), min_size=0, max_size=12
+)
+_corpus = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=500), _words),  # (n_chars score, words)
+    min_size=1,
+    max_size=60,
+)
+
+
+def _py_token_count(text: str) -> int:
+    norm = re.sub(r"\s+", " ", text.strip().lower())
+    return len(norm.split(" ")) if norm else 0
+
+
+@given(corpus=_corpus)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+def test_token_budget_property_random_corpora(spark, corpus):
+    """Two-level prefix scan == naive global cumsum on ANY corpus —
+    including duplicate scores straddling decile bounds, empty texts,
+    and single-doc corpora."""
+    rows = [(i, " ".join(words), nc) for i, (nc, words) in enumerate(corpus)]
+    tmpdir = tempfile.mkdtemp()
+    spark.createDataFrame(rows, "doc_id long, text string, n_chars long").withColumn(
+        "source", F.lit("s")
+    ).write.mode("overwrite").parquet(f"{tmpdir}/documents.parquet")
+
+    got = {r["doc_id"]: r["cum_tokens"] for r in q_token_budget_selection(spark, tmpdir).collect()}
+
+    docs = sorted(
+        ((d, _py_token_count(t), nc) for d, t, nc in rows),
+        key=lambda r: (-r[2], r[0]),
+    )
+    total = sum(nt for _, nt, _ in docs)
+    budget = math.floor(total * 0.5)
+    cum, expect = 0, {}
+    for doc_id, nt, _ in docs:
+        if cum < budget:
+            expect[doc_id] = cum + nt
+        cum += nt
+    assert got == expect

@@ -1,0 +1,84 @@
+"""Streaming per-key quota admission (streaming/quota.py): batch-twin
+equivalence when batches arrive in seq order, and state carry across
+micro-batches."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from rustic_witcher_spark.streaming import quota
+
+SCHEMA = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+
+def _rows(ids_by_user):
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    for uid, ids in ids_by_user.items():
+        rows += [(eid, t0, uid, "click", 1.0) for eid in ids]
+    return sorted(rows)
+
+
+def _run(spark, tmp_path, batches, q):
+    src = tmp_path / "src"
+    src.mkdir()
+    # batch 0 present before the stream starts; later batches appended
+    spark.createDataFrame(batches[0], SCHEMA).write.mode("append").parquet(str(src))
+    stream = spark.readStream.schema(SCHEMA).parquet(str(src))
+    query = (
+        quota.streaming_quota_filter(stream, q)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("quota_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    query.processAllAvailable()
+    for b in batches[1:]:
+        spark.createDataFrame(b, SCHEMA).write.mode("append").parquet(str(src))
+        query.processAllAvailable()
+    out = spark.sql("SELECT * FROM quota_out").collect()
+    query.stop()
+    return out
+
+
+def test_quota_matches_batch_twin_in_order(spark, tmp_path):
+    # batches arrive in event order -> stream == batch row_number twin
+    b1 = _rows({100: [1, 2], 200: [3]})
+    b2 = _rows({100: [4, 5], 200: [6], 300: [7]})
+    out = _run(spark, tmp_path, [b1, b2], q=3)
+    got = {(r["user_id"], r["event_id"]): r["admit_rank"] for r in out}
+
+    allrows = spark.createDataFrame(b1 + b2, SCHEMA)
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    twin = (
+        allrows.withColumn("admit_rank", F.row_number().over(w))
+        .filter(F.col("admit_rank") <= 3)
+        .select("user_id", "event_id", "admit_rank")
+        .collect()
+    )
+    expect = {(r["user_id"], r["event_id"]): r["admit_rank"] for r in twin}
+    assert got == expect
+    # user 100 hit the quota: event 5 dropped
+    assert (100, 5) not in got and (100, 4) in got
+
+
+def test_quota_state_carries_and_saturates(spark, tmp_path):
+    # 2 admitted in batch 1, only 1 more slot in batch 2, none in batch 3
+    b1 = _rows({42: [10, 11]})
+    b2 = _rows({42: [12, 13]})
+    b3 = _rows({42: [14]})
+    out = _run(spark, tmp_path, [b1, b2, b3], q=3)
+    got = sorted((r["event_id"], r["admit_rank"]) for r in out if r["user_id"] == 42)
+    assert got == [(10, 1), (11, 2), (12, 3)]
+
+
+def test_quota_admits_batch_min_first(spark, tmp_path):
+    # within one batch, admission is seq order (event 21 before 23),
+    # regardless of row order in the source file
+    b1 = [(23, datetime(2024, 1, 1), 7, "click", 1.0), (21, datetime(2024, 1, 1), 7, "view", 1.0)]
+    out = _run(spark, tmp_path, [b1], q=1)
+    assert [(r["event_id"], r["admit_rank"]) for r in out] == [(21, 1)]
