@@ -4261,6 +4261,63 @@ ORDER BY l_returnflag, metric
 """
 
 
+def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line interval-overlap counting — the max-concurrency
+    question (peak simultaneous sessions) that no join or plain
+    aggregate expresses: each event opens a 30-minute presence
+    interval [ts, ts+30min); every interval becomes a +1/-1 edge, a
+    per-type running sum over the time-ordered edges counts open
+    intervals, and the max of that running sum is the peak. Half-open
+    semantics make an end and a start at the same instant NOT
+    overlap, so ties order ends (-1) before starts (+1). The peak is
+    tie-order-invariant (within equal (ts, delta) groups the partial
+    sums are a fixed multiset), so the result is deterministic and
+    oracle-exact. The per-type ordered window shuffles on event_type —
+    few types = few fat partitions, so the 100 TB variant runs the
+    same edges through the time-bucketed two-level prefix scan
+    (token_budget_selection's shape) with per-bucket carry-in
+    offsets."""
+    ev = _read(spark, sf_dir, "events")
+    starts = ev.select("event_type", F.col("ts").alias("edge_ts"), F.lit(1).alias("delta"))
+    ends = ev.select(
+        "event_type",
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("edge_ts"),
+        F.lit(-1).alias("delta"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("edge_ts", "delta")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = starts.unionByName(ends).withColumn("open_now", F.sum("delta").over(w))
+    return (
+        run.groupBy("event_type")
+        .agg(
+            (F.count(F.lit(1)) / 2).cast("bigint").alias("n_intervals"),
+            F.max("open_now").alias("peak_concurrent"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_PEAK_CONCURRENCY = """
+WITH edges AS (
+  SELECT event_type, ts AS edge_ts, 1 AS delta FROM events
+  UNION ALL
+  SELECT event_type, ts + INTERVAL 30 MINUTE, -1 FROM events
+),
+run AS (
+  SELECT event_type,
+         sum(delta) OVER (PARTITION BY event_type ORDER BY edge_ts, delta
+                          ROWS UNBOUNDED PRECEDING) AS open_now
+  FROM edges
+)
+SELECT event_type, (count(*) / 2)::BIGINT AS n_intervals,
+       max(open_now)::BIGINT AS peak_concurrent
+FROM run GROUP BY event_type ORDER BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4292,7 +4349,7 @@ def build_registry() -> dict[str, tuple[QueryFn, str | None]]:
     customer_churn_sets, and the late-addition group orders_pivot/
     grouping_sets_revenue/source_cap/token_budget_selection/
     embedding_dim_stats/events_moving_avg/term_pmi/
-    lineitem_unpivot — which have
+    lineitem_unpivot/peak_concurrency — which have
     never held a driver verdict and MUST lead the r07 window).
     The full local gate (`scripts/compare_oracle.py`) runs ALL
     entries every round regardless of ordering.
@@ -4446,6 +4503,7 @@ def build_registry() -> dict[str, tuple[QueryFn, str | None]]:
             "events_moving_avg": (q_events_moving_avg, SQL_EVENTS_MOVING_AVG),
             "term_pmi": (q_term_pmi, sql_term_pmi()),
             "lineitem_unpivot": (q_lineitem_unpivot, SQL_LINEITEM_UNPIVOT),
+            "peak_concurrency": (q_peak_concurrency, SQL_PEAK_CONCURRENCY),
         }
     )
     ordered = {name: reg.pop(name) for name in ROUND6_PREFIX}

@@ -24,6 +24,7 @@ from rustic_witcher_spark.queries import (
     q_events_moving_avg,
     q_grouping_sets_revenue,
     q_orders_pivot,
+    q_peak_concurrency,
     q_source_cap,
     q_term_pmi,
     q_token_budget_selection,
@@ -262,3 +263,45 @@ def test_token_budget_property_random_corpora(spark, corpus):
             expect[doc_id] = cum + nt
         cum += nt
     assert got == expect
+
+
+# ---------------------------------------------------------- sweep-line
+
+
+def test_peak_concurrency_known_intervals(spark, tmp_path):
+    T = dt.datetime
+    # type A: 3 intervals, all open at 00:20 (peak 3); the 01:30 event
+    # starts AFTER everything closed -> never overlaps
+    # type B: end at 01:00 meets start at 01:00 -> half-open, peak 1
+    rows_in = [
+        (1, T(2024, 1, 1, 0, 0), 7, "A", 1.0, "{}"),
+        (2, T(2024, 1, 1, 0, 10), 7, "A", 1.0, "{}"),
+        (3, T(2024, 1, 1, 0, 20), 7, "A", 1.0, "{}"),
+        (4, T(2024, 1, 1, 1, 30), 7, "A", 1.0, "{}"),
+        (5, T(2024, 1, 1, 0, 30), 7, "B", 1.0, "{}"),
+        (6, T(2024, 1, 1, 1, 0), 7, "B", 1.0, "{}"),
+    ]
+    pd.DataFrame(
+        rows_in, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).to_parquet(tmp_path / "events.parquet")
+    out = {r["event_type"]: r for r in q_peak_concurrency(spark, str(tmp_path)).collect()}
+    assert out["A"]["peak_concurrent"] == 3 and out["A"]["n_intervals"] == 4
+    assert out["B"]["peak_concurrent"] == 1 and out["B"]["n_intervals"] == 2
+
+
+def test_peak_concurrency_python_sweep_replay(spark):
+    out = {r["event_type"]: r["peak_concurrent"] for r in q_peak_concurrency(spark, SF_DIR).collect()}
+    from rustic_witcher_spark.sources.parquet import read_events
+
+    ev = read_events(spark, SF_DIR).select("event_type", "ts").collect()
+    by_type: dict[str, list] = {}
+    for r in ev:
+        by_type.setdefault(r["event_type"], []).append(r["ts"])
+    for et, tss in by_type.items():
+        edges = [(t, 1) for t in tss] + [(t + dt.timedelta(minutes=30), -1) for t in tss]
+        edges.sort()  # (ts, delta): -1 sorts before +1 at equal ts
+        peak = cur = 0
+        for _, d in edges:
+            cur += d
+            peak = max(peak, cur)
+        assert out[et] == peak, et
