@@ -4177,14 +4177,7 @@ def q_term_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n")
     )
     total = uni.agg(F.sum("n").cast("bigint").alias("N"))
-    grams = toks.select(
-        F.explode(
-            F.when(
-                F.size("t") >= 2,
-                F.expr("transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i + 1]))"),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("g")
-    )
+    grams = toks.select(F.explode(quality.bigrams_of(F.col("t"))).alias("g"))
     bc = grams.groupBy("g").agg(F.count(F.lit(1)).alias("n12")).filter(
         F.col("n12") >= PMI_MIN_COUNT
     )

@@ -36,18 +36,21 @@ QUOTA_STATE_SCHEMA = T.StructType([T.StructField("n_admitted", T.LongType())])
 def _quota_fn(quota: int):
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         n = state.get[0] if state.exists else 0
+        if n >= quota:
+            # saturated keys do constant work per batch: no concat, no
+            # sort — the unconsumed iterator is simply dropped (the
+            # seen-filter does the same)
+            return iter(())
         # A micro-batch group may arrive as several pandas chunks; the
         # admission order must be the batch-global seq order, so gather
-        # before sorting (groups are per-key slices, not the whole batch).
+        # before selecting (groups are per-key slices, not the whole
+        # batch). nsmallest bounds the work at O(b log k), not a full
+        # sort of the batch slice.
         chunks = [pdf for pdf in pdfs if len(pdf)]
-        state_n = n
         if not chunks:
-            state.update((state_n,))
             return iter(())
-        batch = pd.concat(chunks).sort_values("event_id")
-        take = batch.head(max(0, quota - n))
-        state_n = n + len(take)
-        state.update((state_n,))
+        take = pd.concat(chunks).nsmallest(quota - n, "event_id").sort_values("event_id")
+        state.update((n + len(take),))
         if not len(take):
             return iter(())
         out = pd.DataFrame(
