@@ -324,3 +324,108 @@ hit AS (
 )
 SELECT k, bf_maybe FROM hit
 """
+
+
+# ---------------------------------------------------------------------------
+# Mergeable log-bucket quantile sketch
+# ---------------------------------------------------------------------------
+#
+# The missing member of the sketch family (HLL = distinct, count-min =
+# frequency, bloom = membership): bounded-error QUANTILES that merge
+# algebraically. Exact percentiles need a per-group sort and cannot
+# stream or pre-aggregate; this sketch buckets values into
+# QS_SUB sub-buckets per power-of-two octave (relative bucket width
+# ≤ 1/QS_SUB), so per-partition/per-day partial counts combine by
+# ADDITION and the quantile estimate is read off the merged counts —
+# the DDSketch/HDR-histogram design, on integer-exact arithmetic so
+# the DuckDB oracle replays it bit-for-bit (no float log2 anywhere;
+# same discipline as streaming.windows.value_histogram).
+
+QS_SUB = 8  # sub-buckets per octave → ≤ 12.5% relative error
+QS_SCALE = 256  # fixed-point value quantization (1/256 resolution)
+
+
+def qs_bucket(value: Column) -> Column:
+    """Integer bucket id of a non-negative value.
+
+    octave = binary length of the fixed-point value (exact via base-2
+    string length, no float log2); sub-bucket = linear position within
+    the octave. The only division is by a power of two (exact in
+    binary FP), so Spark and DuckDB agree on every boundary."""
+    iv = F.floor(value * QS_SCALE).cast("long") + 1  # iv >= 1
+    bl = F.length(F.conv(iv, 10, 2))  # binary length (integer-exact)
+    p = F.pow(F.lit(2.0), bl - 1)  # 2^(octave), exact ≤ 2^53
+    sub = F.floor((iv - p) * QS_SUB / p)
+    return ((bl - 1) * QS_SUB + sub).cast("long")
+
+
+def qs_upper(bucket: Column) -> Column:
+    """Upper value edge of a bucket (the quantile estimate), 6-dp."""
+    octave = F.floor(bucket / QS_SUB)
+    sub = bucket % QS_SUB
+    iv_hi = F.pow(F.lit(2.0), octave) * (1 + (sub + 1) / F.lit(float(QS_SUB)))
+    return F.round((iv_hi - 1) / QS_SCALE, 6)
+
+
+def quantile_sketch(df: DataFrame, value_col: str, group_cols: list[str]) -> DataFrame:
+    """Per-group p50/p90/p99 estimates from the mergeable sketch.
+
+    One bucket-count shuffle (map-side partials collapse each
+    partition to ≤ #groups × #buckets rows), a bucket-ordered
+    cumulative window over the tiny per-group bucket series, and the
+    estimate = upper edge of the first bucket whose cumulative count
+    crosses q·n — the crossing test is cum·den ≥ num·n in INTEGERS,
+    so no float threshold can disagree between engines. At 100 TB the
+    same bucket counts roll up per shard/day and merge by addition —
+    that mergeability is the point of the sketch."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(*group_cols, qs_bucket(F.col(value_col)).alias("__b")).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    wc = Window.partitionBy(*group_cols).orderBy("__b").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.partitionBy(*group_cols)
+    c = counts.withColumn("__cum", F.sum("__n").over(wc)).withColumn(
+        "__tot", F.sum("__n").over(wt)
+    )
+    up = qs_upper(F.col("__b"))
+    return (
+        c.groupBy(*group_cols)
+        .agg(
+            F.max("__tot").alias("n"),
+            F.min(F.when(F.col("__cum") * 2 >= F.col("__tot"), up)).alias("p50_est"),
+            F.min(F.when(F.col("__cum") * 10 >= 9 * F.col("__tot"), up)).alias("p90_est"),
+            F.min(F.when(F.col("__cum") * 100 >= 99 * F.col("__tot"), up)).alias("p99_est"),
+        )
+        .orderBy(*group_cols)
+    )
+
+
+def sql_quantile_sketch(value_expr: str, group_expr: str, table: str) -> str:
+    """DuckDB twin: identical fixed-point buckets, crossings, edges."""
+    s, k = QS_SUB, QS_SCALE
+    return f"""
+WITH iv AS (
+  SELECT {group_expr} AS grp, floor({value_expr} * {k})::BIGINT + 1 AS iv FROM {table}
+),
+bk AS (
+  SELECT grp,
+         (length(bin(iv)) - 1) * {s}
+           + floor((iv - 2.0 ^ (length(bin(iv)) - 1)) * {s} / 2.0 ^ (length(bin(iv)) - 1))
+           AS b
+  FROM iv
+),
+c AS (SELECT grp, b, count(*) AS n FROM bk GROUP BY 1, 2),
+cum AS (
+  SELECT grp, b, n,
+         sum(n) OVER (PARTITION BY grp ORDER BY b ROWS UNBOUNDED PRECEDING) AS cumn,
+         sum(n) OVER (PARTITION BY grp) AS tot,
+         round((2.0 ^ floor(b / {s}) * (1 + (b % {s} + 1) / {float(s)}) - 1) / {k}, 6) AS up
+  FROM c
+)
+SELECT grp AS event_type, max(tot)::BIGINT AS n,
+       min(CASE WHEN cumn * 2 >= tot THEN up END) AS p50_est,
+       min(CASE WHEN cumn * 10 >= 9 * tot THEN up END) AS p90_est,
+       min(CASE WHEN cumn * 100 >= 99 * tot THEN up END) AS p99_est
+FROM cum GROUP BY grp ORDER BY grp
+"""

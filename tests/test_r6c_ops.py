@@ -305,3 +305,92 @@ def test_peak_concurrency_python_sweep_replay(spark):
             cur += d
             peak = max(peak, cur)
         assert out[et] == peak, et
+
+
+# ------------------------------------------------------ quantile sketch
+
+
+def test_quantile_sketch_error_bound_vs_exact(spark):
+    """Every estimate is an UPPER bucket edge within 12.5% relative
+    error (+ the 1/256 quantization) of the exact quantile."""
+    from rustic_witcher_spark.sources.parquet import read_events
+
+    est = {r["event_type"]: r for r in __import__("rustic_witcher_spark.queries", fromlist=["q_quantile_sketch_events"]).q_quantile_sketch_events(spark, SF_DIR).collect()}
+    ev = read_events(spark, SF_DIR).select("event_type", "value").collect()
+    by_type: dict[str, list] = {}
+    for r in ev:
+        by_type.setdefault(r["event_type"], []).append(r["value"])
+    import statistics
+
+    for et, vals in by_type.items():
+        vals.sort()
+        r = est[et]
+        assert r["n"] == len(vals)
+        for q, col in [(0.5, "p50_est"), (0.9, "p90_est"), (0.99, "p99_est")]:
+            exact = vals[min(len(vals) - 1, math.ceil(q * len(vals)) - 1)]
+            got = r[col]
+            assert got >= exact - 1 / 256, (et, col, got, exact)  # upper edge ≥ the exact value
+            assert got <= exact * 1.125 + 1 / 256 + 1e-6, (et, col, got, exact)
+
+
+def test_quantile_sketch_bucket_counts_merge_algebraically(spark):
+    """Sketch(first half) + Sketch(second half) == Sketch(whole) at
+    the bucket-count level — the mergeability that exact percentiles
+    lack."""
+    from rustic_witcher_spark.operators import sketches
+    from rustic_witcher_spark.sources.parquet import read_events
+
+    ev = read_events(spark, SF_DIR).select("event_type", "value", "event_id")
+    whole = ev.groupBy("event_type", sketches.qs_bucket(F.col("value")).alias("b")).count()
+    h1 = (
+        ev.filter(F.col("event_id") % 2 == 0)
+        .groupBy("event_type", sketches.qs_bucket(F.col("value")).alias("b"))
+        .count()
+    )
+    h2 = (
+        ev.filter(F.col("event_id") % 2 == 1)
+        .groupBy("event_type", sketches.qs_bucket(F.col("value")).alias("b"))
+        .count()
+    )
+    merged = (
+        h1.unionByName(h2)
+        .groupBy("event_type", "b")
+        .agg(F.sum("count").alias("count"))
+    )
+    w = {(r["event_type"], r["b"]): r["count"] for r in whole.collect()}
+    m = {(r["event_type"], r["b"]): r["count"] for r in merged.collect()}
+    assert w == m
+
+
+# ----------------------------------------------------------- fuzzy join
+
+
+def test_fuzzy_join_finds_in_block_pairs_only(spark, tmp_path):
+    # same noun block: 'red widget'/'ted widget' dist 1 -> found;
+    # 'red widget'/'red widgez' crosses blocks (noun differs) -> NOT
+    # found even at dist 1 — the documented blocking trade-off;
+    # 'red widget'/'crimson widget' dist 6 > threshold -> filtered
+    rows_in = [
+        (1, "red widget"), (2, "ted widget"), (3, "red widgez"),
+        (4, "crimson widget"), (5, "red widget"),
+    ]
+    pd.DataFrame(rows_in, columns=["p_partkey", "p_name"]).to_parquet(tmp_path / "part.parquet")
+    from rustic_witcher_spark.queries import q_fuzzy_part_names
+
+    pairs = {(r["name_a"], r["name_b"]): r for r in q_fuzzy_part_names(spark, str(tmp_path)).collect()}
+    assert ("red widget", "ted widget") in pairs
+    assert pairs[("red widget", "ted widget")]["dist"] == 1
+    assert pairs[("red widget", "ted widget")]["n_parts_a"] == 2  # duplicate rows aggregated
+    assert not any("widgez" in a or "widgez" in b for a, b in pairs)
+    assert not any("crimson" in a or "crimson" in b for a, b in pairs)  # over threshold
+
+
+def test_fuzzy_join_runs_on_distinct_domain(spark):
+    from rustic_witcher_spark.queries import q_fuzzy_part_names
+
+    out = q_fuzzy_part_names(spark, SF_DIR)
+    rows = out.collect()
+    # pair keys are unique (distinct-domain join, no row-level fanout)
+    keys = [(r["name_a"], r["name_b"]) for r in rows]
+    assert len(keys) == len(set(keys))
+    assert all(r["dist"] <= 4 and r["name_a"] < r["name_b"] for r in rows)
