@@ -48,7 +48,7 @@ from rustic_witcher_spark.operators.range_join import range_join
 from rustic_witcher_spark.operators.dedup import MERSENNE_31, perm_params
 from rustic_witcher_spark.operators.materialize import materialize
 from rustic_witcher_spark.plans.pipeline import anonymize_table, pipeline_oracle_sql
-from rustic_witcher_spark.sources.parquet import pin_parquet_confs, read_events
+from rustic_witcher_spark.sources.parquet import cast_ntz_timestamps, pin_parquet_confs, read_events
 from rustic_witcher_spark.streaming import rollup, windows
 
 SEED = 42
@@ -70,7 +70,9 @@ def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     # non-UTC session should materialize engine results before running
     # their own timezone-sensitive queries, or use a separate session.
     pin_parquet_confs(spark)
-    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    # Spark-written tables carry an explicit NTZ marker that overrides
+    # the pinned inference conf — normalize so both layouts work.
+    return cast_ntz_timestamps(spark.read.parquet(f"{sf_dir}/{table}.parquet"))
 
 
 def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:

@@ -194,7 +194,26 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ts_field = df.schema["ts"].dataType.typeName()
     if ts_field in ("long", "bigint"):
         df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
-    return df
+    return cast_ntz_timestamps(df)
+
+
+def cast_ntz_timestamps(df: DataFrame) -> DataFrame:
+    """Normalize TIMESTAMP_NTZ columns to session-TZ TIMESTAMP.
+
+    ``pin_parquet_confs`` disables NTZ *inference*, but parquet written
+    BY SPARK carries an explicit NTZ marker that overrides inference —
+    so a table round-tripped through a default Spark writer comes back
+    NTZ and breaks every epoch/interval expression downstream
+    (NTZ casts to neither long nor double). Under the engine's pinned
+    UTC session the cast is wall-clock-identity, so accepting both
+    layouts costs nothing."""
+    from pyspark.sql import functions as F
+
+    out = df
+    for f in df.schema.fields:
+        if f.dataType.typeName() == "timestamp_ntz":
+            out = out.withColumn(f.name, F.col(f.name).cast("timestamp"))
+    return out
 
 
 def read_table_files(
@@ -213,7 +232,7 @@ def read_table_files(
     # tables: pin the defensive confs here too, so a vanilla caller
     # session doesn't get TIMESTAMP_NTZ (ADVICE r04).
     pin_parquet_confs(spark)
-    df = spark.read.parquet(*pruned)
+    df = cast_ntz_timestamps(spark.read.parquet(*pruned))
     if keep_num_of_records is not None:
         df = df.limit(keep_num_of_records)
     return df

@@ -1,0 +1,71 @@
+"""Engine robustness sweep: every registry entry must plan and execute
+against (a) 0-row tables and (b) tables written by a DEFAULT Spark
+writer, whose timestamp columns come back TIMESTAMP_NTZ via the
+parquet NTZ marker that overrides the engine's pinned inference conf.
+
+Both are day-one user scenarios (an empty partition/day; a table
+round-tripped through someone else's Spark job), and both used to
+crash a handful of entries before sources.parquet.cast_ntz_timestamps
+normalized the read paths.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from rustic_witcher_spark.sources.parquet import cast_ntz_timestamps, read_events
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+SRC = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def empty_dir(spark, tmp_path_factory):
+    """0-row copies of every table, written WITHOUT the engine's conf
+    pins — so timestamp columns carry the Spark NTZ marker, making this
+    fixture exercise both robustness properties at once."""
+    d = tmp_path_factory.mktemp("empty")
+    for t in TABLES:
+        df = spark.read.parquet(f"{SRC}/{t}.parquet")
+        df.limit(0).write.parquet(str(d / f"{t}.parquet"))
+    return str(d)
+
+
+def test_every_entry_survives_empty_ntz_tables(empty_dir, spark):
+    failures = []
+    for name, fn in entrymod.queries().items():
+        try:
+            fn(spark, empty_dir).count()
+        except Exception as exc:  # noqa: BLE001 - collecting for the report
+            failures.append(f"{name}: {str(exc).splitlines()[0][:140]}")
+    assert not failures, "entries crashed on empty/NTZ tables:\n" + "\n".join(failures)
+
+
+def test_ntz_events_round_trip_preserves_wall_clock(spark, tmp_path):
+    """A data-bearing events table written by a default Spark writer
+    (NTZ ts) reads back as TIMESTAMP with identical wall-clock values."""
+    orig = read_events(spark, SRC).select("event_id", "ts").limit(50)
+    expected = {r["event_id"]: str(r["ts"]) for r in orig.collect()}
+    # default writer: ts column keeps whatever type the session gives it;
+    # force the NTZ layout explicitly to pin the scenario
+    from pyspark.sql import functions as F
+
+    orig.withColumn("ts", F.col("ts").cast("timestamp_ntz")).write.parquet(
+        str(tmp_path / "events.parquet")
+    )
+    back = read_events(spark, str(tmp_path))
+    assert back.schema["ts"].dataType.typeName() == "timestamp"
+    got = {r["event_id"]: str(r["ts"]) for r in back.collect()}
+    assert got == expected
+
+
+def test_cast_ntz_is_identity_on_clean_frames(spark):
+    df = spark.read.parquet(f"{SRC}/orders.parquet")
+    assert cast_ntz_timestamps(df) is not None
+    assert [f.dataType for f in cast_ntz_timestamps(df).schema.fields] == [
+        f.dataType for f in df.schema.fields
+    ]
