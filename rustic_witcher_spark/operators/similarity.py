@@ -106,6 +106,10 @@ def cosine_near_dup_pairs(
     and broadcast agree bit-for-bit with the sequential-fold DuckDB
     oracle (64-element double dots carry ~1e-14 error).
     """
+    # NULL embeddings (dirty rows) can't be near anything, and a None
+    # reaching the NumPy kernels kills the whole stage — drop them at
+    # the operator boundary, before any strategy-specific plumbing.
+    df = df.filter(F.col(vec_col).isNotNull())
     if method == "block":
         return _near_dup_pairs_block(df, threshold, id_col, vec_col, n_blocks)
     if method == "lsh":

@@ -69,3 +69,52 @@ def test_cast_ntz_is_identity_on_clean_frames(spark):
     assert [f.dataType for f in cast_ntz_timestamps(df).schema.fields] == [
         f.dataType for f in df.schema.fields
     ]
+
+
+@pytest.fixture(scope="module")
+def nulled_dir(spark, tmp_path_factory):
+    """Every table with all non-key columns nulled on half the rows —
+    the dirty-ingest scenario (late schema, failed upstream joins)."""
+    from pyspark.sql import functions as F
+
+    keys = {
+        "doc_id", "vec_id", "event_id", "o_orderkey", "l_orderkey",
+        "l_linenumber", "c_custkey", "s_suppkey", "p_partkey",
+        "n_nationkey", "r_regionkey", "user_id", "ts",
+    }
+    d = tmp_path_factory.mktemp("nulled")
+    for t in TABLES:
+        df = spark.read.parquet(f"{SRC}/{t}.parquet")
+        df = df.withColumn("__odd", F.monotonically_increasing_id() % 2 == 1)
+        for c in df.columns:
+            if c not in keys and c != "__odd":
+                df = df.withColumn(c, F.when(F.col("__odd"), F.lit(None)).otherwise(F.col(c)))
+        df.drop("__odd").write.parquet(str(d / f"{t}.parquet"))
+    return str(d)
+
+
+def test_every_entry_survives_nulled_columns(nulled_dir, spark):
+    """The sweep that caught embedding_near_dups sending NULL vectors
+    into the NumPy matmul kernel (stage-killing np.stack failure)."""
+    failures = []
+    for name, fn in entrymod.queries().items():
+        try:
+            fn(spark, nulled_dir).count()
+        except Exception as exc:  # noqa: BLE001 - collecting for the report
+            failures.append(f"{name}: {str(exc).splitlines()[0][:140]}")
+    assert not failures, "entries crashed on nulled columns:\n" + "\n".join(failures)
+
+
+def test_near_dups_ignore_null_vectors(spark, tmp_path):
+    from pyspark.sql import Row
+
+    from rustic_witcher_spark.operators.similarity import cosine_near_dup_pairs
+
+    rows = [
+        Row(vec_id=1, embedding=[1.0, 0.0], label=0),
+        Row(vec_id=2, embedding=[1.0, 0.0], label=0),
+        Row(vec_id=3, embedding=None, label=0),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = cosine_near_dup_pairs(df, 0.9, n_blocks=2).collect()
+    assert [(r["id_a"], r["id_b"]) for r in out] == [(1, 2)]  # null row silently excluded
