@@ -26,7 +26,7 @@ it to the last bit before 4-dp rounding.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from rustic_witcher_spark.operators.dedup import normalized_text
@@ -90,15 +90,22 @@ def chunk_dup_stats(
     document's ``chunk_words``-token windows also occur in ANOTHER
     document. Full trailing chunks only (a short tail is its own
     near-unique chunk and would dilute the signal)."""
-    toks = F.split(normalized_text(F.col(text_col)), " ")
-    nchunks = F.floor(F.size(toks) / chunk_words).cast("int")
-    chunks = F.transform(
-        F.sequence(F.lit(0), nchunks - 1),
-        lambda i: F.array_join(F.slice(toks, i * chunk_words + 1, chunk_words), " "),
+    # let-bind the token array (the char_shingles / minhash idiom):
+    # captured inside the chunking lambda it would re-run the regex
+    # normalization + split PER CHUNK — O(n²) in document length, a
+    # multi-hour stall on a single 1M-token document.
+    def chunks_of(toks: Column) -> Column:
+        nchunks = F.floor(F.size(toks) / chunk_words).cast("int")
+        grams = F.transform(
+            F.sequence(F.lit(0), nchunks - 1),
+            lambda i: F.array_join(F.slice(toks, i * chunk_words + 1, chunk_words), " "),
+        )
+        return F.when(nchunks > 0, grams).otherwise(F.array().cast("array<string>"))
+
+    chunks = F.element_at(
+        F.transform(F.array(F.split(normalized_text(F.col(text_col)), " ")), chunks_of), 1
     )
-    exploded = df.select(
-        F.col(id_col), F.explode(F.when(nchunks > 0, chunks).otherwise(F.array())).alias("__chunk")
-    )
+    exploded = df.select(F.col(id_col), F.explode(chunks).alias("__chunk"))
     # chunk -> set-of-docs size; a chunk is "duplicated" for a doc if
     # some OTHER doc also has it (count distinct docs >= 2)
     owners = exploded.distinct().groupBy("__chunk").agg(F.count("*").alias("__docs"))

@@ -118,3 +118,30 @@ def test_near_dups_ignore_null_vectors(spark, tmp_path):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
     out = cosine_near_dup_pairs(df, 0.9, n_blocks=2).collect()
     assert [(r["id_a"], r["id_b"]) for r in out] == [(1, 2)]  # null row silently excluded
+
+
+def test_giant_document_shingles_and_chunks_stay_linear(spark):
+    """One giant document is ONE row — partitioning can't help, so the
+    shingle/chunk expressions must be (near-)linear per row. Before the
+    let-bind + blocked-substr fixes, this 100k-char doc took minutes
+    (O(n²) capture re-evaluation); now it's seconds — a regression
+    re-introducing the quadratic shows up as a multi-minute stall here."""
+    from pyspark.sql import functions as F
+
+    from rustic_witcher_spark.operators import lm
+    from rustic_witcher_spark.operators.dedup import char_shingles, word_shingles
+
+    body = " ".join(f"w{i % 97}" for i in range(25000))  # ~100k chars
+    df = spark.createDataFrame([(1, body), (2, "w1 w2 w3")], "doc_id long, text string")
+
+    sh = df.select("doc_id", F.size(char_shingles(F.col("text"), 5)).alias("n")).collect()
+    n_by_id = {r["doc_id"]: r["n"] for r in sh}
+    exact = len({body[i : i + 5] for i in range(len(body) - 4)})
+    assert n_by_id[1] == exact  # blocked path == naive distinct-window set
+    assert n_by_id[2] == len("w1 w2 w3") - 4
+
+    ws = df.select(F.size(word_shingles(F.col("text"), 3)).alias("n")).collect()
+    assert {r["n"] for r in ws} == {25000 - 2, 1}
+
+    chunks = {r["doc_id"]: r for r in lm.chunk_dup_stats(df, "text", "doc_id").collect()}
+    assert chunks[1]["n_chunks"] == 2500  # 25000 tokens / 10 per chunk
