@@ -145,3 +145,49 @@ def test_giant_document_shingles_and_chunks_stay_linear(spark):
 
     chunks = {r["doc_id"]: r for r in lm.chunk_dup_stats(df, "text", "doc_id").collect()}
     assert chunks[1]["n_chunks"] == 2500  # 25000 tokens / 10 per chunk
+
+
+def test_document_entries_survive_adversarial_text(spark, tmp_path_factory):
+    """Unicode soup, control chars, embedded NULs, empty docs, and one
+    50k-token document — every document-family entry must complete.
+    (The giant doc previously hung the shingle/chunk entries; the
+    others guard regex/token edge handling.)"""
+    d = tmp_path_factory.mktemp("weird")
+    weird = [
+        (1, "héllo wörld é́ combining", "en", "s0", 30),
+        (2, "日本語のテキスト と 中文文本 混在", "ja", "s0", 20),
+        (3, "emoji 🎉🎊 soup 🚀 and ​ zero width", "en", "s1", 30),
+        (4, "rtl العربية نص here", "ar", "s1", 20),
+        (5, "ctrl \x01\x02\x03 chars \x7f", "en", "s2", 20),
+        (6, "big " * 50000, "en", "s2", 200000),
+        (7, "", "en", "s3", 0),
+        (8, "\x00 embedded nul \x00", "en", "s3", 18),
+        (9, "a", "xx", "s4", 1),
+    ]
+    spark.createDataFrame(
+        weird, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(d / "documents.parquet"))
+    for t in TABLES:
+        if t != "documents":
+            spark.read.parquet(f"{SRC}/{t}.parquet").write.parquet(str(d / f"{t}.parquet"))
+    keys = [
+        n
+        for n in entrymod.queries()
+        if any(
+            k in n
+            for k in (
+                "dedup", "minhash", "simhash", "ngram", "text_", "token", "vocab",
+                "langid", "tfidf", "doc_", "pii", "chunk", "unigram", "decontam",
+                "corpus", "quality", "term_pmi", "source_cap", "fingerprint",
+                "curation", "span", "lsh",
+            )
+        )
+    ]
+    qs = entrymod.queries()
+    failures = []
+    for name in keys:
+        try:
+            qs[name](spark, str(d)).count()
+        except Exception as exc:  # noqa: BLE001 - collecting for the report
+            failures.append(f"{name}: {str(exc).splitlines()[0][:140]}")
+    assert not failures, "entries crashed on adversarial text:\n" + "\n".join(failures)
