@@ -367,6 +367,18 @@ def qs_upper(bucket: Column) -> Column:
     return F.round((iv_hi - 1) / QS_SCALE, 6)
 
 
+def quantile_bucket_counts(df: DataFrame, value_col: str, group_cols: list[str]) -> DataFrame:
+    """The sketch state: per-(group, bucket) counts — the SAME
+    expression runs over ``readStream`` in complete/update mode (state
+    bounded by #groups × #buckets, like ``windows.value_histogram``),
+    and per-shard/day partials merge by summing ``__n``. Quantile
+    extraction (``quantiles_from_counts``) is a cheap finalize over
+    the merged counts."""
+    return df.groupBy(*group_cols, qs_bucket(F.col(value_col)).alias("__b")).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+
+
 def quantile_sketch(df: DataFrame, value_col: str, group_cols: list[str]) -> DataFrame:
     """Per-group p50/p90/p99 estimates from the mergeable sketch.
 
@@ -378,11 +390,12 @@ def quantile_sketch(df: DataFrame, value_col: str, group_cols: list[str]) -> Dat
     so no float threshold can disagree between engines. At 100 TB the
     same bucket counts roll up per shard/day and merge by addition —
     that mergeability is the point of the sketch."""
-    from pyspark.sql import Window
+    return quantiles_from_counts(quantile_bucket_counts(df, value_col, group_cols), group_cols)
 
-    counts = df.groupBy(*group_cols, qs_bucket(F.col(value_col)).alias("__b")).agg(
-        F.count(F.lit(1)).alias("__n")
-    )
+
+def quantiles_from_counts(counts: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Finalize (group, __b, __n) sketch state into quantile estimates."""
+    from pyspark.sql import Window
     wc = Window.partitionBy(*group_cols).orderBy("__b").rowsBetween(Window.unboundedPreceding, 0)
     wt = Window.partitionBy(*group_cols)
     c = counts.withColumn("__cum", F.sum("__n").over(wc)).withColumn(

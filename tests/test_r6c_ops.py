@@ -394,3 +394,56 @@ def test_fuzzy_join_runs_on_distinct_domain(spark):
     keys = [(r["name_a"], r["name_b"]) for r in rows]
     assert len(keys) == len(set(keys))
     assert all(r["dist"] <= 4 and r["name_a"] < r["name_b"] for r in rows)
+
+
+def test_quantile_sketch_streams_and_merges(spark, tmp_path):
+    """The sketch's streaming face: quantile_bucket_counts over a
+    two-micro-batch stream (complete mode) equals the batch counts
+    over the union, and finalizing the streamed state reproduces the
+    batch quantile estimates exactly."""
+    from rustic_witcher_spark.operators import sketches
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    src = str(tmp_path / "qs_ev")
+    b1 = spark.createDataFrame(
+        [(i, dt.datetime(2024, 1, 1, 0, i), 1, "c", float(i + 1)) for i in range(20)], schema
+    )
+    b2 = spark.createDataFrame(
+        [(100 + i, dt.datetime(2024, 1, 1, 1, i), 1, "c", float((i + 1) * 7)) for i in range(20)],
+        schema,
+    )
+    b1.write.mode("append").parquet(src)
+    stream = spark.readStream.schema(b1.schema).parquet(src)
+    q = (
+        sketches.quantile_bucket_counts(stream, "value", ["event_type"])
+        .writeStream.outputMode("complete")
+        .format("memory").queryName("qs_stream")
+        .option("checkpointLocation", str(tmp_path / "qs_ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        b2.write.mode("append").parquet(src)
+        q.processAllAvailable()
+        streamed = spark.sql("SELECT * FROM qs_stream")
+        got_counts = {(r["event_type"], r["__b"]): r["__n"] for r in streamed.collect()}
+        final_stream = {
+            r["event_type"]: r
+            for r in sketches.quantiles_from_counts(streamed, ["event_type"]).collect()
+        }
+    finally:
+        q.stop()
+    both = b1.unionByName(b2)
+    batch_counts = {
+        (r["event_type"], r["__b"]): r["__n"]
+        for r in sketches.quantile_bucket_counts(both, "value", ["event_type"]).collect()
+    }
+    assert got_counts == batch_counts and len(batch_counts) >= 4
+    batch_final = {
+        r["event_type"]: r for r in sketches.quantile_sketch(both, "value", ["event_type"]).collect()
+    }
+    for et, r in batch_final.items():
+        s = final_stream[et]
+        assert (s["n"], s["p50_est"], s["p90_est"], s["p99_est"]) == (
+            r["n"], r["p50_est"], r["p90_est"], r["p99_est"],
+        )
