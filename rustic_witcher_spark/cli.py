@@ -23,6 +23,7 @@ from rustic_witcher_spark.config.loader import load_config
 from rustic_witcher_spark.functions.wordlists import DEFAULT_SEED
 from rustic_witcher_spark.runner import DEFAULT_NUM_OF_BUFFERS, snapshot
 from rustic_witcher_spark.session import get_spark
+from rustic_witcher_spark.sources.parquet import cast_ntz_timestamps
 
 _MODES = {"full-load-only": "FullLoadOnly", "date-aware": "DateAware", "absolute-path": "AbsolutePath"}
 
@@ -91,8 +92,8 @@ def main(argv: list[str] | None = None) -> int:
         from rustic_witcher_spark.operators.diff import diff_summary
 
         spark = get_spark(f"datadiff-{args.table}")
-        src = spark.read.parquet(f"{args.source}/{args.table}.parquet")
-        tgt = spark.read.parquet(f"{args.target}/{args.table}.parquet")
+        src = cast_ntz_timestamps(spark.read.parquet(f"{args.source}/{args.table}.parquet"))
+        tgt = cast_ntz_timestamps(spark.read.parquet(f"{args.target}/{args.table}.parquet"))
         rows = diff_summary(src, tgt, args.pk).collect()
         counts = {r["status"]: r["n"] for r in rows}
         print(json.dumps({"table": args.table, "diff": counts, "clean": not counts}))
@@ -104,7 +105,7 @@ def main(argv: list[str] | None = None) -> int:
         spark = get_spark("validate")
         for p in sorted(Path(args.data).iterdir()):
             if p.suffix == ".parquet":
-                spark.read.parquet(str(p)).createOrReplaceTempView(p.stem)
+                cast_ntz_timestamps(spark.read.parquet(str(p))).createOrReplaceTempView(p.stem)
         results = run_validations(spark, load_validation_config(args.validations))
         ok = all(r.passed for r in results)
         for r in results:

@@ -351,8 +351,14 @@ def qs_bucket(value: Column) -> Column:
     octave = binary length of the fixed-point value (exact via base-2
     string length, no float log2); sub-bucket = linear position within
     the octave. The only division is by a power of two (exact in
-    binary FP), so Spark and DuckDB agree on every boundary."""
-    iv = F.floor(value * QS_SCALE).cast("long") + 1  # iv >= 1
+    binary FP), so Spark and DuckDB agree on every boundary.
+
+    Negative inputs CLAMP to the zero bucket (a negative iv would
+    two's-complement through conv/bin into a garbage top bucket that
+    both engines would agree on — silently wrong beats loudly wrong
+    only when it's visible, so the clamp is part of the contract:
+    signed metrics must be shifted or abs'd by the caller)."""
+    iv = F.floor(F.greatest(value, F.lit(0)) * QS_SCALE).cast("long") + 1  # iv >= 1
     bl = F.length(F.conv(iv, 10, 2))  # binary length (integer-exact)
     p = F.pow(F.lit(2.0), bl - 1)  # 2^(octave), exact ≤ 2^53
     sub = F.floor((iv - p) * QS_SUB / p)
@@ -373,9 +379,14 @@ def quantile_bucket_counts(df: DataFrame, value_col: str, group_cols: list[str])
     bounded by #groups × #buckets, like ``windows.value_histogram``),
     and per-shard/day partials merge by summing ``__n``. Quantile
     extraction (``quantiles_from_counts``) is a cheap finalize over
-    the merged counts."""
-    return df.groupBy(*group_cols, qs_bucket(F.col(value_col)).alias("__b")).agg(
-        F.count(F.lit(1)).alias("__n")
+    the merged counts. NULL values are excluded (matching
+    ``percentile()``'s semantics — and a NULL bucket would order
+    NULLS FIRST in Spark but NULLS LAST in DuckDB, silently skewing
+    every cumulative crossing on dirty data)."""
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*group_cols, qs_bucket(F.col(value_col)).alias("__b"))
+        .agg(F.count(F.lit(1)).alias("__n"))
     )
 
 
@@ -415,11 +426,15 @@ def quantiles_from_counts(counts: DataFrame, group_cols: list[str]) -> DataFrame
 
 
 def sql_quantile_sketch(value_expr: str, group_expr: str, table: str) -> str:
-    """DuckDB twin: identical fixed-point buckets, crossings, edges."""
+    """DuckDB twin: identical fixed-point buckets (incl. the NULL
+    filter and negative clamp), crossings, and edges. ``group_expr``
+    must be a plain column name — it is also the output column name."""
     s, k = QS_SUB, QS_SCALE
     return f"""
 WITH iv AS (
-  SELECT {group_expr} AS grp, floor({value_expr} * {k})::BIGINT + 1 AS iv FROM {table}
+  SELECT {group_expr} AS grp,
+         floor(greatest({value_expr}, 0) * {k})::BIGINT + 1 AS iv
+  FROM {table} WHERE {value_expr} IS NOT NULL
 ),
 bk AS (
   SELECT grp,
@@ -436,7 +451,7 @@ cum AS (
          round((2.0 ^ floor(b / {s}) * (1 + (b % {s} + 1) / {float(s)}) - 1) / {k}, 6) AS up
   FROM c
 )
-SELECT grp AS event_type, max(tot)::BIGINT AS n,
+SELECT grp AS {group_expr}, max(tot)::BIGINT AS n,
        min(CASE WHEN cumn * 2 >= tot THEN up END) AS p50_est,
        min(CASE WHEN cumn * 10 >= 9 * tot THEN up END) AS p90_est,
        min(CASE WHEN cumn * 100 >= 99 * tot THEN up END) AS p99_est

@@ -4349,13 +4349,14 @@ def q_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_FUZZY_PART_NAMES = f"""
 WITH names AS (SELECT p_name, count(*) AS n_parts FROM part GROUP BY 1),
-b AS (SELECT p_name, n_parts, string_split(p_name, ' ')[2] AS noun FROM names)
-SELECT a.p_name AS name_a, x.p_name AS name_b,
-       levenshtein(a.p_name, x.p_name) AS dist,
-       a.n_parts AS n_parts_a, x.n_parts AS n_parts_b
-FROM b a JOIN b x ON a.noun = x.noun AND a.p_name < x.p_name
-WHERE levenshtein(a.p_name, x.p_name) <= {FUZZY_MAX_DIST}
-ORDER BY name_a, name_b
+b AS (SELECT p_name, n_parts, string_split(p_name, ' ')[2] AS noun FROM names),
+cand AS (
+  SELECT a.p_name AS name_a, x.p_name AS name_b,
+         levenshtein(a.p_name, x.p_name) AS dist,
+         a.n_parts AS n_parts_a, x.n_parts AS n_parts_b
+  FROM b a JOIN b x ON a.noun = x.noun AND a.p_name < x.p_name
+)
+SELECT * FROM cand WHERE dist <= {FUZZY_MAX_DIST} ORDER BY name_a, name_b
 """
 
 

@@ -32,7 +32,7 @@ from rustic_witcher_spark.operators.cdc import apply_cdc
 from rustic_witcher_spark.operators.transforms import check_schema_drift
 from rustic_witcher_spark.plans.pipeline import anonymize_table
 from rustic_witcher_spark.sinks.parquet import write_parquet
-from rustic_witcher_spark.sources.parquet import pin_parquet_confs, list_table_files, prune_load_files
+from rustic_witcher_spark.sources.parquet import cast_ntz_timestamps, pin_parquet_confs, list_table_files, prune_load_files
 
 # ref default NUM_OF_BUFFERS=80; local mode needs far less
 DEFAULT_NUM_OF_BUFFERS = int(os.environ.get("NUM_OF_BUFFERS", "8"))
@@ -121,7 +121,7 @@ def process_table(
 
         if path.is_file():
             files = (str(path),)
-            df = spark.read.parquet(*files)
+            df = cast_ntz_timestamps(spark.read.parquet(*files))
             if cfg.keep_num_of_records is not None:
                 df = df.limit(cfg.keep_num_of_records)
         else:
@@ -134,7 +134,7 @@ def process_table(
             # (ref: anonymization_dataframe_operator.rs:116-125); CDC rows
             # are merged in full afterwards.
             if loads:
-                df = spark.read.parquet(*loads)
+                df = cast_ntz_timestamps(spark.read.parquet(*loads))
                 if cfg.keep_num_of_records is not None:
                     df = df.limit(cfg.keep_num_of_records)
             else:
@@ -143,7 +143,7 @@ def process_table(
                 # an empty base with the CDC files' data schema.
                 from rustic_witcher_spark.operators.cdc import OP_COLUMN, TS_COLUMN
 
-                cdc_schema = spark.read.parquet(*listed.cdc_files)
+                cdc_schema = cast_ntz_timestamps(spark.read.parquet(*listed.cdc_files))
                 df = cdc_schema.select(
                     *[c for c in cdc_schema.columns if c not in (OP_COLUMN, TS_COLUMN)]
                 ).limit(0)
@@ -155,7 +155,7 @@ def process_table(
                         f"table {table!r} has CDC files but no primary key; "
                         "pass primary_keys={table: [pk_cols]} to merge them"
                     )
-                cdc = spark.read.parquet(*listed.cdc_files)
+                cdc = cast_ntz_timestamps(spark.read.parquet(*listed.cdc_files))
                 df = apply_cdc(df, cdc, primary_key)
         if catalog_columns is not None:
             check_schema_drift(df.columns, catalog_columns)

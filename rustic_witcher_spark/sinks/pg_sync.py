@@ -45,7 +45,7 @@ from rustic_witcher_spark.sinks.postgres_ops import (
     setval_sql,
     split_post_import_sql,
 )
-from rustic_witcher_spark.sources.parquet import pin_parquet_confs, list_table_files, prune_load_files
+from rustic_witcher_spark.sources.parquet import cast_ntz_timestamps, pin_parquet_confs, list_table_files, prune_load_files
 
 
 @dataclass
@@ -144,7 +144,7 @@ def sync_table(
     loads = prune_load_files(listed.load_files, cfg.keep_num_of_records if cfg else None)
 
     if loads:
-        df = spark.read.parquet(*loads)
+        df = cast_ntz_timestamps(spark.read.parquet(*loads))
         if cfg is not None and cfg.keep_num_of_records is not None:
             df = df.limit(cfg.keep_num_of_records)
         if cfg is not None:
@@ -163,7 +163,7 @@ def sync_table(
                 f"table {table!r} has CDC files but no primary key; "
                 "pass primary_key=[pk_cols] to merge them"
             )
-        cdc = spark.read.parquet(*listed.cdc_files)
+        cdc = cast_ntz_timestamps(spark.read.parquet(*listed.cdc_files))
         data_cols = [c for c in cdc.columns if c not in (OP_COLUMN, TS_COLUMN)]
         # Dedupe to the last writer per PK FIRST, then anonymize the
         # winners (deterministic per-value transforms commute with the

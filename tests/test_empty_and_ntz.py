@@ -25,12 +25,19 @@ SRC = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="module")
 def empty_dir(spark, tmp_path_factory):
-    """0-row copies of every table, written WITHOUT the engine's conf
-    pins — so timestamp columns carry the Spark NTZ marker, making this
-    fixture exercise both robustness properties at once."""
+    """0-row copies of every table with timestamp columns CAST to
+    TIMESTAMP_NTZ before writing — the engine session reads them back
+    as plain TIMESTAMP otherwise (inference is pinned off), and only
+    an explicitly NTZ-typed write emits the parquet NTZ marker. This
+    makes the sweep exercise both robustness properties at once."""
+    from pyspark.sql import functions as F
+
     d = tmp_path_factory.mktemp("empty")
     for t in TABLES:
         df = spark.read.parquet(f"{SRC}/{t}.parquet")
+        for f in df.schema.fields:
+            if f.dataType.typeName() == "timestamp":
+                df = df.withColumn(f.name, F.col(f.name).cast("timestamp_ntz"))
         df.limit(0).write.parquet(str(d / f"{t}.parquet"))
     return str(d)
 
@@ -191,3 +198,44 @@ def test_document_entries_survive_adversarial_text(spark, tmp_path_factory):
         except Exception as exc:  # noqa: BLE001 - collecting for the report
             failures.append(f"{name}: {str(exc).splitlines()[0][:140]}")
     assert not failures, "entries crashed on adversarial text:\n" + "\n".join(failures)
+
+
+def test_runner_normalizes_ntz_load_file(spark, tmp_path):
+    """The anonymization runner's own read path (not queries._read)
+    must also accept a Spark-NTZ-marked DMS LOAD file — the review
+    finding that cast_ntz_timestamps covered only the query surface."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from rustic_witcher_spark.config.loader import load_config_str
+    from rustic_witcher_spark.runner import snapshot
+
+    ev = read_events(spark, SRC).limit(50)
+    ev.withColumn("ts", F.col("ts").cast("timestamp_ntz")).coalesce(1).write.parquet(
+        str(tmp_path / "w")
+    )
+    (tmp_path / "src" / "events").mkdir(parents=True)
+    part = glob.glob(str(tmp_path / "w" / "part-*.parquet"))[0]
+    shutil.copyfile(part, tmp_path / "src" / "events" / "LOAD00000001.parquet")
+    raw = spark.read.parquet(str(tmp_path / "src" / "events" / "LOAD00000001.parquet"))
+    assert raw.schema["ts"].dataType.typeName() == "timestamp_ntz"  # marker overrides the pin
+
+    cfg = load_config_str(
+        """
+[[tables]]
+table_name = "events"
+[tables.anonymization_type]
+type = "Multi"
+[[tables.anonymization_type.column_transformations]]
+column_name = "props"
+[tables.anonymization_type.column_transformations.transformation_type]
+type = "Nullify"
+"""
+    )
+    report = snapshot(spark, tmp_path / "src", tmp_path / "out", cfg)
+    assert report.ok
+    back = spark.read.parquet(str(tmp_path / "out" / "events.parquet"))
+    assert back.schema["ts"].dataType.typeName() == "timestamp"
+    assert back.count() == 50

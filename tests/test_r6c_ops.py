@@ -447,3 +447,16 @@ def test_quantile_sketch_streams_and_merges(spark, tmp_path):
         assert (s["n"], s["p50_est"], s["p90_est"], s["p99_est"]) == (
             r["n"], r["p50_est"], r["p90_est"], r["p99_est"],
         )
+
+
+def test_quantile_sketch_nulls_excluded_negatives_clamped(spark):
+    from rustic_witcher_spark.operators import sketches
+
+    rows = [(1, "c", v) for v in [None, None, -5.0, -0.5, 1.0, 2.0, 4.0, 8.0]]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    r = sketches.quantile_sketch(df, "value", ["event_type"]).collect()[0]
+    assert r["n"] == 6  # NULLs excluded from the count, like percentile()
+    # negatives clamp into the zero bucket: p50 over {0,0,1,2,4,8}
+    # crosses at the bucket holding 1.0, never at a garbage top bucket
+    assert 0 <= r["p50_est"] <= 1.2
+    assert r["p99_est"] <= 8.0 * 1.2  # no two's-complement 4e16 bucket
