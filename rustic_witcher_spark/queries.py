@@ -4360,6 +4360,60 @@ SELECT * FROM cand WHERE dist <= {FUZZY_MAX_DIST} ORDER BY name_a, name_b
 """
 
 
+def q_customer_revenue_standing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-standing window functions (percent_rank / cume_dist) —
+    the last rank-family members absent from the registry: each
+    customer's revenue standing WITHIN their nation. Revenue is
+    aggregated per customer BEFORE the window (the fact shuffle
+    carries customer totals, not order rows) and rounded so both
+    engines rank the identical total order; the custkey tiebreak
+    removes ties entirely, making percent_rank/cume_dist
+    deterministic. One shuffle for the agg, one for the per-nation
+    window — at 100 TB the nation partitions are the skew concern,
+    and the decile-bounds pattern (doc_length_deciles) is the
+    documented alternative when per-key cardinality explodes."""
+    o = _read(spark, sf_dir, "orders")
+    c = _read(spark, sf_dir, "customer")
+    rev = o.groupBy("o_custkey").agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    cust = c.select("c_custkey", "c_nationkey").join(
+        rev, F.col("c_custkey") == F.col("o_custkey"), "inner"
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("revenue"), F.asc("c_custkey"))
+    return (
+        cust.select(
+            "c_nationkey",
+            "c_custkey",
+            "revenue",
+            # integer micro-units, not round(x, 6): percent_rank emits
+            # dyadic rationals whose shortest-decimal repr lands EXACTLY
+            # on the .5 rounding boundary, where Spark (decimal HALF_UP)
+            # and DuckDB (binary) disagree; floor of pure double
+            # arithmetic is bit-identical in both engines.
+            F.floor(F.percent_rank().over(w) * 1000000 + 0.5).cast("bigint").alias("pct_rank_u"),
+            F.floor(F.cume_dist().over(w) * 1000000 + 0.5).cast("bigint").alias("cume_u"),
+        )
+        .filter(F.col("pct_rank_u") <= 100000)
+        .orderBy("c_nationkey", "pct_rank_u", "c_custkey")
+    )
+
+
+SQL_CUSTOMER_REVENUE_STANDING = """
+WITH rev AS (
+  SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue FROM orders GROUP BY 1
+),
+ranked AS (
+  SELECT c_nationkey, c_custkey, revenue,
+         floor(percent_rank() OVER (PARTITION BY c_nationkey
+                                    ORDER BY revenue DESC, c_custkey) * 1000000 + 0.5)::BIGINT AS pct_rank_u,
+         floor(cume_dist() OVER (PARTITION BY c_nationkey
+                                 ORDER BY revenue DESC, c_custkey) * 1000000 + 0.5)::BIGINT AS cume_u
+  FROM customer JOIN rev ON c_custkey = o_custkey
+)
+SELECT * FROM ranked WHERE pct_rank_u <= 100000
+ORDER BY c_nationkey, pct_rank_u, c_custkey
+"""
+
+
 def q_quantile_sketch_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable quantile sketch (operators/sketches.py) — p50/p90/p99
     estimates per event type from log-bucket counts (DDSketch-style,
@@ -4408,7 +4462,7 @@ def build_registry() -> dict[str, tuple[QueryFn, str | None]]:
     grouping_sets_revenue/source_cap/token_budget_selection/
     embedding_dim_stats/events_moving_avg/term_pmi/
     lineitem_unpivot/peak_concurrency/fuzzy_part_names/
-    quantile_sketch_events — which have
+    quantile_sketch_events/customer_revenue_standing — which have
     never held a driver verdict and MUST lead the r07 window).
     The full local gate (`scripts/compare_oracle.py`) runs ALL
     entries every round regardless of ordering.
@@ -4565,6 +4619,7 @@ def build_registry() -> dict[str, tuple[QueryFn, str | None]]:
             "peak_concurrency": (q_peak_concurrency, SQL_PEAK_CONCURRENCY),
             "fuzzy_part_names": (q_fuzzy_part_names, SQL_FUZZY_PART_NAMES),
             "quantile_sketch_events": (q_quantile_sketch_events, sql_quantile_sketch_events()),
+            "customer_revenue_standing": (q_customer_revenue_standing, SQL_CUSTOMER_REVENUE_STANDING),
         }
     )
     ordered = {name: reg.pop(name) for name in ROUND6_PREFIX}

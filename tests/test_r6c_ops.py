@@ -460,3 +460,21 @@ def test_quantile_sketch_nulls_excluded_negatives_clamped(spark):
     # crosses at the bucket holding 1.0, never at a garbage top bucket
     assert 0 <= r["p50_est"] <= 1.2
     assert r["p99_est"] <= 8.0 * 1.2  # no two's-complement 4e16 bucket
+
+
+def test_revenue_standing_rank_semantics(spark):
+    from rustic_witcher_spark.queries import q_customer_revenue_standing
+
+    rows = q_customer_revenue_standing(spark, SF_DIR).collect()
+    assert rows, "top decile must be non-empty"
+    by_nation: dict[int, list] = {}
+    for r in rows:
+        assert 0 <= r["pct_rank_u"] <= 100_000  # top-decile filter
+        assert r["pct_rank_u"] <= r["cume_u"] <= 1_000_000
+        by_nation.setdefault(r["c_nationkey"], []).append(r)
+    for rs in by_nation.values():
+        # within a nation the kept rows are the revenue leaders:
+        # revenue non-increasing as standing worsens
+        revs = [r["revenue"] for r in rs]  # already ordered by pct_rank
+        assert revs == sorted(revs, reverse=True)
+        assert rs[0]["pct_rank_u"] == 0  # the top customer has percent_rank 0
