@@ -4360,6 +4360,50 @@ SELECT * FROM cand WHERE dist <= {FUZZY_MAX_DIST} ORDER BY name_a, name_b
 """
 
 
+def q_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT aggregate over a sliding window — a shape Spark has no
+    native form for (``count(DISTINCT) OVER`` is rejected): distinct
+    active users per event type in a trailing 4-hour window. Emulated
+    as per-hour user SETS (one groupBy — the fact shuffle carries
+    (type, hour, user) triples deduplicated map-side) merged through a
+    RANGE frame: flatten + array_distinct over ≤4 hourly sets. State
+    per output row is bounded by active-users-per-4h-per-type, NOT
+    corpus size; the 100 TB variant swaps the exact sets for the
+    registered HLL registers (same merge-through-window shape,
+    constant 64-register state). The oracle computes the same counts
+    through DuckDB's interval self-join — a deliberately different
+    plan for the same semantics."""
+    ev = _read(spark, sf_dir, "events")
+    hourly = (
+        ev.select("event_type", F.date_trunc("hour", "ts").alias("hour"), "user_id")
+        .distinct()
+        .groupBy("event_type", "hour")
+        .agg(F.collect_set("user_id").alias("__us"))
+        .withColumn("__ep", F.unix_timestamp("hour"))
+    )
+    w = Window.partitionBy("event_type").orderBy("__ep").rangeBetween(-3 * 3600, 0)
+    return (
+        hourly.withColumn(
+            "users_4h", F.size(F.array_distinct(F.flatten(F.collect_list("__us").over(w))))
+        )
+        .select("event_type", F.date_format("hour", _FMT).alias("hour"), "users_4h")
+        .orderBy("event_type", "hour")
+    )
+
+
+SQL_ROLLING_DISTINCT_USERS = f"""
+WITH hourly AS (
+  SELECT DISTINCT event_type, date_trunc('hour', ts) AS hour, user_id FROM events
+),
+spine AS (SELECT DISTINCT event_type, hour FROM hourly)
+SELECT s.event_type, {_fmt_sql('s.hour')} AS hour, count(DISTINCT h.user_id) AS users_4h
+FROM spine s
+JOIN hourly h ON h.event_type = s.event_type
+            AND h.hour BETWEEN s.hour - INTERVAL 3 HOUR AND s.hour
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q_customer_revenue_standing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relative-standing window functions (percent_rank / cume_dist) —
     the last rank-family members absent from the registry: each
@@ -4462,7 +4506,8 @@ def build_registry() -> dict[str, tuple[QueryFn, str | None]]:
     grouping_sets_revenue/source_cap/token_budget_selection/
     embedding_dim_stats/events_moving_avg/term_pmi/
     lineitem_unpivot/peak_concurrency/fuzzy_part_names/
-    quantile_sketch_events/customer_revenue_standing — which have
+    quantile_sketch_events/customer_revenue_standing/
+    rolling_distinct_users — which have
     never held a driver verdict and MUST lead the r07 window).
     The full local gate (`scripts/compare_oracle.py`) runs ALL
     entries every round regardless of ordering.
@@ -4620,6 +4665,7 @@ def build_registry() -> dict[str, tuple[QueryFn, str | None]]:
             "fuzzy_part_names": (q_fuzzy_part_names, SQL_FUZZY_PART_NAMES),
             "quantile_sketch_events": (q_quantile_sketch_events, sql_quantile_sketch_events()),
             "customer_revenue_standing": (q_customer_revenue_standing, SQL_CUSTOMER_REVENUE_STANDING),
+            "rolling_distinct_users": (q_rolling_distinct_users, SQL_ROLLING_DISTINCT_USERS),
         }
     )
     ordered = {name: reg.pop(name) for name in ROUND6_PREFIX}

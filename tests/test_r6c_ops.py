@@ -478,3 +478,24 @@ def test_revenue_standing_rank_semantics(spark):
         revs = [r["revenue"] for r in rs]  # already ordered by pct_rank
         assert revs == sorted(revs, reverse=True)
         assert rs[0]["pct_rank_u"] == 0  # the top customer has percent_rank 0
+
+
+def test_rolling_distinct_users_window_semantics(spark, tmp_path):
+    T = dt.datetime
+    # user 7 active at hours 0 and 2 -> counted ONCE in hour 2's 4h
+    # window; hour 10 is beyond the frame of everything earlier
+    rows_in = [
+        (1, T(2024, 1, 1, 0, 5), 7, "view", 1.0, "{}"),
+        (2, T(2024, 1, 1, 0, 6), 8, "view", 1.0, "{}"),
+        (3, T(2024, 1, 1, 2, 7), 7, "view", 1.0, "{}"),
+        (4, T(2024, 1, 1, 10, 8), 9, "view", 1.0, "{}"),
+    ]
+    pd.DataFrame(
+        rows_in, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).to_parquet(tmp_path / "events.parquet")
+    from rustic_witcher_spark.queries import q_rolling_distinct_users
+
+    out = {r["hour"]: r["users_4h"] for r in q_rolling_distinct_users(spark, str(tmp_path)).collect()}
+    assert out["2024-01-01 00:00:00"] == 2  # users 7, 8
+    assert out["2024-01-01 02:00:00"] == 2  # user 7 deduped across hours
+    assert out["2024-01-01 10:00:00"] == 1  # old hours out of frame
