@@ -41,3 +41,51 @@ def test_salted_join_spreads_hot_key(spark):
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(8)).cast("int")
     n_buckets = fact.filter(F.col("k") == 1).select(salt.alias("s")).distinct().count()
     assert n_buckets == 8  # the hot key's 900 rows land in all 8 salt buckets
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """The SCALE.md claim that AQE skew-join handles skewed PKs,
+    demonstrated: with test-scaled thresholds, a 90%-hot-key
+    sort-merge join's final adaptive plan shows the hot partition
+    split (SortMergeJoin(skew=true) / AQEShuffleRead skewed) AND the
+    result is exact."""
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.skewJoin.enabled",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+
+        fact = spark.range(300000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(1))
+            .otherwise((F.col("id") % 200) + 2)
+            .alias("k"),
+            F.concat(F.lit("payload-"), F.col("id").cast("string"), F.lit("x" * 64)).alias("p"),
+        )
+        dim = spark.range(1, 302).select(
+            F.col("id").alias("k"), F.concat(F.lit("d"), F.col("id")).alias("dv")
+        )
+        j = fact.join(dim, "k")
+        rows = j.collect()  # finalizes THIS DataFrame's adaptive plan
+        assert len(rows) == 300000  # every fact row matched exactly once
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, "AQE did not split the hot partition"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
