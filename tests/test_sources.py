@@ -167,3 +167,32 @@ def test_partitioned_write_enables_partition_pruning(spark, sf_dir, tmp_path):
 
     m = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and m.group(1).strip(), "partition filter was not pushed"
+
+
+def test_dynamic_partition_pruning_fires_on_dim_filter(spark, tmp_path):
+    """Star-schema DPP, demonstrated: a day-partitioned fact joined to
+    a dim filtered by an equality literal gets
+    dynamicpruningexpression(...) in its PartitionFilters — the fact
+    scan reads only the dim-selected partitions at runtime. NB the dim
+    predicate must be 'likely selective' (comparison/IN/LIKE against a
+    literal); a bare boolean attribute does NOT trigger the rule —
+    worth knowing when a campaign flag column quietly disables DPP."""
+    from pyspark.sql import functions as F
+
+    from rustic_witcher_spark.sources.parquet import read_events
+
+    ev = read_events(spark, "/root/testdata/sf0.001").withColumn("day", F.to_date("ts"))
+    ev.write.partitionBy("day").parquet(str(tmp_path / "fact"))
+    days = ev.select("day").distinct().withColumn(
+        "phase", F.when(F.dayofmonth("day") <= 3, "campaign").otherwise("normal")
+    )
+    days.write.parquet(str(tmp_path / "days"))
+
+    fact = spark.read.parquet(str(tmp_path / "fact"))
+    dim = spark.read.parquet(str(tmp_path / "days")).filter(F.col("phase") == "campaign")
+    j = fact.join(dim, "day").agg(F.count(F.lit(1)).alias("n"))
+    [row] = j.collect()
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in plan.lower(), "DPP did not fire"
+    expected = ev.filter(F.dayofmonth("day") <= 3).count()
+    assert row["n"] == expected
