@@ -89,3 +89,29 @@ def test_aqe_skew_join_splits_hot_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_aqe_converts_sort_merge_to_broadcast_at_runtime(spark, tmp_path):
+    """The other AQE re-plan the 100 TB story leans on: a dim whose
+    FILE size looks too big to broadcast statically, but whose
+    runtime post-filter size is tiny, gets its planned sort-merge
+    join converted to a BroadcastHashJoin in the final adaptive plan."""
+    from pyspark.sql import functions as F
+
+    spark.range(200000).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("v"), F.col("id")).alias("v"),
+        (F.col("id") % 1000).alias("sel"),
+    ).write.parquet(str(tmp_path / "dim"))
+    spark.range(500000).select(
+        (F.col("id") % 200000).alias("k"), F.col("id").alias("x")
+    ).write.parquet(str(tmp_path / "fact"))
+
+    fact = spark.read.parquet(str(tmp_path / "fact"))
+    dim = spark.read.parquet(str(tmp_path / "dim")).filter(F.col("sel") == 7)  # 200 rows live
+    j = fact.join(dim, "k").agg(F.count(F.lit(1)).alias("n"))
+    [row] = j.collect()
+    assert row["n"] == 500  # 200 dim keys x ~2.5 fact rows each
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
