@@ -4360,6 +4360,98 @@ SELECT * FROM cand WHERE dist <= {FUZZY_MAX_DIST} ORDER BY name_a, name_b
 """
 
 
+PR_ITERS = 5
+PR_DAMPING = 0.85
+
+
+def q_supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted iterative fixed-point over a graph — PageRank on the
+    bipartite customer↔supplier purchase graph (distinct edges from
+    orders⋈lineitem), the pattern class beyond connected components'
+    unweighted min-label propagation. Fixed PR_ITERS power-method
+    steps; every iteration ends in a 10-dp round in BOTH engines, so
+    FP summation-order noise (~1e-18) can't accumulate across
+    iterations and the DuckDB chained-CTE replay stays hash-exact.
+    Each step is one shuffle join (ranks ⋈ edges on src) + one groupBy
+    dst with map-side partials; at 100 TB the rank/edge tables stay
+    co-partitioned on node id so the per-iteration shuffle is the
+    contributions only — and lineage is checkpointed every few
+    iterations exactly as dedup_clusters documents."""
+    o = _read(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = _read(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(l, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("c"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = deg.select(F.col("src").alias("node"))
+    n_total = nodes.agg(F.count(F.lit(1)).alias("N"))
+    ranks = nodes.crossJoin(F.broadcast(n_total)).select(
+        "node", F.round(F.lit(1.0) / F.col("N"), 10).alias("pr"), "N"
+    )
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges.join(deg, "src")
+            .join(ranks.select(F.col("node").alias("src"), "pr", "N"), "src")
+            .select("dst", (F.col("pr") / F.col("deg")).alias("w"), "N")
+        )
+        ranks = (
+            contrib.groupBy("dst", "N")
+            .agg(F.sum("w").alias("__in"))
+            .select(
+                F.col("dst").alias("node"),
+                F.round(F.lit(1 - PR_DAMPING) / F.col("N") + PR_DAMPING * F.col("__in"), 10).alias("pr"),
+                "N",
+            )
+        )
+    return (
+        ranks.filter(F.col("node").startswith("s"))
+        .select("node", F.round(F.col("pr") * 1000, 6).alias("pr_permille"))
+        .orderBy(F.desc("pr_permille"), F.asc("node"))
+        .limit(20)
+    )
+
+
+def sql_supplier_pagerank() -> str:
+    d = PR_DAMPING
+    its = []
+    prev = "it0"
+    for i in range(1, PR_ITERS + 1):
+        its.append(
+            f"""it{i} AS (
+  SELECT e.dst AS node,
+         round((1 - {d}) / any_value(n.N) + {d} * sum(p.pr / g.deg), 10) AS pr
+  FROM edges e JOIN deg g ON g.src = e.src JOIN {prev} p ON p.node = e.src
+  CROSS JOIN n GROUP BY e.dst
+)"""
+        )
+        prev = f"it{i}"
+    chain = ",\n".join(its)
+    return f"""
+WITH pairs AS (
+  SELECT DISTINCT 'c' || o_custkey AS c, 's' || l_suppkey AS s
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+edges AS (
+  SELECT c AS src, s AS dst FROM pairs UNION ALL SELECT s, c FROM pairs
+),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+n AS (SELECT count(*) AS N FROM deg),
+it0 AS (SELECT src AS node, round(1.0 / N, 10) AS pr FROM deg CROSS JOIN n),
+{chain}
+SELECT node, round(pr * 1000, 6) AS pr_permille
+FROM {prev} WHERE node LIKE 's%'
+ORDER BY pr_permille DESC, node ASC LIMIT 20
+"""
+
+
 def q_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DISTINCT aggregate over a sliding window — a shape Spark has no
     native form for (``count(DISTINCT) OVER`` is rejected): distinct
@@ -4507,7 +4599,7 @@ def build_registry() -> dict[str, tuple[QueryFn, str | None]]:
     embedding_dim_stats/events_moving_avg/term_pmi/
     lineitem_unpivot/peak_concurrency/fuzzy_part_names/
     quantile_sketch_events/customer_revenue_standing/
-    rolling_distinct_users — which have
+    rolling_distinct_users/supplier_pagerank — which have
     never held a driver verdict and MUST lead the r07 window).
     The full local gate (`scripts/compare_oracle.py`) runs ALL
     entries every round regardless of ordering.
@@ -4666,6 +4758,7 @@ def build_registry() -> dict[str, tuple[QueryFn, str | None]]:
             "quantile_sketch_events": (q_quantile_sketch_events, sql_quantile_sketch_events()),
             "customer_revenue_standing": (q_customer_revenue_standing, SQL_CUSTOMER_REVENUE_STANDING),
             "rolling_distinct_users": (q_rolling_distinct_users, SQL_ROLLING_DISTINCT_USERS),
+            "supplier_pagerank": (q_supplier_pagerank, sql_supplier_pagerank()),
         }
     )
     ordered = {name: reg.pop(name) for name in ROUND6_PREFIX}

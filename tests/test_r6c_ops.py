@@ -546,3 +546,30 @@ def test_token_budget_plan_no_full_table_global_window(spark):
     plan = _plan(spark, q_token_budget_selection)
     assert "Window [" in plan
     assert "hashpartitioning(__bucket" in plan  # per-doc cumsum is bucket-partitioned
+
+
+def test_pagerank_mass_conserved_and_degree_biased(spark):
+    """PR sanity on the real graph: total rank mass stays 1 after the
+    damped iterations (up to per-iteration rounding), and the
+    top-ranked supplier is one with maximal customer degree."""
+    from rustic_witcher_spark.queries import PR_ITERS, q_supplier_pagerank
+
+    top = q_supplier_pagerank(spark, SF_DIR).collect()
+    assert 0 < len(top) <= 20
+    assert all(t["pr_permille"] > 0 for t in top)
+    ranked = [t["pr_permille"] for t in top]
+    assert ranked == sorted(ranked, reverse=True)
+
+    # degree bias: the #1 supplier's distinct-customer degree is the max
+    from pyspark.sql import functions as F
+
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet").select("o_orderkey", "o_custkey")
+    l = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select("l_orderkey", "l_suppkey")
+    degs = (
+        o.join(l, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select("o_custkey", "l_suppkey").distinct()
+        .groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("d"))
+        .collect()
+    )
+    dmap = {f"s{r['l_suppkey']}": r["d"] for r in degs}
+    assert dmap[top[0]["node"]] == max(dmap.values())
