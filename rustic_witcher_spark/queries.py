@@ -4376,7 +4376,12 @@ def q_supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     dst with map-side partials; at 100 TB the rank/edge tables stay
     co-partitioned on node id so the per-iteration shuffle is the
     contributions only — and lineage is checkpointed every few
-    iterations exactly as dedup_clusters documents."""
+    iterations exactly as dedup_clusters documents. (Locally the
+    edges/deg subtrees are deliberately NOT localCheckpoint'ed:
+    measured 4.7 s with lineage reuse vs 5.1-7.7 s checkpointed —
+    the eager checkpoint job + stage barriers cost more than the
+    cheap recompute at this size; at cluster scale with a big edge
+    table, flip to materialize() per the cluster.py pattern.)"""
     o = _read(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     l = _read(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     pairs = (
@@ -4467,7 +4472,11 @@ def q_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan for the same semantics."""
     ev = _read(spark, sf_dir, "events")
     hourly = (
-        ev.select("event_type", F.date_trunc("hour", "ts").alias("hour"), "user_id")
+        # NULL type/ts rows are excluded in BOTH engines: the oracle's
+        # equality join drops them implicitly, and a NULL window
+        # partition here would silently re-include them
+        ev.filter(F.col("event_type").isNotNull() & F.col("ts").isNotNull())
+        .select("event_type", F.date_trunc("hour", "ts").alias("hour"), "user_id")
         .distinct()
         .groupBy("event_type", "hour")
         .agg(F.collect_set("user_id").alias("__us"))
@@ -4486,6 +4495,7 @@ def q_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_ROLLING_DISTINCT_USERS = f"""
 WITH hourly AS (
   SELECT DISTINCT event_type, date_trunc('hour', ts) AS hour, user_id FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL
 ),
 spine AS (SELECT DISTINCT event_type, hour FROM hourly)
 SELECT s.event_type, {_fmt_sql('s.hour')} AS hour, count(DISTINCT h.user_id) AS users_4h

@@ -92,10 +92,12 @@ def test_aqe_skew_join_splits_hot_partition(spark):
 
 
 def test_aqe_converts_sort_merge_to_broadcast_at_runtime(spark, tmp_path):
-    """The other AQE re-plan the 100 TB story leans on: a dim whose
-    FILE size looks too big to broadcast statically, but whose
-    runtime post-filter size is tiny, gets its planned sort-merge
-    join converted to a BroadcastHashJoin in the final adaptive plan."""
+    """The other AQE re-plan the 100 TB story leans on: with the
+    broadcast threshold pinned BELOW the dim's file size, the static
+    plan is a sort-merge join (asserted on the pre-execution plan —
+    without this assertion the test is vacuous); the dim's tiny
+    post-filter runtime size then converts it to a BroadcastHashJoin
+    in the final adaptive plan."""
     from pyspark.sql import functions as F
 
     spark.range(200000).select(
@@ -107,11 +109,24 @@ def test_aqe_converts_sort_merge_to_broadcast_at_runtime(spark, tmp_path):
         (F.col("id") % 200000).alias("k"), F.col("id").alias("x")
     ).write.parquet(str(tmp_path / "fact"))
 
-    fact = spark.read.parquet(str(tmp_path / "fact"))
-    dim = spark.read.parquet(str(tmp_path / "dim")).filter(F.col("sel") == 7)  # 200 rows live
-    j = fact.join(dim, "k").agg(F.count(F.lit(1)).alias("n"))
-    [row] = j.collect()
-    assert row["n"] == 500  # 200 dim keys x ~2.5 fact rows each
-    plan = j._jdf.queryExecution().executedPlan().toString()
-    assert "isFinalPlan=true" in plan
-    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "65536")  # 64KB < dim file
+        fact = spark.read.parquet(str(tmp_path / "fact"))
+        dim = spark.read.parquet(str(tmp_path / "dim")).filter(F.col("sel") == 7)  # 200 rows live
+        j = fact.join(dim, "k").agg(F.count(F.lit(1)).alias("n"))
+        initial = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in initial, "setup broken: static plan must be SMJ"
+        [row] = j.collect()
+        assert row["n"] == 500  # 200 dim keys x ~2.5 fact rows each
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        # the adaptive plan string carries BOTH sections; judge only the
+        # final one (the initial section legitimately keeps the SMJ)
+        final = plan.split("== Initial Plan ==")[0]
+        assert "BroadcastHashJoin" in final and "SortMergeJoin" not in final
+    finally:
+        if saved is None:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        else:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)

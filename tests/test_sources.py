@@ -169,7 +169,7 @@ def test_partitioned_write_enables_partition_pruning(spark, sf_dir, tmp_path):
     assert m and m.group(1).strip(), "partition filter was not pushed"
 
 
-def test_dynamic_partition_pruning_fires_on_dim_filter(spark, tmp_path):
+def test_dynamic_partition_pruning_fires_on_dim_filter(spark, tmp_path, sf_dir):
     """Star-schema DPP, demonstrated: a day-partitioned fact joined to
     a dim filtered by an equality literal gets
     dynamicpruningexpression(...) in its PartitionFilters — the fact
@@ -181,7 +181,7 @@ def test_dynamic_partition_pruning_fires_on_dim_filter(spark, tmp_path):
 
     from rustic_witcher_spark.sources.parquet import read_events
 
-    ev = read_events(spark, "/root/testdata/sf0.001").withColumn("day", F.to_date("ts"))
+    ev = read_events(spark, sf_dir).withColumn("day", F.to_date("ts"))
     ev.write.partitionBy("day").parquet(str(tmp_path / "fact"))
     days = ev.select("day").distinct().withColumn(
         "phase", F.when(F.dayofmonth("day") <= 3, "campaign").otherwise("normal")
