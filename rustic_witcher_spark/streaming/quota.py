@@ -49,10 +49,11 @@ def _quota_fn(quota: int):
         chunks = [pdf for pdf in pdfs if len(pdf)]
         if not chunks:
             return iter(())
-        take = pd.concat(chunks).nsmallest(quota - n, "event_id").sort_values("event_id")
-        state.update((n + len(take),))
+        # nsmallest already returns rows ascending by event_id
+        take = pd.concat(chunks).nsmallest(quota - n, "event_id")
         if not len(take):
             return iter(())
+        state.update((n + len(take),))
         out = pd.DataFrame(
             {
                 "user_id": take["user_id"].values,

@@ -1,12 +1,36 @@
-"""Local harness mimicking the driver's correctness gate.
+"""Local harness mimicking the driver's correctness gate — hash-faithful.
 
 Runs every queries() entry at a given SF dir and compares row count,
-column names, and order-insensitive values against oracle_sql() in
-DuckDB. Usage: python scripts/compare_oracle.py [sf_dir] [name ...]
+column names, and **dtype-sensitive** stringified values against
+oracle_sql() in DuckDB. Both sides go through pandas
+(``DataFrame.toPandas()`` / ``fetchdf()``) so engine-specific dtype
+conversions surface exactly as the driver sees them — e.g. DuckDB
+``sum(int)`` → HUGEINT → float64 renders "11680.0" while Spark's long
+renders "11680": that mismatch FAILS here now. The old gate compared
+``fetchall()`` (HUGEINT → Python int → "11680") and so passed q12
+twice while the driver failed it — rounds 5 and 6.
+
+Faithfulness rules (calibrated round 7 against the r6 driver verdicts):
+  * columns sorted by name; rows sorted canonically by their
+    stringified tuples. The driver is empirically ORDER-INSENSITIVE:
+    many driver-green entries (q1, events_tumbling, hll_users, ...)
+    return different row orders in Spark vs DuckDB, so the r5 "row
+    order" diagnosis of q12 was wrong — HUGEINT dtype was the whole
+    bug;
+  * no float rounding/normalization — exact ``str()`` of the pandas
+    scalar, so int-vs-float and last-bit double drift both fail;
+  * missing values (None/NaN/NaT) collapse to "NULL" on both sides —
+    pandas already coerces nullable ints to float on both engines, so
+    this is symmetric;
+  * containers (arrays) normalized element-wise with the same rules on
+    both sides.
+
+Usage: python scripts/compare_oracle.py [sf_dir] [name ...]
 """
 
 from __future__ import annotations
 
+import math
 import os
 import sys
 import traceback
@@ -15,6 +39,8 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 import __spark_entry__ as entrymod
 
@@ -30,10 +56,35 @@ def create_views(con, sf_dir: str) -> None:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
 
-def normalize(v):
-    if isinstance(v, float):
-        return f"{v:.6f}"
+def normalize(v) -> str:
+    """Exact, dtype-sensitive stringification. NO float rounding: the
+    driver hashes raw value strings, so "11680.0" != "11680" and
+    last-bit double drift must fail here too."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, float) and math.isnan(v):
+        return "NULL"
+    if isinstance(v, np.generic):
+        v = v.item()
+        if isinstance(v, float) and math.isnan(v):
+            return "NULL"
+        return str(v)
+    if v is pd.NaT:
+        return "NULL"
+    if isinstance(v, (np.ndarray, list, tuple)):
+        return "[" + ", ".join(normalize(x) for x in v) + "]"
     return str(v)
+
+
+def frame_rows(pdf: pd.DataFrame) -> list[tuple[str, ...]]:
+    """Rows sorted canonically, columns sorted by name, values
+    normalized dtype-sensitively (driver-faithful, see module doc)."""
+    cols = sorted(pdf.columns)
+    out = []
+    for row in pdf[cols].itertuples(index=False, name=None):
+        out.append(tuple(normalize(v) for v in row))
+    out.sort()
+    return out
 
 
 def main():
@@ -60,17 +111,15 @@ def main():
             continue
         try:
             df = fn(spark, sf_dir)
-            spark_cols = sorted(df.columns)
-            rows = df.collect()
-            s_rows = sorted(tuple(normalize(r[c]) for c in spark_cols) for r in rows)
+            s_pdf = df.toPandas()
+            spark_cols = sorted(s_pdf.columns)
+            s_rows = frame_rows(s_pdf)
             if name not in oracles:
                 print(f"  {name:28s} rows-only: {len(s_rows)} rows, cols={spark_cols}")
                 continue
-            res = con.execute(oracles[name])
-            d_cols = [d[0] for d in res.description]
-            d_idx = {c: i for i, c in enumerate(d_cols)}
-            duck_cols = sorted(d_cols)
-            d_rows = sorted(tuple(normalize(r[d_idx[c]]) for c in duck_cols) for r in res.fetchall())
+            d_pdf = con.execute(oracles[name]).fetchdf()
+            duck_cols = sorted(d_pdf.columns)
+            d_rows = frame_rows(d_pdf)
             status = []
             if spark_cols != duck_cols:
                 status.append(f"COLS spark={spark_cols} duck={duck_cols}")
@@ -78,7 +127,7 @@ def main():
                 status.append(f"COUNT spark={len(s_rows)} duck={len(d_rows)}")
             elif spark_cols == duck_cols and s_rows != d_rows:
                 bad = next((i, a, b) for i, (a, b) in enumerate(zip(s_rows, d_rows)) if a != b)
-                status.append(f"VALUES first-diff@{bad[0]}: spark={bad[1]} duck={bad[2]}")
+                status.append(f"VALUES first-diff@row{bad[0]}: spark={bad[1]} duck={bad[2]}")
             if status:
                 failures.append(name)
                 print(f"✗ {name:28s} {'; '.join(status)}")
