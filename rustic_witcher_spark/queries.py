@@ -4127,7 +4127,10 @@ def q_events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-type hourly series — frame membership by epoch distance, so
     missing hours correctly shrink the frame instead of silently
     widening it the way a ROWS 3 PRECEDING frame would."""
-    ev = _read(spark, sf_dir, "events")
+    # NULL ts/event_type guard: Spark windows order NULLS FIRST, DuckDB
+    # NULLS LAST — on dirty data the frames would silently diverge from
+    # the oracle (same guard as rolling_distinct_users).
+    ev = _read(spark, sf_dir, "events").filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
     hourly = (
         ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("hour"))
         .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 6).alias("hour_value"))
@@ -4151,7 +4154,7 @@ SQL_EVENTS_MOVING_AVG = f"""
 WITH hourly AS (
   SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n_events,
          round(sum(value), 6) AS hour_value, epoch(date_trunc('hour', ts))::BIGINT AS ep
-  FROM events GROUP BY 1, 2
+  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL GROUP BY 1, 2
 )
 SELECT event_type, {_fmt_sql('hour')} AS hour, n_events, hour_value,
        round(avg(hour_value) OVER (
@@ -4272,7 +4275,9 @@ def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     same edges through the time-bucketed two-level prefix scan
     (token_budget_selection's shape) with per-bucket carry-in
     offsets."""
-    ev = _read(spark, sf_dir, "events")
+    # NULL guard for oracle parity on dirty data (NULLS FIRST vs LAST
+    # window ordering) — see q_events_moving_avg.
+    ev = _read(spark, sf_dir, "events").filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
     starts = ev.select("event_type", F.col("ts").alias("edge_ts"), F.lit(1).alias("delta"))
     ends = ev.select(
         "event_type",
@@ -4298,8 +4303,10 @@ def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_PEAK_CONCURRENCY = """
 WITH edges AS (
   SELECT event_type, ts AS edge_ts, 1 AS delta FROM events
+  WHERE ts IS NOT NULL AND event_type IS NOT NULL
   UNION ALL
   SELECT event_type, ts + INTERVAL 30 MINUTE, -1 FROM events
+  WHERE ts IS NOT NULL AND event_type IS NOT NULL
 ),
 run AS (
   SELECT event_type,

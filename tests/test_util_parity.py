@@ -115,6 +115,32 @@ def test_upload_archive_routes_by_size(tmp_path, monkeypatch):
     assert sum(c[3] for c in s3b.calls if c[0] == "part") == 100
 
 
+def test_upload_archive_simulated_6gib(tmp_path, monkeypatch):
+    """>5 GiB routing with the REAL threshold (no threshold shrinking):
+    a 6 GiB archive is simulated by faking the size probe, and the
+    multipart leg must receive the ~10-part ceil-divided part size the
+    reference exporter computes (mongo_data_exporter.rs:105,160-164)."""
+    p = tmp_path / "big.tar.zst"
+    p.write_bytes(b"z" * 64)
+    total = 6 * 1024**3
+    monkeypatch.setattr(mb.os.path, "getsize", lambda _: total)
+    seen = {}
+    monkeypatch.setattr(
+        mb, "multipart_upload", lambda client, bucket, key, path, part_size: seen.update(
+            {"bucket": bucket, "key": key, "path": path, "part_size": part_size}
+        )
+    )
+    s3 = _FakeS3()
+    mb.upload_archive(s3, "bkt", "dumps/big.tar.zst", str(p))
+    assert s3.calls == []  # no single PUT at 6 GiB
+    assert seen["part_size"] == -(-total // mb.TARGET_MULTIPART_PARTS)
+    # every part except possibly the last is ≥ S3's 5 MiB floor and the
+    # count lands at the ~10-part target
+    n_parts = -(-total // seen["part_size"])
+    assert n_parts == mb.TARGET_MULTIPART_PARTS
+    assert seen["part_size"] >= 5 * 1024**2
+
+
 def test_skip_validations_env(spark, monkeypatch):
     from rustic_witcher_spark.config.model import ValidationCheck, ValidationConfig
     from rustic_witcher_spark.validation import run_validations
