@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from rustic_witcher_spark.config.model import ColumnTransformation, FilterSpec, TableConfig, TransformationSpec
 from rustic_witcher_spark.functions import fake, fake_sql
-from rustic_witcher_spark.functions.hashing import hash64, sql_hash64
+from rustic_witcher_spark.functions.hashing import hash64, hash_slice, md5_hex, sql_hash64, sql_hash_slice, sql_md5_hex
 from rustic_witcher_spark.operators import (
     decontam,
     dedup,
@@ -41,7 +41,7 @@ from rustic_witcher_spark.operators import (
     skew,
     text,
 )
-from rustic_witcher_spark.operators import layout, profile, scd2
+from rustic_witcher_spark.operators import graph, layout, profile, scd2
 from rustic_witcher_spark.operators.asof import asof_join
 from rustic_witcher_spark.operators.cdc import apply_cdc
 from rustic_witcher_spark.operators.range_join import range_join
@@ -4591,6 +4591,593 @@ def sql_quantile_sketch_events() -> str:
 
 
 # ---------------------------------------------------------------------------
+# Round-7 additions: graph density, skyline, data-curation selection,
+# corpus statistics, robust sampling, quality-audit profiles
+# ---------------------------------------------------------------------------
+
+
+TRI_TOP_K = 8
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-ordered triangle counting (operators/graph.py) over the
+    supplier STRONG-TIE graph: suppliers are linked when the
+    co-occurrence count of their order shipments ranks in each other's
+    top-8 (union-kNN pruning). The pruning is the scale decision: a
+    raw co-occurrence graph over uniform order data densifies toward a
+    clique as the corpus grows (at sf0.01 it is literally K_100 —
+    C(100,3) = 161,700 triangles; at 100 TB the triangle join would
+    enumerate Θ(n³) wedges). Capping to the k strongest ties per node
+    bounds edges at k·|V| and wedge work at O((k·|V|)^1.5) FOREVER,
+    which is exactly how production similarity graphs (kNN graphs) are
+    kept tractable. Per-order supplier fan-out is bounded by
+    lines-per-order, so the within-order pair expansion is safe; the
+    rank window shuffles the pair-count table (|E| rows, already
+    aggregated), never the fact table."""
+    os_ = _read(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    a = os_.select("ok", F.col("s").alias("sa"))
+    b = os_.select("ok", F.col("s").alias("sb"))
+    pc = (
+        a.join(b, "ok")
+        .filter(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    directed = pc.select(F.col("sa").alias("node"), F.col("sb").alias("partner"), "n").unionByName(
+        pc.select(F.col("sb").alias("node"), F.col("sa").alias("partner"), "n")
+    )
+    w = Window.partitionBy("node").orderBy(F.desc("n"), F.asc("partner"))
+    top = directed.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= TRI_TOP_K)
+    edges = graph.undirected_edges(top, "node", "partner")
+    return graph.triangle_stats(edges)
+
+
+SQL_TRIANGLE_COUNT = f"""
+WITH os AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s FROM lineitem),
+pc AS (
+  SELECT a.s AS sa, b.s AS sb, count(*) AS n
+  FROM os a JOIN os b ON a.ok = b.ok AND a.s < b.s
+  GROUP BY 1, 2
+),
+directed AS (
+  SELECT sa AS node, sb AS partner, n FROM pc
+  UNION ALL
+  SELECT sb AS node, sa AS partner, n FROM pc
+),
+top AS (
+  SELECT node, partner FROM (
+    SELECT node, partner,
+           row_number() OVER (PARTITION BY node ORDER BY n DESC, partner ASC) AS rk
+    FROM directed
+  ) WHERE rk <= {TRI_TOP_K}
+),
+edges AS (
+  SELECT DISTINCT least(node, partner) AS lo, greatest(node, partner) AS hi FROM top
+),
+deg AS (
+  SELECT node, count(*) AS deg FROM (
+    SELECT lo AS node FROM edges UNION ALL SELECT hi AS node FROM edges
+  ) GROUP BY node
+),
+oriented AS (
+  SELECT CASE WHEN dl.deg < dh.deg OR (dl.deg = dh.deg AND e.lo < e.hi) THEN e.lo ELSE e.hi END AS src,
+         CASE WHEN dl.deg < dh.deg OR (dl.deg = dh.deg AND e.lo < e.hi) THEN e.hi ELSE e.lo END AS dst
+  FROM edges e JOIN deg dl ON dl.node = e.lo JOIN deg dh ON dh.node = e.hi
+),
+tri AS (
+  SELECT count(*)::BIGINT AS n_triangles
+  FROM oriented e1 JOIN oriented e2 ON e2.src = e1.dst
+       JOIN oriented e3 ON e3.src = e1.src AND e3.dst = e2.dst
+),
+summary AS (
+  SELECT count(*)::BIGINT AS n_nodes,
+         (sum(deg) / 2)::BIGINT AS n_edges,
+         sum(deg * (deg - 1) / 2)::BIGINT AS n_wedges
+  FROM deg
+)
+SELECT n_nodes, n_edges, n_triangles,
+       CASE WHEN n_wedges > 0 THEN round(3.0 * n_triangles / n_wedges, 6) ELSE 0.0 END AS clustering_coeff
+FROM summary CROSS JOIN tri
+"""
+
+
+def q_pareto_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier): suppliers not dominated on
+    (revenue, distinct parts supplied) — the multi-criteria shortlist
+    no single ORDER BY expresses. Spark side is the O(n log n) sweep:
+    group to per-distinct-revenue maxima, one ordered window computes
+    the strictly-greater-revenue threshold, survivors = rows matching
+    their group max AND beating the threshold. The oracle is the O(n²)
+    textbook NOT EXISTS definition — same semantics, different plan,
+    which is the point. At 100 TB: range-partition by revenue,
+    skyline each partition locally (removes ~all rows), then sweep
+    the per-partition survivors — the final window touches only
+    frontier candidates, never the fact table."""
+    sup = (
+        _read(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_suppkey").alias("s_suppkey"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+        )
+    )
+    g = sup.groupBy("revenue").agg(F.max("n_parts").alias("gmax"))
+    w = Window.orderBy(F.desc("revenue")).rowsBetween(Window.unboundedPreceding, -1)
+    t = g.withColumn("thresh", F.max("gmax").over(w))
+    return (
+        sup.join(F.broadcast(t), "revenue")
+        .filter(
+            (F.col("n_parts") == F.col("gmax"))
+            & (F.col("thresh").isNull() | (F.col("n_parts") > F.col("thresh")))
+        )
+        .select("s_suppkey", "revenue", "n_parts")
+        .orderBy(F.desc("revenue"), F.asc("s_suppkey"))
+    )
+
+
+SQL_PARETO_SUPPLIERS = """
+WITH sup AS (
+  SELECT l_suppkey AS s_suppkey,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+         count(DISTINCT l_partkey) AS n_parts
+  FROM lineitem GROUP BY 1
+)
+SELECT s_suppkey, revenue, n_parts
+FROM sup a
+WHERE NOT EXISTS (
+  SELECT 1 FROM sup b
+  WHERE b.revenue >= a.revenue AND b.n_parts >= a.n_parts
+    AND (b.revenue > a.revenue OR b.n_parts > a.n_parts)
+)
+ORDER BY revenue DESC, s_suppkey ASC
+"""
+
+
+DSIR_BUCKETS = 1024
+DSIR_TOP_K = 100
+
+
+def q_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document
+    by the mean hashed-unigram log-likelihood ratio between a target
+    distribution (here: lang='en' docs) and the full pool, keep the
+    top-k. The hashed feature space (md5 → 1024 buckets) is the
+    published trick that bounds the model state to a constant-size
+    table regardless of vocabulary, so both n-gram models fit in a
+    broadcast — the fact-table tokens shuffle ONCE (the bucket
+    groupBy); scoring is a broadcast join + per-doc avg. Smoothing is
+    add-one over the bucket space."""
+    d = _spread(spark, _read(spark, sf_dir, "documents"))
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.explode(text.tokens(F.col("text"))).alias("term"),
+    ).withColumn("b", hash64(F.col("term"), SEED, "dsir") % DSIR_BUCKETS)
+    counts = toks.groupBy("b").agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("nt"),
+        F.count(F.lit(1)).alias("np"),
+    )
+    totals = counts.agg(F.sum("nt").alias("tN"), F.sum("np").alias("pN"))
+    llr = F.log((F.col("nt") + 1) / (F.col("tN") + DSIR_BUCKETS)) - F.log(
+        (F.col("np") + 1) / (F.col("pN") + DSIR_BUCKETS)
+    )
+    return (
+        toks.join(F.broadcast(counts), "b")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc_id")
+        .agg(F.round(F.avg(llr), 6).alias("dsir_score"), F.count(F.lit(1)).alias("n_tokens"))
+        .orderBy(F.desc("dsir_score"), F.asc("doc_id"))
+        .limit(DSIR_TOP_K)
+    )
+
+
+def sql_dsir_selection() -> str:
+    b_expr = f"({sql_hash64('term', SEED, 'dsir')} % {DSIR_BUCKETS})"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lang, unnest({_toks_sql("text")}) AS term FROM documents
+),
+bucketed AS (SELECT doc_id, lang, {b_expr} AS b FROM toks),
+counts AS (
+  SELECT b, sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS nt, count(*) AS np
+  FROM bucketed GROUP BY b
+),
+totals AS (SELECT sum(nt) AS tN, sum(np) AS pN FROM counts)
+SELECT doc_id,
+       round(avg(ln((nt + 1) / (tN + {DSIR_BUCKETS})) - ln((np + 1) / (pN + {DSIR_BUCKETS}))), 6) AS dsir_score,
+       count(*) AS n_tokens
+FROM bucketed JOIN counts USING (b) CROSS JOIN totals
+GROUP BY doc_id
+ORDER BY dsir_score DESC, doc_id ASC
+LIMIT {DSIR_TOP_K}
+"""
+
+
+def q_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE-training merge iteration: the corpus-wide frequency of
+    every adjacent character pair, weighted by word frequency — the
+    inner loop of byte-pair-encoding vocabulary construction. The
+    corpus collapses to the (word, count) vocabulary table FIRST (one
+    shuffle bounded by |vocab|, with map-side partial counts), so the
+    per-character pair expansion runs over unique words, not over the
+    100 TB token stream. The adjacent pair is substring(word, i, 2)
+    mapped over 1..len-1 — the lambda captures only a plain attribute,
+    so no per-element recompute (see the HOF O(n²) capture trap fixed
+    in round 6)."""
+    d = _spread(spark, _read(spark, sf_dir, "documents"))
+    words = (
+        d.select(F.explode(text.tokens(F.col("text"))).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    pairs = words.select(
+        F.explode(F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).alias("pair"),
+        "wc",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wc").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(20)
+    )
+
+
+def sql_bpe_merge_step() -> str:
+    return f"""
+WITH words AS (
+  SELECT w, count(*) AS wc
+  FROM (SELECT unnest({_toks_sql("text")}) AS w FROM documents)
+  WHERE length(w) >= 2 GROUP BY w
+),
+pairs AS (
+  SELECT unnest(list_transform(range(1, length(w)), i -> substr(w, i, 2))) AS pair, wc
+  FROM words
+)
+SELECT pair, sum(wc)::BIGINT AS n
+FROM pairs GROUP BY pair
+ORDER BY n DESC, pair ASC
+LIMIT 20
+"""
+
+
+MIX_TAU = 0.7
+MIX_BUDGET = 100_000
+
+
+def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture weights — the standard multilingual /
+    multi-source rebalancing rule (w_i ∝ n_i^τ, τ<1 upweights the
+    tail; used by mT5 and most LLM data recipes) plus the resulting
+    per-source document allocation for a sampling budget. One tiny
+    groupBy(source) aggregate; everything downstream is arithmetic on
+    a handful of rows."""
+    d = _read(spark, sf_dir, "documents")
+    srcs = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(text.token_count(F.col("text"))).alias("n_tokens"),
+    )
+    tw = F.pow(F.col("n_tokens").cast("double"), F.lit(MIX_TAU))
+    total = srcs.select(F.sum(F.pow(F.col("n_tokens").cast("double"), F.lit(MIX_TAU))).alias("tw_total"))
+    return (
+        srcs.crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(tw / F.col("tw_total"), 6).alias("weight"),
+            F.floor(F.lit(MIX_BUDGET) * tw / F.col("tw_total") + F.lit(0.5)).cast("long").alias("alloc_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+def sql_mixture_temperature() -> str:
+    return f"""
+WITH srcs AS (
+  SELECT source, count(*) AS n_docs, sum(len({_toks_sql("text")}))::BIGINT AS n_tokens
+  FROM documents GROUP BY source
+),
+total AS (SELECT sum(power(n_tokens::DOUBLE, {MIX_TAU})) AS tw_total FROM srcs)
+SELECT source, n_docs, n_tokens,
+       round(power(n_tokens::DOUBLE, {MIX_TAU}) / tw_total, 6) AS weight,
+       floor({MIX_BUDGET} * power(n_tokens::DOUBLE, {MIX_TAU}) / tw_total + 0.5)::BIGINT AS alloc_docs
+FROM srcs CROSS JOIN total
+ORDER BY source
+"""
+
+
+def q_benford_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of l_extendedprice — the fraud/quality
+    screen for financial columns: observed first-significant-digit
+    frequencies vs Benford's log10(1+1/d) expectation, with the
+    chi-square contribution per digit. The digit is extracted from the
+    EXACT integer cent representation (floor(x·100+0.5) → string),
+    never from log10(x) — on exact powers of ten the float log
+    truncates inconsistently across engines. One scan, one 9-row
+    aggregate; chi terms are computed from the already-rounded
+    frequencies so the comparison is bit-exact by construction."""
+    li = _read(spark, sf_dir, "lineitem").filter(F.col("l_extendedprice") > 0)
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    digits = li.select(F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit"))
+    counts = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("total"))
+    observed = F.round(F.col("n") / F.col("total"), 6)
+    expected = F.round(F.log10(1 + 1 / F.col("digit")), 6)
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            observed.alias("observed"),
+            expected.alias("expected"),
+            F.round(
+                (observed - expected) * (observed - expected) / expected, 8
+            ).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )
+
+
+SQL_BENFORD_PROFILE = """
+WITH digits AS (
+  SELECT (substr(floor(l_extendedprice * 100 + 0.5)::BIGINT::VARCHAR, 1, 1))::INT AS digit
+  FROM lineitem WHERE l_extendedprice > 0
+),
+counts AS (SELECT digit, count(*) AS n FROM digits GROUP BY digit),
+total AS (SELECT sum(n)::BIGINT AS total FROM counts)
+SELECT digit, n,
+       round(n / total, 6) AS observed,
+       round(log10(1 + 1.0 / digit), 6) AS expected,
+       round((round(n / total, 6) - round(log10(1 + 1.0 / digit), 6))
+             * (round(n / total, 6) - round(log10(1 + 1.0 / digit), 6))
+             / round(log10(1 + 1.0 / digit), 6), 8) AS chi2_term
+FROM counts CROSS JOIN total
+ORDER BY digit
+"""
+
+
+RESERVOIR_K = 100
+_U32_DENOM = 4294967297.0  # 2^32 + 1: slice+1 ∈ [1, 2^32] → u ∈ (0, 1]
+
+
+def q_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via exponential races —
+    the Efraimidis–Spirakis A-ES scheme (keys u^(1/w), equivalently
+    priorities -ln(u)/w, smallest k win). Unlike the registry's
+    hash-threshold samplers (Bernoulli, with-replacement semantics),
+    this yields an exact-size k sample with inclusion probability
+    proportional to weight, and it distributes perfectly: priorities
+    are computed per-row from the deterministic md5 uniform, and the
+    global top-k is a TakeOrdered — no shuffle of the data, only of
+    k-row per-partition heads. Weights here: document length in
+    chars (longer docs proportionally likelier)."""
+    d = _read(spark, sf_dir, "documents")
+    u = (hash_slice(md5_hex(F.col("doc_id").cast("string"), SEED, "res"), 1) + 1) / F.lit(_U32_DENOM)
+    w = F.greatest(F.col("n_chars").cast("double"), F.lit(1.0))
+    return (
+        d.select(
+            "doc_id",
+            F.col("n_chars").alias("weight"),
+            F.round(-F.log(u) / w, 9).alias("priority"),
+        )
+        .orderBy(F.asc("priority"), F.asc("doc_id"))
+        .limit(RESERVOIR_K)
+    )
+
+
+def sql_weighted_reservoir() -> str:
+    u = f"(({sql_hash_slice(sql_md5_hex('doc_id', SEED, 'res'), 1)} + 1) / {_U32_DENOM})"
+    return f"""
+SELECT doc_id, n_chars AS weight,
+       round(-ln({u}) / greatest(n_chars::DOUBLE, 1.0), 9) AS priority
+FROM documents
+ORDER BY priority ASC, doc_id ASC
+LIMIT {RESERVOIR_K}
+"""
+
+
+EWMA_ALPHA = 0.3
+EWMA_LAGS = 12
+# literal per-lag weights α(1-α)^k, embedded with full double precision in
+# BOTH engines so no cross-engine pow() is involved
+_EWMA_W = [EWMA_ALPHA * (1 - EWMA_ALPHA) ** k for k in range(EWMA_LAGS)]
+
+
+def q_ewma_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average per event type — the
+    smoothing curve ops dashboards overlay on raw hourly series. True
+    EWMA is a recursion no window frame expresses; this is the
+    standard truncated-kernel form: 12 explicit lag terms with
+    literal weights α(1-α)^k, renormalized over the lags that exist
+    (series starts don't bias low). The weights are Python-computed
+    doubles embedded as literals in both engines, so no runtime
+    pow() parity risk; the additions are written in the same order in
+    both, so the fold is bit-identical. Hourly pre-aggregation
+    (as events_moving_avg) keeps the window input at hours-per-type
+    grain, not raw events."""
+    ev = _read(spark, sf_dir, "events").filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+    hourly = (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.round(F.sum("value"), 6).alias("hour_value"))
+        .withColumn("__ep", F.unix_timestamp("hour"))
+    )
+    w = Window.partitionBy("event_type").orderBy("__ep")
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for k, wt in enumerate(_EWMA_W):
+        lagged = F.lag("hour_value", k).over(w)
+        num = num + F.when(lagged.isNotNull(), F.lit(wt) * lagged).otherwise(F.lit(0.0))
+        den = den + F.when(lagged.isNotNull(), F.lit(wt)).otherwise(F.lit(0.0))
+    return (
+        hourly.select(
+            "event_type",
+            F.date_format("hour", _FMT).alias("hour"),
+            "hour_value",
+            F.round(num / den, 6).alias("ewma"),
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
+def sql_ewma_events() -> str:
+    over = "OVER (PARTITION BY event_type ORDER BY ep)"
+    num = " + ".join(
+        f"(CASE WHEN lag(hour_value, {k}) {over} IS NOT NULL THEN {wt!r} * lag(hour_value, {k}) {over} ELSE 0.0 END)"
+        for k, wt in enumerate(_EWMA_W)
+    )
+    den = " + ".join(
+        f"(CASE WHEN lag(hour_value, {k}) {over} IS NOT NULL THEN {wt!r} ELSE 0.0 END)"
+        for k, wt in enumerate(_EWMA_W)
+    )
+    return f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         round(sum(value), 6) AS hour_value,
+         epoch(date_trunc('hour', ts))::BIGINT AS ep
+  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT event_type, {_fmt_sql('hour')} AS hour, hour_value,
+       round(({num}) / ({den}), 6) AS ewma
+FROM hourly ORDER BY event_type, hour
+"""
+
+
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: for every source pair, the
+    count and Jaccard of shared word-3-gram fingerprints — the audit a
+    curation pipeline runs before declaring two crawls independent
+    (and the source-granular face of `decontaminate`). Reuses the
+    dedup gram machinery (ONE md5 per token, arithmetic gram combine).
+    Scale shape: the corpus collapses to DISTINCT (source, gram) rows
+    first — bounded by |sources|·|gram vocab|, not token count — and
+    the self-join key is the gram hash, whose per-key fan-out is at
+    most |sources| rows, so the join can never quadratically blow up
+    the way a doc-level pair join would."""
+    d = _spread(spark, _read(spark, sf_dir, "documents"))
+    sg = d.select(
+        "source", F.explode(dedup.word_shingle_hashes(F.col("text"), seed=SEED)).alias("g")
+    ).distinct()
+    sizes = sg.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = sg.select(F.col("source").alias("source_a"), "g")
+    b = sg.select(F.col("source").alias("source_b"), "g")
+    shared = (
+        a.join(b, "g")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("n").alias("nb"))
+    return (
+        shared.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            F.round(F.col("n_shared") / (F.col("na") + F.col("nb") - F.col("n_shared")), 6).alias("jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+def sql_source_overlap() -> str:
+    from rustic_witcher_spark.operators.dedup import _GRAM_W1, _GRAM_W2
+
+    norm = _norm_sql("text")
+    toks = f"string_split({norm}, ' ')"
+    th = f"list_transform({toks}, t -> ({sql_hash64('t', SEED, 'mh')}) % {MERSENNE_31})"
+    grams = (
+        f"list_transform(generate_series(1, len(tok_h) - 2), "
+        f"i -> ((tok_h[i] * {_GRAM_W1}) % {MERSENNE_31} + (tok_h[i+1] * {_GRAM_W2}) % {MERSENNE_31} + tok_h[i+2]) % {MERSENNE_31})"
+    )
+    whole = f"[({sql_hash64('norm', SEED, 'mh')}) % {MERSENNE_31}]"
+    return f"""
+WITH th AS (SELECT source, {th} AS tok_h, {norm} AS norm FROM documents),
+exploded AS (
+  SELECT source, unnest(CASE WHEN len(tok_h) >= 3 THEN {grams} ELSE {whole} END) AS g FROM th
+),
+sg AS (SELECT DISTINCT source, g FROM exploded),
+sizes AS (SELECT source, count(*) AS n FROM sg GROUP BY source),
+shared AS (
+  SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+  FROM sg a JOIN sg b ON a.g = b.g AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, n_shared,
+       round(n_shared / (sa.n + sb.n - n_shared), 6) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.source = source_a
+JOIN sizes sb ON sb.source = source_b
+ORDER BY source_a, source_b
+"""
+
+
+MAD_CONSISTENCY = 0.6745  # Φ⁻¹(3/4): scales MAD to σ under normality
+MAD_TOP_N = 20
+
+
+def q_events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier scoring — the MAD (median absolute deviation)
+    variant of `events_anomaly`'s mean/σ z-score: medians don't move
+    when the outliers themselves inflate the baseline, which is
+    exactly when a mean-based monitor goes blind (masking). Modified
+    z = 0.6745·(x-med)/MAD (Iglewicz–Hoaglin); top-20 hourly volumes
+    by |z|. Exact medians via interpolating percentile on BOTH
+    engines (Spark `percentile`, DuckDB `quantile_cont` — same
+    definition); at corpus scale swap for `approx_percentile` or the
+    registry's mergeable log-bucket sketch, same plan shape. Two
+    grouped medians = two shuffles over the pre-reduced hourly grain,
+    never the raw events."""
+    ev = _read(spark, sf_dir, "events").filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+    hourly = ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    med = hourly.groupBy("event_type").agg(F.percentile("n", 0.5).alias("med"))
+    dev = hourly.join(F.broadcast(med), "event_type").withColumn(
+        "absdev", F.abs(F.col("n") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.percentile("absdev", 0.5).alias("mad"))
+    z = F.round(F.lit(MAD_CONSISTENCY) * (F.col("n") - F.col("med")) / F.col("mad"), 6)
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.col("mad") > 0)
+        .select(
+            "event_type",
+            F.date_format("hour", _FMT).alias("hour"),
+            "n",
+            z.alias("mad_z"),
+        )
+        .orderBy(F.abs(F.col("mad_z")).desc(), F.col("event_type").asc(), F.col("hour").asc())
+        .limit(MAD_TOP_N)
+    )
+
+
+SQL_EVENTS_MAD_OUTLIERS = f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
+  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL GROUP BY 1, 2
+),
+med AS (SELECT event_type, quantile_cont(n, 0.5) AS med FROM hourly GROUP BY 1),
+dev AS (
+  SELECT h.event_type, h.hour, h.n, m.med, abs(h.n - m.med) AS absdev
+  FROM hourly h JOIN med m USING (event_type)
+),
+mad AS (SELECT event_type, quantile_cont(absdev, 0.5) AS mad FROM dev GROUP BY 1)
+SELECT d.event_type, {_fmt_sql('d.hour')} AS hour, d.n,
+       round({MAD_CONSISTENCY} * (d.n - d.med) / md.mad, 6) AS mad_z
+FROM dev d JOIN mad md USING (event_type)
+WHERE md.mad > 0
+ORDER BY abs(round({MAD_CONSISTENCY} * (d.n - d.med) / md.mad, 6)) DESC, d.event_type ASC, hour ASC
+LIMIT {MAD_TOP_N}
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -4625,8 +5212,12 @@ def build_registry() -> dict[str, tuple[QueryFn, str | None]]:
     distinct_parts_per_supplier/top_customers_per_nation +
     asof_last_purchase/events_in_campaign_windows/events_json_extract/
     events_rollup_cascade + filter_contains/anonymize_customer/
-    cdc_upsert/minhash_lsh_candidates. Any entry added in round 7
-    goes ahead of those.
+    cdc_upsert/minhash_lsh_candidates. Ahead of those go the 10
+    round-7 additions, which have never held a driver verdict:
+    triangle_count/pareto_suppliers/dsir_selection/bpe_merge_step/
+    mixture_temperature/benford_profile/weighted_reservoir/
+    ewma_events/source_overlap/events_mad_outliers (all green on the
+    now-hash-faithful local gate).
     The full local gate (`scripts/compare_oracle.py`) runs ALL
     entries every round, and is now order- AND dtype-faithful to the
     driver hash (round-7 rewrite after q12 shipped red twice).
@@ -4786,6 +5377,18 @@ def build_registry() -> dict[str, tuple[QueryFn, str | None]]:
             "customer_revenue_standing": (q_customer_revenue_standing, SQL_CUSTOMER_REVENUE_STANDING),
             "rolling_distinct_users": (q_rolling_distinct_users, SQL_ROLLING_DISTINCT_USERS),
             "supplier_pagerank": (q_supplier_pagerank, sql_supplier_pagerank()),
+            # --- (9) round-7 additions (past the driver window — local
+            # gate this round, lead ROUND8_PREFIX next round) ---
+            "triangle_count": (q_triangle_count, SQL_TRIANGLE_COUNT),
+            "pareto_suppliers": (q_pareto_suppliers, SQL_PARETO_SUPPLIERS),
+            "dsir_selection": (q_dsir_selection, sql_dsir_selection()),
+            "bpe_merge_step": (q_bpe_merge_step, sql_bpe_merge_step()),
+            "mixture_temperature": (q_mixture_temperature, sql_mixture_temperature()),
+            "benford_profile": (q_benford_profile, SQL_BENFORD_PROFILE),
+            "weighted_reservoir": (q_weighted_reservoir, sql_weighted_reservoir()),
+            "ewma_events": (q_ewma_events, sql_ewma_events()),
+            "source_overlap": (q_source_overlap, sql_source_overlap()),
+            "events_mad_outliers": (q_events_mad_outliers, SQL_EVENTS_MAD_OUTLIERS),
         }
     )
     ordered = {name: reg.pop(name) for name in ROUND7_PREFIX}

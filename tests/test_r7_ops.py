@@ -85,6 +85,205 @@ def dirty_events_dir(spark, tmp_path_factory):
     return str(d)
 
 
+# ---------------------------------------------------------------------------
+# round-7 operators: semantic unit tests (the local gate checks oracle
+# parity at sf0.01; these pin the MEANING on handcrafted fixtures)
+# ---------------------------------------------------------------------------
+
+
+def test_triangle_stats_known_graph(spark):
+    """Triangle (1,2,3) plus dangling edge (3,4): 1 triangle, degrees
+    2/2/3/1 → 5 wedges → clustering coefficient 3·1/5 = 0.6."""
+    from rustic_witcher_spark.operators import graph
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (2, 1), (3, 3)], "a int, b int"  # reversed dup + self-loop
+    )
+    edges = graph.undirected_edges(pairs, "a", "b")
+    assert edges.count() == 4  # dedup'd, self-loop dropped
+    row = graph.triangle_stats(edges).collect()[0]
+    assert (row["n_nodes"], row["n_edges"], row["n_triangles"]) == (4, 4, 1)
+    assert row["clustering_coeff"] == pytest.approx(0.6)
+
+
+def test_triangle_orientation_is_acyclic_dag(spark):
+    """Degree orientation must produce each triangle exactly once even
+    on the complete graph K4 (4 triangles, all degrees equal — falls
+    back to id order)."""
+    from rustic_witcher_spark.operators import graph
+
+    nodes = [1, 2, 3, 4]
+    pairs = spark.createDataFrame(
+        [(a, b) for a in nodes for b in nodes if a < b], "a int, b int"
+    )
+    edges = graph.undirected_edges(pairs, "a", "b")
+    row = graph.triangle_stats(edges).collect()[0]
+    assert row["n_triangles"] == 4
+    assert row["n_edges"] == 6
+
+
+def test_pareto_suppliers_tie_semantics(spark, tmp_path):
+    """Skyline with ties: equal-revenue worse point dominated; exact
+    duplicate frontier points BOTH survive; strictly-dominated interior
+    point dropped."""
+    from rustic_witcher_spark.queries import q_pareto_suppliers
+
+    rows = []
+    # (suppkey, parts with prices) → revenue = Σ price, n_parts = count
+    spec = {
+        1: [(101, 50.0), (102, 30.0), (103, 20.0)],  # rev 100, parts 3 — frontier
+        2: [(101, 60.0), (102, 40.0)],               # rev 100, parts 2 — dominated (tie rev, fewer parts)
+        3: [(104, 40.0), (105, 30.0), (106, 20.0)],  # rev  90, parts 3 — dominated by s1/s5
+        4: [(107, 120.0)],                           # rev 120, parts 1 — frontier
+        5: [(110, 40.0), (111, 40.0), (112, 20.0)],  # rev 100, parts 3 — duplicate of s1, survives
+        6: [(120, 20.0), (121, 20.0), (122, 20.0), (123, 20.0)],  # rev 80, parts 4 — frontier
+    }
+    for sk, parts in spec.items():
+        for pk, price in parts:
+            rows.append((sk, pk, price, 0.0))
+    spark.createDataFrame(
+        rows, "l_suppkey int, l_partkey int, l_extendedprice double, l_discount double"
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+    out = [(r["s_suppkey"], r["revenue"], r["n_parts"]) for r in q_pareto_suppliers(spark, str(tmp_path)).collect()]
+    assert out == [(4, 120.0, 1), (1, 100.0, 3), (5, 100.0, 3), (6, 80.0, 4)]
+
+
+def test_bpe_merge_step_counts(spark, tmp_path):
+    from rustic_witcher_spark.queries import q_bpe_merge_step
+
+    docs = [(1, "abab abab", "en", "web", 9), (2, "abab", "en", "web", 4)]
+    spark.createDataFrame(
+        docs, "doc_id int, text string, lang string, source string, n_chars int"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    out = {r["pair"]: r["n"] for r in q_bpe_merge_step(spark, str(tmp_path)).collect()}
+    # vocabulary: {"abab": 3} → per word pairs [ab, ba, ab] → ab: 2·3, ba: 1·3
+    assert out == {"ab": 6, "ba": 3}
+
+
+def test_mixture_temperature_weights(spark, tmp_path):
+    from rustic_witcher_spark.queries import MIX_BUDGET, q_mixture_temperature
+
+    # two sources with IDENTICAL token mass → exact 0.5/0.5 split at any τ
+    docs = [(1, "w1 w2 w3 w4", "en", "alpha", 11), (2, "x1 x2 x3 x4", "en", "beta", 11)]
+    spark.createDataFrame(
+        docs, "doc_id int, text string, lang string, source string, n_chars int"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    out = {r["source"]: r for r in q_mixture_temperature(spark, str(tmp_path)).collect()}
+    assert out["alpha"]["weight"] == pytest.approx(0.5)
+    assert out["alpha"]["alloc_docs"] + out["beta"]["alloc_docs"] == MIX_BUDGET
+    assert out["alpha"]["n_tokens"] == 4
+
+
+def test_benford_profile_digits(spark, tmp_path):
+    from rustic_witcher_spark.queries import q_benford_profile
+
+    prices = [111.0, 19.9, 222.2, 1000.00, 0.0, -5.0]  # zero/negative excluded
+    spark.createDataFrame([(p,) for p in prices], "l_extendedprice double").write.parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+    out = {r["digit"]: r for r in q_benford_profile(spark, str(tmp_path)).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["n"] == 3  # 111.0, 19.9, 1000.00
+    assert out[1]["observed"] == pytest.approx(0.75)
+    assert out[1]["expected"] == pytest.approx(0.30103, abs=1e-5)
+
+
+def test_weighted_reservoir_deterministic_and_weight_biased(spark, tmp_path):
+    from rustic_witcher_spark.queries import q_weighted_reservoir
+
+    # 200 light docs (10 chars) + 200 heavy docs (10_000 chars):
+    # inclusion odds scale with weight, so the top-100 must be mostly heavy
+    docs = [(i, "t", "en", "web", 10) for i in range(200)]
+    docs += [(200 + i, "t", "en", "web", 10_000) for i in range(200)]
+    spark.createDataFrame(
+        docs, "doc_id int, text string, lang string, source string, n_chars int"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    out1 = q_weighted_reservoir(spark, str(tmp_path)).collect()
+    out2 = q_weighted_reservoir(spark, str(tmp_path)).collect()
+    assert out1 == out2  # md5-derived, fully deterministic
+    assert len(out1) == 100
+    heavy = sum(1 for r in out1 if r["weight"] == 10_000)
+    assert heavy > 80  # weight-1000x bias: expected ~97 heavy (binomial tail)
+    assert all(r["priority"] > 0 for r in out1)
+
+
+def test_ewma_constant_series_is_identity(spark, tmp_path):
+    from rustic_witcher_spark.queries import q_ewma_events
+
+    t0 = datetime(2024, 1, 1)
+    rows = [(i, t0.replace(hour=i), 1, "click", 5.0) for i in range(24)]
+    spark.createDataFrame(rows, EVENT_SCHEMA).write.parquet(str(tmp_path / "events.parquet"))
+    out = q_ewma_events(spark, str(tmp_path)).collect()
+    assert len(out) == 24
+    # constant input → EWMA equals the constant at every point,
+    # including the ramp-up rows (renormalized truncated kernel)
+    assert all(r["ewma"] == pytest.approx(5.0) for r in out)
+
+
+def test_dsir_scores_target_like_docs_higher(spark, tmp_path):
+    from rustic_witcher_spark.queries import q_dsir_selection
+
+    # target (en) vocabulary: "hello world"; pool noise: "bonjour monde"
+    docs = [(i, "hello world", "en", "web", 11) for i in range(20)]
+    docs += [(100 + i, "bonjour monde", "fr", "web", 13) for i in range(20)]
+    docs += [(900, "hello world", "xx", "web", 11), (901, "bonjour monde", "yy", "web", 13)]
+    spark.createDataFrame(
+        docs, "doc_id int, text string, lang string, source string, n_chars int"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    out = {r["doc_id"]: r["dsir_score"] for r in q_dsir_selection(spark, str(tmp_path)).collect()}
+    # the en-like candidate must outscore the fr-like candidate
+    assert out[900] > out[901]
+
+
+def test_source_overlap_jaccard(spark, tmp_path):
+    from rustic_witcher_spark.queries import q_source_overlap
+
+    # web grams: {abc, bcd}; books grams: {abc, bcx} → 1 shared, J=1/3
+    docs = [
+        (1, "a b c d", "en", "web", 7),
+        (2, "a b c x", "en", "books", 7),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id int, text string, lang string, source string, n_chars int"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    out = q_source_overlap(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["source_a"], r["source_b"], r["n_shared"]) == ("books", "web", 1)
+    assert r["jaccard"] == pytest.approx(1 / 3, abs=1e-6)
+
+
+def test_events_mad_outliers_flags_spike_not_baseline(spark, tmp_path):
+    from rustic_witcher_spark.queries import q_events_mad_outliers
+
+    t0 = datetime(2024, 1, 1)
+    rows, eid = [], 0
+    # hourly counts 1,2,3,4 then a 100-event spike at hour 4:
+    # med=3, MAD=1 → spike z = 0.6745·97 = 65.4265, baseline |z| ≤ 1.35
+    for h, n in enumerate([1, 2, 3, 4, 100]):
+        for _ in range(n):
+            rows.append((eid, t0.replace(hour=h), 1, "click", 1.0))
+            eid += 1
+    spark.createDataFrame(rows, EVENT_SCHEMA).write.parquet(str(tmp_path / "events.parquet"))
+    out = q_events_mad_outliers(spark, str(tmp_path)).collect()
+    top = out[0]
+    assert top["hour"] == "2024-01-01 04:00:00" and top["n"] == 100
+    assert top["mad_z"] == pytest.approx(0.6745 * 97, abs=1e-6)
+    # the robust score keeps the baseline tiny even though the spike
+    # drags the MEAN to 22 (a mean/σ score would flag nothing at 3.5σ)
+    assert all(abs(r["mad_z"]) < 2 for r in out[1:])
+
+
+def test_events_mad_outliers_constant_series_silent(spark, tmp_path):
+    """MAD = 0 (constant series) must yield no rows, not a div-by-zero."""
+    from rustic_witcher_spark.queries import q_events_mad_outliers
+
+    t0 = datetime(2024, 1, 1)
+    rows = [(i, t0.replace(hour=i % 5), 1, "click", 1.0) for i in range(25)]
+    spark.createDataFrame(rows, EVENT_SCHEMA).write.parquet(str(tmp_path / "events.parquet"))
+    assert q_events_mad_outliers(spark, str(tmp_path)).count() == 0
+
+
 @pytest.mark.parametrize("name", ["events_moving_avg", "peak_concurrency", "rolling_distinct_users"])
 def test_window_entries_null_parity(spark, dirty_events_dir, name):
     import __spark_entry__ as entrymod

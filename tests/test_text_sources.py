@@ -1,0 +1,91 @@
+"""JSONL/CSV source legs (sources/text_formats.py): schema-normalized
+parity with the parquet read of the same rows, malformed-line
+quarantine, and registry compatibility (a documents JSONL dump feeds
+the same dedup query as parquet)."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from rustic_witcher_spark.sources import text_formats as tf
+
+DOCS = [
+    {"doc_id": 1, "text": "hello world", "lang": "en", "source": "web", "n_chars": 11},
+    {"doc_id": 2, "text": "hello world", "lang": "en", "source": "web", "n_chars": 11},
+    {"doc_id": 3, "text": "bonjour", "lang": "fr", "source": "books", "n_chars": 7},
+]
+
+
+def _write_jsonl(path, rows, extra_lines=()):
+    lines = [json.dumps(r) for r in rows] + list(extra_lines)
+    path.write_text("\n".join(lines) + "\n")
+
+
+def test_jsonl_matches_parquet_schema_and_rows(spark, tmp_path):
+    j = tmp_path / "docs.jsonl"
+    _write_jsonl(j, DOCS)
+    jdf = tf.read_jsonl(spark, str(j), tf.TABLE_DDL["documents"])
+
+    pq = tmp_path / "docs.parquet"
+    spark.createDataFrame(
+        [(d["doc_id"], d["text"], d["lang"], d["source"], d["n_chars"]) for d in DOCS],
+        tf.TABLE_DDL["documents"],
+    ).write.parquet(str(pq))
+    pdf = spark.read.parquet(str(pq))
+
+    assert jdf.schema == pdf.schema  # dtypes normalized, not inferred
+    assert sorted(map(tuple, jdf.collect())) == sorted(map(tuple, pdf.collect()))
+
+
+def test_jsonl_quarantines_malformed_lines(spark, tmp_path):
+    j = tmp_path / "docs.jsonl"
+    _write_jsonl(j, DOCS, extra_lines=['{"doc_id": "not-a-number"', "garbage line"])
+    q = tf.read_jsonl(spark, str(j), tf.TABLE_DDL["documents"], quarantine=True)
+    assert tf.corrupt_count(q) == 2
+    # clean rows still parse alongside the quarantined ones (the select
+    # keeps a real column in the scan schema — corrupt-only queries are
+    # disallowed by Spark, see corrupt_count docstring)
+    clean = q.filter(F.col(tf.CORRUPT_COL).isNull()).select("doc_id").collect()
+    assert sorted(r["doc_id"] for r in clean) == [1, 2, 3]
+    # default read strips the quarantine column
+    assert tf.CORRUPT_COL not in tf.read_jsonl(spark, str(j), tf.TABLE_DDL["documents"]).columns
+
+
+def test_csv_roundtrip_with_timestamps(spark, tmp_path):
+    c = tmp_path / "events.csv"
+    c.write_text(
+        "event_id,ts,user_id,event_type,value,props\n"
+        "1,2024-01-01 10:00:00,7,click,1.5,{}\n"
+        "2,2024-01-01 11:30:00,8,view,2.0,{}\n"
+    )
+    df = tf.read_csv(spark, str(c), tf.TABLE_DDL["events"])
+    rows = df.orderBy("event_id").collect()
+    assert [r["event_id"] for r in rows] == [1, 2]
+    assert rows[0]["ts"].hour == 10  # session pinned UTC by pin_parquet_confs
+    assert df.schema["ts"].dataType.typeName() == "timestamp"
+
+
+def test_csv_malformed_row_quarantined(spark, tmp_path):
+    c = tmp_path / "events.csv"
+    c.write_text(
+        "event_id,ts,user_id,event_type,value,props\n"
+        "1,2024-01-01 10:00:00,7,click,1.5,{}\n"
+        "oops,not-a-ts,x,y,z,{}\n"
+    )
+    q = tf.read_csv(spark, str(c), tf.TABLE_DDL["events"], quarantine=True)
+    assert tf.corrupt_count(q) == 1
+
+
+def test_jsonl_feeds_registry_query(spark, tmp_path):
+    """A JSONL corpus dump drives the same dedup operator as parquet —
+    the source-format-agnostic contract."""
+    from rustic_witcher_spark.operators import dedup
+
+    j = tmp_path / "docs.jsonl"
+    _write_jsonl(j, DOCS)
+    d = tf.read_jsonl(spark, str(j), tf.TABLE_DDL["documents"])
+    out = dedup.exact_dedup(d, "text", "doc_id").collect()
+    # docs 1 and 2 share identical text → lowest-id survivor kept
+    assert sorted(r["doc_id"] for r in out) == [1, 3]
