@@ -41,7 +41,7 @@ from rustic_witcher_spark.operators import (
     skew,
     text,
 )
-from rustic_witcher_spark.operators import graph, layout, profile, scd2
+from rustic_witcher_spark.operators import graph, layout, profile, scd2, skyline
 from rustic_witcher_spark.operators.asof import asof_join
 from rustic_witcher_spark.operators.cdc import apply_cdc
 from rustic_witcher_spark.operators.range_join import range_join
@@ -4686,7 +4686,8 @@ FROM summary CROSS JOIN tri
 def q_pareto_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-D skyline (Pareto frontier): suppliers not dominated on
     (revenue, distinct parts supplied) — the multi-criteria shortlist
-    no single ORDER BY expresses. Spark side is the O(n log n) sweep:
+    no single ORDER BY expresses. Spark side is the O(n log n) sweep
+    (operators/skyline.py, property-tested against brute force):
     group to per-distinct-revenue maxima, one ordered window computes
     the strictly-greater-revenue threshold, survivors = rows matching
     their group max AND beating the threshold. The oracle is the O(n²)
@@ -4703,15 +4704,8 @@ def q_pareto_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("l_partkey").alias("n_parts"),
         )
     )
-    g = sup.groupBy("revenue").agg(F.max("n_parts").alias("gmax"))
-    w = Window.orderBy(F.desc("revenue")).rowsBetween(Window.unboundedPreceding, -1)
-    t = g.withColumn("thresh", F.max("gmax").over(w))
     return (
-        sup.join(F.broadcast(t), "revenue")
-        .filter(
-            (F.col("n_parts") == F.col("gmax"))
-            & (F.col("thresh").isNull() | (F.col("n_parts") > F.col("thresh")))
-        )
+        skyline.skyline_2d(sup, "revenue", "n_parts")
         .select("s_suppkey", "revenue", "n_parts")
         .orderBy(F.desc("revenue"), F.asc("s_suppkey"))
     )

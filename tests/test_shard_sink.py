@@ -1,0 +1,74 @@
+"""Shard sink round-trip (sinks/shards.py): write → manifest →
+verify; corruption (row loss, row swap) must be detected; digest must
+be partitioning-insensitive."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from rustic_witcher_spark.sinks import shards as sh
+
+
+def _docs(spark, n=200):
+    return spark.createDataFrame([(i, f"text {i}") for i in range(n)], "doc_id long, text string")
+
+
+def test_write_verify_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "out")
+    manifest = sh.write_training_shards(_docs(spark), "doc_id", 4, path)
+    assert manifest["total_rows"] == 200
+    assert set(manifest["shards"]) == {"0", "1", "2", "3"}
+    assert sh.verify_training_shards(spark, path) == []
+    # layout on disk is one partition dir per shard
+    assert sorted(d for d in os.listdir(path) if d.startswith("shard=")) == [
+        "shard=0", "shard=1", "shard=2", "shard=3",
+    ]
+
+
+def test_verify_detects_dropped_rows(spark, tmp_path):
+    path = str(tmp_path / "out")
+    sh.write_training_shards(_docs(spark), "doc_id", 2, path)
+    # silently drop rows from shard 0 by rewriting it without 3 docs
+    # (collect first — overwriting a path Spark is lazily reading from
+    # deletes the input files mid-scan)
+    part = spark.read.parquet(path).filter("shard = 0").drop("shard")
+    rows = part.orderBy("doc_id").collect()[:-3]
+    spark.createDataFrame(rows, part.schema).write.mode("overwrite").parquet(f"{path}/shard=0")
+    problems = sh.verify_training_shards(spark, path)
+    assert any("n_rows" in p for p in problems)
+
+
+def test_verify_detects_swapped_row_same_count(spark, tmp_path):
+    """Same row COUNT but different content — only the digest can see
+    it (the failure mode a file-size check misses)."""
+    path = str(tmp_path / "out")
+    sh.write_training_shards(_docs(spark), "doc_id", 2, path)
+    part = spark.read.parquet(path).filter("shard = 0").drop("shard")
+    rows = part.orderBy("doc_id").collect()
+    n = len(rows)
+    swapped = [r.asDict() for r in rows]
+    swapped[0]["doc_id"] = 999_999  # same count, one substituted row
+    spark.createDataFrame(
+        [tuple(d[f] for f in part.columns) for d in swapped], part.schema
+    ).write.mode("overwrite").parquet(f"{path}/shard=0")
+    problems = sh.verify_training_shards(spark, path)
+    assert any("digest" in p for p in problems)
+    assert not any("n_rows" in p for p in problems)  # count unchanged
+    assert spark.read.parquet(f"{path}/shard=0").count() == n
+
+
+def test_digest_partitioning_insensitive(spark, tmp_path):
+    """Re-reading through a different partitioning must verify clean —
+    the digest is an order-insensitive modular sum."""
+    path = str(tmp_path / "out")
+    sh.write_training_shards(_docs(spark), "doc_id", 3, path)
+    df = spark.read.parquet(path).repartition(17)
+    got = {
+        int(r["shard"]): int(r["digest"])
+        for r in sh._shard_stats(df, "doc_id", 42).collect()
+    }
+    manifest = json.load(open(os.path.join(path, sh.MANIFEST_NAME)))
+    assert got == {int(k): v["digest"] for k, v in manifest["shards"].items()}
