@@ -8,6 +8,12 @@ Usage:
         --database demo --schema public \
         --source /root/testdata/sf0.001 --target /tmp/out \
         --config-dir ./configs --mode full-load-only
+
+Beyond the reference surface: `datadiff` (only_datadiff parity),
+`validate` (O9), `shard` / `shard-verify` (training-shard layout with
+integrity manifest, sinks/shards.py), and `ingest` (JSONL/CSV →
+normalized parquet with malformed-line quarantine,
+sources/text_formats.py).
 """
 
 from __future__ import annotations
@@ -83,6 +89,21 @@ def build_parser() -> argparse.ArgumentParser:
     v = sub.add_parser("validate", help="run TOML-configured post-import validations over a snapshot dir (O9)")
     v.add_argument("--data", required=True, help="directory of table parquet files (registered as views)")
     v.add_argument("--validations", required=True, help="validations TOML file")
+    s = sub.add_parser("shard", help="write deterministic training shards + integrity manifest")
+    s.add_argument("--source", required=True, help="input parquet path")
+    s.add_argument("--target", required=True, help="output shard directory")
+    s.add_argument("--id-col", required=True)
+    s.add_argument("--n-shards", type=int, required=True)
+    s.add_argument("--seed", type=int, default=int(os.environ.get("RNG_SEED", DEFAULT_SEED)))
+    sv = sub.add_parser("shard-verify", help="re-check a shard directory against its manifest")
+    sv.add_argument("--path", required=True)
+    i = sub.add_parser("ingest", help="normalize a JSONL/CSV dump to parquet (schema-required, quarantined)")
+    i.add_argument("--format", choices=["jsonl", "csv"], required=True)
+    i.add_argument("--input", required=True)
+    i.add_argument("--target", required=True, help="output parquet path")
+    i.add_argument("--table", default=None, help="use the built-in DDL for this table (documents/events/supplier)")
+    i.add_argument("--schema-ddl", default=None, help="explicit DDL string (overrides --table)")
+    i.add_argument("--csv-delimiter", default=",")
     return p
 
 
@@ -112,6 +133,39 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps(r.__dict__))
         print(json.dumps({"validations": len(results), "passed": ok}))
         return 0 if ok else 1
+    if args.command == "shard":
+        from rustic_witcher_spark.sinks.shards import write_training_shards
+
+        spark = get_spark("shard")
+        df = cast_ntz_timestamps(spark.read.parquet(args.source))
+        manifest = write_training_shards(df, args.id_col, args.n_shards, args.target, seed=args.seed)
+        print(json.dumps(manifest, sort_keys=True))
+        return 0
+    if args.command == "shard-verify":
+        from rustic_witcher_spark.sinks.shards import verify_training_shards
+
+        spark = get_spark("shard-verify")
+        problems = verify_training_shards(spark, args.path)
+        print(json.dumps({"path": args.path, "ok": not problems, "problems": problems}))
+        return 0 if not problems else 1
+    if args.command == "ingest":
+        from rustic_witcher_spark.sources.text_formats import CORRUPT_COL, TABLE_DDL, corrupt_count, read_csv, read_jsonl
+
+        ddl = args.schema_ddl or (TABLE_DDL.get(args.table) if args.table else None)
+        if ddl is None:
+            print(json.dumps({"error": f"no DDL: pass --schema-ddl or --table in {sorted(TABLE_DDL)}"}))
+            return 2
+        spark = get_spark("ingest")
+        if args.format == "jsonl":
+            q = read_jsonl(spark, args.input, ddl, quarantine=True)
+        else:
+            q = read_csv(spark, args.input, ddl, delimiter=args.csv_delimiter, quarantine=True)
+        bad = corrupt_count(q)
+        clean = q.filter(f"{CORRUPT_COL} IS NULL").drop(CORRUPT_COL)
+        clean.write.mode("overwrite").parquet(args.target)
+        n = spark.read.parquet(args.target).count()
+        print(json.dumps({"rows": n, "quarantined": bad, "target": args.target}))
+        return 0
     if args.command != "anonymize":  # pragma: no cover
         return 2
     included = args.included_tables

@@ -72,3 +72,29 @@ def test_digest_partitioning_insensitive(spark, tmp_path):
     }
     manifest = json.load(open(os.path.join(path, sh.MANIFEST_NAME)))
     assert got == {int(k): v["digest"] for k, v in manifest["shards"].items()}
+
+
+def test_cli_shard_and_verify(spark, tmp_path, capsys):
+    """`cli shard` writes + prints the manifest; `cli shard-verify`
+    exits 0 clean and 1 after corruption."""
+    import json as _json
+
+    from rustic_witcher_spark import cli
+
+    src = str(tmp_path / "in.parquet")
+    _docs(spark, 60).write.parquet(src)
+    out = str(tmp_path / "shards")
+    rc = cli.main(["shard", "--source", src, "--target", out, "--id-col", "doc_id", "--n-shards", "3"])
+    assert rc == 0
+    manifest = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert manifest["total_rows"] == 60
+
+    assert cli.main(["shard-verify", "--path", out]) == 0
+    report = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["ok"] is True
+
+    # corrupt shard 0 → verify exits 1
+    part = spark.read.parquet(out).filter("shard = 0").drop("shard")
+    rows = part.collect()[:-1]
+    spark.createDataFrame(rows, part.schema).write.mode("overwrite").parquet(f"{out}/shard=0")
+    assert cli.main(["shard-verify", "--path", out]) == 1

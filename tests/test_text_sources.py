@@ -89,3 +89,18 @@ def test_jsonl_feeds_registry_query(spark, tmp_path):
     out = dedup.exact_dedup(d, "text", "doc_id").collect()
     # docs 1 and 2 share identical text → lowest-id survivor kept
     assert sorted(r["doc_id"] for r in out) == [1, 3]
+
+
+def test_cli_ingest_jsonl(spark, tmp_path, capsys):
+    import json as _json
+
+    from rustic_witcher_spark import cli
+
+    j = tmp_path / "in.jsonl"
+    _write_jsonl(j, DOCS, extra_lines=["not json"])
+    out = str(tmp_path / "docs.parquet")
+    rc = cli.main(["ingest", "--format", "jsonl", "--input", str(j), "--target", out, "--table", "documents"])
+    assert rc == 0
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep == {"rows": 3, "quarantined": 1, "target": out}
+    assert spark.read.parquet(out).count() == 3
