@@ -5171,6 +5171,138 @@ LIMIT {MAD_TOP_N}
 """
 
 
+def q_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-UNION length per event type — the other half of the
+    sweep-line family: `peak_concurrency` takes the max of the running
+    open-count, this integrates the time where it is positive (total
+    seconds covered by ≥1 of the 30-minute presence intervals,
+    overlaps merged). Segment between consecutive edges counts iff the
+    running sum after the left edge is > 0. Within equal (ts, delta)
+    tie groups the permutation is arbitrary BUT coverage is invariant:
+    intra-group segments have zero length and the group-exit running
+    sum is permutation-independent — so the result is deterministic
+    and oracle-exact without a full tie-break. Same 100 TB shape as
+    peak_concurrency: few fat per-type partitions → time-bucketed
+    two-level scan with per-bucket carry-in."""
+    ev = _read(spark, sf_dir, "events").filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+    starts = ev.select("event_type", F.col("ts").alias("edge_ts"), F.lit(1).alias("delta"))
+    ends = ev.select(
+        "event_type",
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("edge_ts"),
+        F.lit(-1).alias("delta"),
+    )
+    w = Window.partitionBy("event_type").orderBy("edge_ts", "delta")
+    run = (
+        starts.unionByName(ends)
+        .withColumn("open_after", F.sum("delta").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("next_ts", F.lead("edge_ts").over(w))
+    )
+    # exact microsecond arithmetic: unix_timestamp/epoch()::BIGINT
+    # disagree on sub-second timestamps (Spark truncates, DuckDB
+    # rounds) — unix_micros / epoch_us are integer-exact in both
+    seg = F.when(
+        (F.col("open_after") > 0) & F.col("next_ts").isNotNull(),
+        F.unix_micros("next_ts") - F.unix_micros("edge_ts"),
+    ).otherwise(F.lit(0))
+    return (
+        run.groupBy("event_type")
+        .agg(
+            F.sum(seg).alias("covered_us"),
+            (F.count(F.lit(1)) / 2).cast("bigint").alias("n_intervals"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_INTERVAL_COVERAGE = """
+WITH edges AS (
+  SELECT event_type, ts AS edge_ts, 1 AS delta FROM events
+  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+  UNION ALL
+  SELECT event_type, ts + INTERVAL 30 MINUTE, -1 FROM events
+  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+),
+run AS (
+  SELECT event_type, edge_ts,
+         sum(delta) OVER (PARTITION BY event_type ORDER BY edge_ts, delta
+                          ROWS UNBOUNDED PRECEDING) AS open_after,
+         lead(edge_ts) OVER (PARTITION BY event_type ORDER BY edge_ts, delta) AS next_ts
+  FROM edges
+)
+SELECT event_type,
+       sum(CASE WHEN open_after > 0 AND next_ts IS NOT NULL
+                THEN epoch_us(next_ts) - epoch_us(edge_ts) ELSE 0 END)::BIGINT AS covered_us,
+       (count(*) / 2)::BIGINT AS n_intervals
+FROM run GROUP BY event_type ORDER BY event_type
+"""
+
+
+FUNNEL3_WINDOW_S = 3600
+
+
+def q_funnel_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-stage strict-order funnel (view → click → purchase, each
+    within 1 h of the previous stage) — sequential depth beyond the
+    two-step `funnel_click_purchase`. Stage N is a groupBy(user) min
+    over events AFTER the user's stage-N-1 time: three aggregates and
+    two joins, ALL keyed on user_id, so after the first exchange every
+    stage reuses the same hash partitioning — the plan adds stages,
+    not shuffle width. No per-user event collection, no self-join on
+    the raw stream."""
+    ev = _read(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    t1 = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(F.min("ts").alias("t1"))
+    t2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .filter((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + F.expr(f"INTERVAL {FUNNEL3_WINDOW_S} SECONDS")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    t3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .filter((F.col("ts") > F.col("t2")) & (F.col("ts") <= F.col("t2") + F.expr(f"INTERVAL {FUNNEL3_WINDOW_S} SECONDS")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    counts = (
+        t1.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(F.broadcast(t2.agg(F.count(F.lit(1)).alias("n_click"))))
+        .crossJoin(F.broadcast(t3.agg(F.count(F.lit(1)).alias("n_purchase"))))
+    )
+    return counts.select(
+        "n_view",
+        "n_click",
+        "n_purchase",
+        F.round(F.col("n_click") / F.col("n_view"), 6).alias("view_to_click"),
+        F.round(F.col("n_purchase") / F.col("n_click"), 6).alias("click_to_purchase"),
+    )
+
+
+SQL_FUNNEL_3STEP = f"""
+WITH t1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+t2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN t1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > t1.t1 AND e.ts <= t1.t1 + INTERVAL {FUNNEL3_WINDOW_S} SECOND
+  GROUP BY e.user_id
+),
+t3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN t2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > t2.t2 AND e.ts <= t2.t2 + INTERVAL {FUNNEL3_WINDOW_S} SECOND
+  GROUP BY e.user_id
+)
+SELECT (SELECT count(*) FROM t1)::BIGINT AS n_view,
+       (SELECT count(*) FROM t2)::BIGINT AS n_click,
+       (SELECT count(*) FROM t3)::BIGINT AS n_purchase,
+       round((SELECT count(*) FROM t2) / (SELECT count(*) FROM t1), 6) AS view_to_click,
+       round((SELECT count(*) FROM t3) / (SELECT count(*) FROM t2), 6) AS click_to_purchase
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -5206,12 +5338,13 @@ def build_registry() -> dict[str, tuple[QueryFn, str | None]]:
     distinct_parts_per_supplier/top_customers_per_nation +
     asof_last_purchase/events_in_campaign_windows/events_json_extract/
     events_rollup_cascade + filter_contains/anonymize_customer/
-    cdc_upsert/minhash_lsh_candidates. Ahead of those go the 10
+    cdc_upsert/minhash_lsh_candidates. Ahead of those go the 12
     round-7 additions, which have never held a driver verdict:
     triangle_count/pareto_suppliers/dsir_selection/bpe_merge_step/
     mixture_temperature/benford_profile/weighted_reservoir/
-    ewma_events/source_overlap/events_mad_outliers (all green on the
-    now-hash-faithful local gate).
+    ewma_events/source_overlap/events_mad_outliers/interval_coverage/
+    funnel_3step (all green on the now-hash-faithful local gate at
+    all three scale factors).
     The full local gate (`scripts/compare_oracle.py`) runs ALL
     entries every round, and is now order- AND dtype-faithful to the
     driver hash (round-7 rewrite after q12 shipped red twice).
@@ -5383,6 +5516,8 @@ def build_registry() -> dict[str, tuple[QueryFn, str | None]]:
             "ewma_events": (q_ewma_events, sql_ewma_events()),
             "source_overlap": (q_source_overlap, sql_source_overlap()),
             "events_mad_outliers": (q_events_mad_outliers, SQL_EVENTS_MAD_OUTLIERS),
+            "interval_coverage": (q_interval_coverage, SQL_INTERVAL_COVERAGE),
+            "funnel_3step": (q_funnel_3step, SQL_FUNNEL_3STEP),
         }
     )
     ordered = {name: reg.pop(name) for name in ROUND7_PREFIX}

@@ -299,3 +299,52 @@ def test_window_entries_null_parity(spark, dirty_events_dir, name):
     assert sorted(s_pdf.columns) == sorted(d_pdf.columns)
     assert frame_rows(s_pdf) == frame_rows(d_pdf)
     assert len(s_pdf) > 0
+
+
+def test_interval_coverage_merges_overlaps(spark, tmp_path):
+    from datetime import timedelta
+
+    from rustic_witcher_spark.queries import q_interval_coverage
+
+    t0 = datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        (1, t0, 1, "click", 1.0),                            # [10:00, 10:30)
+        (2, t0 + timedelta(minutes=10), 2, "click", 1.0),    # [10:10, 10:40) — overlaps
+        (3, t0 + timedelta(hours=2), 3, "click", 1.0),       # disjoint [12:00, 12:30)
+    ]
+    spark.createDataFrame(rows, EVENT_SCHEMA).write.parquet(str(tmp_path / "events.parquet"))
+    out = q_interval_coverage(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    # union = 40 min (merged) + 30 min (disjoint) = 70 min
+    assert r["covered_us"] == 70 * 60 * 1_000_000
+    assert r["n_intervals"] == 3
+
+
+def test_funnel_3step_stage_semantics(spark, tmp_path):
+    from datetime import timedelta
+
+    from rustic_witcher_spark.queries import q_funnel_3step
+
+    t0 = datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        # u1: full funnel inside the windows
+        (1, t0, 1, "view", 1.0),
+        (2, t0 + timedelta(minutes=10), 1, "click", 1.0),
+        (3, t0 + timedelta(minutes=20), 1, "purchase", 1.0),
+        # u2: click arrives 2h after view — outside the 1h window
+        (4, t0, 2, "view", 1.0),
+        (5, t0 + timedelta(hours=2), 2, "click", 1.0),
+        # u3: reaches click, purchase too late
+        (6, t0, 3, "view", 1.0),
+        (7, t0 + timedelta(minutes=30), 3, "click", 1.0),
+        (8, t0 + timedelta(hours=3), 3, "purchase", 1.0),
+        # u4: purchase BEFORE click — strict order must not count it
+        (9, t0, 4, "view", 1.0),
+        (10, t0 + timedelta(minutes=5), 4, "purchase", 1.0),
+        (11, t0 + timedelta(minutes=10), 4, "click", 1.0),
+    ]
+    spark.createDataFrame(rows, EVENT_SCHEMA).write.parquet(str(tmp_path / "events.parquet"))
+    r = q_funnel_3step(spark, str(tmp_path)).collect()[0]
+    assert (r["n_view"], r["n_click"], r["n_purchase"]) == (4, 3, 1)
+    assert r["view_to_click"] == pytest.approx(0.75)
