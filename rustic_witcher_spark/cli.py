@@ -104,6 +104,17 @@ def build_parser() -> argparse.ArgumentParser:
     i.add_argument("--table", default=None, help="use the built-in DDL for this table (documents/events/supplier)")
     i.add_argument("--schema-ddl", default=None, help="explicit DDL string (overrides --table)")
     i.add_argument("--csv-delimiter", default=",")
+    c = sub.add_parser(
+        "curate",
+        help="end-to-end corpus curation: read docs (parquet or JSONL) -> exact dedup -> "
+        "quality filter -> deterministic training shards + manifest",
+    )
+    c.add_argument("--input", required=True, help="documents parquet path or JSONL file")
+    c.add_argument("--format", choices=["parquet", "jsonl"], default="parquet")
+    c.add_argument("--target", required=True, help="output shard directory")
+    c.add_argument("--n-shards", type=int, required=True)
+    c.add_argument("--min-quality", type=float, default=0.0, help="drop docs with quality_score below this")
+    c.add_argument("--seed", type=int, default=int(os.environ.get("RNG_SEED", DEFAULT_SEED)))
     return p
 
 
@@ -165,6 +176,37 @@ def main(argv: list[str] | None = None) -> int:
         clean.write.mode("overwrite").parquet(args.target)
         n = spark.read.parquet(args.target).count()
         print(json.dumps({"rows": n, "quarantined": bad, "target": args.target}))
+        return 0
+    if args.command == "curate":
+        from pyspark.sql import functions as F
+
+        from rustic_witcher_spark.operators.dedup import exact_dedup
+        from rustic_witcher_spark.operators.text import quality_score
+        from rustic_witcher_spark.sinks.shards import write_training_shards
+        from rustic_witcher_spark.sources.text_formats import TABLE_DDL, read_jsonl
+
+        spark = get_spark("curate")
+        if args.format == "jsonl":
+            docs = read_jsonl(spark, args.input, TABLE_DDL["documents"])
+        else:
+            docs = cast_ntz_timestamps(spark.read.parquet(args.input))
+        n_in = docs.count()
+        deduped = exact_dedup(docs, "text", "doc_id")
+        n_dedup = deduped.count()
+        kept = deduped.filter(quality_score(F.col("text")) >= args.min_quality)
+        manifest = write_training_shards(kept, "doc_id", args.n_shards, args.target, seed=args.seed)
+        print(
+            json.dumps(
+                {
+                    "input_rows": n_in,
+                    "after_dedup": n_dedup,
+                    "after_quality": manifest["total_rows"],
+                    "n_shards": args.n_shards,
+                    "target": args.target,
+                },
+                sort_keys=True,
+            )
+        )
         return 0
     if args.command != "anonymize":  # pragma: no cover
         return 2

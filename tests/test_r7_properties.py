@@ -81,3 +81,71 @@ def test_triangle_count_matches_brute_force(spark, raw):
     assert row["n_triangles"] == tri
     if wedges:
         assert row["clustering_coeff"] == pytest.approx(round(3 * tri / wedges, 6))
+
+
+intervals = st.lists(st.integers(min_value=0, max_value=300), min_size=1, max_size=30)
+
+
+@given(mins=intervals)
+@settings(**SETTINGS)
+def test_interval_coverage_matches_brute_union(spark, tmp_path_factory, mins):
+    """Sweep-line union length == brute-force merged-interval length on
+    arbitrary (duplicated, overlapping, touching) 30-min intervals."""
+    from datetime import datetime, timedelta
+
+    from rustic_witcher_spark.queries import q_interval_coverage
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + timedelta(minutes=m), 1, "click", 1.0, "{}")
+        for i, m in enumerate(mins)
+    ]
+    d = tmp_path_factory.mktemp("cov")
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).write.parquet(str(d / "events.parquet"))
+    out = q_interval_coverage(spark, str(d)).collect()[0]
+
+    ivs = sorted((m, m + 30) for m in mins)
+    merged, cur = [], list(ivs[0])
+    for s, e in ivs[1:]:
+        if s <= cur[1]:
+            cur[1] = max(cur[1], e)
+        else:
+            merged.append(tuple(cur))
+            cur = [s, e]
+    merged.append(tuple(cur))
+    total_min = sum(e - s for s, e in merged)
+    assert out["covered_us"] == total_min * 60 * 1_000_000
+    assert out["n_intervals"] == len(mins)
+
+
+series = st.lists(st.floats(min_value=0.0, max_value=100.0, allow_nan=False), min_size=1, max_size=30)
+
+
+@given(vals=series)
+@settings(**SETTINGS)
+def test_ewma_matches_python_recompute(spark, tmp_path_factory, vals):
+    """The 12-lag truncated-kernel EWMA must equal a direct Python
+    recompute with the same literal weights and renormalization."""
+    from datetime import datetime, timedelta
+
+    from rustic_witcher_spark.queries import _EWMA_W, q_ewma_events
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + timedelta(hours=i), 1, "click", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    d = tmp_path_factory.mktemp("ewma")
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).write.parquet(str(d / "events.parquet"))
+    out = {r["hour"]: r["ewma"] for r in q_ewma_events(spark, str(d)).collect()}
+
+    hv = [round(v, 6) for v in vals]  # hour_value = round(sum per hour, 6)
+    for t in range(len(hv)):
+        num = sum(w * hv[t - k] for k, w in enumerate(_EWMA_W) if t - k >= 0)
+        den = sum(w for k, w in enumerate(_EWMA_W) if t - k >= 0)
+        key = (t0 + timedelta(hours=t)).strftime("%Y-%m-%d %H:%M:%S")
+        assert out[key] == pytest.approx(round(num / den, 6), abs=2e-6)

@@ -98,3 +98,33 @@ def test_cli_shard_and_verify(spark, tmp_path, capsys):
     rows = part.collect()[:-1]
     spark.createDataFrame(rows, part.schema).write.mode("overwrite").parquet(f"{out}/shard=0")
     assert cli.main(["shard-verify", "--path", out]) == 1
+
+
+def test_cli_curate_end_to_end(spark, tmp_path, capsys):
+    """ingest-free curate: parquet docs -> dedup -> quality -> shards,
+    with the manifest verifying afterwards."""
+    import json as _json
+
+    from rustic_witcher_spark import cli
+    from rustic_witcher_spark.sinks.shards import verify_training_shards
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog and it is fine", "en", "web", 59),
+        (2, "the quick brown fox jumps over the lazy dog and it is fine", "en", "web", 59),  # exact dup
+        (3, "!!! ??? !!!", "en", "web", 11),  # junk — fails any quality bar
+        (4, "this is a perfectly reasonable document that the filter keeps", "en", "web", 62),
+    ]
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(src)
+    out = str(tmp_path / "shards")
+    rc = cli.main([
+        "curate", "--input", src, "--target", out, "--n-shards", "2", "--min-quality", "0.3",
+    ])
+    assert rc == 0
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["input_rows"] == 4
+    assert rep["after_dedup"] == 3       # dup of doc 1 removed
+    assert rep["after_quality"] == 2     # junk doc removed
+    assert verify_training_shards(spark, out) == []
