@@ -104,3 +104,37 @@ def test_cli_ingest_jsonl(spark, tmp_path, capsys):
     rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep == {"rows": 3, "quarantined": 1, "target": out}
     assert spark.read.parquet(out).count() == 3
+
+
+def test_streaming_ingest_health_accumulates(spark, tmp_path):
+    """Streaming quarantine monitor: counts accumulate across
+    micro-batches (complete mode, constant state)."""
+    from rustic_witcher_spark.streaming.ingest_health import ingest_health, read_jsonl_stream
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "b1.jsonl").write_text(
+        "\n".join([json.dumps(d) for d in DOCS] + ["garbage"]) + "\n"
+    )
+    stream = read_jsonl_stream(spark, str(src), tf.TABLE_DDL["documents"])
+    qname = f"ingest_health_{abs(hash(str(tmp_path))) % 10**8}"
+    query = (
+        ingest_health(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+        r = spark.sql(f"SELECT * FROM {qname}").collect()[0]
+        assert (r["clean_rows"], r["corrupt_rows"]) == (3, 1)
+        # second file lands → counts move forward, never reset
+        (src / "b2.jsonl").write_text('{"doc_id": 9, "text": "t", "lang": "en", "source": "w", "n_chars": 1}\nbroken{\nalso broken\n')
+        query.processAllAvailable()
+        r = spark.sql(f"SELECT * FROM {qname}").collect()[0]
+        assert (r["clean_rows"], r["corrupt_rows"]) == (4, 3)
+        assert r["parsed_key_rows"] == 4
+    finally:
+        query.stop()
