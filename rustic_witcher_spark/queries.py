@@ -5328,23 +5328,25 @@ def build_registry() -> dict[str, tuple[QueryFn, str | None]]:
 
     Verdict-age ledger as of round 7: the r7 window (ROUND7_PREFIX)
     grades q12 (red r5+r6, HUGEINT oracle fix this round) + the 33
-    round-6 additions that had never held a driver verdict + 16 of
-    the 47 entries whose latest verdict was r05. After r7, the 31
+    round-6 additions that had never held a driver verdict + the 12
+    round-7 additions (new entries always enter the CURRENT round's
+    window — zero rotation debt) + 4 of the 47 entries whose latest
+    verdict was r05 (events_tumbling/events_sliding/
+    funnel_click_purchase/cohort_retention). After r7, the 43
     r05-verdict holders NOT refilled this round are the oldest and
-    should lead the r08 window (with r6/r7 greens as refill):
+    MUST lead the r08 window (any r8 additions go ahead of them,
+    then refill with r6/r7 greens):
     q17/q19/q22/q8/q9 + skew_salted_stats/doc_length_deciles +
     token_count_bpe/vocab_top_terms/langid_confusion/tfidf_top_terms/
     doc_quality/pii_redact + q1/q3/q5/q13/q4/q18/q7 + rollup_revenue/
     distinct_parts_per_supplier/top_customers_per_nation +
     asof_last_purchase/events_in_campaign_windows/events_json_extract/
     events_rollup_cascade + filter_contains/anonymize_customer/
-    cdc_upsert/minhash_lsh_candidates. Ahead of those go the 12
-    round-7 additions, which have never held a driver verdict:
-    triangle_count/pareto_suppliers/dsir_selection/bpe_merge_step/
-    mixture_temperature/benford_profile/weighted_reservoir/
-    ewma_events/source_overlap/events_mad_outliers/interval_coverage/
-    funnel_3step (all green on the now-hash-faithful local gate at
-    all three scale factors).
+    cdc_upsert/minhash_lsh_candidates + value_percentiles/
+    dedup_survivors/dedup_incremental/lsh_calibration/
+    quality_threshold_sweep/ann_recall_eval/frame_sample/
+    user_dwell_stats + q6_forecast_revenue/q10_returned_items/
+    q14_promo_revenue/q15_top_supplier.
     The full local gate (`scripts/compare_oracle.py`) runs ALL
     entries every round, and is now order- AND dtype-faithful to the
     driver hash (round-7 rewrite after q12 shipped red twice).
@@ -5568,10 +5570,12 @@ ROUND6_PREFIX = [
 # CASE sums ::BIGINT in SQL_Q12, and the local gate is now
 # order/dtype-faithful so the unfixed form FAILS locally (verified).
 # Slots 2–34: the 33 round-6 additions that have never held a driver
-# verdict (tracked in the build_registry docstring). Slots 35–50:
+# verdict (tracked in the build_registry docstring). Slots 35–46:
+# the 12 ROUND-7 additions — new entries go into the CURRENT round's
+# window so nothing ever waits two rounds for its first driver
+# verdict (the round-6 debt mistake, not repeated). Slots 47–50:
 # refill from the 47 entries whose latest verdict is r05 (oldest
-# first in registry-stable order), so every entry's latest verdict
-# stays ≤3 rounds old and r6∪r7 covers 100 of 130.
+# first in registry-stable order).
 ROUND7_PREFIX = [
     # red in r5+r6 — HUGEINT fix proves here
     "q12_shipping_lateness",
@@ -5587,11 +5591,12 @@ ROUND7_PREFIX = [
     "events_moving_avg", "term_pmi", "lineitem_unpivot",
     "peak_concurrency", "fuzzy_part_names", "quantile_sketch_events",
     "customer_revenue_standing", "rolling_distinct_users", "supplier_pagerank",
+    # never driver-verified (round-7 additions — current-round debt is zero)
+    "triangle_count", "pareto_suppliers", "dsir_selection",
+    "bpe_merge_step", "mixture_temperature", "benford_profile",
+    "weighted_reservoir", "ewma_events", "source_overlap",
+    "events_mad_outliers", "interval_coverage", "funnel_3step",
     # r05-verdict refill (oldest greens, registry-stable order)
     "events_tumbling", "events_sliding", "funnel_click_purchase",
-    "cohort_retention", "value_percentiles", "dedup_survivors",
-    "dedup_incremental", "lsh_calibration", "quality_threshold_sweep",
-    "ann_recall_eval", "frame_sample", "user_dwell_stats",
-    "q6_forecast_revenue", "q10_returned_items", "q14_promo_revenue",
-    "q15_top_supplier",
+    "cohort_retention",
 ]
