@@ -183,18 +183,33 @@ def main(argv: list[str] | None = None) -> int:
         from rustic_witcher_spark.operators.dedup import exact_dedup
         from rustic_witcher_spark.operators.text import quality_score
         from rustic_witcher_spark.sinks.shards import write_training_shards
-        from rustic_witcher_spark.sources.text_formats import TABLE_DDL, read_jsonl
+        from rustic_witcher_spark.sources.text_formats import CORRUPT_COL, TABLE_DDL, read_jsonl
 
         spark = get_spark("curate")
         if args.format == "jsonl":
-            docs = read_jsonl(spark, args.input, TABLE_DDL["documents"])
+            # Same quarantine routing as `ingest`: malformed lines parse to
+            # all-NULL rows that would otherwise survive dedup (one NULL-text
+            # digest group) and land in the shards as ghost documents.
+            docs = (
+                read_jsonl(spark, args.input, TABLE_DDL["documents"], quarantine=True)
+                .filter(f"{CORRUPT_COL} IS NULL")
+                .drop(CORRUPT_COL)
+            )
         else:
             docs = cast_ntz_timestamps(spark.read.parquet(args.input))
-        n_in = docs.count()
-        deduped = exact_dedup(docs, "text", "doc_id")
-        n_dedup = deduped.count()
+        # Observation metrics ride the single shard-write job instead of
+        # paying two extra full passes (a count() before dedup re-scans the
+        # source; a count() after re-runs the dedup shuffle). The sink's
+        # manifest stats scan only the written files, so the expensive
+        # lineage executes exactly once end-to-end.
+        from pyspark.sql import Observation
+
+        obs_in, obs_dedup = Observation("curate_in"), Observation("curate_dedup")
+        docs = docs.observe(obs_in, F.count(F.lit(1)).alias("n"))
+        deduped = exact_dedup(docs, "text", "doc_id").observe(obs_dedup, F.count(F.lit(1)).alias("n"))
         kept = deduped.filter(quality_score(F.col("text")) >= args.min_quality)
         manifest = write_training_shards(kept, "doc_id", args.n_shards, args.target, seed=args.seed)
+        n_in, n_dedup = obs_in.get["n"], obs_dedup.get["n"]
         print(
             json.dumps(
                 {

@@ -45,17 +45,26 @@ def undirected_edges(pairs: DataFrame, a: str, b: str) -> DataFrame:
     )
 
 
-def degree_oriented(edges: DataFrame) -> DataFrame:
-    """Orient each (lo, hi) edge from the (degree, id)-smaller endpoint
-    to the larger. Two broadcast-joinable lookups against the degree
-    table (one per endpoint) — the degree table is |V| rows, orders of
-    magnitude smaller than the edge list it orients."""
-    deg = (
+def degree_table(edges: DataFrame) -> DataFrame:
+    """|V|-row (node, deg) table from an undirected (lo, hi) edge list —
+    one union + one groupBy shuffle over the edges."""
+    return (
         edges.select(F.col("lo").alias("node"))
         .unionByName(edges.select(F.col("hi").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
+
+
+def degree_oriented(edges: DataFrame, deg: DataFrame | None = None) -> DataFrame:
+    """Orient each (lo, hi) edge from the (degree, id)-smaller endpoint
+    to the larger. Two broadcast-joinable lookups against the degree
+    table (one per endpoint) — the degree table is |V| rows, orders of
+    magnitude smaller than the edge list it orients. Pass ``deg`` when
+    the caller already has the degree table so the edge-list shuffle
+    that builds it isn't paid twice."""
+    if deg is None:
+        deg = degree_table(edges)
     dl = deg.select(F.col("node").alias("lo"), F.col("deg").alias("deg_lo"))
     dh = deg.select(F.col("node").alias("hi"), F.col("deg").alias("deg_hi"))
     e = edges.join(dl, "lo").join(dh, "hi")
@@ -85,18 +94,17 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     is 3× the biggest shuffle in the query, recomputed).
     """
     edges = materialize(edges)
-    oriented = materialize(degree_oriented(edges))
+    # One degree build serves both the orientation joins and the
+    # wedge/node summary — the union+groupBy shuffle over the full edge
+    # list is the exact recompute class the materialize() note above
+    # warns about, so it is cut once and shared.
+    deg = materialize(degree_table(edges))
+    oriented = materialize(degree_oriented(edges, deg))
     e1 = oriented.select(F.col("src").alias("u"), F.col("dst").alias("v"))
     e2 = oriented.select(F.col("src").alias("v"), F.col("dst").alias("w"))
     closing = oriented.select(F.col("src").alias("u"), F.col("dst").alias("w"))
     tri = e1.join(e2, "v").join(closing, ["u", "w"]).agg(F.count(F.lit(1)).alias("n_triangles"))
 
-    deg = (
-        edges.select(F.col("lo").alias("node"))
-        .unionByName(edges.select(F.col("hi").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("deg"))
-    )
     summary = deg.agg(
         F.count(F.lit(1)).alias("n_nodes"),
         (F.sum("deg") / 2).cast("bigint").alias("n_edges"),

@@ -4862,8 +4862,10 @@ def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "n_docs",
             "n_tokens",
-            F.round(tw / F.col("tw_total"), 6).alias("weight"),
-            F.floor(F.lit(MIX_BUDGET) * tw / F.col("tw_total") + F.lit(0.5)).cast("long").alias("alloc_docs"),
+            # try_divide: a degenerate corpus (every source 0 tokens) makes
+            # tw_total 0 — DuckDB yields NULL weights, ANSI Spark would raise.
+            F.round(F.try_divide(tw, F.col("tw_total")), 6).alias("weight"),
+            F.floor(F.try_divide(F.lit(MIX_BUDGET) * tw, F.col("tw_total")) + F.lit(0.5)).cast("long").alias("alloc_docs"),
         )
         .orderBy("source")
     )
@@ -4897,7 +4899,9 @@ def q_benford_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _read(spark, sf_dir, "lineitem").filter(F.col("l_extendedprice") > 0)
     cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
     digits = li.select(F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit"))
-    counts = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    # digit 0 (prices in (0, 0.005) round to 0 cents) would divide by zero
+    # in the Benford expectation; both engines screen it identically.
+    counts = digits.filter(F.col("digit").between(1, 9)).groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
     total = counts.agg(F.sum("n").alias("total"))
     observed = F.round(F.col("n") / F.col("total"), 6)
     expected = F.round(F.log10(1 + 1 / F.col("digit")), 6)
@@ -4921,7 +4925,7 @@ WITH digits AS (
   SELECT (substr(floor(l_extendedprice * 100 + 0.5)::BIGINT::VARCHAR, 1, 1))::INT AS digit
   FROM lineitem WHERE l_extendedprice > 0
 ),
-counts AS (SELECT digit, count(*) AS n FROM digits GROUP BY digit),
+counts AS (SELECT digit, count(*) AS n FROM digits WHERE digit BETWEEN 1 AND 9 GROUP BY digit),
 total AS (SELECT sum(n)::BIGINT AS total FROM counts)
 SELECT digit, n,
        round(n / total, 6) AS observed,
@@ -5011,7 +5015,10 @@ def q_ewma_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             F.date_format("hour", _FMT).alias("hour"),
             "hour_value",
-            F.round(num / den, 6).alias("ewma"),
+            # try_divide: an hour whose value column is entirely NULL makes
+            # every lag NULL and den fold to 0 — DuckDB yields NULL, ANSI
+            # Spark would kill the job.
+            F.round(F.try_divide(num, den), 6).alias("ewma"),
         )
         .orderBy("event_type", "hour")
     )
@@ -5274,8 +5281,10 @@ def q_funnel_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_view",
         "n_click",
         "n_purchase",
-        F.round(F.col("n_click") / F.col("n_view"), 6).alias("view_to_click"),
-        F.round(F.col("n_purchase") / F.col("n_click"), 6).alias("click_to_purchase"),
+        # try_divide: an empty funnel stage (n_view/n_click = 0) must yield
+        # NULL like DuckDB's x/0, not an ANSI DIVIDE_BY_ZERO job kill.
+        F.round(F.try_divide(F.col("n_click"), F.col("n_view")), 6).alias("view_to_click"),
+        F.round(F.try_divide(F.col("n_purchase"), F.col("n_click")), 6).alias("click_to_purchase"),
     )
 
 

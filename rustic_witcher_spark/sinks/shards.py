@@ -61,14 +61,20 @@ def write_training_shards(
     """Shard ``df`` deterministically, write ``shard=N/`` parquet
     partitions under ``path``, and write + return the manifest.
 
-    Two jobs total: the partitioned write and the |shards|-row stats
-    aggregate (map-side combined — the shuffle carries n_shards rows
-    per partition, never data rows)."""
+    The upstream lineage (which may carry an expensive dedup/quality
+    pipeline, as in ``cli curate``) executes exactly ONCE — the
+    partitioned write. The manifest stats aggregate runs over a
+    READ-BACK of the written files instead of re-deriving the lineage:
+    that second job scans only the freshly written parquet (column-
+    pruned to the id column + shard partition value), and doubles as a
+    write-path check — the digest records what actually landed on
+    disk, not what the plan was supposed to produce."""
     sharded = training_shards(df, id_col, n_shards, seed=seed)
     sharded.write.mode("overwrite").partitionBy("shard").parquet(path)
+    written = sharded.sparkSession.read.parquet(path)
     stats = {
         int(r["shard"]): {"n_rows": int(r["n_rows"]), "digest": int(r["digest"])}
-        for r in _shard_stats(sharded, id_col, seed).collect()
+        for r in _shard_stats(written, id_col, seed).collect()
     }
     manifest = {
         "n_shards": n_shards,

@@ -348,3 +348,74 @@ def test_funnel_3step_stage_semantics(spark, tmp_path):
     r = q_funnel_3step(spark, str(tmp_path)).collect()[0]
     assert (r["n_view"], r["n_click"], r["n_purchase"]) == (4, 3, 1)
     assert r["view_to_click"] == pytest.approx(0.75)
+
+
+# ---------------------------------------------------------------------------
+# degenerate-input regressions (round-7 review): Spark 4's ANSI default
+# turns x/0 into a job-killing SparkArithmeticException, while every
+# DuckDB oracle yields NULL — these pin the try_divide / digit-screen
+# guards so a dirty corpus degrades to NULLs identically in both engines.
+# ---------------------------------------------------------------------------
+
+
+def test_funnel_3step_empty_stage_yields_null_ratios(spark, tmp_path):
+    from datetime import timedelta
+
+    from rustic_witcher_spark.queries import q_funnel_3step
+
+    t0 = datetime(2024, 1, 1, 10, 0, 0)
+    # clicks + purchases but NO views: n_view = 0 → both ratios NULL
+    rows = [
+        (1, t0, 1, "click", 1.0),
+        (2, t0 + timedelta(minutes=5), 1, "purchase", 1.0),
+    ]
+    spark.createDataFrame(rows, EVENT_SCHEMA).write.parquet(str(tmp_path / "events.parquet"))
+    r = q_funnel_3step(spark, str(tmp_path)).collect()[0]
+    assert (r["n_view"], r["n_click"], r["n_purchase"]) == (0, 0, 0)
+    assert r["view_to_click"] is None and r["click_to_purchase"] is None
+
+
+def test_ewma_all_null_hour_yields_null_not_crash(spark, tmp_path):
+    from datetime import timedelta
+
+    from rustic_witcher_spark.queries import q_ewma_events
+
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, t0, 1, "click", None),                      # hour 0: value all-NULL
+        (2, t0 + timedelta(hours=1), 1, "click", 5.0),  # hour 1: real value
+    ]
+    spark.createDataFrame(rows, EVENT_SCHEMA).write.parquet(str(tmp_path / "events.parquet"))
+    out = {r["hour"]: r for r in q_ewma_events(spark, str(tmp_path)).collect()}
+    assert len(out) == 2
+    h0 = min(out)
+    assert out[h0]["ewma"] is None          # den folds to 0 → NULL, no ANSI raise
+    assert out[max(out)]["ewma"] == pytest.approx(5.0)
+
+
+def test_benford_subcent_prices_screened(spark, tmp_path):
+    from rustic_witcher_spark.queries import q_benford_profile
+
+    # 0.004 rounds to 0 cents → digit 0 → would divide by zero in the
+    # Benford expectation; must be screened out, not crash or emit a row
+    prices = [0.004, 111.0]
+    spark.createDataFrame([(p,) for p in prices], "l_extendedprice double").write.parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+    out = {r["digit"]: r for r in q_benford_profile(spark, str(tmp_path)).collect()}
+    assert set(out) == {1}
+    assert out[1]["observed"] == pytest.approx(1.0)
+
+
+def test_mixture_temperature_zero_token_corpus(spark, tmp_path):
+    from rustic_witcher_spark.queries import q_mixture_temperature
+
+    # every doc empty → n_tokens = 0 per source → tw_total = 0 → NULL weights
+    docs = [(1, "", "en", "alpha", 0), (2, "", "en", "beta", 0)]
+    spark.createDataFrame(
+        docs, "doc_id int, text string, lang string, source string, n_chars int"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    rows = q_mixture_temperature(spark, str(tmp_path)).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r["weight"] is None and r["alloc_docs"] is None

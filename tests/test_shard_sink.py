@@ -128,3 +128,34 @@ def test_cli_curate_end_to_end(spark, tmp_path, capsys):
     assert rep["after_dedup"] == 3       # dup of doc 1 removed
     assert rep["after_quality"] == 2     # junk doc removed
     assert verify_training_shards(spark, out) == []
+
+
+def test_cli_curate_jsonl_quarantines_malformed_lines(spark, tmp_path, capsys):
+    """Round-7 review regression: malformed JSONL lines parse to all-NULL
+    rows; curate must route them to quarantine like `ingest` does, never
+    ship a ghost all-NULL document into the training shards."""
+    import json as _json
+
+    from rustic_witcher_spark import cli
+
+    src_dir = tmp_path / "in"
+    src_dir.mkdir()
+    good = [
+        {"doc_id": 1, "text": "a perfectly reasonable training document right here", "lang": "en", "source": "web", "n_chars": 52},
+        {"doc_id": 2, "text": "another perfectly reasonable training document here too", "lang": "en", "source": "web", "n_chars": 56},
+    ]
+    (src_dir / "docs.jsonl").write_text(
+        "\n".join(_json.dumps(d) for d in good) + "\ngarbage line not json\n{broken too\n"
+    )
+    out = str(tmp_path / "shards")
+    rc = cli.main([
+        "curate", "--input", str(src_dir), "--format", "jsonl",
+        "--target", out, "--n-shards", "1", "--min-quality", "0.3",
+    ])
+    assert rc == 0
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["input_rows"] == 2        # quarantined lines never enter
+    assert rep["after_quality"] == 2
+    written = spark.read.parquet(out)
+    assert written.filter("doc_id IS NULL").count() == 0
+    assert written.count() == 2
