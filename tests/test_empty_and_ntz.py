@@ -239,3 +239,39 @@ type = "Nullify"
     back = spark.read.parquet(str(tmp_path / "out" / "events.parquet"))
     assert back.schema["ts"].dataType.typeName() == "timestamp"
     assert back.count() == 50
+
+
+@pytest.fixture(scope="module")
+def all_null_dir(spark, tmp_path_factory):
+    """Every non-key column 100% NULL — the degenerate-input scenario
+    the half-null sweep can't reach: denominators that fold to 0 only
+    when EVERY value in a group is NULL (the round-7 ewma/mixture
+    ANSI-divide class), all-NULL text/embeddings, empty token streams."""
+    from pyspark.sql import functions as F
+
+    keys = {
+        "doc_id", "vec_id", "event_id", "o_orderkey", "l_orderkey",
+        "l_linenumber", "c_custkey", "s_suppkey", "p_partkey",
+        "n_nationkey", "r_regionkey", "user_id", "ts",
+    }
+    d = tmp_path_factory.mktemp("all_null")
+    for t in TABLES:
+        df = spark.read.parquet(f"{SRC}/{t}.parquet")
+        for f in df.schema.fields:
+            if f.name not in keys:
+                df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+        df.write.parquet(str(d / f"{t}.parquet"))
+    return str(d)
+
+
+def test_every_entry_survives_all_null_columns(all_null_dir, spark):
+    """No entry may die on a fully-NULL column under Spark 4's ANSI
+    default (DIVIDE_BY_ZERO, CAST_INVALID_INPUT, ...) — a quarantine
+    miss upstream degrades results to NULLs, never kills the job."""
+    failures = []
+    for name, fn in entrymod.queries().items():
+        try:
+            fn(spark, all_null_dir).count()
+        except Exception as exc:  # noqa: BLE001 - collecting for the report
+            failures.append(f"{name}: {str(exc).splitlines()[0][:140]}")
+    assert not failures, "entries crashed on all-null columns:\n" + "\n".join(failures)
