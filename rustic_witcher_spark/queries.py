@@ -5312,6 +5312,260 @@ SELECT (SELECT count(*) FROM t1)::BIGINT AS n_view,
 """
 
 
+HARDNEG_QUERIES = 20
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining: for each query vector, the
+    single most-similar vector with a DIFFERENT label — the standard
+    negative-selection step for embedding/retrieval training (the
+    near-miss that teaches the margin).
+
+    Plan shape: broadcast the small query set against the corpus (one
+    corpus scan regardless of query count, as brute_force_topk), then
+    top-1 per query via a map-side-combinable max(struct) aggregate —
+    no per-query window shuffle at all: the shuffle carries |queries|
+    rows per partition. Ties broken toward the smallest neighbor id
+    through the struct's (sim, -id) lexicographic order. NULL-label
+    rows drop out of the label-mismatch predicate on both engines
+    (x <> NULL is NULL)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < HARDNEG_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("embedding").alias("__qv"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        F.col("embedding").alias("__cv"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_label") != F.col("query_label"))
+        .select(
+            "query_id",
+            "query_label",
+            "neighbor_id",
+            "neighbor_label",
+            F.round(similarity.cosine(F.col("__qv"), F.col("__cv")), 6).alias("sim"),
+        )
+    )
+    best = scored.groupBy("query_id", "query_label").agg(
+        F.max(
+            F.struct(
+                F.col("sim").alias("sim"),
+                (-F.col("neighbor_id")).alias("__nn"),
+                F.col("neighbor_id").alias("neighbor_id"),
+                F.col("neighbor_label").alias("neighbor_label"),
+            )
+        ).alias("b")
+    )
+    return best.select(
+        "query_id",
+        "query_label",
+        F.col("b.neighbor_id").alias("neighbor_id"),
+        F.col("b.neighbor_label").alias("neighbor_label"),
+        F.col("b.sim").alias("sim"),
+    ).orderBy("query_id")
+
+
+SQL_HARD_NEGATIVES = f"""
+WITH q AS (SELECT vec_id AS query_id, label AS query_label, embedding AS qv
+           FROM embeddings WHERE vec_id < {HARDNEG_QUERIES}),
+c AS (SELECT vec_id AS neighbor_id, label AS neighbor_label, embedding AS cv FROM embeddings),
+s AS (
+  SELECT query_id, query_label, neighbor_id, neighbor_label,
+         round(list_dot_product(qv::DOUBLE[], cv::DOUBLE[]) /
+               (sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[])) * sqrt(list_dot_product(cv::DOUBLE[], cv::DOUBLE[]))), 6) AS sim
+  FROM c, q WHERE neighbor_label <> query_label
+)
+SELECT query_id, query_label, neighbor_id, neighbor_label, sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank FROM s)
+WHERE rank = 1 ORDER BY query_id
+"""
+
+
+BM25_TERMS = ("spark", "stream", "dup")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 20
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval scoring (Lucene's idf variant) of a fixed query
+    term set over the corpus — the classical ranking function a
+    training-data search/inspection tool needs beside embedding kNN.
+
+    Shapes: one scan computes per-doc tf per term as Catalyst HOF
+    filters (term literals — no captured-column substr rescans), a
+    1-row corpus aggregate (N, Σdl, per-term df) attaches via
+    broadcast, and the top-k is orderBy+limit → TakeOrdered partial
+    top-k on every partition, never a single-partition global window.
+    Only docs matching ≥1 term are scored, so the avgdl denominator is
+    provably > 0 whenever any row survives (a qualifying doc has
+    dl ≥ 1)."""
+    d = _spread(spark, _read(spark, sf_dir, "documents"))
+    toks = d.select("doc_id", text.tokens(F.col("text")).alias("t")).withColumn("dl", F.size("t"))
+    def _tf(term: str):
+        # single-parameter closure: a (x, i) lambda would make PySpark
+        # bind the array INDEX to the second parameter
+        return F.size(F.filter(F.col("t"), lambda x: x == F.lit(term))).cast("long")
+
+    for i, term in enumerate(BM25_TERMS):
+        toks = toks.withColumn(f"tf{i}", _tf(term))
+    corpus = toks.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dl").cast("double").alias("sum_dl"),
+        *[F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}") for i in range(len(BM25_TERMS))],
+    )
+    qualifying = toks.filter(sum(F.col(f"tf{i}") for i in range(len(BM25_TERMS))) > 0)
+    avgdl = F.col("sum_dl") / F.col("n")
+    score = F.lit(0.0)
+    for i in range(len(BM25_TERMS)):
+        tf, df = F.col(f"tf{i}"), F.col(f"df{i}")
+        idf = F.log((F.col("n") - df + 0.5) / (df + 0.5) + 1)
+        score = score + idf * (tf * (BM25_K1 + 1)) / (tf + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / avgdl))
+    return (
+        qualifying.crossJoin(F.broadcast(corpus))
+        .select(
+            "doc_id",
+            *[F.col(f"tf{i}").alias(f"tf_{t}") for i, t in enumerate(BM25_TERMS)],
+            F.round(score, 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(BM25_TOPK)
+    )
+
+
+def sql_bm25_search() -> str:
+    nt = len(BM25_TERMS)
+    tf_defs = ", ".join(f"len(list_filter(t, x -> x = '{t}'))::BIGINT AS tf{i}" for i, t in enumerate(BM25_TERMS))
+    df_defs = ", ".join(f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END)::BIGINT AS df{i}" for i in range(nt))
+    score = " + ".join(
+        f"ln((n - df{i} + 0.5) / (df{i} + 0.5) + 1)"
+        f" * (tf{i} * ({BM25_K1} + 1))"
+        f" / (tf{i} + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl / (sum_dl / n)))"
+        for i in range(nt)
+    )
+    tf_out = ", ".join(f"tf{i} AS tf_{t}" for i, t in enumerate(BM25_TERMS))
+    qual = " + ".join(f"tf{i}" for i in range(nt))
+    return f"""
+WITH toks AS (SELECT doc_id, {_toks_sql('text')} AS t FROM documents),
+base AS (SELECT doc_id, len(t)::INT AS dl, {tf_defs} FROM toks),
+corpus AS (SELECT count(*)::BIGINT AS n, sum(dl)::DOUBLE AS sum_dl, {df_defs} FROM base)
+SELECT doc_id, {tf_out}, round(0.0 + {score}, 6) AS score
+FROM base CROSS JOIN corpus
+WHERE {qual} > 0
+ORDER BY score DESC, doc_id ASC LIMIT {BM25_TOPK}
+"""
+
+
+SPLIT_BUCKETS = 10  # 8 train / 1 val / 1 test
+
+
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: the split is a deterministic
+    hash of the GROUP key (source/domain), never the row — every
+    document of a source lands in the same split by construction, so
+    near-duplicates within a domain can't straddle train and eval (the
+    classic contamination path a row-wise random split opens).
+
+    One source-grain aggregate (map-side combined), then 3-row
+    reduction by split — the per-row hash never shuffles: rows reduce
+    to sources first, and only |sources| hashes are computed."""
+    d = _read(spark, sf_dir, "documents")
+    src = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(text.token_count(F.col("text"))).alias("n_tokens"),
+    )
+    bucket = F.pmod(hash64(F.col("source"), SEED, "split"), F.lit(SPLIT_BUCKETS))
+    split = F.when(bucket < 8, "train").when(bucket == 8, "val").otherwise("test")
+    return (
+        src.withColumn("split", split)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_sources"),
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+        .orderBy("split")
+    )
+
+
+def sql_leakage_safe_split() -> str:
+    return f"""
+WITH src AS (
+  SELECT source, count(*) AS n_docs, sum(len({_toks_sql('text')}))::BIGINT AS n_tokens
+  FROM documents GROUP BY source
+),
+lab AS (
+  SELECT *, (CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END) AS split
+  FROM (SELECT *, {sql_hash64('source', SEED, 'split')} % {SPLIT_BUCKETS} AS b FROM src)
+)
+SELECT split, count(*)::BIGINT AS n_sources, sum(n_docs)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS n_tokens
+FROM lab GROUP BY split ORDER BY split
+"""
+
+
+def q_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KL divergence of the unigram distribution from the
+    corpus-wide distribution — the drift/contamination screen that
+    flags a source whose token mix diverges (machine-generated spam, a
+    mis-tagged language, template boilerplate).
+
+    KL(p_s ‖ p_global) = Σ_t p_st·ln(p_st/p_gt), summed over the
+    terms the source actually uses (n_st > 0, so every log argument is
+    finite and positive). Shapes: one explode → (source, term) counts
+    (map-side combined), term totals re-aggregated from those partials
+    (vocabulary-sized shuffle — NOT assumed broadcastable, same as
+    term_pmi), source totals joined back on source, corpus total as a
+    broadcast scalar. The per-term contribution is emitted in integer
+    NANONATS and summed as a long — an order-invariant integer sum, so
+    the result is partitioning-independent where a double Σ would be
+    at the mercy of float add order (ln outputs sit nowhere near the
+    .5 rounding boundary, so both engines' round() agree). The ratio
+    inside ln is computed as (n_st·n_tot)/(n_s·n_t) — integer products
+    ≤2^53 rendered exactly in double, bit-identical across engines."""
+    d = _spread(spark, _read(spark, sf_dir, "documents"))
+    toks = d.select("source", F.explode(text.tokens(F.col("text"))).alias("term"))
+    st = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("n_st"))
+    t = st.groupBy("term").agg(F.sum("n_st").alias("n_t"))
+    s = st.groupBy("source").agg(F.sum("n_st").alias("n_s"))
+    tot = t.agg(F.sum("n_t").alias("n_tot"))
+    p_st = F.col("n_st").cast("double") / F.col("n_s")
+    ratio = (F.col("n_st").cast("double") * F.col("n_tot")) / (F.col("n_s").cast("double") * F.col("n_t"))
+    contrib = F.round(p_st * F.log(ratio) * F.lit(1e9)).cast("long")
+    return (
+        st.join(t, "term")
+        .join(s, "source")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.max("n_s").alias("n_tokens"),
+            F.sum(contrib).alias("kl_nanonats"),
+        )
+        .orderBy("source")
+    )
+
+
+def sql_source_kl_divergence() -> str:
+    return f"""
+WITH tu AS (SELECT source, unnest({_toks_sql('text')}) AS term FROM documents),
+st AS (SELECT source, term, count(*) AS n_st FROM tu GROUP BY 1, 2),
+t AS (SELECT term, sum(n_st)::BIGINT AS n_t FROM st GROUP BY 1),
+s AS (SELECT source, sum(n_st)::BIGINT AS n_s FROM st GROUP BY 1),
+tot AS (SELECT sum(n_t)::BIGINT AS n_tot FROM t)
+SELECT st.source,
+       count(*)::BIGINT AS n_terms,
+       max(n_s)::BIGINT AS n_tokens,
+       sum(round((n_st::DOUBLE / n_s) * ln((n_st::DOUBLE * n_tot) / (n_s::DOUBLE * n_t)) * 1e9)::BIGINT)::BIGINT AS kl_nanonats
+FROM st JOIN t USING (term) JOIN s USING (source) CROSS JOIN tot
+GROUP BY st.source ORDER BY st.source
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -5337,12 +5591,11 @@ def build_registry() -> dict[str, tuple[QueryFn, str | None]]:
 
     Verdict-age ledger as of round 7: the r7 window (ROUND7_PREFIX)
     grades q12 (red r5+r6, HUGEINT oracle fix this round) + the 33
-    round-6 additions that had never held a driver verdict + the 12
+    round-6 additions that had never held a driver verdict + the 16
     round-7 additions (new entries always enter the CURRENT round's
-    window — zero rotation debt) + 4 of the 47 entries whose latest
-    verdict was r05 (events_tumbling/events_sliding/
-    funnel_click_purchase/cohort_retention). After r7, the 43
-    r05-verdict holders NOT refilled this round are the oldest and
+    window — zero rotation debt; the late four are hard_negatives/
+    bm25_search/leakage_safe_split/source_kl_divergence). After r7,
+    the 47 entries whose latest verdict is r05 are the oldest and
     MUST lead the r08 window (any r8 additions go ahead of them,
     then refill with r6/r7 greens):
     q17/q19/q22/q8/q9 + skew_salted_stats/doc_length_deciles +
@@ -5355,7 +5608,8 @@ def build_registry() -> dict[str, tuple[QueryFn, str | None]]:
     dedup_survivors/dedup_incremental/lsh_calibration/
     quality_threshold_sweep/ann_recall_eval/frame_sample/
     user_dwell_stats + q6_forecast_revenue/q10_returned_items/
-    q14_promo_revenue/q15_top_supplier.
+    q14_promo_revenue/q15_top_supplier + events_tumbling/
+    events_sliding/funnel_click_purchase/cohort_retention.
     The full local gate (`scripts/compare_oracle.py`) runs ALL
     entries every round, and is now order- AND dtype-faithful to the
     driver hash (round-7 rewrite after q12 shipped red twice).
@@ -5529,6 +5783,10 @@ def build_registry() -> dict[str, tuple[QueryFn, str | None]]:
             "events_mad_outliers": (q_events_mad_outliers, SQL_EVENTS_MAD_OUTLIERS),
             "interval_coverage": (q_interval_coverage, SQL_INTERVAL_COVERAGE),
             "funnel_3step": (q_funnel_3step, SQL_FUNNEL_3STEP),
+            "hard_negatives": (q_hard_negatives, SQL_HARD_NEGATIVES),
+            "bm25_search": (q_bm25_search, sql_bm25_search()),
+            "leakage_safe_split": (q_leakage_safe_split, sql_leakage_safe_split()),
+            "source_kl_divergence": (q_source_kl_divergence, sql_source_kl_divergence()),
         }
     )
     ordered = {name: reg.pop(name) for name in ROUND7_PREFIX}
@@ -5605,7 +5863,7 @@ ROUND7_PREFIX = [
     "bpe_merge_step", "mixture_temperature", "benford_profile",
     "weighted_reservoir", "ewma_events", "source_overlap",
     "events_mad_outliers", "interval_coverage", "funnel_3step",
-    # r05-verdict refill (oldest greens, registry-stable order)
-    "events_tumbling", "events_sliding", "funnel_click_purchase",
-    "cohort_retention",
+    # never driver-verified (round-7 late additions)
+    "hard_negatives", "bm25_search", "leakage_safe_split",
+    "source_kl_divergence",
 ]

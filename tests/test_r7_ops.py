@@ -419,3 +419,119 @@ def test_mixture_temperature_zero_token_corpus(spark, tmp_path):
     assert len(rows) == 2
     for r in rows:
         assert r["weight"] is None and r["alloc_docs"] is None
+
+
+# ---------------------------------------------------------------------------
+# round-7 late additions: meaning pins on handcrafted fixtures
+# (engine-vs-oracle parity at sf0.01 is the driver gate's job)
+# ---------------------------------------------------------------------------
+
+EMB_SCHEMA = "vec_id long, embedding array<float>, label int"
+DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def test_hard_negatives_skips_same_label(spark, tmp_path):
+    from rustic_witcher_spark.queries import q_hard_negatives
+
+    rows = [
+        (0, [1.0, 0.0], 1),     # query
+        (1, [0.99, 0.14], 1),   # most similar — but SAME label, must be skipped
+        (2, [0.9, 0.44], 2),    # the hard negative
+        (3, [0.0, 1.0], 3),     # dissimilar other-label
+    ]
+    spark.createDataFrame(rows, EMB_SCHEMA).write.parquet(str(tmp_path / "embeddings.parquet"))
+    out = {r["query_id"]: r for r in q_hard_negatives(spark, str(tmp_path)).collect()}
+    assert out[0]["neighbor_id"] == 2 and out[0]["neighbor_label"] == 2
+    # vec 1's own hard negative is vec 2 as well (closest other-label)
+    assert out[1]["neighbor_id"] == 2
+
+
+def test_hard_negatives_tie_breaks_to_smallest_id(spark, tmp_path):
+    from rustic_witcher_spark.queries import q_hard_negatives
+
+    rows = [
+        (0, [1.0, 0.0], 1),
+        (5, [0.6, 0.8], 2),   # identical vector to 7 → identical sim
+        (7, [0.6, 0.8], 2),
+    ]
+    spark.createDataFrame(rows, EMB_SCHEMA).write.parquet(str(tmp_path / "embeddings.parquet"))
+    out = {r["query_id"]: r for r in q_hard_negatives(spark, str(tmp_path)).collect()}
+    assert out[0]["neighbor_id"] == 5  # smallest id wins the tie
+
+
+def test_bm25_rare_term_outranks_common(spark, tmp_path):
+    from rustic_witcher_spark.queries import q_bm25_search
+
+    docs = [
+        # 'dup' is rare (1 doc) → high idf; 'spark' common (all docs)
+        (1, "dup spark table", "en", "web", 15),
+        (2, "spark table join table", "en", "web", 22),
+        (3, "spark table row column", "en", "web", 22),
+        (4, "value key line sort", "en", "web", 19),  # no query term → excluded
+    ]
+    spark.createDataFrame(docs, DOC_SCHEMA).write.parquet(str(tmp_path / "documents.parquet"))
+    out = q_bm25_search(spark, str(tmp_path)).collect()
+    ids = [r["doc_id"] for r in out]
+    assert 4 not in ids                       # zero-match doc never scored
+    assert ids[0] == 1                        # rare-term doc ranks first
+    assert out[0]["tf_dup"] == 1 and out[0]["score"] > out[1]["score"]
+
+
+def test_leakage_safe_split_conserves_and_isolates(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from rustic_witcher_spark.functions.hashing import hash64
+    from rustic_witcher_spark.queries import SEED, SPLIT_BUCKETS, q_leakage_safe_split
+
+    docs = [(i, f"w{i} w{(i * 7) % 13}", "en", f"src{i % 17}", 5) for i in range(200)]
+    spark.createDataFrame(docs, DOC_SCHEMA).write.parquet(str(tmp_path / "documents.parquet"))
+    out = q_leakage_safe_split(spark, str(tmp_path)).collect()
+    # conservation: every doc and every source lands in exactly one split
+    assert sum(r["n_docs"] for r in out) == 200
+    assert sum(r["n_sources"] for r in out) == 17
+    # leakage-safety is by construction (split = f(source)); pin it by
+    # recomputing the assignment per source and checking disjointness
+    src_split = (
+        spark.read.parquet(str(tmp_path / "documents.parquet"))
+        .select("source")
+        .distinct()
+        .withColumn("b", F.pmod(hash64(F.col("source"), SEED, "split"), F.lit(SPLIT_BUCKETS)))
+        .collect()
+    )
+    per_split = {}
+    for r in src_split:
+        split = "train" if r["b"] < 8 else ("val" if r["b"] == 8 else "test")
+        per_split.setdefault(split, set()).add(r["source"])
+    sets = list(per_split.values())
+    for i in range(len(sets)):
+        for j in range(i + 1, len(sets)):
+            assert not (sets[i] & sets[j])
+
+
+def test_source_kl_zero_for_identical_distributions(spark, tmp_path):
+    from rustic_witcher_spark.queries import q_source_kl_divergence
+
+    # two sources with the SAME token distribution → KL ≈ 0 for both;
+    # a third source with a skewed mix → strictly positive
+    docs = [
+        (1, "a b c d", "en", "s1", 7),
+        (2, "a b c d", "en", "s2", 7),
+        (3, "z z z z", "en", "s3", 7),
+    ]
+    spark.createDataFrame(docs, DOC_SCHEMA).write.parquet(str(tmp_path / "documents.parquet"))
+    out = {r["source"]: r for r in q_source_kl_divergence(spark, str(tmp_path)).collect()}
+    # s1/s2 share p(t) = 1/4 over {a,b,c,d}; global has z too, so their
+    # KL is positive but equal; s3 concentrates on the globally-rare z
+    assert out["s1"]["kl_nanonats"] == out["s2"]["kl_nanonats"]
+    assert out["s3"]["kl_nanonats"] > out["s1"]["kl_nanonats"] > 0
+    assert out["s1"]["n_terms"] == 4 and out["s3"]["n_terms"] == 1
+
+
+def test_source_kl_single_source_is_exactly_zero(spark, tmp_path):
+    from rustic_witcher_spark.queries import q_source_kl_divergence
+
+    docs = [(1, "a b b c", "en", "only", 7), (2, "c a", "en", "only", 3)]
+    spark.createDataFrame(docs, DOC_SCHEMA).write.parquet(str(tmp_path / "documents.parquet"))
+    out = q_source_kl_divergence(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    assert out[0]["kl_nanonats"] == 0  # p_s == p_global → every ln term is ln(1)
