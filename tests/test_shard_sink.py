@@ -159,3 +159,52 @@ def test_cli_curate_jsonl_quarantines_malformed_lines(spark, tmp_path, capsys):
     written = spark.read.parquet(out)
     assert written.filter("doc_id IS NULL").count() == 0
     assert written.count() == 2
+
+
+def test_streaming_shard_append_verifies_and_skips_replay(spark, tmp_path):
+    """Streaming face: two micro-batches appended into the shard layout
+    must (a) pass the BATCH verifier — digests merge algebraically —
+    and (b) ignore a replayed batch_id (foreachBatch recovery)."""
+    from rustic_witcher_spark.sinks.shards import verify_training_shards
+    from rustic_witcher_spark.streaming.shard_stream import shard_append_batch, write_shards_stream
+
+    out = str(tmp_path / "shards")
+    src = tmp_path / "in"
+    src.mkdir()
+    schema = "doc_id long, text string"
+
+    def _docs(lo, hi, tag):
+        (src / f"{tag}.json").write_text(
+            "\n".join('{"doc_id": %d, "text": "doc %d"}' % (i, i) for i in range(lo, hi)) + "\n"
+        )
+
+    _docs(0, 40, "b1")
+    q = write_shards_stream(
+        spark.readStream.schema(schema).json(str(src)),
+        "doc_id", 4, out, checkpoint=str(tmp_path / "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+        assert verify_training_shards(spark, out) == []
+        _docs(40, 70, "b2")
+        q.processAllAvailable()
+        assert verify_training_shards(spark, out) == []
+    finally:
+        q.stop()
+    df = spark.read.parquet(out)
+    assert df.count() == 70
+    assert df.select("doc_id").distinct().count() == 70
+
+    # replayed batch_id → no-op: same data, same manifest
+    import json as _json
+    before = (tmp_path / "shards" / "_shard_manifest.json").read_text()
+    replay = spark.createDataFrame([(999, "dup")], schema)
+    last = _json.loads(before)["last_batch_id"]
+    assert shard_append_batch(replay, last, "doc_id", 4, out) is False
+    assert (tmp_path / "shards" / "_shard_manifest.json").read_text() == before
+    assert spark.read.parquet(out).count() == 70
+
+    # and a genuinely NEW batch id applies
+    assert shard_append_batch(replay, last + 1, "doc_id", 4, out) is True
+    assert verify_training_shards(spark, out) == []
+    assert spark.read.parquet(out).count() == 71
