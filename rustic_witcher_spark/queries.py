@@ -5419,7 +5419,12 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("dl").cast("double").alias("sum_dl"),
         *[F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}") for i in range(len(BM25_TERMS))],
     )
-    qualifying = toks.filter(sum(F.col(f"tf{i}") for i in range(len(BM25_TERMS))) > 0)
+    # arrays_overlap: ONE tokenizer evaluation in the pushed-down
+    # predicate (a tf0+tf1+tf2 > 0 filter pushes the 3 HOF tf counts —
+    # and therefore 3 full tokenizations — into the scan's data filter)
+    qualifying = toks.filter(
+        F.arrays_overlap(F.col("t"), F.array(*[F.lit(t) for t in BM25_TERMS]))
+    )
     avgdl = F.col("sum_dl") / F.col("n")
     score = F.lit(0.0)
     for i in range(len(BM25_TERMS)):
@@ -5449,7 +5454,7 @@ def sql_bm25_search() -> str:
         for i in range(nt)
     )
     tf_out = ", ".join(f"tf{i} AS tf_{t}" for i, t in enumerate(BM25_TERMS))
-    qual = " + ".join(f"tf{i}" for i in range(nt))
+    qual = " + ".join(f"tf{i}" for i in range(nt))  # same set as Spark's arrays_overlap
     return f"""
 WITH toks AS (SELECT doc_id, {_toks_sql('text')} AS t FROM documents),
 base AS (SELECT doc_id, len(t)::INT AS dl, {tf_defs} FROM toks),
@@ -5529,7 +5534,12 @@ def q_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≤2^53 rendered exactly in double, bit-identical across engines."""
     d = _spread(spark, _read(spark, sf_dir, "documents"))
     toks = d.select("source", F.explode(text.tokens(F.col("text"))).alias("term"))
-    st = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("n_st"))
+    # materialize: the (source, term) count table feeds FOUR consumers
+    # (itself, term totals, source totals, corpus total) — without the
+    # cut Catalyst re-derives the explode+groupBy subtree per consumer,
+    # i.e. four full tokenizer passes over the corpus (plan-audited);
+    # the materialized frame is vocabulary×sources-sized, tiny.
+    st = materialize(toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("n_st")))
     t = st.groupBy("term").agg(F.sum("n_st").alias("n_t"))
     s = st.groupBy("source").agg(F.sum("n_st").alias("n_s"))
     tot = t.agg(F.sum("n_t").alias("n_tot"))

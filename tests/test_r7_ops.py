@@ -535,3 +535,57 @@ def test_source_kl_single_source_is_exactly_zero(spark, tmp_path):
     out = q_source_kl_divergence(spark, str(tmp_path)).collect()
     assert len(out) == 1
     assert out[0]["kl_nanonats"] == 0  # p_s == p_global → every ln term is ln(1)
+
+
+# ------------------------------------------------------ plan-shape claims
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(spark, fn):
+    return fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_hard_negatives_plan_broadcast_and_partial_max(spark):
+    from rustic_witcher_spark.queries import q_hard_negatives
+
+    plan = _plan(spark, q_hard_negatives)
+    # query set broadcast against one corpus scan; top-1 via a map-side
+    # partial max(struct) — never a per-query row_number window shuffle
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "partial_max" in plan
+    assert "Window" not in plan
+
+
+def test_bm25_plan_takeordered_single_tokenize_filter(spark):
+    from rustic_witcher_spark.queries import q_bm25_search
+
+    plan = _plan(spark, q_bm25_search)
+    # global top-k must be TakeOrdered (partial per-partition top-k),
+    # not a sort of the full scored set into one partition
+    assert "TakeOrderedAndProject" in plan
+    # the qualifying predicate is one arrays_overlap, not 3 HOF counts:
+    # exactly one tokenizer (split) per filter evaluation site
+    assert "arrays_overlap" in plan
+
+
+def test_leakage_split_plan_reduces_rows_before_hashing(spark):
+    from rustic_witcher_spark.queries import q_leakage_safe_split
+
+    plan = _plan(spark, q_leakage_safe_split)
+    # rows aggregate to source grain first (partial_count at the scan),
+    # and the md5 split hash never appears below the first exchange —
+    # only |sources| hashes are ever computed
+    scan_section = plan.split("Exchange hashpartitioning")[-1]
+    assert "md5" not in scan_section
+    assert plan.count("Scan parquet") == 1
+
+
+def test_source_kl_plan_single_explode_subtree(spark):
+    from rustic_witcher_spark.queries import q_source_kl_divergence
+
+    plan = _plan(spark, q_source_kl_divergence)
+    # materialize() cuts the (source, term) lineage: term totals /
+    # source totals / corpus total reuse it instead of re-deriving the
+    # explode — exactly one Generate(explode) in the whole plan
+    assert plan.count("Generate explode") <= 1
