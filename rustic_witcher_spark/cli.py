@@ -115,6 +115,15 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--n-shards", type=int, required=True)
     c.add_argument("--min-quality", type=float, default=0.0, help="drop docs with quality_score below this")
     c.add_argument("--seed", type=int, default=int(os.environ.get("RNG_SEED", DEFAULT_SEED)))
+    sp = sub.add_parser(
+        "split",
+        help="materialize a leakage-safe train/val/test split: split = hash(group column), "
+        "written as split=... parquet partitions",
+    )
+    sp.add_argument("--input", required=True, help="documents parquet path")
+    sp.add_argument("--target", required=True, help="output parquet path (partitioned by split)")
+    sp.add_argument("--group-col", default="source", help="group key the split hashes (default: source)")
+    sp.add_argument("--seed", type=int, default=int(os.environ.get("RNG_SEED", DEFAULT_SEED)))
     return p
 
 
@@ -222,6 +231,24 @@ def main(argv: list[str] | None = None) -> int:
                 sort_keys=True,
             )
         )
+        return 0
+    if args.command == "split":
+        from pyspark.sql import functions as F
+
+        from rustic_witcher_spark.operators.sampling import group_split
+
+        spark = get_spark("split")
+        docs = cast_ntz_timestamps(spark.read.parquet(args.input))
+        labeled = docs.withColumn("split", group_split(F.col(args.group_col), seed=args.seed))
+        labeled.write.mode("overwrite").partitionBy("split").parquet(args.target)
+        # counts from a read-back of the written partitions: validates the
+        # write and keeps the labeling lineage single-pass (same pattern as
+        # the shard sink's manifest stats)
+        counts = {
+            r["split"]: r["n"]
+            for r in spark.read.parquet(args.target).groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        print(json.dumps({"splits": counts, "group_col": args.group_col, "target": args.target}, sort_keys=True))
         return 0
     if args.command != "anonymize":  # pragma: no cover
         return 2

@@ -125,3 +125,28 @@ def sql_weighted_sample_key(key_expr: str, weight_expr: str, seed: int = DEFAULT
     """DuckDB twin of ``weighted_sample_key`` (same 2^-64 clamp)."""
     u = f"greatest({sql_uniform01(key_expr, seed, _WSAMPLE_SALT)}, {2.0**-64!r})"
     return f"(ln({u}) / ({weight_expr})::DOUBLE)"
+
+
+def group_split(
+    group_col: Column,
+    seed: int = DEFAULT_SEED,
+    buckets: int = 10,
+    train_buckets: int = 8,
+) -> Column:
+    """Leakage-safe split label ('train'/'val'/'test') as a pure
+    function of the GROUP key (source/domain): every row of a group
+    lands in the same split, so near-duplicates inside a group can't
+    straddle train and eval. Default 8/1/1 over 10 hash buckets.
+
+    Deterministic md5-derived hash (the engine's standard primitive) —
+    re-running on a grown corpus keeps every existing group's
+    assignment stable, which is what makes incremental corpus refreshes
+    safe against silent eval contamination."""
+    from rustic_witcher_spark.functions.hashing import hash64
+
+    bucket = F.pmod(hash64(group_col, seed, "split"), F.lit(buckets))
+    return (
+        F.when(bucket < train_buckets, "train")
+        .when(bucket == train_buckets, "val")
+        .otherwise("test")
+    )

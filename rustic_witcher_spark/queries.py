@@ -5484,8 +5484,7 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(text.token_count(F.col("text"))).alias("n_tokens"),
     )
-    bucket = F.pmod(hash64(F.col("source"), SEED, "split"), F.lit(SPLIT_BUCKETS))
-    split = F.when(bucket < 8, "train").when(bucket == 8, "val").otherwise("test")
+    split = sampling.group_split(F.col("source"), seed=SEED, buckets=SPLIT_BUCKETS)
     return (
         src.withColumn("split", split)
         .groupBy("split")

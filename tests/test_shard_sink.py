@@ -208,3 +208,31 @@ def test_streaming_shard_append_verifies_and_skips_replay(spark, tmp_path):
     assert shard_append_batch(replay, last + 1, "doc_id", 4, out) is True
     assert verify_training_shards(spark, out) == []
     assert spark.read.parquet(out).count() == 71
+
+
+def test_cli_split_partitions_by_group_hash(spark, tmp_path, capsys):
+    """split command: every source lands wholly inside one split
+    partition; counts conserve; re-run is deterministic."""
+    import json as _json
+
+    from rustic_witcher_spark import cli
+
+    docs = [(i, f"text {i}", "en", f"src{i % 23}", 7) for i in range(300)]
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(src)
+    out = str(tmp_path / "split")
+    assert cli.main(["split", "--input", src, "--target", out]) == 0
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert sum(rep["splits"].values()) == 300
+    df = spark.read.parquet(out)
+    # leakage-safety: no source appears under two split values
+    leaky = (
+        df.select("source", "split").distinct().groupBy("source").count().filter("count > 1").count()
+    )
+    assert leaky == 0
+    # determinism: second run produces identical per-split counts
+    assert cli.main(["split", "--input", src, "--target", out]) == 0
+    rep2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep2["splits"] == rep["splits"]
