@@ -1,0 +1,86 @@
+"""Streaming drift monitor: batch ≡ stream state, KL finalization
+semantics, OOV accounting (streaming/drift.py)."""
+
+from __future__ import annotations
+
+import json
+import math
+
+import pytest
+
+from rustic_witcher_spark.streaming.drift import kl_vs_reference, start_drift_monitor, term_counts
+
+DOC_SCHEMA = "doc_id long, text string"
+
+
+def _write_jsonl(path, docs):
+    path.write_text("\n".join(json.dumps({"doc_id": i, "text": t}) for i, t in docs) + "\n")
+
+
+def test_stream_counts_equal_batch_counts(spark, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    b1 = [(1, "a b b c"), (2, "c a a")]
+    b2 = [(3, "b c z z")]
+    _write_jsonl(src / "b1.jsonl", b1)
+    qname = f"drift_{abs(hash(str(tmp_path))) % 10**8}"
+    stream = spark.readStream.schema(DOC_SCHEMA).json(str(src))
+    q = start_drift_monitor(stream, qname, str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+        _write_jsonl(src / "b2.jsonl", b2)
+        q.processAllAvailable()
+        got = {r["term"]: r["n"] for r in spark.sql(f"SELECT * FROM {qname}").collect()}
+    finally:
+        q.stop()
+    batch = spark.createDataFrame(
+        [(i, t) for i, t in b1 + b2], DOC_SCHEMA
+    )
+    want = {r["term"]: r["n"] for r in term_counts(batch).collect()}
+    assert got == want == {"a": 3, "b": 3, "c": 3, "z": 2}
+
+
+def test_kl_finalizer_zero_on_matching_distribution(spark):
+    counts = spark.createDataFrame([("a", 10), ("b", 30)], "term string, n long")
+    ref = spark.createDataFrame([("a", 100), ("b", 300)], "term string, n long")
+    r = kl_vs_reference(counts, ref).collect()[0]
+    assert r["kl_nanonats"] == 0
+    assert r["oov_tokens"] == 0 and r["oov_terms"] == 0
+    assert r["matched_tokens"] == 40
+
+
+def test_kl_finalizer_positive_on_drift_and_counts_oov(spark):
+    # stream heavily overweights 'b' and introduces unseen 'q'
+    counts = spark.createDataFrame([("a", 5), ("b", 90), ("q", 5)], "term string, n long")
+    ref = spark.createDataFrame([("a", 500), ("b", 500)], "term string, n long")
+    r = kl_vs_reference(counts, ref).collect()[0]
+    assert r["oov_tokens"] == 5 and r["oov_terms"] == 1
+    assert r["matched_tokens"] == 95
+    # hand-computed: p_a=5/100, ratio_a=(5*1000)/(100*500)=0.1; p_b=0.9, ratio_b=1.8
+    want = round((0.05 * math.log(0.1) + 0.9 * math.log(1.8)) * 1e9)
+    got_terms = round(0.05 * math.log(0.1) * 1e9) + round(0.9 * math.log(1.8) * 1e9)
+    assert abs(r["kl_nanonats"] - want) <= 1  # per-term rounding
+    assert r["kl_nanonats"] == got_terms
+    assert r["kl_nanonats"] > 0
+
+
+def test_drift_reading_composes_with_live_sink(spark, tmp_path):
+    """End-to-end: reference from a baseline frame, stream two batches,
+    take a KL reading from the live sink between batches."""
+    src = tmp_path / "in"
+    src.mkdir()
+    ref = term_counts(spark.createDataFrame([(0, "a b c a b c")], DOC_SCHEMA))
+    _write_jsonl(src / "b1.jsonl", [(1, "a b c")])
+    qname = f"driftlive_{abs(hash(str(tmp_path))) % 10**8}"
+    q = start_drift_monitor(spark.readStream.schema(DOC_SCHEMA).json(str(src)), qname, str(tmp_path / "ck"))
+    try:
+        q.processAllAvailable()
+        r1 = kl_vs_reference(spark.sql(f"SELECT * FROM {qname}"), ref).collect()[0]
+        assert r1["kl_nanonats"] == 0  # same uniform mix as the reference
+        _write_jsonl(src / "b2.jsonl", [(2, "c c c c c c")])
+        q.processAllAvailable()
+        r2 = kl_vs_reference(spark.sql(f"SELECT * FROM {qname}"), ref).collect()[0]
+        assert r2["kl_nanonats"] > 0  # mix drifted toward 'c'
+        assert r2["oov_tokens"] == 0
+    finally:
+        q.stop()
