@@ -11,10 +11,16 @@ queries()     — one entry per implemented operator from SURVEY.md §2
                 survivors, batch-vs-corpus dedup, LSH calibration,
                 threshold sweep, ANN recall eval, frame sampling,
                 inter-event gap stats).
-oracle_sql()  — DuckDB-dialect twins for EVERY entry (95/95 — the
+oracle_sql()  — DuckDB-dialect twins for EVERY entry (146/146 — the
                 deterministic IVF seed/Lloyd/probe replay and the md5
                 hex-chain multimodal kernel included); IVF additionally
                 carries a recall-vs-brute-force gate in tests.
+                Rounds 6–7 extended the set with warehouse ops (SCD2,
+                temporal joins, profiling, layout), reshaping (pivot /
+                grouping sets / unpivot), graph (triangles, PageRank),
+                and the round-7 training-pipeline block (DSIR, BPE,
+                mixture temperature, BM25, hard negatives, group-hash
+                splits, per-source KL drift).
 """
 
 from __future__ import annotations
