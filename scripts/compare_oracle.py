@@ -104,11 +104,14 @@ def main():
     create_views(con, sf_dir)
 
     qs = entrymod.queries()
+    if only:
+        missing = [n for n in only if n not in qs]
+        if missing:
+            sys.exit(f"unknown entry name(s): {missing}")
+        qs = {n: qs[n] for n in qs if n in only}
     oracles = entrymod.oracle_sql()
     failures = []
     for name, fn in qs.items():
-        if only and name not in only:
-            continue
         try:
             df = fn(spark, sf_dir)
             s_pdf = df.toPandas()
