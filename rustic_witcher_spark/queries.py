@@ -4386,9 +4386,14 @@ def q_supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterations exactly as dedup_clusters documents. (Locally the
     edges/deg subtrees are deliberately NOT materialized — all three
     strategies were measured at sf0.1 local[32], same host, 3 runs
-    each: lineage recompute 6.1-7.0 s; eager localCheckpoint
-    5.1-7.7 s; persist(MEMORY_ONLY) of edges⋈deg 8.1-10.0 s;
-    persist(MEMORY_ONLY) of the distinct pairs frame 12.7-14.5 s.
+    each: lineage recompute 6.1-7.0 s (4.9-6.3 s in the r7 re-run);
+    eager localCheckpoint 5.1-7.7 s; persist(MEMORY_ONLY) of
+    edges⋈deg 8.1-10.0 s; persist(MEMORY_ONLY) of the distinct pairs
+    frame 12.7-14.5 s; r7 fourth variant — edges⋈deg spilled to a
+    temp parquet and re-read per iteration (pipelined codegen-
+    friendly scans, no InMemoryTableScan) — 9.0-11.6 s: the write
+    barrier plus per-iteration re-read scheduling cost more than the
+    fused recompute saves.
     Caching loses at this size because materialization adds a stage
     barrier and the InMemoryTableScan breaks whole-stage-codegen
     fusion with the per-iteration join, while the recompute is a
