@@ -243,10 +243,16 @@ def main(argv: list[str] | None = None) -> int:
         labeled.write.mode("overwrite").partitionBy("split").parquet(args.target)
         # counts from a read-back of the written partitions: validates the
         # write and keeps the labeling lineage single-pass (same pattern as
-        # the shard sink's manifest stats)
+        # the shard sink's manifest stats). Explicit schema: a 0-row input
+        # (fully-quarantined drop) writes only _SUCCESS, and schema
+        # inference over that would raise instead of reporting {}.
         counts = {
             r["split"]: r["n"]
-            for r in spark.read.parquet(args.target).groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+            for r in spark.read.schema(labeled.schema)
+            .parquet(args.target)
+            .groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
         }
         print(json.dumps({"splits": counts, "group_col": args.group_col, "target": args.target}, sort_keys=True))
         return 0

@@ -51,20 +51,33 @@ def kl_vs_reference(counts: DataFrame, reference: DataFrame) -> DataFrame:
 
     ``reference`` is (term, n) counts of the frozen baseline corpus —
     vocabulary-sized, broadcast. Terms missing from the reference are
-    excluded from the divergence and surfaced as ``oov_tokens``."""
-    tot = counts.agg(F.sum("n").alias("n_tot"))
-    ref_tot = reference.agg(F.sum("n").alias("r_tot"))
+    excluded from the divergence and surfaced as ``oov_tokens``; the
+    in-vocab distribution is normalized over MATCHED tokens only, so
+    KL(matched ‖ ref) is a true divergence (≥ 0 up to per-term
+    rounding) — normalizing over all stream tokens would scale every
+    matched p by the in-vocab fraction and deflate the metric toward
+    Σp·ln(frac) < 0 as OOV mass grows, masking real drift.
+
+    The state frame is snapshotted (localCheckpoint via materialize)
+    before finalizing: the finalization reads it twice (matched total
+    + contributions), and against the LIVE complete-mode sink a
+    micro-batch committing between those two scans would mix
+    snapshots — n_tot from one batch, rows from another."""
+    from rustic_witcher_spark.operators.materialize import materialize
+
+    counts = materialize(counts.select("term", "n"))
     ref = reference.select(F.col("term"), F.col("n").alias("r_n"))
-    joined = (
-        counts.join(F.broadcast(ref), "term", "left")
-        .crossJoin(F.broadcast(tot))
-        .crossJoin(F.broadcast(ref_tot))
-    )
-    p = F.col("n").cast("double") / F.col("n_tot")
-    ratio = (F.col("n").cast("double") * F.col("r_tot")) / (F.col("n_tot").cast("double") * F.col("r_n"))
-    contrib = F.round(p * F.log(ratio) * F.lit(1e9)).cast("long")
+    ref_tot = reference.agg(F.sum("n").alias("r_tot"))
+    joined = counts.join(F.broadcast(ref), "term", "left")
     in_ref = F.col("r_n").isNotNull()
-    return joined.agg(
+    m_tot = joined.filter(in_ref).agg(F.sum("n").alias("m_tot"))
+    scored = (
+        joined.crossJoin(F.broadcast(m_tot)).crossJoin(F.broadcast(ref_tot))
+    )
+    p = F.col("n").cast("double") / F.col("m_tot")
+    ratio = (F.col("n").cast("double") * F.col("r_tot")) / (F.col("m_tot").cast("double") * F.col("r_n"))
+    contrib = F.round(p * F.log(ratio) * F.lit(1e9)).cast("long")
+    return scored.agg(
         F.sum(F.when(in_ref, F.col("n")).otherwise(F.lit(0))).alias("matched_tokens"),
         F.sum(F.when(~in_ref, F.col("n")).otherwise(F.lit(0))).alias("oov_tokens"),
         F.count(F.when(~in_ref, F.lit(1))).alias("oov_terms"),

@@ -76,6 +76,15 @@ def shard_append_batch(batch_df: DataFrame, batch_id: int, id_col: str, n_shards
     into the manifest. Returns False when the batch was a replay (or
     empty) and nothing was written."""
     manifest = _load_manifest(path, id_col, n_shards, seed)
+    got = (manifest["id_col"], manifest["n_shards"], manifest["seed"])
+    if got != (id_col, n_shards, seed):
+        # fail FAST: appending with a different layout config would hash
+        # the same id to a different shard than its batch-written twin,
+        # and verify would later report it as opaque digest corruption
+        raise ValueError(
+            f"shard layout mismatch: directory manifest has (id_col, n_shards, seed)={got}, "
+            f"caller passed {(id_col, n_shards, seed)}"
+        )
     if batch_id <= manifest.get("last_batch_id", -1):
         return False  # foreachBatch replay after recovery — already applied
     # persist: the micro-batch lineage feeds two jobs (stats + write);

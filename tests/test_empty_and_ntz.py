@@ -46,7 +46,7 @@ def test_every_entry_survives_empty_ntz_tables(empty_dir, spark):
     failures = []
     for name, fn in entrymod.queries().items():
         try:
-            fn(spark, empty_dir).count()
+            fn(spark, empty_dir).collect()  # full eval: count() prunes the output projection
         except Exception as exc:  # noqa: BLE001 - collecting for the report
             failures.append(f"{name}: {str(exc).splitlines()[0][:140]}")
     assert not failures, "entries crashed on empty/NTZ tables:\n" + "\n".join(failures)
@@ -106,7 +106,7 @@ def test_every_entry_survives_nulled_columns(nulled_dir, spark):
     failures = []
     for name, fn in entrymod.queries().items():
         try:
-            fn(spark, nulled_dir).count()
+            fn(spark, nulled_dir).collect()  # full eval: count() prunes the output projection
         except Exception as exc:  # noqa: BLE001 - collecting for the report
             failures.append(f"{name}: {str(exc).splitlines()[0][:140]}")
     assert not failures, "entries crashed on nulled columns:\n" + "\n".join(failures)
@@ -194,7 +194,7 @@ def test_document_entries_survive_adversarial_text(spark, tmp_path_factory):
     failures = []
     for name in keys:
         try:
-            qs[name](spark, str(d)).count()
+            qs[name](spark, str(d)).collect()  # full eval: count() prunes the output projection
         except Exception as exc:  # noqa: BLE001 - collecting for the report
             failures.append(f"{name}: {str(exc).splitlines()[0][:140]}")
     assert not failures, "entries crashed on adversarial text:\n" + "\n".join(failures)
@@ -271,7 +271,7 @@ def test_every_entry_survives_all_null_columns(all_null_dir, spark):
     failures = []
     for name, fn in entrymod.queries().items():
         try:
-            fn(spark, all_null_dir).count()
+            fn(spark, all_null_dir).collect()  # full eval: count() prunes the output projection
         except Exception as exc:  # noqa: BLE001 - collecting for the report
             failures.append(f"{name}: {str(exc).splitlines()[0][:140]}")
     assert not failures, "entries crashed on all-null columns:\n" + "\n".join(failures)

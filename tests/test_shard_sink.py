@@ -236,3 +236,37 @@ def test_cli_split_partitions_by_group_hash(spark, tmp_path, capsys):
     assert cli.main(["split", "--input", src, "--target", out]) == 0
     rep2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep2["splits"] == rep["splits"]
+
+
+def test_streaming_shard_append_rejects_layout_mismatch(spark, tmp_path):
+    """Review regression: appending with a different (id_col, n_shards,
+    seed) than the directory's manifest must fail fast, not silently
+    mix incompatible shard layouts."""
+    import pytest as _pytest
+
+    from rustic_witcher_spark.streaming.shard_stream import shard_append_batch
+
+    out = str(tmp_path / "shards")
+    df = spark.createDataFrame([(i, f"d{i}") for i in range(10)], "doc_id long, text string")
+    assert shard_append_batch(df, 0, "doc_id", 4, out) is True
+    with _pytest.raises(ValueError, match="shard layout mismatch"):
+        shard_append_batch(df, 1, "doc_id", 8, out)
+    with _pytest.raises(ValueError, match="shard layout mismatch"):
+        shard_append_batch(df, 1, "doc_id", 4, out, seed=7)
+
+
+def test_cli_split_empty_input_reports_empty_splits(spark, tmp_path, capsys):
+    """Review regression: a 0-row input (fully-quarantined drop) must
+    report {} cleanly, not die inferring schema from a data-less dir."""
+    import json as _json
+
+    from rustic_witcher_spark import cli
+
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(src)
+    out = str(tmp_path / "split")
+    assert cli.main(["split", "--input", src, "--target", out]) == 0
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["splits"] == {}

@@ -56,12 +56,26 @@ def test_kl_finalizer_positive_on_drift_and_counts_oov(spark):
     r = kl_vs_reference(counts, ref).collect()[0]
     assert r["oov_tokens"] == 5 and r["oov_terms"] == 1
     assert r["matched_tokens"] == 95
-    # hand-computed: p_a=5/100, ratio_a=(5*1000)/(100*500)=0.1; p_b=0.9, ratio_b=1.8
-    want = round((0.05 * math.log(0.1) + 0.9 * math.log(1.8)) * 1e9)
-    got_terms = round(0.05 * math.log(0.1) * 1e9) + round(0.9 * math.log(1.8) * 1e9)
-    assert abs(r["kl_nanonats"] - want) <= 1  # per-term rounding
+    # hand-computed over the MATCHED (in-vocab) distribution:
+    # p_a=5/95, ratio_a=(5*1000)/(95*500); p_b=90/95, ratio_b=(90*1000)/(95*500)
+    pa, ra = 5 / 95, (5 * 1000) / (95 * 500)
+    pb, rb = 90 / 95, (90 * 1000) / (95 * 500)
+    got_terms = round(pa * math.log(ra) * 1e9) + round(pb * math.log(rb) * 1e9)
     assert r["kl_nanonats"] == got_terms
     assert r["kl_nanonats"] > 0
+
+
+def test_kl_oov_mass_does_not_deflate_matched_divergence(spark):
+    """Review regression: the in-vocab mix here is IDENTICAL to the
+    reference (5:3), so KL must be exactly 0 no matter how much OOV
+    mass arrives — the old all-token normalization reported a large
+    NEGATIVE divergence (0.8·ln 0.8) that grew with OOV and could mask
+    real drift."""
+    counts = spark.createDataFrame([("a", 50), ("b", 30), ("q", 20)], "term string, n long")
+    ref = spark.createDataFrame([("a", 500), ("b", 300)], "term string, n long")
+    r = kl_vs_reference(counts, ref).collect()[0]
+    assert r["kl_nanonats"] == 0
+    assert r["oov_tokens"] == 20 and r["matched_tokens"] == 80
 
 
 def test_drift_reading_composes_with_live_sink(spark, tmp_path):
