@@ -63,7 +63,10 @@ def _load_manifest(path: str, id_col: str, n_shards: int, seed: int) -> dict:
 
 
 def _store_manifest(path: str, manifest: dict) -> None:
-    # tmp + rename: a reader (or verify) never sees a half-written file
+    # tmp + rename: a reader (or verify) never sees a half-written file.
+    # makedirs: an EMPTY first micro-batch writes no parquet, so the
+    # manifest may be the directory's first file (property-test find).
+    os.makedirs(path, exist_ok=True)
     target = os.path.join(path, MANIFEST_NAME)
     tmp = target + ".tmp"
     with open(tmp, "w") as fh:

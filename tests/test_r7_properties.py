@@ -149,3 +149,69 @@ def test_ewma_matches_python_recompute(spark, tmp_path_factory, vals):
         den = sum(w for k, w in enumerate(_EWMA_W) if t - k >= 0)
         key = (t0 + timedelta(hours=t)).strftime("%Y-%m-%d %H:%M:%S")
         assert out[key] == pytest.approx(round(num / den, 6), abs=2e-6)
+
+
+# ---------------------------------------------------------------- shard digests
+
+id_lists = st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=30, unique=True)
+cut_fracs = st.floats(min_value=0.0, max_value=1.0)
+
+
+@given(ids=id_lists, frac=cut_fracs)
+@settings(**SETTINGS)
+def test_stream_chunked_shard_manifest_equals_batch_manifest(spark, tmp_path_factory, ids, frac):
+    """The manifest digest is an algebraic accumulator: splitting the
+    SAME rows into two streamed micro-batches at ANY cut point must
+    reproduce the batch-written manifest bit-for-bit (counts and
+    per-shard digests), and both must verify."""
+    from rustic_witcher_spark.sinks.shards import verify_training_shards, write_training_shards
+    from rustic_witcher_spark.streaming.shard_stream import shard_append_batch
+
+    d = tmp_path_factory.mktemp("digest_prop")
+    rows = [(i, f"doc {i}") for i in ids]
+    schema = "doc_id long, text string"
+    batch_manifest = write_training_shards(
+        spark.createDataFrame(rows, schema), "doc_id", 3, str(d / "batch")
+    )
+    cut = int(len(rows) * frac)
+    streamed = str(d / "stream")
+    shard_append_batch(spark.createDataFrame(rows[:cut] or [], schema), 0, "doc_id", 3, streamed)
+    shard_append_batch(spark.createDataFrame(rows[cut:] or [], schema), 1, "doc_id", 3, streamed)
+    import json as _json
+
+    got = _json.loads((d / "stream" / "_shard_manifest.json").read_text())
+    assert got["shards"] == {k: dict(v) for k, v in batch_manifest["shards"].items()}
+    assert got["total_rows"] == batch_manifest["total_rows"]
+    if rows[:cut] and rows[cut:]:
+        assert verify_training_shards(spark, streamed) == []
+
+
+# ---------------------------------------------------------------- KL drift
+
+term_counts_st = st.dictionaries(
+    st.sampled_from(["a", "b", "c", "d", "e"]),
+    st.integers(min_value=1, max_value=50),
+    min_size=1,
+    max_size=5,
+)
+
+
+@given(stream=term_counts_st, ref=term_counts_st, scale=st.integers(min_value=1, max_value=9))
+@settings(**SETTINGS)
+def test_kl_nonnegative_and_zero_iff_proportional(spark, stream, ref, scale):
+    """Gibbs' inequality survives the integer-nanonat rounding: KL of
+    the matched distribution is ≥ -|terms| nanonats for ANY pair of
+    count tables, and scaling the reference by a constant leaves
+    KL(x ‖ x·k) at exactly 0."""
+    from rustic_witcher_spark.streaming.drift import kl_vs_reference
+
+    sdf = spark.createDataFrame(list(stream.items()), "term string, n long")
+    rdf = spark.createDataFrame(list(ref.items()), "term string, n long")
+    r = kl_vs_reference(sdf, rdf).collect()[0]
+    matched_terms = len(set(stream) & set(ref))
+    if matched_terms:
+        assert r["kl_nanonats"] >= -matched_terms  # ≤0.5 nanonat rounding per term
+    # proportional reference → exact zero (every per-term ratio is 1.0)
+    prop = spark.createDataFrame([(t, n * scale) for t, n in stream.items()], "term string, n long")
+    r0 = kl_vs_reference(sdf, prop).collect()[0]
+    assert r0["kl_nanonats"] == 0 and r0["oov_tokens"] == 0
