@@ -124,6 +124,13 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--target", required=True, help="output parquet path (partitioned by split)")
     sp.add_argument("--group-col", default="source", help="group key the split hashes (default: source)")
     sp.add_argument("--seed", type=int, default=int(os.environ.get("RNG_SEED", DEFAULT_SEED)))
+    dr = sub.add_parser(
+        "drift",
+        help="KL(corpus ‖ reference) unigram drift report between two documents tables",
+    )
+    dr.add_argument("--input", required=True, help="corpus parquet path to score")
+    dr.add_argument("--reference", required=True, help="frozen baseline documents parquet path")
+    dr.add_argument("--text-col", default="text")
     return p
 
 
@@ -255,6 +262,29 @@ def main(argv: list[str] | None = None) -> int:
             .collect()
         }
         print(json.dumps({"splits": counts, "group_col": args.group_col, "target": args.target}, sort_keys=True))
+        return 0
+    if args.command == "drift":
+        from rustic_witcher_spark.streaming.drift import kl_vs_reference, term_counts
+
+        spark = get_spark("drift")
+        corpus = cast_ntz_timestamps(spark.read.parquet(args.input))
+        ref = cast_ntz_timestamps(spark.read.parquet(args.reference))
+        r = kl_vs_reference(
+            term_counts(corpus, args.text_col), term_counts(ref, args.text_col)
+        ).collect()[0]
+        print(
+            json.dumps(
+                {
+                    "kl_nanonats": r["kl_nanonats"],
+                    "matched_tokens": r["matched_tokens"],
+                    "oov_tokens": r["oov_tokens"],
+                    "oov_terms": r["oov_terms"],
+                    "input": args.input,
+                    "reference": args.reference,
+                },
+                sort_keys=True,
+            )
+        )
         return 0
     if args.command != "anonymize":  # pragma: no cover
         return 2

@@ -98,3 +98,17 @@ def test_drift_reading_composes_with_live_sink(spark, tmp_path):
         assert r2["oov_tokens"] == 0
     finally:
         q.stop()
+
+
+def test_cli_drift_reports_kl(spark, tmp_path, capsys):
+    from rustic_witcher_spark import cli
+
+    ref = str(tmp_path / "ref.parquet")
+    cur = str(tmp_path / "cur.parquet")
+    spark.createDataFrame([(1, "a b c a b c")], DOC_SCHEMA).write.parquet(ref)
+    spark.createDataFrame([(2, "a b c"), (3, "c c c z")], DOC_SCHEMA).write.parquet(cur)
+    assert cli.main(["drift", "--input", cur, "--reference", ref]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["oov_tokens"] == 1 and rep["oov_terms"] == 1  # 'z'
+    assert rep["matched_tokens"] == 6
+    assert rep["kl_nanonats"] > 0  # mix drifted toward 'c'
