@@ -104,6 +104,11 @@ def build_parser() -> argparse.ArgumentParser:
     i.add_argument("--table", default=None, help="use the built-in DDL for this table (documents/events/supplier)")
     i.add_argument("--schema-ddl", default=None, help="explicit DDL string (overrides --table)")
     i.add_argument("--csv-delimiter", default=",")
+    i.add_argument(
+        "--quarantine-target",
+        default=None,
+        help="dead-letter parquet path: write the RAW malformed lines there instead of dropping them",
+    )
     c = sub.add_parser(
         "curate",
         help="end-to-end corpus curation: read docs (parquet or JSONL) -> exact dedup -> "
@@ -191,7 +196,29 @@ def main(argv: list[str] | None = None) -> int:
         clean = q.filter(f"{CORRUPT_COL} IS NULL").drop(CORRUPT_COL)
         clean.write.mode("overwrite").parquet(args.target)
         n = spark.read.parquet(args.target).count()
-        print(json.dumps({"rows": n, "quarantined": bad, "target": args.target}))
+        report = {"rows": n, "quarantined": bad, "target": args.target}
+        if args.quarantine_target and bad:
+            # dead-letter leg: the raw offending line, for replay after an
+            # upstream fix — the operational alternative to losing them.
+            # A real data column rides along so the file-source scan
+            # schema is never corrupt-column-only (SPARK-26965, same
+            # workaround as corrupt_count — caching the 100 TB read is
+            # the non-starter alternative); it also records how far the
+            # permissive parse got.
+            from pyspark.sql import functions as F
+
+            real = next(c for c in q.columns if c != CORRUPT_COL)
+            (
+                q.filter(f"{CORRUPT_COL} IS NOT NULL")
+                .select(
+                    F.col(CORRUPT_COL).alias("raw_line"),
+                    F.col(real).cast("string").alias("parsed_first_field"),
+                )
+                .write.mode("overwrite")
+                .parquet(args.quarantine_target)
+            )
+            report["quarantine_target"] = args.quarantine_target
+        print(json.dumps(report))
         return 0
     if args.command == "curate":
         from pyspark.sql import functions as F

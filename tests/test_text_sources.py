@@ -138,3 +138,29 @@ def test_streaming_ingest_health_accumulates(spark, tmp_path):
         assert r["parsed_key_rows"] == 4
     finally:
         query.stop()
+
+
+def test_cli_ingest_dead_letter_captures_raw_lines(spark, tmp_path, capsys):
+    """--quarantine-target routes the RAW malformed lines to a
+    dead-letter parquet for replay, instead of dropping them."""
+    import json as _json
+
+    from rustic_witcher_spark import cli
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "d.jsonl").write_text(
+        '{"doc_id": 1, "text": "ok", "lang": "en", "source": "w", "n_chars": 2}\n'
+        "this is not json\n"
+        "{broken\n"
+    )
+    out, dlq = str(tmp_path / "out"), str(tmp_path / "dlq")
+    rc = cli.main([
+        "ingest", "--format", "jsonl", "--input", str(src), "--table", "documents",
+        "--target", out, "--quarantine-target", dlq,
+    ])
+    assert rc == 0
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep == {"rows": 1, "quarantined": 2, "target": out, "quarantine_target": dlq}
+    raw = sorted(r["raw_line"] for r in spark.read.parquet(dlq).collect())
+    assert raw == ["this is not json", "{broken"]
