@@ -120,6 +120,11 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--n-shards", type=int, required=True)
     c.add_argument("--min-quality", type=float, default=0.0, help="drop docs with quality_score below this")
     c.add_argument("--seed", type=int, default=int(os.environ.get("RNG_SEED", DEFAULT_SEED)))
+    c.add_argument(
+        "--quarantine-target",
+        default=None,
+        help="dead-letter parquet path for malformed JSONL lines (jsonl format only)",
+    )
     sp = sub.add_parser(
         "split",
         help="materialize a leakage-safe train/val/test split: split = hash(group column), "
@@ -181,7 +186,10 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"path": args.path, "ok": not problems, "problems": problems}))
         return 0 if not problems else 1
     if args.command == "ingest":
-        from rustic_witcher_spark.sources.text_formats import CORRUPT_COL, TABLE_DDL, corrupt_count, read_csv, read_jsonl
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
+        from rustic_witcher_spark.sources.text_formats import CORRUPT_COL, TABLE_DDL, dead_letters, read_csv, read_jsonl
 
         ddl = args.schema_ddl or (TABLE_DDL.get(args.table) if args.table else None)
         if ddl is None:
@@ -192,31 +200,25 @@ def main(argv: list[str] | None = None) -> int:
             q = read_jsonl(spark, args.input, ddl, quarantine=True)
         else:
             q = read_csv(spark, args.input, ddl, delimiter=args.csv_delimiter, quarantine=True)
-        bad = corrupt_count(q)
+        # the corrupt count rides the clean-write pass via Observation —
+        # and because the write materializes EVERY column, the corrupt
+        # flags are computed against the full schema (a pruned counting
+        # scan misses later-field coercion failures; see corrupt_count)
+        obs = Observation("ingest_bad")
+        q = q.observe(obs, F.sum(F.col(CORRUPT_COL).isNotNull().cast("long")).alias("bad"))
         clean = q.filter(f"{CORRUPT_COL} IS NULL").drop(CORRUPT_COL)
         clean.write.mode("overwrite").parquet(args.target)
-        n = spark.read.parquet(args.target).count()
+        # explicit schema on the read-back: an all-quarantined input
+        # writes a data-less dir that schema inference would choke on
+        n = spark.read.schema(clean.schema).parquet(args.target).count()
+        bad = int(obs.get["bad"] or 0)
         report = {"rows": n, "quarantined": bad, "target": args.target}
-        if args.quarantine_target and bad:
-            # dead-letter leg: the raw offending line, for replay after an
-            # upstream fix — the operational alternative to losing them.
-            # A real data column rides along so the file-source scan
-            # schema is never corrupt-column-only (SPARK-26965, same
-            # workaround as corrupt_count — caching the 100 TB read is
-            # the non-starter alternative); it also records how far the
-            # permissive parse got.
-            from pyspark.sql import functions as F
-
-            real = next(c for c in q.columns if c != CORRUPT_COL)
-            (
-                q.filter(f"{CORRUPT_COL} IS NOT NULL")
-                .select(
-                    F.col(CORRUPT_COL).alias("raw_line"),
-                    F.col(real).cast("string").alias("parsed_first_field"),
-                )
-                .write.mode("overwrite")
-                .parquet(args.quarantine_target)
-            )
+        if args.quarantine_target:
+            # dead-letter leg: raw offending lines + their partial parses,
+            # for replay after an upstream fix. Written unconditionally
+            # (overwrite) so a clean rerun CLEARS a previous run's dead
+            # letters instead of leaving them to be replayed twice.
+            dead_letters(q).write.mode("overwrite").parquet(args.quarantine_target)
             report["quarantine_target"] = args.quarantine_target
         print(json.dumps(report))
         return 0
@@ -226,18 +228,17 @@ def main(argv: list[str] | None = None) -> int:
         from rustic_witcher_spark.operators.dedup import exact_dedup
         from rustic_witcher_spark.operators.text import quality_score
         from rustic_witcher_spark.sinks.shards import write_training_shards
-        from rustic_witcher_spark.sources.text_formats import CORRUPT_COL, TABLE_DDL, read_jsonl
+        from rustic_witcher_spark.sources.text_formats import CORRUPT_COL, TABLE_DDL, dead_letters, read_jsonl
 
         spark = get_spark("curate")
         if args.format == "jsonl":
             # Same quarantine routing as `ingest`: malformed lines parse to
             # all-NULL rows that would otherwise survive dedup (one NULL-text
             # digest group) and land in the shards as ghost documents.
-            docs = (
-                read_jsonl(spark, args.input, TABLE_DDL["documents"], quarantine=True)
-                .filter(f"{CORRUPT_COL} IS NULL")
-                .drop(CORRUPT_COL)
-            )
+            quarantined = read_jsonl(spark, args.input, TABLE_DDL["documents"], quarantine=True)
+            if args.quarantine_target:
+                dead_letters(quarantined).write.mode("overwrite").parquet(args.quarantine_target)
+            docs = quarantined.filter(f"{CORRUPT_COL} IS NULL").drop(CORRUPT_COL)
         else:
             docs = cast_ntz_timestamps(spark.read.parquet(args.input))
         # Observation metrics ride the single shard-write job instead of

@@ -95,16 +95,39 @@ def corrupt_count(df_with_quarantine: DataFrame) -> int:
     """Health count for a quarantine read — how many raw lines failed
     the schema. One aggregate job.
 
-    Spark disallows queries whose effective file-source schema is ONLY
-    the internal corrupt column (SPARK-26965 / the
-    QUERY_ONLY_CORRUPT_RECORD_COLUMN guard, because the pruned parse
-    would never populate it), so the aggregate deliberately references
-    a real data column too — that keeps the scan schema legal without
-    caching the frame, which is the alternative the docs suggest and a
-    non-starter on a 100 TB read."""
-    real = next(c for c in df_with_quarantine.columns if c != CORRUPT_COL)
+    The aggregate references EVERY real column, for two reasons that
+    are both scan-schema games the file sources play:
+
+    1. SPARK-26965 / QUERY_ONLY_CORRUPT_RECORD_COLUMN: a query whose
+       effective scan schema is only the corrupt column is rejected
+       outright (the pruned parse would never populate it); caching —
+       the documented alternative — is a non-starter on a 100 TB read.
+    2. Column pruning changes WHICH rows are corrupt: a line that is
+       valid JSON but fails type coercion on a later field (e.g. a
+       string in a bigint column) is only flagged if the pruned parse
+       actually touches that field. Counting against a partial schema
+       undercounts — and disagrees with a full-schema consumer of the
+       same read, which DOES drop the row (the silent-loss bug this
+       fixed: corrupt_count said 0 while the clean write dropped a
+       row). Corruptness is defined against the FULL schema, so the
+       count must force a full parse."""
+    reals = [c for c in df_with_quarantine.columns if c != CORRUPT_COL]
     row = df_with_quarantine.agg(
         F.sum(F.col(CORRUPT_COL).isNotNull().cast("long")).alias("bad"),
-        F.count(F.col(real)).alias("__touch_real"),
+        *[F.count(F.col(c)).alias(f"__touch_{i}") for i, c in enumerate(reals)],
     ).collect()[0]
     return int(row["bad"] or 0)
+
+
+def dead_letters(df_with_quarantine: DataFrame) -> DataFrame:
+    """(raw_line, <every parsed field>) for the malformed rows — the
+    dead-letter frame an operator replays after fixing the producer.
+
+    All real columns are selected deliberately: it keeps the scan
+    schema full so later-field coercion failures are flagged at all
+    (the corrupt_count pruning trap above), and the partially-parsed
+    fields show HOW FAR each bad line got."""
+    reals = [c for c in df_with_quarantine.columns if c != CORRUPT_COL]
+    return df_with_quarantine.filter(F.col(CORRUPT_COL).isNotNull()).select(
+        F.col(CORRUPT_COL).alias("raw_line"), *[F.col(c) for c in reals]
+    )

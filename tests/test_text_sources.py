@@ -153,6 +153,10 @@ def test_cli_ingest_dead_letter_captures_raw_lines(spark, tmp_path, capsys):
         '{"doc_id": 1, "text": "ok", "lang": "en", "source": "w", "n_chars": 2}\n'
         "this is not json\n"
         "{broken\n"
+        # valid JSON, but a LATER field fails bigint coercion — the case a
+        # column-pruned counting/DLQ scan never flags while the full-schema
+        # clean write drops the row (review-confirmed silent-loss bug)
+        '{"doc_id": 9, "text": "typed wrong", "lang": "en", "source": "w", "n_chars": "xx"}\n'
     )
     out, dlq = str(tmp_path / "out"), str(tmp_path / "dlq")
     rc = cli.main([
@@ -161,6 +165,50 @@ def test_cli_ingest_dead_letter_captures_raw_lines(spark, tmp_path, capsys):
     ])
     assert rc == 0
     rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert rep == {"rows": 1, "quarantined": 2, "target": out, "quarantine_target": dlq}
-    raw = sorted(r["raw_line"] for r in spark.read.parquet(dlq).collect())
-    assert raw == ["this is not json", "{broken"]
+    assert rep == {"rows": 1, "quarantined": 3, "target": out, "quarantine_target": dlq}
+    dl = spark.read.parquet(dlq).collect()
+    raw = sorted(r["raw_line"] for r in dl)
+    assert raw == sorted([
+        "this is not json",
+        "{broken",
+        '{"doc_id": 9, "text": "typed wrong", "lang": "en", "source": "w", "n_chars": "xx"}',
+    ])
+    # the partial parse rides along: the coercion-failure line kept its
+    # parseable fields
+    typed = next(r for r in dl if r["doc_id"] == 9)
+    assert typed["text"] == "typed wrong" and typed["n_chars"] is None
+
+    # a clean rerun CLEARS the dead letters (stale-replay regression)
+    (src / "d.jsonl").write_text('{"doc_id": 1, "text": "ok", "lang": "en", "source": "w", "n_chars": 2}\n')
+    rc = cli.main([
+        "ingest", "--format", "jsonl", "--input", str(src), "--table", "documents",
+        "--target", out, "--quarantine-target", dlq,
+    ])
+    assert rc == 0
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["quarantined"] == 0
+    assert spark.read.parquet(dlq).count() == 0
+
+
+def test_cli_curate_quarantine_target_captures_malformed(spark, tmp_path, capsys):
+    """curate gets the same dead-letter leg as ingest — malformed lines
+    are captured for replay, not silently filtered."""
+    import json as _json
+
+    from rustic_witcher_spark import cli
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "docs.jsonl").write_text(
+        '{"doc_id": 1, "text": "a perfectly reasonable training document", "lang": "en", "source": "w", "n_chars": 41}\n'
+        "garbage\n"
+    )
+    out, dlq = str(tmp_path / "shards"), str(tmp_path / "dlq")
+    rc = cli.main([
+        "curate", "--input", str(src), "--format", "jsonl", "--target", out,
+        "--n-shards", "1", "--min-quality", "0.3", "--quarantine-target", dlq,
+    ])
+    assert rc == 0
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["input_rows"] == 1
+    assert [r["raw_line"] for r in spark.read.parquet(dlq).collect()] == ["garbage"]
