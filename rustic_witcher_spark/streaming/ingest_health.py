@@ -35,20 +35,29 @@ def read_jsonl_stream(spark: SparkSession, path: str, schema: str) -> DataFrame:
 
 
 def ingest_health(stream_with_quarantine: DataFrame) -> DataFrame:
-    """Running (clean_rows, corrupt_rows, parsed_key_rows) over the
-    whole stream.
+    """Running (clean_rows, corrupt_rows, parsed_key_rows,
+    fully_parsed_rows) over the whole stream.
 
-    Complete-output-mode aggregate: three longs of state, merged per
-    micro-batch. ``parsed_key_rows`` (non-null count of the first real
-    column) stays in the OUTPUT deliberately — were it projected away,
-    the optimizer would prune the aggregate expression and the scan
-    schema would collapse to the corrupt column alone, tripping the
-    SPARK-26965 guard; it is also a useful health signal in itself
-    (rows whose key parsed)."""
-    real = next(c for c in stream_with_quarantine.columns if c != CORRUPT_COL)
+    Complete-output-mode aggregate: four longs of state, merged per
+    micro-batch. The aggregate references EVERY real column — that
+    keeps the scan schema full, which matters twice: (1) a
+    corrupt-column-only schema trips the SPARK-26965 guard outright,
+    and (2) column pruning changes WHICH rows get flagged — a line
+    that is valid JSON but fails type coercion on a later field is
+    only marked corrupt if the parse touches that field, so a pruned
+    monitor would report clean for rows a full-schema consumer drops
+    (the batch-side corrupt_count had exactly this bug).
+    ``parsed_key_rows`` (key parsed) and ``fully_parsed_rows`` (every
+    field parsed) are useful health signals in themselves: a gap
+    between them is the partially-coerced row count."""
+    reals = [c for c in stream_with_quarantine.columns if c != CORRUPT_COL]
     bad = F.col(CORRUPT_COL).isNotNull()
+    all_parsed = F.lit(True)
+    for c in reals:
+        all_parsed = all_parsed & F.col(c).isNotNull()
     return stream_with_quarantine.agg(
         F.sum((~bad).cast("long")).alias("clean_rows"),
         F.sum(bad.cast("long")).alias("corrupt_rows"),
-        F.count(F.col(real)).alias("parsed_key_rows"),
+        F.count(F.col(reals[0])).alias("parsed_key_rows"),
+        F.sum(all_parsed.cast("long")).alias("fully_parsed_rows"),
     )

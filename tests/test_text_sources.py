@@ -130,12 +130,21 @@ def test_streaming_ingest_health_accumulates(spark, tmp_path):
         query.processAllAvailable()
         r = spark.sql(f"SELECT * FROM {qname}").collect()[0]
         assert (r["clean_rows"], r["corrupt_rows"]) == (3, 1)
-        # second file lands → counts move forward, never reset
-        (src / "b2.jsonl").write_text('{"doc_id": 9, "text": "t", "lang": "en", "source": "w", "n_chars": 1}\nbroken{\nalso broken\n')
+        # second file lands → counts move forward, never reset; includes a
+        # later-field coercion failure, which the full-schema monitor must
+        # flag corrupt (a pruned scan would call it clean — the
+        # corrupt_count bug class)
+        (src / "b2.jsonl").write_text(
+            '{"doc_id": 9, "text": "t", "lang": "en", "source": "w", "n_chars": 1}\n'
+            "broken{\nalso broken\n"
+            '{"doc_id": 10, "text": "t", "lang": "en", "source": "w", "n_chars": "xx"}\n'
+        )
         query.processAllAvailable()
         r = spark.sql(f"SELECT * FROM {qname}").collect()[0]
-        assert (r["clean_rows"], r["corrupt_rows"]) == (4, 3)
-        assert r["parsed_key_rows"] == 4
+        assert (r["clean_rows"], r["corrupt_rows"]) == (4, 4)
+        # the coercion-failure row parsed its key but not every field
+        assert r["parsed_key_rows"] == 5
+        assert r["fully_parsed_rows"] == 4
     finally:
         query.stop()
 
