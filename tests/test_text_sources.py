@@ -221,3 +221,31 @@ def test_cli_curate_quarantine_target_captures_malformed(spark, tmp_path, capsys
     rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["input_rows"] == 1
     assert [r["raw_line"] for r in spark.read.parquet(dlq).collect()] == ["garbage"]
+
+
+def test_cli_ingest_csv_dead_letter(spark, tmp_path, capsys):
+    """The CSV leg routes malformed rows (wrong arity / bad coercion)
+    through the same dead-letter contract as JSONL."""
+    import json as _json
+
+    from rustic_witcher_spark import cli
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "d.csv").write_text(
+        "doc_id,text,lang,source,n_chars\n"
+        "1,ok,en,w,2\n"
+        "9,bad type,en,w,notanumber\n"
+    )
+    out, dlq = str(tmp_path / "out"), str(tmp_path / "dlq")
+    rc = cli.main([
+        "ingest", "--format", "csv", "--input", str(src), "--table", "documents",
+        "--target", out, "--quarantine-target", dlq,
+    ])
+    assert rc == 0
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["rows"] == 1 and rep["quarantined"] == 1
+    dl = spark.read.parquet(dlq).collect()
+    assert len(dl) == 1
+    assert dl[0]["raw_line"] == "9,bad type,en,w,notanumber"
+    assert dl[0]["n_chars"] is None and dl[0]["text"] == "bad type"
