@@ -521,3 +521,101 @@ def lsh_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def hard_negative_top1_block(
+    df: DataFrame,
+    n_queries: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """numpy block-kernel twin of the Catalyst-HOF hard-negative entry
+    (queries.q_hard_negatives): top-1 other-label cosine neighbor per
+    query — the escape hatch for LARGE query sets, where per-pair HOF
+    lambdas (interpreted multiply-adds) lose to a vectorized matmul by
+    orders of magnitude.
+
+    Plan shape: the query block (ids, labels, float64 matrix) is tiny
+    by construction and ships to executors inside the Arrow kernel's
+    closure; mapInPandas emits ONE candidate row per (query, input
+    batch) — the per-batch argmax under the other-label mask — and a
+    map-side-combinable max(struct) reduces batches to the global
+    top-1, so the shuffle carries |queries| rows per partition exactly
+    like the HOF version. Same output contract and tie-break
+    (sim DESC, neighbor_id ASC); NULL labels/vectors drop out on both
+    paths. Scores are float64 dot/(‖q‖·‖c‖) rounded to 6 dp — matmul
+    sum order differs from the HOF's sequential fold below the last
+    bit, which the rounding absorbs (same argument as the block
+    near-dup kernel vs its list_cosine oracle)."""
+    import numpy as np
+
+    import pandas as pd  # noqa: F401 - batch frames below
+
+    qpdf = (
+        df.filter(F.col(id_col) < n_queries)
+        .filter(F.col(label_col).isNotNull() & F.col(vec_col).isNotNull())
+        .select(id_col, vec_col, label_col)
+        .toPandas()
+    )
+    out_ddl = (
+        "query_id long, query_label int, neighbor_id long, neighbor_label int, sim double"
+    )
+    if qpdf.empty:
+        return df.sparkSession.createDataFrame([], out_ddl)
+    q_ids = qpdf[id_col].to_numpy(dtype=np.int64)
+    q_labels = qpdf[label_col].to_numpy(dtype=np.int64)
+    q_mat = np.stack([np.asarray(v, dtype=np.float64) for v in qpdf[vec_col]])
+    q_norm = np.linalg.norm(q_mat, axis=1, keepdims=True)
+    q_norm[q_norm == 0.0] = 1.0
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            pdf = pdf[pdf[label_col].notna() & pdf[vec_col].notna()]
+            if pdf.empty:
+                continue
+            c_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            c_labels = pdf[label_col].to_numpy(dtype=np.int64)
+            c_mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            c_norm = np.linalg.norm(c_mat, axis=1, keepdims=True)
+            c_norm[c_norm == 0.0] = 1.0
+            sims = np.round((q_mat / q_norm) @ (c_mat / c_norm).T, 6)  # queries × batch
+            mask = q_labels[:, None] != c_labels[None, :]
+            sims = np.where(mask, sims, -np.inf)
+            # per-query argmax with the (sim DESC, id ASC) tie-break:
+            # among max-sim candidates pick the smallest id
+            best_rows = []
+            for qi in range(len(q_ids)):
+                row = sims[qi]
+                m = row.max()
+                if not np.isfinite(m):
+                    continue
+                cand = np.nonzero(row == m)[0]
+                ci = cand[np.argmin(c_ids[cand])]
+                best_rows.append((q_ids[qi], q_labels[qi], c_ids[ci], c_labels[ci], m))
+            if best_rows:
+                yield pd.DataFrame(
+                    best_rows,
+                    columns=["query_id", "query_label", "neighbor_id", "neighbor_label", "sim"],
+                )
+
+    per_batch = df.select(id_col, vec_col, label_col).mapInPandas(score, out_ddl)
+    best = per_batch.groupBy("query_id", "query_label").agg(
+        F.max(
+            F.struct(
+                F.col("sim").alias("sim"),
+                (-F.col("neighbor_id")).alias("__nn"),
+                F.col("neighbor_id").alias("neighbor_id"),
+                F.col("neighbor_label").alias("neighbor_label"),
+            )
+        ).alias("b")
+    )
+    return best.select(
+        "query_id",
+        "query_label",
+        F.col("b.neighbor_id").alias("neighbor_id"),
+        F.col("b.neighbor_label").alias("neighbor_label"),
+        F.col("b.sim").alias("sim"),
+    ).orderBy("query_id")

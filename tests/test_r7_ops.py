@@ -589,3 +589,33 @@ def test_source_kl_plan_single_explode_subtree(spark):
     # source totals / corpus total reuse it instead of re-deriving the
     # explode — exactly one Generate(explode) in the whole plan
     assert plan.count("Generate explode") <= 1
+
+
+def test_hard_negative_block_kernel_matches_hof_entry(spark):
+    """The numpy mapInPandas escape hatch produces the SAME output as
+    the Catalyst-HOF registry entry on real data — the documented
+    large-query-set swap is contract-identical."""
+    from rustic_witcher_spark.operators.similarity import hard_negative_top1_block
+    from rustic_witcher_spark.queries import HARDNEG_QUERIES, q_hard_negatives
+
+    hof = [tuple(r) for r in q_hard_negatives(spark, SF_DIR).collect()]
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    blk = [tuple(r) for r in hard_negative_top1_block(emb, HARDNEG_QUERIES).collect()]
+    assert blk == hof
+    assert len(blk) == HARDNEG_QUERIES
+
+
+def test_hard_negative_block_kernel_skips_same_label(spark, tmp_path):
+    from rustic_witcher_spark.operators.similarity import hard_negative_top1_block
+
+    rows = [
+        (0, [1.0, 0.0], 1),
+        (1, [0.99, 0.14], 1),   # closest but same label
+        (2, [0.9, 0.44], 2),
+        (5, [0.6, 0.8], 3), (7, [0.6, 0.8], 3),  # tie → smallest id
+    ]
+    df = spark.createDataFrame(rows, EMB_SCHEMA)
+    out = {r["query_id"]: r for r in hard_negative_top1_block(df, 1).collect()}
+    assert out[0]["neighbor_id"] == 2
+    out2 = {r["query_id"]: r for r in hard_negative_top1_block(df.filter("vec_id != 2"), 1).collect()}
+    assert out2[0]["neighbor_id"] == 5  # tie-break to smallest id
