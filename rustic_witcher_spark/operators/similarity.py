@@ -619,3 +619,62 @@ def hard_negative_top1_block(
         F.col("b.neighbor_label").alias("neighbor_label"),
         F.col("b.sim").alias("sim"),
     ).orderBy("query_id")
+
+
+def brute_force_topk_block(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """numpy block-kernel twin of :func:`brute_force_topk` — same
+    output contract (query_id, neighbor_id, sim, rank; self-matches
+    excluded; ties by neighbor id), vectorized for large query sets.
+
+    mapInPandas emits the per-batch top-k per query (k·|queries| rows
+    per batch — bounded, never the scored cross product), then one
+    window over the k-per-batch candidates picks the global top-k.
+    The window input is |queries|·k·|batches| rows — orders of
+    magnitude under the |queries|·|corpus| scored set the HOF version
+    ranks."""
+    import numpy as np
+
+    qpdf = queries.filter(F.col(vec_col).isNotNull()).select(id_col, vec_col).toPandas()
+    out_ddl = "query_id long, neighbor_id long, sim double"
+    if qpdf.empty:
+        return corpus.sparkSession.createDataFrame([], out_ddl + ", rank int")
+    q_ids = qpdf[id_col].to_numpy(dtype=np.int64)
+    q_mat = np.stack([np.asarray(v, dtype=np.float64) for v in qpdf[vec_col]])
+    q_norm = np.linalg.norm(q_mat, axis=1, keepdims=True)
+    q_norm[q_norm == 0.0] = 1.0
+    qn = q_mat / q_norm
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            pdf = pdf[pdf[vec_col].notna()]
+            if pdf.empty:
+                continue
+            c_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            c_mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            c_norm = np.linalg.norm(c_mat, axis=1, keepdims=True)
+            c_norm[c_norm == 0.0] = 1.0
+            sims = np.round(qn @ (c_mat / c_norm).T, 6)
+            sims = np.where(q_ids[:, None] != c_ids[None, :], sims, -np.inf)
+            rows = []
+            kk = min(k, sims.shape[1])
+            for qi in range(len(q_ids)):
+                row = sims[qi]
+                # top-k with (sim DESC, id ASC): lexsort on (-sim, id)
+                order = np.lexsort((c_ids, -row))[:kk]
+                for ci in order:
+                    if np.isfinite(row[ci]):
+                        rows.append((q_ids[qi], c_ids[ci], row[ci]))
+            if rows:
+                yield pd.DataFrame(rows, columns=["query_id", "neighbor_id", "sim"])
+
+    per_batch = corpus.select(id_col, vec_col).mapInPandas(score, out_ddl)
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return per_batch.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

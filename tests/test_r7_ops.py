@@ -619,3 +619,18 @@ def test_hard_negative_block_kernel_skips_same_label(spark, tmp_path):
     assert out[0]["neighbor_id"] == 2
     out2 = {r["query_id"]: r for r in hard_negative_top1_block(df.filter("vec_id != 2"), 1).collect()}
     assert out2[0]["neighbor_id"] == 5  # tie-break to smallest id
+
+
+def test_brute_force_topk_block_matches_hof(spark):
+    """The vectorized exact-kNN kernel is contract-identical to the
+    HOF brute_force_topk on real data (same ids, ranks, and rounded
+    sims)."""
+    from pyspark.sql import functions as F
+
+    from rustic_witcher_spark.operators.similarity import brute_force_topk, brute_force_topk_block
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    hof = sorted(tuple(r) for r in brute_force_topk(emb, queries, k=5).select("query_id", "neighbor_id", "rank", "sim").collect())
+    blk = sorted(tuple(r) for r in brute_force_topk_block(emb, queries, k=5).select("query_id", "neighbor_id", "rank", "sim").collect())
+    assert blk == hof and len(blk) == 25
