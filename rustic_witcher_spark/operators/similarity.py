@@ -536,21 +536,24 @@ def hard_negative_top1_block(
     lambdas (interpreted multiply-adds) lose to a vectorized matmul by
     orders of magnitude.
 
-    Plan shape: the query block (ids, labels, float64 matrix) is tiny
-    by construction and ships to executors inside the Arrow kernel's
-    closure; mapInPandas emits ONE candidate row per (query, input
-    batch) — the per-batch argmax under the other-label mask — and a
-    map-side-combinable max(struct) reduces batches to the global
-    top-1, so the shuffle carries |queries| rows per partition exactly
-    like the HOF version. Same output contract and tie-break
-    (sim DESC, neighbor_id ASC); NULL labels/vectors drop out on both
-    paths. Scores are float64 dot/(‖q‖·‖c‖) rounded to 6 dp — matmul
-    sum order differs from the HOF's sequential fold below the last
-    bit, which the rounding absorbs (same argument as the block
-    near-dup kernel vs its list_cosine oracle)."""
-    import numpy as np
+    Plan shape: the query block (ids, labels, float64 matrix) ships to
+    executors ONCE via sparkContext.broadcast (torrent, per-executor —
+    never per-task closure capture, which would re-serialize a large
+    query set with every task); mapInPandas emits ONE candidate row per
+    (query, input batch) — the per-batch argmax under the other-label
+    mask — and a map-side-combinable max(struct) reduces batches to the
+    global top-1, so the shuffle carries |queries| rows per partition
+    exactly like the HOF version. Same tie-break (sim DESC,
+    neighbor_id ASC).
 
-    import pandas as pd  # noqa: F401 - batch frames below
+    Dirty-data policy (deliberate, same as cosine_near_dup_pairs):
+    NULL-vector, NULL-label, zero-norm, and NaN-component rows are
+    DROPPED at the kernel boundary — a degenerate vector has no
+    direction, so it can neither query nor win. The HOF path instead
+    propagates NULL sims (oracle-pinned) and raises on zero vectors
+    under ANSI; on clean vectors the two paths are output-identical
+    (pinned by test)."""
+    import numpy as np
 
     qpdf = (
         df.filter(F.col(id_col) < n_queries)
@@ -561,17 +564,24 @@ def hard_negative_top1_block(
     out_ddl = (
         "query_id long, query_label int, neighbor_id long, neighbor_label int, sim double"
     )
+    spark = df.sparkSession
     if qpdf.empty:
-        return df.sparkSession.createDataFrame([], out_ddl)
+        return spark.createDataFrame([], out_ddl)
     q_ids = qpdf[id_col].to_numpy(dtype=np.int64)
     q_labels = qpdf[label_col].to_numpy(dtype=np.int64)
     q_mat = np.stack([np.asarray(v, dtype=np.float64) for v in qpdf[vec_col]])
-    q_norm = np.linalg.norm(q_mat, axis=1, keepdims=True)
-    q_norm[q_norm == 0.0] = 1.0
+    q_norm = np.linalg.norm(q_mat, axis=1)
+    keep_q = np.isfinite(q_norm) & (q_norm > 0.0)
+    q_ids, q_labels = q_ids[keep_q], q_labels[keep_q]
+    if not len(q_ids):
+        return spark.createDataFrame([], out_ddl)
+    qn = q_mat[keep_q] / q_norm[keep_q, None]
+    b_q = spark.sparkContext.broadcast((q_ids, q_labels, qn))
 
     def score(batches):
         import pandas as pd
 
+        q_ids, q_labels, qn = b_q.value
         for pdf in batches:
             pdf = pdf[pdf[label_col].notna() & pdf[vec_col].notna()]
             if pdf.empty:
@@ -579,13 +589,17 @@ def hard_negative_top1_block(
             c_ids = pdf[id_col].to_numpy(dtype=np.int64)
             c_labels = pdf[label_col].to_numpy(dtype=np.int64)
             c_mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            c_norm = np.linalg.norm(c_mat, axis=1, keepdims=True)
-            c_norm[c_norm == 0.0] = 1.0
-            sims = np.round((q_mat / q_norm) @ (c_mat / c_norm).T, 6)  # queries × batch
+            c_norm = np.linalg.norm(c_mat, axis=1)
+            keep = np.isfinite(c_norm) & (c_norm > 0.0)
+            if not keep.any():
+                continue
+            c_ids, c_labels = c_ids[keep], c_labels[keep]
+            sims = np.round(qn @ (c_mat[keep] / c_norm[keep, None]).T, 6)
             mask = q_labels[:, None] != c_labels[None, :]
-            sims = np.where(mask, sims, -np.inf)
-            # per-query argmax with the (sim DESC, id ASC) tie-break:
-            # among max-sim candidates pick the smallest id
+            # NaN sims (poisoned components that survived the norm
+            # screen) are masked per-candidate, never allowed to hide a
+            # whole batch from a query
+            sims = np.where(mask & np.isfinite(sims), sims, -np.inf)
             best_rows = []
             for qi in range(len(q_ids)):
                 row = sims[qi]
@@ -629,8 +643,14 @@ def brute_force_topk_block(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """numpy block-kernel twin of :func:`brute_force_topk` — same
-    output contract (query_id, neighbor_id, sim, rank; self-matches
-    excluded; ties by neighbor id), vectorized for large query sets.
+    output contract on clean vectors (query_id, neighbor_id, sim,
+    rank; self-matches excluded; ties by neighbor id), vectorized for
+    large query sets. Query block broadcast once per executor (torrent,
+    not per-task closure). Dirty-data policy as
+    hard_negative_top1_block: NULL/zero-norm/NaN vectors are dropped
+    at the kernel boundary (the HOF twin instead propagates NULL sims
+    ranked last — oracle-pinned — and raises on zero vectors under
+    ANSI).
 
     mapInPandas emits the per-batch top-k per query (k·|queries| rows
     per batch — bounded, never the scored cross product), then one
@@ -640,34 +660,42 @@ def brute_force_topk_block(
     ranks."""
     import numpy as np
 
+    spark = corpus.sparkSession
     qpdf = queries.filter(F.col(vec_col).isNotNull()).select(id_col, vec_col).toPandas()
     out_ddl = "query_id long, neighbor_id long, sim double"
     if qpdf.empty:
-        return corpus.sparkSession.createDataFrame([], out_ddl + ", rank int")
+        return spark.createDataFrame([], out_ddl + ", rank int")
     q_ids = qpdf[id_col].to_numpy(dtype=np.int64)
     q_mat = np.stack([np.asarray(v, dtype=np.float64) for v in qpdf[vec_col]])
-    q_norm = np.linalg.norm(q_mat, axis=1, keepdims=True)
-    q_norm[q_norm == 0.0] = 1.0
-    qn = q_mat / q_norm
+    q_norm = np.linalg.norm(q_mat, axis=1)
+    keep_q = np.isfinite(q_norm) & (q_norm > 0.0)
+    q_ids = q_ids[keep_q]
+    if not len(q_ids):
+        return spark.createDataFrame([], out_ddl + ", rank int")
+    qn = q_mat[keep_q] / q_norm[keep_q, None]
+    b_q = spark.sparkContext.broadcast((q_ids, qn))
 
     def score(batches):
         import pandas as pd
 
+        q_ids, qn = b_q.value
         for pdf in batches:
             pdf = pdf[pdf[vec_col].notna()]
             if pdf.empty:
                 continue
             c_ids = pdf[id_col].to_numpy(dtype=np.int64)
             c_mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            c_norm = np.linalg.norm(c_mat, axis=1, keepdims=True)
-            c_norm[c_norm == 0.0] = 1.0
-            sims = np.round(qn @ (c_mat / c_norm).T, 6)
-            sims = np.where(q_ids[:, None] != c_ids[None, :], sims, -np.inf)
+            c_norm = np.linalg.norm(c_mat, axis=1)
+            keep = np.isfinite(c_norm) & (c_norm > 0.0)
+            if not keep.any():
+                continue
+            c_ids = c_ids[keep]
+            sims = np.round(qn @ (c_mat[keep] / c_norm[keep, None]).T, 6)
+            sims = np.where((q_ids[:, None] != c_ids[None, :]) & np.isfinite(sims), sims, -np.inf)
             rows = []
             kk = min(k, sims.shape[1])
             for qi in range(len(q_ids)):
                 row = sims[qi]
-                # top-k with (sim DESC, id ASC): lexsort on (-sim, id)
                 order = np.lexsort((c_ids, -row))[:kk]
                 for ci in order:
                     if np.isfinite(row[ci]):

@@ -605,7 +605,7 @@ def test_hard_negative_block_kernel_matches_hof_entry(spark):
     assert len(blk) == HARDNEG_QUERIES
 
 
-def test_hard_negative_block_kernel_skips_same_label(spark, tmp_path):
+def test_hard_negative_block_kernel_skips_same_label(spark):
     from rustic_witcher_spark.operators.similarity import hard_negative_top1_block
 
     rows = [
@@ -634,3 +634,29 @@ def test_brute_force_topk_block_matches_hof(spark):
     hof = sorted(tuple(r) for r in brute_force_topk(emb, queries, k=5).select("query_id", "neighbor_id", "rank", "sim").collect())
     blk = sorted(tuple(r) for r in brute_force_topk_block(emb, queries, k=5).select("query_id", "neighbor_id", "rank", "sim").collect())
     assert blk == hof and len(blk) == 25
+
+
+def test_block_kernels_drop_degenerate_vectors(spark):
+    """Dirty-data policy pin: NULL and zero-norm vectors are dropped at
+    the kernel boundary — they never query and never win (the HOF twin
+    instead propagates NULL sims / raises on zero under ANSI; that
+    divergence is documented, this pins the kernel side)."""
+    from rustic_witcher_spark.operators.similarity import brute_force_topk_block, hard_negative_top1_block
+
+    rows = [
+        (0, [1.0, 0.0], 1),
+        (2, None, 2),           # NULL vector: never a neighbor
+        (3, [-1.0, -0.1], 2),   # real (negative-sim) candidate
+        (4, [0.0, 0.0], 2),     # zero vector: no direction, must not win
+    ]
+    df = spark.createDataFrame(rows, EMB_SCHEMA)
+    out = hard_negative_top1_block(df, 1).collect()
+    assert len(out) == 1
+    assert out[0]["neighbor_id"] == 3  # the real candidate, not the zero vec
+    assert out[0]["sim"] < 0
+
+    topk = brute_force_topk_block(df, df.filter("vec_id = 0"), k=5).collect()
+    assert sorted(r["neighbor_id"] for r in topk) == [3]  # NULL/zero dropped
+
+    # a NULL-vector query emits nothing instead of NULL-sim rows
+    assert hard_negative_top1_block(df.withColumn("vec_id", df.vec_id + 0), 3).count() == 1
