@@ -5851,12 +5851,12 @@ ROUND6_PREFIX = [
 # CASE sums ::BIGINT in SQL_Q12, and the local gate is now
 # order/dtype-faithful so the unfixed form FAILS locally (verified).
 # Slots 2–34: the 33 round-6 additions that have never held a driver
-# verdict (tracked in the build_registry docstring). Slots 35–46:
-# the 12 ROUND-7 additions — new entries go into the CURRENT round's
+# verdict (tracked in the build_registry docstring). Slots 35–50:
+# ALL 16 round-7 additions — new entries go into the CURRENT round's
 # window so nothing ever waits two rounds for its first driver
-# verdict (the round-6 debt mistake, not repeated). Slots 47–50:
-# refill from the 47 entries whose latest verdict is r05 (oldest
-# first in registry-stable order).
+# verdict (the round-6 debt mistake, not repeated); the final four
+# slots went to the late additions (hard_negatives/bm25/split/KL)
+# rather than r05 refills, so the 47 r05-verdict holders lead r8.
 ROUND7_PREFIX = [
     # red in r5+r6 — HUGEINT fix proves here
     "q12_shipping_lateness",
