@@ -215,3 +215,31 @@ def test_kl_nonnegative_and_zero_iff_proportional(spark, stream, ref, scale):
     prop = spark.createDataFrame([(t, n * scale) for t, n in stream.items()], "term string, n long")
     r0 = kl_vs_reference(sdf, prop).collect()[0]
     assert r0["kl_nanonats"] == 0 and r0["oov_tokens"] == 0
+
+
+# ---------------------------------------------------------------- group split
+
+source_lists = st.lists(st.text(alphabet="abcdef", min_size=1, max_size=6), min_size=1, max_size=12, unique=True)
+
+
+@given(initial=source_lists, added=source_lists)
+@settings(**SETTINGS)
+def test_group_split_stable_under_corpus_growth(spark, initial, added):
+    """SCALE.md's stability claim: adding new groups to the corpus
+    never moves an existing group's split assignment — eval sets stay
+    clean across incremental refreshes."""
+    from pyspark.sql import functions as F
+
+    from rustic_witcher_spark.operators.sampling import group_split
+
+    def assign(sources):
+        df = spark.createDataFrame([(s,) for s in sources], "source string")
+        return {
+            r["source"]: r["split"]
+            for r in df.withColumn("split", group_split(F.col("source"))).collect()
+        }
+
+    before = assign(initial)
+    after = assign(sorted(set(initial) | set(added)))
+    for s, split in before.items():
+        assert after[s] == split
