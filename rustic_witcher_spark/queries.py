@@ -5471,7 +5471,8 @@ ORDER BY score DESC, doc_id ASC LIMIT {BM25_TOPK}
 """
 
 
-SPLIT_BUCKETS = 10  # 8 train / 1 val / 1 test
+SPLIT_BUCKETS = 10  # train / 1 val / 1 test over these buckets
+SPLIT_TRAIN_BUCKETS = 8  # passed to BOTH faces so the CASE thresholds can't drift
 
 
 def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5489,7 +5490,9 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(text.token_count(F.col("text"))).alias("n_tokens"),
     )
-    split = sampling.group_split(F.col("source"), seed=SEED, buckets=SPLIT_BUCKETS)
+    split = sampling.group_split(
+        F.col("source"), seed=SEED, buckets=SPLIT_BUCKETS, train_buckets=SPLIT_TRAIN_BUCKETS
+    )
     return (
         src.withColumn("split", split)
         .groupBy("split")
@@ -5509,7 +5512,7 @@ WITH src AS (
   FROM documents GROUP BY source
 ),
 lab AS (
-  SELECT *, (CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END) AS split
+  SELECT *, (CASE WHEN b < {SPLIT_TRAIN_BUCKETS} THEN 'train' WHEN b = {SPLIT_TRAIN_BUCKETS} THEN 'val' ELSE 'test' END) AS split
   FROM (SELECT *, {sql_hash64('source', SEED, 'split')} % {SPLIT_BUCKETS} AS b FROM src)
 )
 SELECT split, count(*)::BIGINT AS n_sources, sum(n_docs)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS n_tokens

@@ -71,7 +71,10 @@ def write_training_shards(
     disk, not what the plan was supposed to produce."""
     sharded = training_shards(df, id_col, n_shards, seed=seed)
     sharded.write.mode("overwrite").partitionBy("shard").parquet(path)
-    written = sharded.sparkSession.read.parquet(path)
+    # explicit schema: a 0-row input writes only _SUCCESS, and a
+    # schema-inference read-back would die with UNABLE_TO_INFER_SCHEMA
+    # instead of yielding the empty manifest an empty corpus deserves
+    written = sharded.sparkSession.read.schema(sharded.schema).parquet(path)
     stats = {
         int(r["shard"]): {"n_rows": int(r["n_rows"]), "digest": int(r["digest"])}
         for r in _shard_stats(written, id_col, seed).collect()
@@ -97,7 +100,13 @@ def verify_training_shards(spark: SparkSession, path: str) -> list[str]:
     split strategy verifies."""
     with open(os.path.join(path, MANIFEST_NAME)) as fh:
         manifest = json.load(fh)
-    df = spark.read.parquet(path)
+    if manifest["shards"]:
+        df = spark.read.parquet(path)
+    else:
+        # empty-manifest dir holds only _SUCCESS — schema inference would
+        # raise; an empty frame with the two columns _shard_stats touches
+        # verifies vacuously (id is cast to string inside the digest)
+        df = spark.createDataFrame([], f"`{manifest['id_col']}` string, shard int")
     got = {
         int(r["shard"]): (int(r["n_rows"]), int(r["digest"]))
         for r in _shard_stats(df, manifest["id_col"], manifest["seed"]).collect()

@@ -34,9 +34,14 @@ def read_jsonl_stream(spark: SparkSession, path: str, schema: str) -> DataFrame:
     )
 
 
-def ingest_health(stream_with_quarantine: DataFrame) -> DataFrame:
+def ingest_health(stream_with_quarantine: DataFrame, key_col: str | None = None) -> DataFrame:
     """Running (clean_rows, corrupt_rows, parsed_key_rows,
     fully_parsed_rows) over the whole stream.
+
+    ``key_col`` names the column whose parse success is the
+    ``parsed_key_rows`` signal; default is the FIRST real column of the
+    caller's DDL (documented contract, no longer a silent assumption —
+    a schema ordered payload-first should pass its key explicitly).
 
     Complete-output-mode aggregate: four longs of state, merged per
     micro-batch. The aggregate references EVERY real column — that
@@ -51,6 +56,9 @@ def ingest_health(stream_with_quarantine: DataFrame) -> DataFrame:
     field parsed) are useful health signals in themselves: a gap
     between them is the partially-coerced row count."""
     reals = [c for c in stream_with_quarantine.columns if c != CORRUPT_COL]
+    key = key_col if key_col is not None else reals[0]
+    if key not in reals:
+        raise ValueError(f"key_col {key!r} is not a data column of the stream ({reals})")
     bad = F.col(CORRUPT_COL).isNotNull()
     all_parsed = F.lit(True)
     for c in reals:
@@ -58,6 +66,6 @@ def ingest_health(stream_with_quarantine: DataFrame) -> DataFrame:
     return stream_with_quarantine.agg(
         F.sum((~bad).cast("long")).alias("clean_rows"),
         F.sum(bad.cast("long")).alias("corrupt_rows"),
-        F.count(F.col(reals[0])).alias("parsed_key_rows"),
+        F.count(F.col(key)).alias("parsed_key_rows"),
         F.sum(all_parsed.cast("long")).alias("fully_parsed_rows"),
     )

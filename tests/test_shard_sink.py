@@ -270,3 +270,15 @@ def test_cli_split_empty_input_reports_empty_splits(spark, tmp_path, capsys):
     assert cli.main(["split", "--input", src, "--target", out]) == 0
     rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["splits"] == {}
+
+
+def test_write_empty_corpus_yields_empty_manifest(spark, tmp_path):
+    """ADVICE r7 regression: a 0-row input writes only _SUCCESS; the
+    manifest read-back must use the writer's schema (inference would
+    raise UNABLE_TO_INFER_SCHEMA) and verify must pass on the empty
+    manifest without inferring either."""
+    path = str(tmp_path / "out")
+    manifest = sh.write_training_shards(_docs(spark, 0), "doc_id", 4, path)
+    assert manifest["total_rows"] == 0
+    assert manifest["shards"] == {}
+    assert sh.verify_training_shards(spark, path) == []
