@@ -547,14 +547,28 @@ def _plan(spark, fn):
 
 
 def test_hard_negatives_plan_broadcast_and_partial_max(spark):
-    from rustic_witcher_spark.queries import q_hard_negatives
+    from rustic_witcher_spark.queries import q_hard_negatives_hof
 
-    plan = _plan(spark, q_hard_negatives)
+    plan = _plan(spark, q_hard_negatives_hof)
     # query set broadcast against one corpus scan; top-1 via a map-side
     # partial max(struct) — never a per-query row_number window shuffle
     assert "BroadcastNestedLoopJoin" in plan
     assert "partial_max" in plan
     assert "Window" not in plan
+
+
+def test_hard_negatives_registered_plan_is_block_kernel(spark):
+    """r8: the REGISTERED entry runs the vectorized mapInPandas kernel
+    (one candidate row per query per batch, map-side partial max) —
+    never a cross join, a window, or a row-at-a-time Python UDF."""
+    from rustic_witcher_spark.queries import q_hard_negatives
+
+    plan = _plan(spark, q_hard_negatives)
+    assert "MapInPandas" in plan
+    assert "partial_max" in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
 
 
 def test_bm25_plan_takeordered_single_tokenize_filter(spark):
@@ -592,13 +606,13 @@ def test_source_kl_plan_single_explode_subtree(spark):
 
 
 def test_hard_negative_block_kernel_matches_hof_entry(spark):
-    """The numpy mapInPandas escape hatch produces the SAME output as
-    the Catalyst-HOF registry entry on real data — the documented
-    large-query-set swap is contract-identical."""
+    """The numpy mapInPandas kernel (the REGISTERED path since r8)
+    produces the SAME output as the Catalyst-HOF twin on real data —
+    the swap is contract-identical."""
     from rustic_witcher_spark.operators.similarity import hard_negative_top1_block
-    from rustic_witcher_spark.queries import HARDNEG_QUERIES, q_hard_negatives
+    from rustic_witcher_spark.queries import HARDNEG_QUERIES, q_hard_negatives_hof
 
-    hof = [tuple(r) for r in q_hard_negatives(spark, SF_DIR).collect()]
+    hof = [tuple(r) for r in q_hard_negatives_hof(spark, SF_DIR).collect()]
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     blk = [tuple(r) for r in hard_negative_top1_block(emb, HARDNEG_QUERIES).collect()]
     assert blk == hof
