@@ -374,6 +374,27 @@ def simhash_near_duplicates(
     which for simhash means the docs are near-identical to begin with.
     """
     h = df.select(F.col(id_col).alias("__id"), simhash64(F.col(text_col), seed).alias("__sim"))
+    return hamming_near_duplicates(h, "__id", "__sim", max_hamming, max_bucket_size)
+
+
+def hamming_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    hash_col: str,
+    max_hamming: int = 0,
+    max_bucket_size: int = 2048,
+) -> DataFrame:
+    """Near-duplicate pairs by hamming distance over ANY non-negative
+    64-bit fingerprint column — the banding engine behind
+    ``simhash_near_duplicates``, split out so other fingerprint families
+    (perceptual hashes over media bytes, feature sign hashes) get the
+    same exact-by-pigeonhole shape without recomputing a text simhash.
+
+    Same contract as ``simhash_near_duplicates``: (id_a, id_b, hamming)
+    with id_a < id_b, every pair within ``max_hamming`` found via
+    d+1-band bucket grouping + exact bit_count(xor) confirmation, one
+    shuffle on the band key, buckets capped at ``max_bucket_size``."""
+    h = df.select(F.col(id_col).alias("__id"), F.col(hash_col).alias("__sim"))
     nb = max_hamming + 1
     width = 64 // nb
     if max_hamming == 0:

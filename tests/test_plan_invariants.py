@@ -30,7 +30,16 @@ except Exception as exc:  # noqa: BLE001 — any registry bug lands here
     REGISTRY_ERROR = exc
 
 # queries whose operators legitimately use Arrow-batched Python
-ARROW_OK = {"embedding_near_dups", "multimodal_features", "frame_sample"}
+ARROW_OK = {
+    "embedding_near_dups",
+    "multimodal_features",
+    "frame_sample",
+    # r8: hard_negatives registers the vectorized numpy block kernel
+    # (mapInPandas matmul — the measured 2x over the Catalyst-HOF twin)
+    "hard_negatives",
+    # r8: perceptual-hash decode kernel (mapInPandas bincount)
+    "media_near_dups",
+}
 
 
 def test_registry_importable():

@@ -1,0 +1,254 @@
+"""Round-8 additions: perceptual-hash media near-dup detection
+(multimodal.perceptual_hash63 + dedup.hamming_near_duplicates), the
+driver-gradeable batch face of the streaming drift finalizer
+(drift_vs_reference), and the chained two-step BPE merge
+(bpe_merge_chain). The local gate checks oracle parity at sf0.01;
+these pin the MEANING on handcrafted fixtures."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pytest
+
+from rustic_witcher_spark.operators.multimodal import perceptual_hash63
+
+SF_DIR = "/root/testdata/sf0.001"
+PNG_FIXTURE = Path(__file__).parent / "fixtures" / "tiny_rgb.png"
+
+
+# ---------------------------------------------------------------------------
+# perceptual_hash63 kernel semantics
+# ---------------------------------------------------------------------------
+
+
+def test_phash_none_and_empty_are_zero():
+    assert perceptual_hash63(None) == 0
+    assert perceptual_hash63(b"") == 0
+
+
+def test_phash_is_deterministic_and_nonneg_63bit():
+    data = bytes(range(256)) * 3
+    h = perceptual_hash63(data)
+    assert h == perceptual_hash63(data)
+    assert 0 <= h < (1 << 63)
+
+
+def test_phash_small_edit_small_hamming_unrelated_far():
+    """The dHash property the banding relies on: a one-byte edit flips
+    at most the comparisons touching one cell; unrelated content
+    diverges to ~half the bits."""
+    # aperiodic pseudorandom content: REPEATED text with a period that
+    # divides the cell count aliases to an 8-cell pattern and can
+    # collide across different templates (a real dHash property — the
+    # corpus entries never hit it because document text is not periodic)
+    import hashlib
+
+    base = b"".join(hashlib.sha256(bytes([i])).digest() for i in range(16))
+    edited = bytearray(base)
+    edited[0] ^= 0x20  # one-byte edit — one cell mean moves
+    other = b"".join(hashlib.sha256(bytes([i, 1])).digest() for i in range(16))
+    d_edit = bin(perceptual_hash63(base) ^ perceptual_hash63(bytes(edited))).count("1")
+    d_other = bin(perceptual_hash63(base) ^ perceptual_hash63(other)).count("1")
+    assert d_edit <= 2
+    assert d_other >= 8
+
+
+def test_phash_short_input_missing_cells_contribute_zero_bits():
+    """n < 64 bytes: cells with no bytes yield no comparisons — bits
+    where either adjacent cell is empty stay 0 (the oracle's inner join
+    on present cells). A 4-byte blob occupies cells 0/16/32/48 only;
+    no ADJACENT pair is present, so the hash is exactly 0."""
+    assert perceptual_hash63(b"\x01\x02\x03\x04") == 0
+
+
+def test_phash_png_path_equals_pixel_byte_path():
+    """Direct statement of the real-decode contract: phash(png file) ==
+    phash(decoded pixel buffer hashed as opaque bytes)."""
+    from rustic_witcher_spark.operators.multimodal import decode_png
+
+    png = PNG_FIXTURE.read_bytes()
+    _w, _h, _ch, px = decode_png(png)
+    assert perceptual_hash63(png) == perceptual_hash63(px)
+
+
+# ---------------------------------------------------------------------------
+# hamming_near_duplicates banding engine (crafted fingerprints)
+# ---------------------------------------------------------------------------
+
+
+def test_hamming_banding_exact_at_threshold(spark):
+    """Pairs at hamming 0/1/2 found, hamming 3 excluded — pigeonhole
+    banding (3 bands over 63 bits) plus the exact bit_count confirm."""
+    from rustic_witcher_spark.operators.dedup import hamming_near_duplicates
+
+    base = 0b1010110011100011010101010101010101010101010101010101010101010
+    rows = [
+        (1, base),
+        (2, base),  # hamming 0
+        (3, base ^ (1 << 5)),  # hamming 1
+        (4, base ^ (1 << 5) ^ (1 << 40)),  # hamming 2 from base
+        (5, base ^ 0b111),  # hamming 3 from base — excluded vs 1/2
+        (6, 0),  # far away
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, ph long")
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in hamming_near_duplicates(df, "doc_id", "ph", max_hamming=2).collect()
+    }
+    assert got == {
+        (1, 2): 0,
+        (1, 3): 1,
+        (2, 3): 1,
+        (1, 4): 2,
+        (2, 4): 2,
+        (3, 4): 1,
+    }
+
+
+def test_simhash_near_duplicates_delegates_unchanged(spark):
+    """Refactor guard: simhash_near_duplicates output is identical to
+    computing simhash64 then calling the generalized banding engine."""
+    from pyspark.sql import functions as F
+
+    from rustic_witcher_spark.operators.dedup import (
+        hamming_near_duplicates,
+        simhash64,
+        simhash_near_duplicates,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"), (3, "alpha beta gamma epsilon"), (4, "zzz yyy xxx www")],
+        "doc_id long, text string",
+    )
+    a = sorted(tuple(r) for r in simhash_near_duplicates(docs, "text", "doc_id", max_hamming=3).collect())
+    h = docs.select("doc_id", simhash64(F.col("text")).alias("sh"))
+    b = sorted(tuple(r) for r in hamming_near_duplicates(h, "doc_id", "sh", max_hamming=3).collect())
+    assert a == b and len(a) >= 1  # (1,2) at hamming 0 at minimum
+
+
+# ---------------------------------------------------------------------------
+# media_near_dups entry: planted twins recovered
+# ---------------------------------------------------------------------------
+
+
+def test_media_near_dups_recovers_planted_twins(spark):
+    from rustic_witcher_spark.queries import MEDIA_DUP_STRIDE, q_media_near_dups
+
+    rows = q_media_near_dups(spark, SF_DIR).collect()
+    doc_ids = {r.doc_id for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id").collect()}
+    planted = {(d, d + 1_000_000) for d in doc_ids if d % MEDIA_DUP_STRIDE == 0}
+    got = {(r.id_a, r.id_b) for r in rows}
+    assert planted <= got, f"missed planted twins: {planted - got}"
+    assert all(r.hamming <= 2 for r in rows)
+    # organic corpus has no sub-9 hamming pairs at this SF: output is exactly the plants
+    assert got == planted
+
+
+# ---------------------------------------------------------------------------
+# drift_vs_reference: batch entry ≡ streaming finalizer (same code path)
+# ---------------------------------------------------------------------------
+
+
+def test_drift_entry_equals_streaming_monitor_reading(spark, tmp_path):
+    """The registry entry and the streaming monitor produce the SAME
+    reading over the same corpus: stream the non-reference documents
+    through start_drift_monitor (micro-batched), finalize the live
+    state with kl_vs_reference, compare against q_drift_vs_reference."""
+    from pyspark.sql import functions as F
+
+    from rustic_witcher_spark.queries import DRIFT_REF_SOURCE, DRIFT_REF_VOCAB, q_drift_vs_reference
+    from rustic_witcher_spark.streaming.drift import kl_vs_reference, start_drift_monitor, term_counts
+
+    batch = q_drift_vs_reference(spark, SF_DIR).collect()[0]
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    ref = (
+        term_counts(docs.filter(F.col("source") == DRIFT_REF_SOURCE))
+        .orderBy(F.desc("n"), F.asc("term"))
+        .limit(DRIFT_REF_VOCAB)
+    )
+    live_dir = tmp_path / "live"
+    docs.filter(F.col("source") != DRIFT_REF_SOURCE).select("doc_id", "text").repartition(3).write.parquet(str(live_dir))
+    qname = f"r8drift_{abs(hash(str(tmp_path))) % 10**8}"
+    stream = spark.readStream.schema("doc_id long, text string").option("maxFilesPerTrigger", 1).parquet(str(live_dir))
+    q = start_drift_monitor(stream, qname, str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+        streamed = kl_vs_reference(spark.sql(f"SELECT * FROM {qname}"), ref).collect()[0]
+    finally:
+        q.stop()
+    assert tuple(streamed) == tuple(batch)
+    assert batch["oov_tokens"] > 0 and batch["kl_nanonats"] > 0  # both faces exercised
+
+
+# ---------------------------------------------------------------------------
+# bpe_merge_chain: symbol-string merge semantics + composition
+# ---------------------------------------------------------------------------
+
+
+def _bpe_two_steps_python(vocab: dict[str, int]) -> tuple[str, dict[tuple[str, str], int]]:
+    """Reference implementation: standard BPE on symbol lists."""
+    p1: dict[tuple[str, str], int] = {}
+    for w, c in vocab.items():
+        syms = list(w)
+        for a, b in zip(syms, syms[1:]):
+            p1[(a, b)] = p1.get((a, b), 0) + c
+    win = min(p1, key=lambda k: (-p1[k], k[0] + k[1]))
+    p2: dict[tuple[str, str], int] = {}
+    for w, c in vocab.items():
+        syms, out = list(w), []
+        i = 0
+        while i < len(syms):
+            if i + 1 < len(syms) and (syms[i], syms[i + 1]) == win:
+                out.append(syms[i] + syms[i + 1])
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        for a, b in zip(out, out[1:]):
+            p2[(a, b)] = p2.get((a, b), 0) + c
+    return win[0] + win[1], p2
+
+
+def test_bpe_chain_matches_python_reference(spark, tmp_path):
+    """Two chained merges over a crafted vocab equal the textbook
+    symbol-list BPE — including the overlapping-pair greedy case
+    ('aaaa' with winner 'aa' → [aa, aa], never [a, aa, a])."""
+    from rustic_witcher_spark.queries import q_bpe_merge_chain
+
+    docs = []
+    corpus = {"aaaa": 10, "banana": 5, "bandana": 4, "aa": 7, "naan": 3}
+    i = 0
+    for w, c in corpus.items():
+        for _ in range(c):
+            docs.append((i, w, "en", "srcX", len(w)))
+            i += 1
+    d = tmp_path / "fix"
+    spark.createDataFrame(docs, "doc_id long, text string, lang string, source string, n_chars long").write.parquet(
+        str(d / "documents.parquet")
+    )
+    got = {(r.merged_pair, r.pair): r.n for r in q_bpe_merge_chain(spark, str(d)).collect()}
+    win, p2 = _bpe_two_steps_python(corpus)
+    want_all = {(win, f"{a} {b}"): n for (a, b), n in p2.items()}
+    # entry returns top-20 — compare on the intersection, and the
+    # top-by-count rows must all be present
+    for k, v in got.items():
+        assert want_all[k] == v
+    top = sorted(want_all.items(), key=lambda kv: (-kv[1], kv[0][1]))[: len(got)]
+    assert dict(top) == got
+
+
+def test_bpe_chain_merged_symbol_participates_in_step2(spark):
+    """Chain proof on real data: step-2 pairs must mention the step-1
+    winner as a SYMBOL (space-separated component), i.e. the vocab
+    recurrence actually composed rather than recounting raw chars."""
+    from rustic_witcher_spark.queries import q_bpe_merge_chain
+
+    rows = q_bpe_merge_chain(spark, SF_DIR).collect()
+    assert len(rows) > 0
+    merged = rows[0]["merged_pair"]
+    assert len(merged) == 2
+    assert any(merged in r["pair"].split(" ") for r in rows), (
+        "no step-2 pair contains the merged symbol — chain did not compose"
+    )
