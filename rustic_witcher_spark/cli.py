@@ -141,6 +141,21 @@ def build_parser() -> argparse.ArgumentParser:
     dr.add_argument("--input", required=True, help="corpus parquet path to score")
     dr.add_argument("--reference", required=True, help="frozen baseline documents parquet path")
     dr.add_argument("--text-col", default="text")
+    md = sub.add_parser(
+        "media-dedup",
+        help="perceptual-hash near-duplicate pairs over a binary media column (banded hamming search)",
+    )
+    md.add_argument("--source", required=True, help="input parquet path with a binary media column")
+    md.add_argument("--target", required=True, help="output parquet path for (id_a, id_b, hamming) pairs")
+    md.add_argument("--id-col", required=True)
+    md.add_argument("--binary-col", default="media")
+    md.add_argument("--max-hamming", type=int, default=2)
+    md.add_argument(
+        "--against",
+        default=None,
+        help="optional corpus-index parquet (id + fingerprint); flags the source batch "
+        "against it (incremental mode) instead of pairing the source with itself",
+    )
     return p
 
 
@@ -313,6 +328,43 @@ def main(argv: list[str] | None = None) -> int:
                 sort_keys=True,
             )
         )
+        return 0
+    if args.command == "media-dedup":
+        from pyspark.sql import functions as F
+
+        from rustic_witcher_spark.operators.dedup import hamming_near_duplicates, incremental_hamming_flags
+        from rustic_witcher_spark.operators.multimodal import attach_perceptual_hash
+
+        spark = get_spark("media-dedup")
+        src = spark.read.parquet(args.source)
+        hashed = attach_perceptual_hash(src, args.binary_col).select(args.id_col, "phash")
+        if args.against:
+            # incremental mode: batch vs persisted fingerprint index,
+            # never corpus-vs-corpus (see incremental_hamming_flags)
+            index = spark.read.parquet(args.against).select(args.id_col, "phash")
+            both = hashed.withColumn("__new", F.lit(True)).unionByName(
+                index.withColumn("__new", F.lit(False))
+            )
+            out = incremental_hamming_flags(both, args.id_col, "phash", F.col("__new"), args.max_hamming)
+            out.write.mode("overwrite").parquet(args.target)
+            flagged = spark.read.parquet(args.target)
+            summary = {
+                "mode": "incremental",
+                "batch_rows": flagged.count(),
+                "exact_dups": flagged.filter("exact_dup").count(),
+                "near_dups": flagged.filter("near_dup").count(),
+                "target": args.target,
+            }
+        else:
+            pairs = hamming_near_duplicates(hashed, args.id_col, "phash", args.max_hamming)
+            pairs.write.mode("overwrite").parquet(args.target)
+            summary = {
+                "mode": "pairs",
+                "pairs": spark.read.parquet(args.target).count(),
+                "max_hamming": args.max_hamming,
+                "target": args.target,
+            }
+        print(json.dumps(summary, sort_keys=True))
         return 0
     if args.command != "anonymize":  # pragma: no cover
         return 2

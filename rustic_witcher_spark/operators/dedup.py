@@ -377,6 +377,28 @@ def simhash_near_duplicates(
     return hamming_near_duplicates(h, "__id", "__sim", max_hamming, max_bucket_size)
 
 
+def _hamming_band_array(sim: Column, max_hamming: int) -> Column:
+    """The d+1 pigeonhole band keys of a non-negative 64-bit
+    fingerprint: any pair within hamming distance d agrees on at least
+    one whole band, so an equi-join per band finds EVERY qualifying
+    pair. Shared by the pair search and the incremental index join."""
+    nb = max_hamming + 1
+    width = 64 // nb
+    if max_hamming == 0:
+        return F.array(F.struct(F.lit(0).alias("b"), sim.alias("v")))
+    return F.array(*[
+        F.struct(
+            F.lit(i).alias("b"),
+            (
+                F.shiftright(sim, i * width).bitwiseAND(F.lit((1 << width) - 1))
+                if i < nb - 1
+                else F.shiftright(sim, i * width)  # last band: all remaining bits
+            ).alias("v"),
+        )
+        for i in range(nb)
+    ])
+
+
 def hamming_near_duplicates(
     df: DataFrame,
     id_col: str,
@@ -395,23 +417,7 @@ def hamming_near_duplicates(
     d+1-band bucket grouping + exact bit_count(xor) confirmation, one
     shuffle on the band key, buckets capped at ``max_bucket_size``."""
     h = df.select(F.col(id_col).alias("__id"), F.col(hash_col).alias("__sim"))
-    nb = max_hamming + 1
-    width = 64 // nb
-    if max_hamming == 0:
-        bands = [F.struct(F.lit(0).alias("b"), F.col("__sim").alias("v"))]
-    else:
-        bands = [
-            F.struct(
-                F.lit(i).alias("b"),
-                (
-                    F.shiftright(F.col("__sim"), i * width).bitwiseAND(F.lit((1 << width) - 1))
-                    if i < nb - 1
-                    else F.shiftright(F.col("__sim"), i * width)  # last band: all remaining bits
-                ).alias("v"),
-            )
-            for i in range(nb)
-        ]
-    hb = h.select("__id", "__sim", F.explode(F.array(*bands)).alias("__band"))
+    hb = h.select("__id", "__sim", F.explode(_hamming_band_array(F.col("__sim"), max_hamming)).alias("__band"))
     # groupBy-bucket + in-bucket pair enumeration, not a self-join: the
     # fingerprint subplan is computed and shuffled ONCE (see
     # minhash_lsh_candidates for the same pattern).
@@ -440,6 +446,59 @@ def hamming_near_duplicates(
         .select("p.id_a", "p.id_b", "p.hamming")
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def incremental_hamming_flags(
+    df: DataFrame,
+    id_col: str,
+    hash_col: str,
+    is_new: Column,
+    max_hamming: int = 2,
+) -> DataFrame:
+    """Flag a NEW batch of fingerprints against an EXISTING corpus —
+    the media-side twin of ``incremental_dedup_flags``: nightly media
+    ingest must never re-band the historical corpus against itself,
+    only batch-vs-index.
+
+    Returns one row per new-batch row: (id, exact_dup, near_dup) where
+    ``exact_dup`` = an identical fingerprint exists in the corpus and
+    ``near_dup`` = a corpus fingerprint sits within ``max_hamming``
+    bits (bit-confirmed, not just a band collision — the band join is
+    the candidate generator, the xor bit_count is the verdict; exact
+    by pigeonhole, like ``hamming_near_duplicates``).
+
+    Scale shape: the corpus side reduces to its DISTINCT (band, value,
+    fingerprint) index rows — one long of index state per object per
+    band, exactly what you'd persist as the media dedup *index* — and
+    the join shuffles band keys, never media bytes. Batch rows with a
+    NULL fingerprint flag (False, False) rather than joining."""
+    keyed = df.select(F.col(id_col).alias("__id"), is_new.alias("__new"), F.col(hash_col).alias("__sim"))
+    batch = keyed.filter(F.col("__new"))
+    corpus = keyed.filter(~F.col("__new"))
+
+    bexp = batch.select("__id", "__sim", F.explode(_hamming_band_array(F.col("__sim"), max_hamming)).alias("__band"))
+    cexp = (
+        corpus.select(F.col("__sim").alias("__csim"), F.explode(_hamming_band_array(F.col("__sim"), max_hamming)).alias("__band"))
+        .dropDuplicates(["__band", "__csim"])
+    )
+    hits = (
+        bexp.join(cexp, "__band")
+        .withColumn("__d", F.bit_count(F.col("__sim").bitwiseXOR(F.col("__csim"))))
+        .groupBy("__id")
+        .agg(
+            F.max(F.col("__d") == 0).alias("exact_dup"),
+            F.max(F.col("__d") <= max_hamming).alias("near_dup"),
+        )
+    )
+    return (
+        batch.select("__id")
+        .join(hits, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce("exact_dup", F.lit(False)).alias("exact_dup"),
+            F.coalesce("near_dup", F.lit(False)).alias("near_dup"),
+        )
     )
 
 

@@ -252,3 +252,123 @@ def test_bpe_chain_merged_symbol_participates_in_step2(spark):
     assert any(merged in r["pair"].split(" ") for r in rows), (
         "no step-2 pair contains the merged symbol — chain did not compose"
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental media dedup: batch vs corpus index (never corpus self-join)
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_hamming_flags_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from rustic_witcher_spark.operators.dedup import incremental_hamming_flags
+
+    base = 0b101011001110001101010101
+    corpus = [(100, base), (101, base ^ (1 << 7)), (102, 0)]
+    batch = [
+        (1, base),  # exact + near
+        (2, base ^ (1 << 3)),  # hamming 1 from corpus 100 -> near only
+        (3, base ^ 0b111),  # hamming 3 from everything -> neither
+        (4, None),  # NULL fingerprint -> neither, row still reported
+    ]
+    df = spark.createDataFrame(
+        [(i, h, True) for i, h in batch] + [(i, h, False) for i, h in corpus],
+        "doc_id long, ph long, fresh boolean",
+    )
+    got = {
+        r.doc_id: (r.exact_dup, r.near_dup)
+        for r in incremental_hamming_flags(df, "doc_id", "ph", F.col("fresh"), max_hamming=2).collect()
+    }
+    assert got == {
+        1: (True, True),
+        2: (False, True),
+        3: (False, False),
+        4: (False, False),
+    }
+
+
+def test_incremental_hamming_flags_match_brute_force(spark):
+    """Flags derived through the band-index join == flags derived by
+    brute-force comparing every batch hash to every corpus hash."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from rustic_witcher_spark.operators.dedup import incremental_hamming_flags
+
+    def h63(i: int) -> int:
+        return int.from_bytes(hashlib.sha256(bytes([i])).digest()[:8], "big") >> 1
+
+    corpus = {100 + i: h63(i) for i in range(12)}
+    batch = {i: (h63(i) if i % 3 == 0 else h63(i) ^ (1 << (i % 60))) for i in range(9)}
+    batch[8] = 12345  # unrelated
+    df = spark.createDataFrame(
+        [(i, h, True) for i, h in batch.items()] + [(i, h, False) for i, h in corpus.items()],
+        "doc_id long, ph long, fresh boolean",
+    )
+    got = {
+        r.doc_id: (r.exact_dup, r.near_dup)
+        for r in incremental_hamming_flags(df, "doc_id", "ph", F.col("fresh"), max_hamming=2).collect()
+    }
+    want = {
+        i: (
+            any(h == ch for ch in corpus.values()),
+            any(bin(h ^ ch).count("1") <= 2 for ch in corpus.values()),
+        )
+        for i, h in batch.items()
+    }
+    assert got == want
+
+
+def test_cli_media_dedup_pairs_and_incremental(spark, tmp_path, capsys):
+    import json
+
+    from rustic_witcher_spark import cli
+
+    import hashlib
+
+    # three DISTINCT pseudorandom blobs (constant-byte blobs would be
+    # degenerate: equal cell means everywhere -> every comparison false
+    # -> phash 0 for all of them), ids 0..5 repeat them twice
+    def blob(k: int) -> bytes:
+        return b"".join(hashlib.sha256(bytes([k, j])).digest() for j in range(7))
+
+    docs = spark.createDataFrame(
+        [(i, blob(i % 3)) for i in range(6)],
+        "doc_id long, media binary",
+    )
+    src = str(tmp_path / "media.parquet")
+    docs.write.parquet(src)
+    pairs_out = str(tmp_path / "pairs")
+    assert cli.main([
+        "media-dedup", "--source", src, "--target", pairs_out,
+        "--id-col", "doc_id", "--binary-col", "media", "--max-hamming", "0",
+    ]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # blobs repeat every 3 ids -> exact-dup pairs (0,3) (1,4) (2,5)
+    assert rep["mode"] == "pairs" and rep["pairs"] == 3
+    got = {(r.id_a, r.id_b) for r in spark.read.parquet(pairs_out).collect()}
+    assert got == {(0, 3), (1, 4), (2, 5)}
+
+    # incremental: hash the corpus once into an index, flag a new batch against it
+    from rustic_witcher_spark.operators.multimodal import attach_perceptual_hash
+
+    index_out = str(tmp_path / "index")
+    attach_perceptual_hash(docs, "media").select("doc_id", "phash").write.parquet(index_out)
+    batch = spark.createDataFrame(
+        [(10, blob(0)), (11, blob(7))],  # dup of blob 0, unrelated
+        "doc_id long, media binary",
+    )
+    batch_src = str(tmp_path / "batch.parquet")
+    batch.write.parquet(batch_src)
+    flags_out = str(tmp_path / "flags")
+    assert cli.main([
+        "media-dedup", "--source", batch_src, "--target", flags_out,
+        "--id-col", "doc_id", "--against", index_out,
+    ]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["mode"] == "incremental" and rep["batch_rows"] == 2
+    flags = {r.doc_id: (r.exact_dup, r.near_dup) for r in spark.read.parquet(flags_out).collect()}
+    assert flags[10] == (True, True)
+    assert flags[11] == (False, False)
