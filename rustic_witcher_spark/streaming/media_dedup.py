@@ -1,0 +1,129 @@
+"""Streaming face of the media near-dup index: continuous media drops
+are fingerprinted, flagged against the persisted index, and appended
+to it — the nightly-ingest loop of `dedup.incremental_hamming_flags`
+run per micro-batch.
+
+Design (the shard-appender pattern, `streaming/shard_stream.py`):
+
+- **The index is a SET of (id, fingerprint) rows**, so maintaining it
+  needs no custom state store: each micro-batch is hashed (narrow
+  Arrow-batched kernel), flagged batch-vs-index (band-key joins, never
+  media bytes), and the previously-unseen fingerprints are appended.
+  The cost of a micro-batch is the micro-batch plus an index join —
+  never a re-scan of historical media.
+- **Idempotent replay** via the foreachBatch contract: a metadata file
+  records ``last_batch_id``; a replayed (≤) batch is skipped before
+  any write, and per-batch flag output goes to a ``batch=<id>``
+  directory written with overwrite, so a replay that does run (crash
+  between data append and meta write) rewrites the same flags rather
+  than duplicating them. That torn window can double-append index
+  rows; because the index is consumed as a DISTINCT fingerprint set
+  (`incremental_hamming_flags` dedups the band index), duplicates cost
+  only space, never correctness — a compaction pass reclaims it.
+- **Batch ≡ stream** is structural: the per-batch flagging calls the
+  SAME `incremental_hamming_flags` the batch CLI uses, so chunked
+  streaming over a corpus produces exactly the flags the equivalent
+  sequence of batch runs would (pinned by test at arbitrary cuts).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from rustic_witcher_spark.operators.dedup import incremental_hamming_flags
+from rustic_witcher_spark.operators.multimodal import attach_perceptual_hash
+
+META_NAME = "_media_index_meta.json"
+
+
+def _load_meta(path: str) -> dict:
+    try:
+        with open(os.path.join(path, META_NAME)) as fh:
+            return json.load(fh)
+    except FileNotFoundError:
+        return {"last_batch_id": -1, "indexed_rows": 0}
+
+
+def _store_meta(path: str, meta: dict) -> None:
+    os.makedirs(path, exist_ok=True)
+    tmp = os.path.join(path, META_NAME + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh, sort_keys=True)
+    os.replace(tmp, os.path.join(path, META_NAME))
+
+
+def media_index_append_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    id_col: str,
+    binary_col: str,
+    index_path: str,
+    max_hamming: int = 2,
+) -> bool:
+    """One micro-batch through the index loop: fingerprint → flag vs
+    index → append unseen fingerprints. Returns False (no work) for a
+    replayed batch_id. Empty batches advance the replay cursor without
+    touching the index (schemas are always passed explicitly on
+    read-back — a 0-row parquet dir must not raise
+    UNABLE_TO_INFER_SCHEMA, the `sinks/shards.py` lesson)."""
+    meta = _load_meta(index_path)
+    if batch_id <= meta.get("last_batch_id", -1):
+        return False
+    spark = batch_df.sparkSession
+    hashed = attach_perceptual_hash(batch_df.select(id_col, binary_col), binary_col).select(id_col, "phash")
+    data_dir = os.path.join(index_path, "data")
+    if meta.get("indexed_rows", 0) > 0:
+        index = spark.read.schema(hashed.schema).parquet(data_dir)
+    else:
+        index = spark.createDataFrame([], hashed.schema)
+
+    both = hashed.withColumn("__new", F.lit(True)).unionByName(index.withColumn("__new", F.lit(False)))
+    flags = incremental_hamming_flags(both, id_col, "phash", F.col("__new"), max_hamming)
+    flags_dir = os.path.join(index_path, "flags", f"batch={batch_id}")
+    flags.write.mode("overwrite").parquet(flags_dir)
+
+    # append previously-unseen fingerprints: not exact-dup vs the index,
+    # and first-per-fingerprint WITHIN the batch (lowest id wins, the
+    # dedup family's survivor rule) so an intra-batch dup lands once
+    written_flags = spark.read.schema(flags.schema).parquet(flags_dir)
+    fresh = (
+        hashed.join(written_flags.filter(~F.col("exact_dup")).select(id_col), id_col, "left_semi")
+        .withColumn("__rn", F.row_number().over(Window.partitionBy("phash").orderBy(id_col)))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    appended = fresh.count()
+    if appended:
+        fresh.write.mode("append").parquet(data_dir)
+    meta["last_batch_id"] = batch_id
+    meta["indexed_rows"] = meta.get("indexed_rows", 0) + appended
+    _store_meta(index_path, meta)
+    return True
+
+
+def write_media_index_stream(
+    media_stream: DataFrame,
+    id_col: str,
+    binary_col: str,
+    index_path: str,
+    checkpoint: str,
+    max_hamming: int = 2,
+    queryName: str = "media_index",
+):
+    """Run the index loop as a Structured Streaming query (foreachBatch).
+    Flags for each micro-batch land under ``<index_path>/flags/batch=N``;
+    the fingerprint set under ``<index_path>/data``."""
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        media_index_append_batch(batch_df, batch_id, id_col, binary_col, index_path, max_hamming=max_hamming)
+
+    return (
+        media_stream.writeStream.foreachBatch(_apply)
+        .queryName(queryName)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
