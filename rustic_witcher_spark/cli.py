@@ -141,6 +141,14 @@ def build_parser() -> argparse.ArgumentParser:
     dr.add_argument("--input", required=True, help="corpus parquet path to score")
     dr.add_argument("--reference", required=True, help="frozen baseline documents parquet path")
     dr.add_argument("--text-col", default="text")
+    dr.add_argument(
+        "--reference-top-k",
+        type=int,
+        default=None,
+        help="cap the frozen reference to its top-K terms (vocab-bounded state, "
+        "as the streaming monitor and the drift_vs_reference entry use); "
+        "default keeps the reference's full vocabulary",
+    )
     md = sub.add_parser(
         "media-dedup",
         help="perceptual-hash near-duplicate pairs over a binary media column (banded hamming search)",
@@ -307,13 +315,20 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"splits": counts, "group_col": args.group_col, "target": args.target}, sort_keys=True))
         return 0
     if args.command == "drift":
+        from pyspark.sql import functions as F
+
         from rustic_witcher_spark.streaming.drift import kl_vs_reference, term_counts
 
         spark = get_spark("drift")
         corpus = cast_ntz_timestamps(spark.read.parquet(args.input))
         ref = cast_ntz_timestamps(spark.read.parquet(args.reference))
+        ref_counts = term_counts(ref, args.text_col)
+        if args.reference_top_k is not None:
+            # deterministic top-K: ties to the lexicographically smallest
+            # term, same rule as the drift_vs_reference registry entry
+            ref_counts = ref_counts.orderBy(F.desc("n"), F.asc("term")).limit(args.reference_top_k)
         r = kl_vs_reference(
-            term_counts(corpus, args.text_col), term_counts(ref, args.text_col)
+            term_counts(corpus, args.text_col), ref_counts
         ).collect()[0]
         print(
             json.dumps(

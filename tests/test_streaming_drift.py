@@ -112,3 +112,24 @@ def test_cli_drift_reports_kl(spark, tmp_path, capsys):
     assert rep["oov_tokens"] == 1 and rep["oov_terms"] == 1  # 'z'
     assert rep["matched_tokens"] == 6
     assert rep["kl_nanonats"] > 0  # mix drifted toward 'c'
+
+
+def test_cli_drift_reference_top_k_caps_vocab(spark, tmp_path, capsys):
+    """--reference-top-k replays the vocab-bounded reference the
+    drift_vs_reference entry and the streaming monitor use: terms
+    outside the frozen top-K count as OOV instead of matching."""
+    from rustic_witcher_spark import cli
+
+    ref = str(tmp_path / "ref.parquet")
+    cur = str(tmp_path / "cur.parquet")
+    # reference: 'a' dominates, 'b' second, 'c' rare (the drop-out at K=2)
+    spark.createDataFrame([(1, "a a a a b b c")], DOC_SCHEMA).write.parquet(ref)
+    spark.createDataFrame([(2, "a b c c")], DOC_SCHEMA).write.parquet(cur)
+    assert cli.main(["drift", "--input", cur, "--reference", ref, "--reference-top-k", "2"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["matched_tokens"] == 2  # a + b
+    assert rep["oov_tokens"] == 2 and rep["oov_terms"] == 1  # both c's
+    # uncapped: c matches the reference's own c
+    assert cli.main(["drift", "--input", cur, "--reference", ref]) == 0
+    rep2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep2["matched_tokens"] == 4 and rep2["oov_tokens"] == 0
