@@ -4946,6 +4946,13 @@ def q_bpe_merge_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     array is let-bound before the pair lambda (the HOF capture trap);
     the winner is a 1-row broadcast, never a driver round-trip."""
     d = _spread(spark, _read(spark, sf_dir, "documents"))
+    # the vocab table feeds TWO consumers (step-1 pair counts and the
+    # merge projection) — the source_kl_divergence re-derivation trap
+    # was checked here and does NOT bite: both consumers share the
+    # identical groupBy exchange, so the plan carries a ReusedExchange
+    # and the corpus is tokenized once (a materialize() cut was A/B'd
+    # at sf0.1 and only added its checkpoint barrier: 0.88-1.19 s vs
+    # 0.79-1.28 s without — plan-verified instead)
     words = (
         d.select(F.explode(text.tokens(F.col("text"))).alias("w"))
         .filter(F.length("w") >= 2)

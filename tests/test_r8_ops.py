@@ -372,3 +372,23 @@ def test_cli_media_dedup_pairs_and_incremental(spark, tmp_path, capsys):
     flags = {r.doc_id: (r.exact_dup, r.near_dup) for r in spark.read.parquet(flags_out).collect()}
     assert flags[10] == (True, True)
     assert flags[11] == (False, False)
+
+
+def test_bpe_chain_plan_reuses_vocab_exchange(spark):
+    """The vocab groupBy feeds two consumers; the corpus must be
+    tokenized ONCE — pinned via ReusedExchange in the FINAL adaptive
+    plan (AQE inserts the reuse at runtime, so execute first; the
+    source_kl_divergence re-derivation trap, checked not bitten here —
+    a materialize() cut was A/B'd and only added its barrier)."""
+    import contextlib
+    import io
+
+    from rustic_witcher_spark.queries import q_bpe_merge_chain
+
+    df = q_bpe_merge_chain(spark, SF_DIR)
+    df.collect()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "ReusedExchange" in plan
