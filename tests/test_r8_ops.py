@@ -392,3 +392,31 @@ def test_bpe_chain_plan_reuses_vocab_exchange(spark):
         df.explain("formatted")
     plan = buf.getvalue()
     assert "ReusedExchange" in plan
+
+
+def test_media_near_dups_plan_no_join_single_python_stage(spark):
+    """Pair discovery is bucket-groupBy enumeration, never a self-join:
+    the plan carries NO join operator at all, exactly one Arrow Python
+    stage (the fingerprint kernel), and the banding shuffle."""
+    import re
+
+    from rustic_witcher_spark.queries import q_media_near_dups
+
+    plan = q_media_near_dups(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert re.findall(r"\w*Join\w*", plan) == []
+    assert plan.count("MapInPandas") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_drift_vs_reference_plan_all_joins_broadcast(spark):
+    """Every join in the drift finalization is broadcast (the 1-row
+    total frames and the vocab-bounded reference) — no shuffle join
+    anywhere."""
+    import re
+
+    from rustic_witcher_spark.queries import q_drift_vs_reference
+
+    plan = q_drift_vs_reference(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    joins = re.findall(r"\w*Join\w*", plan)
+    assert joins and all(j.startswith("Broadcast") for j in joins), joins
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
