@@ -362,7 +362,9 @@ def main(argv: list[str] | None = None) -> int:
             )
             out = incremental_hamming_flags(both, args.id_col, "phash", F.col("__new"), args.max_hamming)
             out.write.mode("overwrite").parquet(args.target)
-            flagged = spark.read.parquet(args.target)
+            # explicit schema on read-back: a 0-row batch writes only
+            # _SUCCESS, and schema inference would raise (shards.py lesson)
+            flagged = spark.read.schema(out.schema).parquet(args.target)
             summary = {
                 "mode": "incremental",
                 "batch_rows": flagged.count(),
@@ -375,7 +377,7 @@ def main(argv: list[str] | None = None) -> int:
             pairs.write.mode("overwrite").parquet(args.target)
             summary = {
                 "mode": "pairs",
-                "pairs": spark.read.parquet(args.target).count(),
+                "pairs": spark.read.schema(pairs.schema).parquet(args.target).count(),
                 "max_hamming": args.max_hamming,
                 "target": args.target,
             }

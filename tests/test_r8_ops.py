@@ -420,3 +420,31 @@ def test_drift_vs_reference_plan_all_joins_broadcast(spark):
     joins = re.findall(r"\w*Join\w*", plan)
     assert joins and all(j.startswith("Broadcast") for j in joins), joins
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_cli_media_dedup_empty_source_yields_empty_outputs(spark, tmp_path, capsys):
+    """A fully-filtered/empty media table must produce an empty pairs
+    (or flags) parquet and a zeroed summary — not an
+    UNABLE_TO_INFER_SCHEMA on the read-back (the shards.py bug class)."""
+    import json
+
+    from rustic_witcher_spark import cli
+
+    src = str(tmp_path / "empty.parquet")
+    spark.createDataFrame([], "doc_id long, media binary").write.parquet(src)
+    out = str(tmp_path / "pairs")
+    assert cli.main([
+        "media-dedup", "--source", src, "--target", out, "--id-col", "doc_id",
+    ]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["pairs"] == 0
+
+    idx = str(tmp_path / "index")
+    spark.createDataFrame([(1, 5)], "doc_id long, phash long").write.parquet(idx)
+    flags_out = str(tmp_path / "flags")
+    assert cli.main([
+        "media-dedup", "--source", src, "--target", flags_out, "--id-col", "doc_id",
+        "--against", idx,
+    ]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["batch_rows"] == 0 and rep["exact_dups"] == 0
