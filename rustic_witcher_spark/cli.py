@@ -365,11 +365,16 @@ def main(argv: list[str] | None = None) -> int:
             # explicit schema on read-back: a 0-row batch writes only
             # _SUCCESS, and schema inference would raise (shards.py lesson)
             flagged = spark.read.schema(out.schema).parquet(args.target)
+            stats = flagged.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(F.sum(F.col("exact_dup").cast("long")), F.lit(0)).alias("e"),
+                F.coalesce(F.sum(F.col("near_dup").cast("long")), F.lit(0)).alias("d"),
+            ).collect()[0]
             summary = {
                 "mode": "incremental",
-                "batch_rows": flagged.count(),
-                "exact_dups": flagged.filter("exact_dup").count(),
-                "near_dups": flagged.filter("near_dup").count(),
+                "batch_rows": stats["n"],
+                "exact_dups": stats["e"],
+                "near_dups": stats["d"],
                 "target": args.target,
             }
         else:

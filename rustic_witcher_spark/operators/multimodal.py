@@ -63,16 +63,25 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
     if data is None or data[:8] != _PNG_MAGIC:
         raise DecoderUnavailable("not a PNG byte stream")
     pos, idat, hdr = 8, b"", None
-    while pos + 8 <= len(data):
-        (ln,), typ = struct.unpack(">I", data[pos : pos + 4]), data[pos + 4 : pos + 8]
-        chunk = data[pos + 8 : pos + 8 + ln]
-        pos += 12 + ln  # length + type + data + CRC
-        if typ == b"IHDR":
-            hdr = struct.unpack(">IIBBBBB", chunk)
-        elif typ == b"IDAT":
-            idat += chunk
-        elif typ == b"IEND":
-            break
+    # corrupt-but-magic'd streams (truncated IHDR, garbage IDAT) must
+    # surface as DecoderUnavailable like every other unsupported input —
+    # the contract decode_wav already keeps ("DecoderUnavailable, not
+    # struct.error"): callers with a fallback path (perceptual_hash63)
+    # rely on catching ONE exception type, and one poisoned blob in a
+    # crawl must not kill the whole job
+    try:
+        while pos + 8 <= len(data):
+            (ln,), typ = struct.unpack(">I", data[pos : pos + 4]), data[pos + 4 : pos + 8]
+            chunk = data[pos + 8 : pos + 8 + ln]
+            pos += 12 + ln  # length + type + data + CRC
+            if typ == b"IHDR":
+                hdr = struct.unpack(">IIBBBBB", chunk)
+            elif typ == b"IDAT":
+                idat += chunk
+            elif typ == b"IEND":
+                break
+    except struct.error as exc:
+        raise DecoderUnavailable(f"corrupt PNG chunk structure: {exc}") from exc
     if hdr is None:
         raise DecoderUnavailable("PNG missing IHDR")
     w, h, depth, ctype, _comp, _filt, interlace = hdr
@@ -82,7 +91,10 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
         )
     ch = _PNG_CHANNELS[ctype]
     stride = w * ch
-    raw = zlib.decompress(idat)
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error as exc:
+        raise DecoderUnavailable(f"corrupt PNG IDAT payload: {exc}") from exc
     if len(raw) != h * (stride + 1):
         raise DecoderUnavailable("PNG scanline payload has wrong size")
     out = bytearray()
@@ -273,10 +285,21 @@ def perceptual_hash63(data: bytes | None, n_segments: int = 64) -> int:
     A small byte edit moves one cell mean slightly → flips at most the
     comparisons touching that cell → small hamming distance; unrelated
     content diverges to ~n_segments/2 bits (measured ≥9 across the test
-    corpus) — exactly the separation a near-dup banding needs."""
+    corpus) — exactly the separation a near-dup banding needs.
+
+    MISSING media (None) returns None — a missing blob has no
+    fingerprint, so NULL-media rows never pair with (or dedup against)
+    each other; downstream NULLs drop out of every hamming comparison.
+    EMPTY and constant-byte content hashes to 0: all cell means equal →
+    every comparison false — blank blobs ARE mutually indistinguishable
+    to a perceptual hash, so grouping them is the desired direction for
+    a dedup signal (documented with the periodic-content aliasing note
+    in SCALE.md §8h)."""
     import numpy as np
 
-    if data is None or len(data) == 0:
+    if data is None:
+        return None
+    if len(data) == 0:
         return 0
     try:
         _w, _h, _ch, px = real_decode_image(bytes(data))
@@ -300,13 +323,15 @@ def attach_perceptual_hash(df: DataFrame, binary_col: str = "media") -> DataFram
     """Arrow-batched ``mapInPandas`` stage adding ``phash bigint`` —
     the decode→fingerprint step of media near-dup detection. Narrow
     transformation (no shuffle); the numpy kernel is per-row ``bincount``
-    over the cell index, O(bytes) with no Python inner loop."""
+    over the cell index, O(bytes) with no Python inner loop. NULL media
+    → NULL phash (``na_action='ignore'`` — missing blobs carry no
+    fingerprint and drop out of every downstream hamming comparison)."""
     out_schema = T.StructType(df.schema.fields + [T.StructField("phash", T.LongType())])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             pdf = pdf.copy()
-            pdf["phash"] = pdf[binary_col].map(perceptual_hash63)
+            pdf["phash"] = pdf[binary_col].map(perceptual_hash63, na_action="ignore")
             yield pdf
 
     return df.mapInPandas(run, schema=out_schema)

@@ -31,6 +31,18 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def _round_half_away(x, decimals: int = 6):
+    """Round like Spark ``F.round`` / DuckDB ``round`` (half AWAY from
+    zero) — ``np.round`` is banker's (half-to-even) and disagrees with
+    both engines on exact .5 boundary values, which would let a block
+    kernel drift from its oracle-pinned HOF twin on adversarial
+    inputs."""
+    import numpy as np
+
+    f = 10.0 ** decimals
+    return np.copysign(np.floor(np.abs(x) * f + 0.5), x) / f
+
+
 def plane_weight(seed: int, plane: int, coord: int) -> int:
     """Deterministic ±1 hyperplane weight — shared by the Spark
     expression builder and the DuckDB oracle generator."""
@@ -575,13 +587,16 @@ def hard_negative_top1_block(
     q_ids, q_labels = q_ids[keep_q], q_labels[keep_q]
     if not len(q_ids):
         return spark.createDataFrame([], out_ddl)
-    qn = q_mat[keep_q] / q_norm[keep_q, None]
-    b_q = spark.sparkContext.broadcast((q_ids, q_labels, qn))
+    # broadcast RAW vectors + norms (not pre-normalized rows): the
+    # cosine is computed dot/(|q|·|c|) — the same operation order as
+    # the HOF twin and the SQL oracle, so float ulps can't diverge
+    # across the three faces and flip a 6-dp rounding boundary
+    b_q = spark.sparkContext.broadcast((q_ids, q_labels, q_mat[keep_q], q_norm[keep_q]))
 
     def score(batches):
         import pandas as pd
 
-        q_ids, q_labels, qn = b_q.value
+        q_ids, q_labels, q_mat, q_norm = b_q.value
         for pdf in batches:
             pdf = pdf[pdf[label_col].notna() & pdf[vec_col].notna()]
             if pdf.empty:
@@ -594,7 +609,7 @@ def hard_negative_top1_block(
             if not keep.any():
                 continue
             c_ids, c_labels = c_ids[keep], c_labels[keep]
-            sims = np.round(qn @ (c_mat[keep] / c_norm[keep, None]).T, 6)
+            sims = _round_half_away((q_mat @ c_mat[keep].T) / (q_norm[:, None] * c_norm[keep][None, :]))
             mask = q_labels[:, None] != c_labels[None, :]
             # NaN sims (poisoned components that survived the norm
             # screen) are masked per-candidate, never allowed to hide a
@@ -672,13 +687,15 @@ def brute_force_topk_block(
     q_ids = q_ids[keep_q]
     if not len(q_ids):
         return spark.createDataFrame([], out_ddl + ", rank int")
-    qn = q_mat[keep_q] / q_norm[keep_q, None]
-    b_q = spark.sparkContext.broadcast((q_ids, qn))
+    # raw vectors + norms, dot/(|q|·|c|) with half-away rounding — same
+    # operation order as the HOF twin and the oracle (see
+    # hard_negative_top1_block)
+    b_q = spark.sparkContext.broadcast((q_ids, q_mat[keep_q], q_norm[keep_q]))
 
     def score(batches):
         import pandas as pd
 
-        q_ids, qn = b_q.value
+        q_ids, q_mat, q_norm = b_q.value
         for pdf in batches:
             pdf = pdf[pdf[vec_col].notna()]
             if pdf.empty:
@@ -690,7 +707,7 @@ def brute_force_topk_block(
             if not keep.any():
                 continue
             c_ids = c_ids[keep]
-            sims = np.round(qn @ (c_mat[keep] / c_norm[keep, None]).T, 6)
+            sims = _round_half_away((q_mat @ c_mat[keep].T) / (q_norm[:, None] * c_norm[keep][None, :]))
             sims = np.where((q_ids[:, None] != c_ids[None, :]) & np.isfinite(sims), sims, -np.inf)
             rows = []
             kk = min(k, sims.shape[1])

@@ -2290,17 +2290,29 @@ MEDIA_DUP_MAXH = 2  # pigeonhole: 3 bands over the 63-bit perceptual hash
 MEDIA_DUP_STRIDE = 7  # every 7th doc gets a perturbed twin in the fixture corpus
 
 
+def media_twin_offset(max_doc_id: int | None) -> int:
+    """Twin-id offset: the next multiple of 4 PAST the largest real
+    doc_id, so twin ids are collision-free at ANY corpus size (a fixed
+    1e6 offset would collide once the corpus passes 1M docs) while
+    preserving doc_id % 4 — the mod-4 container-magic assignment."""
+    return (((max_doc_id if max_doc_id is not None else 0) + 4) // 4) * 4
+
+
 def _media_with_twins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Media corpus with planted near-duplicates: every STRIDE-th doc is
     re-encoded with its first character uppercased (one byte ±32 → one
     cell mean moves slightly → hamming ≤ 2 against the original), under
-    doc_id + 1_000_000 (mod-4 magic preserved: 1e6 ≡ 0 mod 4). The
-    organic corpus has no pairs under hamming 9 (measured), so the
-    entry's output is exactly the planted twins — a recall fixture, the
-    same role the %89-keyed synthetic updates play for cdc_upsert."""
+    doc_id + media_twin_offset(max id) — disjoint from every real id,
+    mod-4 magic preserved (the offset is a multiple of 4). The organic
+    corpus has no pairs under hamming 9 (measured), so the entry's
+    output is exactly the planted twins (plus the organic tail at
+    larger SFs) — a recall fixture, the same role the %89-keyed
+    synthetic updates play for cdc_upsert. The offset costs one
+    1-scalar agg collect — bounded, like the IVF probe ids."""
     d = _read(spark, sf_dir, "documents")
+    offset = media_twin_offset(d.agg(F.max("doc_id")).collect()[0][0])
     twins = d.filter(F.col("doc_id") % MEDIA_DUP_STRIDE == 0).select(
-        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        (F.col("doc_id") + F.lit(offset)).alias("doc_id"),
         F.concat(F.upper(F.substring("text", 1, 1)), F.expr("substring(text, 2)")).alias("text"),
     )
     base = d.select("doc_id", "text").unionByName(twins)
@@ -2341,12 +2353,13 @@ def sql_media_near_dups() -> str:
         + f" ELSE '{_MAGIC[3].lower()}' END"
     )
     return f"""
-WITH corpus AS (
+WITH off AS (SELECT (((coalesce(max(doc_id), 0) + 4) // 4) * 4)::BIGINT AS m FROM documents),
+corpus AS (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 1000000 AS doc_id,
+  SELECT doc_id + off.m AS doc_id,
          upper(substr(text, 1, 1)) || substr(text, 2) AS text
-  FROM documents WHERE doc_id % {MEDIA_DUP_STRIDE} = 0
+  FROM documents, off WHERE doc_id % {MEDIA_DUP_STRIDE} = 0
 ),
 b AS (SELECT doc_id, {magic_case} || lower(hex(encode(text))) AS hx,
              4 + octet_length(encode(text)) AS n FROM corpus),
@@ -2357,8 +2370,10 @@ segs AS (SELECT doc_id, seg, sum(v)::BIGINT AS s, count(*)::BIGINT AS c FROM bv 
 bits AS (SELECT a.doc_id, a.seg AS j,
                 CASE WHEN a.s * b.c > b.s * a.c THEN 1 ELSE 0 END AS bit
          FROM segs a JOIN segs b ON a.doc_id = b.doc_id AND b.seg = a.seg + 1),
-h AS (SELECT b.doc_id, coalesce(sum(bit * (1::BIGINT << j::INT)), 0)::BIGINT AS ph
-      FROM b LEFT JOIN bits ON b.doc_id = bits.doc_id GROUP BY 1)
+h AS (SELECT b.doc_id,
+             CASE WHEN b.hx IS NULL THEN NULL
+                  ELSE coalesce(sum(bit * (1::BIGINT << j::INT)), 0) END::BIGINT AS ph
+      FROM b LEFT JOIN bits ON b.doc_id = bits.doc_id GROUP BY b.doc_id, b.hx)
 SELECT a.doc_id AS id_a, b.doc_id AS id_b, bit_count(xor(a.ph, b.ph))::INT AS hamming
 FROM h a JOIN h b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.ph, b.ph)) <= {MEDIA_DUP_MAXH}

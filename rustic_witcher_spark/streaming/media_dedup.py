@@ -13,13 +13,14 @@ Design (the shard-appender pattern, `streaming/shard_stream.py`):
   never a re-scan of historical media.
 - **Idempotent replay** via the foreachBatch contract: a metadata file
   records ``last_batch_id``; a replayed (≤) batch is skipped before
-  any write, and per-batch flag output goes to a ``batch=<id>``
-  directory written with overwrite, so a replay that does run (crash
-  between data append and meta write) rewrites the same flags rather
-  than duplicating them. That torn window can double-append index
-  rows; because the index is consumed as a DISTINCT fingerprint set
-  (`incremental_hamming_flags` dedups the band index), duplicates cost
-  only space, never correctness — a compaction pass reclaims it.
+  any write. Both outputs are batch-partitioned and written with
+  overwrite (``flags/batch=<id>``, ``data/batch=<id>``), and the index
+  read is FILTERED to strictly older batches — so a replay that does
+  run (crash between the data write and the meta write) re-flags
+  against exactly the pre-batch index (never seeing its own
+  fingerprints, which would flag the whole batch as dups of itself)
+  and rewrites its own partitions byte-for-byte instead of appending
+  duplicates.
 - **Batch ≡ stream** is structural: the per-batch flagging calls the
   SAME `incremental_hamming_flags` the batch CLI uses, so chunked
   streaming over a corpus produces exactly the flags the equivalent
@@ -33,6 +34,7 @@ import os
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from rustic_witcher_spark.operators.dedup import incremental_hamming_flags
 from rustic_witcher_spark.operators.multimodal import attach_perceptual_hash
@@ -74,31 +76,51 @@ def media_index_append_batch(
     if batch_id <= meta.get("last_batch_id", -1):
         return False
     spark = batch_df.sparkSession
+    # persist: the fingerprint stage feeds two actions (the flags write
+    # and the fresh-append) — without the cut the Python decode kernel
+    # would re-run per action
     hashed = attach_perceptual_hash(batch_df.select(id_col, binary_col), binary_col).select(id_col, "phash")
-    data_dir = os.path.join(index_path, "data")
-    if meta.get("indexed_rows", 0) > 0:
-        index = spark.read.schema(hashed.schema).parquet(data_dir)
-    else:
-        index = spark.createDataFrame([], hashed.schema)
+    hashed = hashed.persist()
+    try:
+        data_dir = os.path.join(index_path, "data")
+        if meta.get("indexed_rows", 0) > 0:
+            # the index is batch-partitioned; read strictly OLDER batches
+            # so a crash-replay (data appended, meta not yet written)
+            # re-flags against exactly the pre-batch index instead of
+            # seeing its own fingerprints and flagging itself as dups
+            idx_schema = hashed.schema.add("batch", T.LongType())
+            index = (
+                spark.read.schema(idx_schema).parquet(data_dir)
+                .filter(F.col("batch") < batch_id)
+                .select(id_col, "phash")
+            )
+        else:
+            index = spark.createDataFrame([], hashed.schema)
 
-    both = hashed.withColumn("__new", F.lit(True)).unionByName(index.withColumn("__new", F.lit(False)))
-    flags = incremental_hamming_flags(both, id_col, "phash", F.col("__new"), max_hamming)
-    flags_dir = os.path.join(index_path, "flags", f"batch={batch_id}")
-    flags.write.mode("overwrite").parquet(flags_dir)
+        both = hashed.withColumn("__new", F.lit(True)).unionByName(index.withColumn("__new", F.lit(False)))
+        flags = incremental_hamming_flags(both, id_col, "phash", F.col("__new"), max_hamming)
+        flags_dir = os.path.join(index_path, "flags", f"batch={batch_id}")
+        flags.write.mode("overwrite").parquet(flags_dir)
 
-    # append previously-unseen fingerprints: not exact-dup vs the index,
-    # and first-per-fingerprint WITHIN the batch (lowest id wins, the
-    # dedup family's survivor rule) so an intra-batch dup lands once
-    written_flags = spark.read.schema(flags.schema).parquet(flags_dir)
-    fresh = (
-        hashed.join(written_flags.filter(~F.col("exact_dup")).select(id_col), id_col, "left_semi")
-        .withColumn("__rn", F.row_number().over(Window.partitionBy("phash").orderBy(id_col)))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-    )
-    appended = fresh.count()
-    if appended:
-        fresh.write.mode("append").parquet(data_dir)
+        # append previously-unseen fingerprints: not exact-dup vs the
+        # index, non-NULL (missing media carries no fingerprint), and
+        # first-per-fingerprint WITHIN the batch (lowest id wins, the
+        # dedup family's survivor rule) so an intra-batch dup lands once.
+        # The batch's rows go to their OWN partition dir with overwrite:
+        # a replayed batch rewrites rather than duplicates.
+        written_flags = spark.read.schema(flags.schema).parquet(flags_dir)
+        fresh = (
+            hashed.filter(F.col("phash").isNotNull())
+            .join(written_flags.filter(~F.col("exact_dup")).select(id_col), id_col, "left_semi")
+            .withColumn("__rn", F.row_number().over(Window.partitionBy("phash").orderBy(id_col)))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        batch_dir = os.path.join(data_dir, f"batch={batch_id}")
+        fresh.write.mode("overwrite").parquet(batch_dir)
+        appended = spark.read.schema(hashed.schema).parquet(batch_dir).count()
+    finally:
+        hashed.unpersist()
     meta["last_batch_id"] = batch_id
     meta["indexed_rows"] = meta.get("indexed_rows", 0) + appended
     _store_meta(index_path, meta)

@@ -22,9 +22,56 @@ PNG_FIXTURE = Path(__file__).parent / "fixtures" / "tiny_rgb.png"
 # ---------------------------------------------------------------------------
 
 
-def test_phash_none_and_empty_are_zero():
-    assert perceptual_hash63(None) == 0
+def test_phash_none_is_null_empty_is_zero():
+    """Missing media carries NO fingerprint (None → never pairs);
+    empty content is a defined (blank) fingerprint of 0."""
+    assert perceptual_hash63(None) is None
     assert perceptual_hash63(b"") == 0
+
+
+def test_phash_corrupt_png_falls_back_to_byte_path():
+    """A blob with a valid 8-byte PNG magic but garbage inside must NOT
+    crash the kernel (one poisoned blob in a crawl would kill the whole
+    job / wedge the streaming appender): decode_png converts its
+    zlib/struct errors to DecoderUnavailable and the hash falls back to
+    content bytes."""
+    magic = b"\x89PNG\r\n\x1a\n"
+    garbage_idat = magic + b"\x00\x00\x00\x0dIHDR" + b"\x00\x00\x00\x06\x00\x00\x00\x05\x08\x02\x00\x00\x00" + b"xxxx" + b"\x00\x00\x00\x08IDATgarbage\x00\x00\x00\x00"
+    truncated = magic + b"\x00\x00\x00\x0dIHDR" + b"\x00\x01"
+    for blob in (garbage_idat, truncated):
+        h = perceptual_hash63(blob)
+        assert isinstance(h, int) and 0 <= h < (1 << 63)
+        # deterministic: same fallback on every call
+        assert h == perceptual_hash63(blob)
+
+
+def test_attach_phash_null_media_yields_null_fingerprint(spark):
+    """NULL-media rows get NULL phash — distinct media-less documents
+    must not all collide at fingerprint 0 and dedup each other away."""
+    from pyspark.sql import functions as F
+
+    from rustic_witcher_spark.operators.dedup import incremental_hamming_flags
+    from rustic_witcher_spark.operators.multimodal import attach_perceptual_hash
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, b"payload one"), (4, bytes(100))],
+        "doc_id long, media binary",
+    )
+    hashed = attach_perceptual_hash(df, "media")
+    got = {r.doc_id: r.phash for r in hashed.collect()}
+    assert got[1] is None and got[2] is None
+    assert got[4] == 0  # blank content: defined fingerprint
+    # and through the incremental flags: NULL-media rows are (False, False)
+    both = hashed.select("doc_id", "phash").withColumn("fresh", F.col("doc_id") <= 2).unionByName(
+        spark.createDataFrame([(100, got[3], False)], "doc_id long, phash long, fresh boolean")
+    )
+    flags = {
+        r.doc_id: (r.exact_dup, r.near_dup)
+        for r in incremental_hamming_flags(
+            both.filter((F.col("doc_id") <= 2) | ~F.col("fresh")), "doc_id", "phash", F.col("fresh")
+        ).collect()
+    }
+    assert flags[1] == (False, False) and flags[2] == (False, False)
 
 
 def test_phash_is_deterministic_and_nonneg_63bit():
@@ -133,11 +180,13 @@ def test_simhash_near_duplicates_delegates_unchanged(spark):
 
 
 def test_media_near_dups_recovers_planted_twins(spark):
-    from rustic_witcher_spark.queries import MEDIA_DUP_STRIDE, q_media_near_dups
+    from rustic_witcher_spark.queries import MEDIA_DUP_STRIDE, media_twin_offset, q_media_near_dups
 
     rows = q_media_near_dups(spark, SF_DIR).collect()
     doc_ids = {r.doc_id for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id").collect()}
-    planted = {(d, d + 1_000_000) for d in doc_ids if d % MEDIA_DUP_STRIDE == 0}
+    off = media_twin_offset(max(doc_ids))
+    assert off % 4 == 0 and off > max(doc_ids)  # collision-free, magic-preserving
+    planted = {(d, d + off) for d in doc_ids if d % MEDIA_DUP_STRIDE == 0}
     got = {(r.id_a, r.id_b) for r in rows}
     assert planted <= got, f"missed planted twins: {planted - got}"
     assert all(r.hamming <= 2 for r in rows)

@@ -153,3 +153,48 @@ def test_intra_batch_duplicate_indexed_once_lowest_id(spark, tmp_path):
     data = {(r.doc_id, r.phash) for r in spark.read.parquet(os.path.join(midx, "data")).collect()}
     ids = {i for i, _ in data}
     assert ids == {3, 9}  # lowest id survives per fingerprint
+
+
+def test_torn_write_replay_reflags_against_pre_batch_index(spark, tmp_path):
+    """Crash between the data write and the meta write (the torn
+    window): the replayed batch must see the PRE-batch index — never
+    its own fingerprints (which would re-flag the whole batch as exact
+    dups of itself) — and must overwrite its own data partition rather
+    than appending duplicates."""
+    midx = str(tmp_path / "midx")
+    media_index_append_batch(spark.createDataFrame([(1, _blob(0))], SCHEMA), 0, "doc_id", "media", midx)
+
+    batch1 = spark.createDataFrame([(2, _blob(1))], SCHEMA)
+    assert media_index_append_batch(batch1, 1, "doc_id", "media", midx)
+    flags_before = _flags(spark, midx)
+
+    # simulate the torn window: data/batch=1 written, meta rolled back
+    meta_path = os.path.join(midx, META_NAME)
+    meta = json.load(open(meta_path))
+    meta["last_batch_id"] = 0
+    meta["indexed_rows"] -= 1
+    json.dump(meta, open(meta_path, "w"))
+
+    # replay runs (cursor says batch 1 unseen) — must reproduce the
+    # original flags, not (True, True) against its own fingerprints
+    assert media_index_append_batch(batch1, 1, "doc_id", "media", midx)
+    assert _flags(spark, midx) == flags_before
+    assert _flags(spark, midx)[2] == (False, False)
+    data = spark.read.parquet(os.path.join(midx, "data"))
+    assert data.count() == 2  # overwritten partition, no duplicate rows
+    meta = json.load(open(meta_path))
+    assert meta["last_batch_id"] == 1 and meta["indexed_rows"] == 2
+
+
+def test_null_media_rows_not_indexed_and_never_dup_each_other(spark, tmp_path):
+    midx = str(tmp_path / "midx")
+    media_index_append_batch(
+        spark.createDataFrame([(1, _blob(0)), (2, None)], SCHEMA), 0, "doc_id", "media", midx
+    )
+    media_index_append_batch(
+        spark.createDataFrame([(3, None)], SCHEMA), 1, "doc_id", "media", midx
+    )
+    f = _flags(spark, midx)
+    assert f[2] == (False, False) and f[3] == (False, False)
+    data = spark.read.parquet(os.path.join(midx, "data"))
+    assert data.count() == 1  # only the real fingerprint indexed
