@@ -5880,9 +5880,15 @@ def build_registry() -> dict[str, tuple[QueryFn, str | None]]:
     hash-faithful gate rewrite (full list in ROUND8_PREFIX itself —
     it IS the ledger this round, 3 + 47 = exactly 50). After r8,
     r7∪r8 jointly cover the whole inventory with post-rewrite
-    verdicts; the oldest cohort for the r9 window will be the 46
-    r06-verdict entries (the round-6 additions graded in r7 keep
-    their r07 stamps).
+    verdicts; the oldest cohort for the r9 window is then the 49
+    entries holding r06 stamps — everything in neither ROUND7_PREFIX
+    nor ROUND8_PREFIX (149 total − 50 r07-stamped − 47 r08-stamped
+    − 3 r8-new): the filter family tail, anonymize/faker suite,
+    CDC/validation, the dedup/similarity/sampling/sketch/corpus/
+    multimodal groups graded in r6, events_session, and the r6
+    curation entries. ROUND9_PREFIX = any r9 additions + those 49,
+    sized to 50 (so at most ONE new entry fits without deferring a
+    stale one).
     The full local gate (`scripts/compare_oracle.py`) runs ALL
     entries every round, and is order- AND dtype-faithful to the
     driver hash (round-7 rewrite after q12 shipped red twice).
