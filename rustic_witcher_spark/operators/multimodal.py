@@ -331,7 +331,13 @@ def attach_perceptual_hash(df: DataFrame, binary_col: str = "media") -> DataFram
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             pdf = pdf.copy()
-            pdf["phash"] = pdf[binary_col].map(perceptual_hash63, na_action="ignore")
+            # nullable Int64 extension array, NOT .map(): a batch mixing
+            # None with ints would make pandas infer float64 and
+            # silently round every 63-bit fingerprint to 53-bit mantissa
+            # precision (caught by the cut-invariance property test)
+            pdf["phash"] = pd.array(
+                [perceptual_hash63(v) for v in pdf[binary_col]], dtype="Int64"
+            )
             yield pdf
 
     return df.mapInPandas(run, schema=out_schema)

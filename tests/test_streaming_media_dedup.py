@@ -198,3 +198,24 @@ def test_null_media_rows_not_indexed_and_never_dup_each_other(spark, tmp_path):
     assert f[2] == (False, False) and f[3] == (False, False)
     data = spark.read.parquet(os.path.join(midx, "data"))
     assert data.count() == 1  # only the real fingerprint indexed
+
+
+def test_index_fingerprint_set_invariant_under_batch_cuts(spark, tmp_path):
+    """The indexed FINGERPRINT SET is cut-invariant: however the corpus
+    is chunked into micro-batches, the index ends up holding exactly
+    the distinct non-null fingerprints of the corpus (which id carries
+    each fingerprint may differ — first-arrival wins — but the set may
+    not)."""
+    from rustic_witcher_spark.operators.multimodal import perceptual_hash63
+
+    rows = [(i, _blob(i % 5)) for i in range(8)] + [(8, None), (9, _edited(1))]
+    want = {perceptual_hash63(m) for _, m in rows if m is not None}
+    cuts = [[rows], [rows[:3], rows[3:7], rows[7:]], [[r] for r in rows]]
+    for ci, chunks in enumerate(cuts):
+        midx = str(tmp_path / f"midx{ci}")
+        for bi, chunk in enumerate(chunks):
+            media_index_append_batch(
+                spark.createDataFrame(chunk, SCHEMA), bi, "doc_id", "media", midx
+            )
+        got = {r.phash for r in spark.read.parquet(os.path.join(midx, "data")).collect()}
+        assert got == want, f"cut {ci}: {got} != {want}"
