@@ -164,6 +164,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="optional corpus-index parquet (id + fingerprint); flags the source batch "
         "against it (incremental mode) instead of pairing the source with itself",
     )
+    mc = sub.add_parser(
+        "media-index-compact",
+        help="merge a streaming media-index's accumulated batch partitions into one",
+    )
+    mc.add_argument("--path", required=True, help="index directory (as written by the streaming appender)")
     return p
 
 
@@ -387,6 +392,13 @@ def main(argv: list[str] | None = None) -> int:
                 "target": args.target,
             }
         print(json.dumps(summary, sort_keys=True))
+        return 0
+    if args.command == "media-index-compact":
+        from rustic_witcher_spark.streaming.media_dedup import compact_media_index
+
+        spark = get_spark("media-index-compact")
+        meta = compact_media_index(spark, args.path)
+        print(json.dumps({"path": args.path, **meta}, sort_keys=True))
         return 0
     if args.command != "anonymize":  # pragma: no cover
         return 2

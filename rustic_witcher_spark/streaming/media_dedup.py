@@ -127,6 +127,42 @@ def media_index_append_batch(
     return True
 
 
+def compact_media_index(spark, index_path: str) -> dict:
+    """Merge the accumulated ``data/batch=N`` partitions into a single
+    partition at the current cursor — the small-files compaction every
+    long-running appender eventually needs (one parquet file per
+    micro-batch otherwise).
+
+    Safe with respect to replay: compacted rows land under
+    ``batch=<last_batch_id>``, which the index read (``batch <
+    next_id``) still sees for every future batch, and the cursor means
+    no batch ≤ last_batch_id can re-run. Fingerprints are already
+    unique across the index (exact-dups are never re-indexed; replays
+    overwrite their own partition), so compaction is purely file
+    layout. The old data is swapped via rename with a documented
+    non-atomic window (data_old left behind on a crash between
+    renames — recovery is renaming it back), the same
+    parquet-directory-level trade as the shard sink's manifest."""
+    import shutil
+
+    meta = _load_meta(index_path)
+    if meta.get("last_batch_id", -1) < 0 or meta.get("indexed_rows", 0) == 0:
+        return meta
+    data_dir = os.path.join(index_path, "data")
+    df = spark.read.parquet(data_dir)  # schema known-present: indexed_rows > 0
+    cols = [c for c in df.columns if c != "batch"]
+    compact_root = os.path.join(index_path, "data_compact")
+    shutil.rmtree(compact_root, ignore_errors=True)
+    target = os.path.join(compact_root, f"batch={meta['last_batch_id']}")
+    df.select(*cols).coalesce(1).write.mode("overwrite").parquet(target)
+    old = os.path.join(index_path, "data_old")
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(data_dir, old)
+    os.rename(compact_root, data_dir)
+    shutil.rmtree(old)
+    return meta
+
+
 def write_media_index_stream(
     media_stream: DataFrame,
     id_col: str,

@@ -219,3 +219,51 @@ def test_index_fingerprint_set_invariant_under_batch_cuts(spark, tmp_path):
             )
         got = {r.phash for r in spark.read.parquet(os.path.join(midx, "data")).collect()}
         assert got == want, f"cut {ci}: {got} != {want}"
+
+
+def test_compact_media_index_preserves_set_and_future_flags(spark, tmp_path):
+    """Compaction merges the batch partitions into one, preserves the
+    fingerprint set exactly, and the next batch flags identically
+    against the compacted index."""
+    from rustic_witcher_spark.streaming.media_dedup import compact_media_index
+
+    midx = str(tmp_path / "midx")
+    for bi, rows in enumerate([[(1, _blob(0))], [(2, _blob(1))], [(3, _blob(2))]]):
+        media_index_append_batch(spark.createDataFrame(rows, SCHEMA), bi, "doc_id", "media", midx)
+    before = {(r.doc_id, r.phash) for r in spark.read.parquet(os.path.join(midx, "data")).collect()}
+    meta = compact_media_index(spark, midx)
+    assert meta["last_batch_id"] == 2
+    data = spark.read.parquet(os.path.join(midx, "data"))
+    after = {(r.doc_id, r.phash) for r in data.collect()}
+    assert after == before
+    assert data.select("batch").distinct().count() == 1  # one partition now
+    assert not os.path.exists(os.path.join(midx, "data_old"))
+    # next batch still flags against the compacted index
+    media_index_append_batch(
+        spark.createDataFrame([(4, _blob(0)), (5, _blob(9))], SCHEMA), 3, "doc_id", "media", midx
+    )
+    f = _flags(spark, midx)
+    assert f[4] == (True, True) and f[5] == (False, False)
+
+
+def test_compact_empty_index_is_noop(spark, tmp_path):
+    from rustic_witcher_spark.streaming.media_dedup import compact_media_index
+
+    midx = str(tmp_path / "empty_idx")
+    meta = compact_media_index(spark, midx)
+    assert meta["last_batch_id"] == -1
+    assert not os.path.exists(os.path.join(midx, "data"))
+
+
+def test_cli_media_index_compact(spark, tmp_path, capsys):
+    from rustic_witcher_spark import cli
+
+    midx = str(tmp_path / "midx")
+    for bi in range(2):
+        media_index_append_batch(
+            spark.createDataFrame([(bi, _blob(bi))], SCHEMA), bi, "doc_id", "media", midx
+        )
+    assert cli.main(["media-index-compact", "--path", midx]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["indexed_rows"] == 2 and rep["last_batch_id"] == 1
+    assert spark.read.parquet(os.path.join(midx, "data")).count() == 2
