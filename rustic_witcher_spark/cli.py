@@ -169,6 +169,27 @@ def build_parser() -> argparse.ArgumentParser:
         help="merge a streaming media-index's accumulated batch partitions into one",
     )
     mc.add_argument("--path", required=True, help="index directory (as written by the streaming appender)")
+    ai = sub.add_parser(
+        "ann-index",
+        help="build a persisted IVF index over an embedding table (centroids + cid-partitioned lists)",
+    )
+    ai.add_argument("--source", required=True, help="input parquet with an embedding column")
+    ai.add_argument("--target", required=True, help="index output directory")
+    ai.add_argument("--id-col", default="vec_id")
+    ai.add_argument("--vec-col", default="embedding")
+    ai.add_argument("--n-clusters", type=int, default=16)
+    ai.add_argument("--iters", type=int, default=1)
+    aq = sub.add_parser(
+        "ann-query",
+        help="query a persisted IVF index (probe lists via partition pruning, exact re-rank)",
+    )
+    aq.add_argument("--index", required=True, help="index directory (as written by ann-index)")
+    aq.add_argument("--queries", required=True, help="parquet of query vectors")
+    aq.add_argument("--target", required=True, help="output parquet for (query_id, neighbor_id, sim, rank)")
+    aq.add_argument("--id-col", default="vec_id")
+    aq.add_argument("--vec-col", default="embedding")
+    aq.add_argument("--k", type=int, default=5)
+    aq.add_argument("--nprobe", type=int, default=2)
     return p
 
 
@@ -399,6 +420,51 @@ def main(argv: list[str] | None = None) -> int:
         spark = get_spark("media-index-compact")
         meta = compact_media_index(spark, args.path)
         print(json.dumps({"path": args.path, **meta}, sort_keys=True))
+        return 0
+    if args.command == "ann-index":
+        from rustic_witcher_spark.operators.similarity import ivf_write_index
+
+        spark = get_spark("ann-index")
+        src = spark.read.parquet(args.source)
+        ivf_write_index(
+            src, args.target, n_clusters=args.n_clusters, iters=args.iters,
+            id_col=args.id_col, vec_col=args.vec_col,
+        )
+        lists = spark.read.parquet(f"{args.target}/lists")
+        print(
+            json.dumps(
+                {
+                    "target": args.target,
+                    "indexed_vectors": lists.count(),
+                    "n_clusters": args.n_clusters,
+                },
+                sort_keys=True,
+            )
+        )
+        return 0
+    if args.command == "ann-query":
+        from rustic_witcher_spark.operators.similarity import ivf_query_index
+
+        spark = get_spark("ann-query")
+        q = spark.read.parquet(args.queries)
+        out = ivf_query_index(
+            spark, args.index, q, k=args.k, nprobe=args.nprobe,
+            id_col=args.id_col, vec_col=args.vec_col,
+        )
+        out.write.mode("overwrite").parquet(args.target)
+        result = spark.read.schema(out.schema).parquet(args.target)
+        print(
+            json.dumps(
+                {
+                    "target": args.target,
+                    "result_rows": result.count(),
+                    "queries": result.select("query_id").distinct().count(),
+                    "k": args.k,
+                    "nprobe": args.nprobe,
+                },
+                sort_keys=True,
+            )
+        )
         return 0
     if args.command != "anonymize":  # pragma: no cover
         return 2

@@ -389,3 +389,43 @@ def test_approx_percentile_within_tolerance(spark, sf_dir):
         F.expr("approx_percentile(value, 0.9, 10000)").alias("approx"),
     ).collect()[0]
     assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.05
+
+
+def test_cli_ann_index_and_query_round_trip(spark, sf_dir, tmp_path, capsys):
+    """ann-index builds the cid-partitioned IVF layout; ann-query probes
+    it and lands exact top-k parquet — matching the operator API run
+    directly on the same inputs."""
+    import json
+
+    from rustic_witcher_spark import cli
+    from rustic_witcher_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    src = str(tmp_path / "emb.parquet")
+    emb.write.parquet(src)
+    idx = str(tmp_path / "idx")
+    assert cli.main([
+        "ann-index", "--source", src, "--target", idx, "--n-clusters", "8",
+    ]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["indexed_vectors"] == emb.count()
+
+    qsrc = str(tmp_path / "q.parquet")
+    q = emb.limit(3)
+    q.write.parquet(qsrc)
+    out = str(tmp_path / "hits")
+    assert cli.main([
+        "ann-query", "--index", idx, "--queries", qsrc, "--target", out,
+        "--k", "3", "--nprobe", "2",
+    ]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["queries"] == 3 and rep["result_rows"] <= 9
+    got = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in similarity.ivf_query_index(spark, idx, q, k=3, nprobe=2).collect()
+    }
+    assert got == want and len(got) > 0
