@@ -179,6 +179,15 @@ def build_parser() -> argparse.ArgumentParser:
     ai.add_argument("--vec-col", default="embedding")
     ai.add_argument("--n-clusters", type=int, default=16)
     ai.add_argument("--iters", type=int, default=1)
+    ai.add_argument(
+        "--pq-subspaces",
+        type=int,
+        default=0,
+        help="train a product-quantized index with this many subspaces "
+        "(0 = float IVF lists); codes are partitioned by the coarse IVF list id",
+    )
+    ai.add_argument("--pq-codes", type=int, default=16, help="codewords per PQ subspace")
+    ai.add_argument("--dim", type=int, default=64, help="embedding dimensionality (PQ mode)")
     aq = sub.add_parser(
         "ann-query",
         help="query a persisted IVF index (probe lists via partition pruning, exact re-rank)",
@@ -422,35 +431,54 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"path": args.path, **meta}, sort_keys=True))
         return 0
     if args.command == "ann-index":
-        from rustic_witcher_spark.operators.similarity import ivf_write_index
-
         spark = get_spark("ann-index")
         src = spark.read.parquet(args.source)
-        ivf_write_index(
-            src, args.target, n_clusters=args.n_clusters, iters=args.iters,
-            id_col=args.id_col, vec_col=args.vec_col,
-        )
-        lists = spark.read.parquet(f"{args.target}/lists")
+        if args.pq_subspaces > 0:
+            from rustic_witcher_spark.operators.pq import pq_write_index
+
+            pq_write_index(
+                src, args.target, n_subspaces=args.pq_subspaces, n_codes=args.pq_codes,
+                dim=args.dim, coarse_clusters=args.n_clusters, iters=args.iters,
+                id_col=args.id_col, vec_col=args.vec_col,
+            )
+            indexed = spark.read.parquet(f"{args.target}/codes").count()
+        else:
+            from rustic_witcher_spark.operators.similarity import ivf_write_index
+
+            ivf_write_index(
+                src, args.target, n_clusters=args.n_clusters, iters=args.iters,
+                id_col=args.id_col, vec_col=args.vec_col,
+            )
+            indexed = spark.read.parquet(f"{args.target}/lists").count()
         print(
             json.dumps(
                 {
                     "target": args.target,
-                    "indexed_vectors": lists.count(),
+                    "indexed_vectors": indexed,
                     "n_clusters": args.n_clusters,
+                    "pq_subspaces": args.pq_subspaces,
                 },
                 sort_keys=True,
             )
         )
         return 0
     if args.command == "ann-query":
-        from rustic_witcher_spark.operators.similarity import ivf_query_index
-
         spark = get_spark("ann-query")
         q = spark.read.parquet(args.queries)
-        out = ivf_query_index(
-            spark, args.index, q, k=args.k, nprobe=args.nprobe,
-            id_col=args.id_col, vec_col=args.vec_col,
-        )
+        if os.path.isdir(os.path.join(args.index, "_codebooks")):
+            from rustic_witcher_spark.operators.pq import pq_query_index
+
+            out = pq_query_index(
+                spark, args.index, q, k=args.k, nprobe=args.nprobe,
+                id_col=args.id_col, vec_col=args.vec_col,
+            )
+        else:
+            from rustic_witcher_spark.operators.similarity import ivf_query_index
+
+            out = ivf_query_index(
+                spark, args.index, q, k=args.k, nprobe=args.nprobe,
+                id_col=args.id_col, vec_col=args.vec_col,
+            )
         out.write.mode("overwrite").parquet(args.target)
         result = spark.read.schema(out.schema).parquet(args.target)
         print(

@@ -1,0 +1,466 @@
+"""Product quantization (PQ / IVF-PQ) for embedding search at scale.
+
+Brute-force and IVF ANN (operators/similarity.py) keep full float
+vectors: at 100 TB of 64-dim float32 embeddings that is 256 B/vector of
+scan per query batch. PQ compresses each vector to ``n_subspaces``
+small integer codes (4 B here, 32-64 B for production dims) against a
+tiny shared codebook, and scores queries against the CODES via
+asymmetric distance computation (ADC): the query stays exact, each
+candidate's similarity is looked up per-subspace and summed. The scan
+cost per query batch drops by the compression ratio (~64x for
+float32[64] -> 4 uint8 codes), which is the difference between an ANN
+sweep being scan-bound or memory-resident at the 1000-executor scale.
+
+Everything is deterministic (md5-ordered codebook seeding + Lloyd
+refinement, fixed tie-breaks), so a DuckDB oracle replays the exact
+train -> encode -> ADC pipeline and the result is value-hash-checked
+like any exact query (same contract as ``similarity.ivf_topk``).
+
+Design notes for the 100 TB shape:
+
+- Codebooks are (n_subspaces x n_codes) subvectors — a few KB. They
+  broadcast everywhere; training them reads the corpus twice (seed
+  sample + one Lloyd pass), both as plain DataFrame aggregations.
+- Encoding is one corpus pass producing (id, codes array<int>) — this
+  is the artifact you persist (``pq_write_index``); re-encoding only
+  happens when the codebook is retrained.
+- ADC scoring ships the per-query lookup tables (LUT) to executors via
+  ONE torrent broadcast and fancy-indexes the code matrix per Arrow
+  batch (numpy kernel) — no shuffle of the corpus, |queries| x k rows
+  out of each batch, map-side reducible exactly like
+  ``similarity.brute_force_topk_block``.
+- The cosine decomposes cleanly over subspaces: dot(q, recon(c)) =
+  SUM_m dot(q_m, codeword_{m,code_m}) and |recon(c)|^2 =
+  SUM_m |codeword|^2 — so ADC scores EQUAL the reconstructed-vector
+  cosine (up to float addition order), which is what the HOF twin and
+  the DuckDB oracle compute explicitly.
+
+Reference parity: the reference engine has no vector search at all —
+this module extends the training-data-pipeline surface (SURVEY §2's
+"beyond the reference" block) alongside similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from rustic_witcher_spark.functions.wordlists import DEFAULT_SEED
+from rustic_witcher_spark.operators.similarity import _round_half_away, cosine, dot
+
+
+def _sq_dist(a, b):
+    """Squared L2 distance as dot(a,a) - 2*dot(a,b) + dot(b,b).
+
+    Written in dot products (each a sequential left fold) rather than a
+    zip_with of squared differences so the DuckDB oracle can replay the
+    identical float operation order with ``list_dot_product`` — the
+    argmin tie-breaks must agree bit-for-bit across engines.
+    """
+    return dot(a, a) - F.lit(2.0) * dot(a, b) + dot(b, b)
+
+
+def _subvectors(df: DataFrame, n_subspaces: int, d_sub: int, id_col: str, vec_col: str) -> DataFrame:
+    """(id, m, sv): each vector sliced into its n_subspaces pieces.
+
+    NULL vectors are dropped at the boundary (same policy as
+    cosine_near_dup_pairs): a NULL has no codes, and Spark's NULLS-FIRST
+    vs DuckDB's NULLS-LAST argmin ordering would otherwise diverge.
+    """
+    slices = F.array(*[F.slice(F.col("__v"), j * d_sub + 1, d_sub) for j in range(n_subspaces)])
+    return (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"))
+        .select(id_col, F.posexplode(slices).alias("m", "sv"))
+    )
+
+
+def _assign(sub: DataFrame, codebooks: DataFrame, id_col: str) -> DataFrame:
+    """Nearest codeword per (id, m): broadcast the (tiny) codebook,
+    score every candidate, min(struct) argmin with cid tie-break —
+    map-side combinable, never a per-row window over the corpus."""
+    scored = sub.join(F.broadcast(codebooks), "m").select(
+        id_col, "m", "sv", "cid", _sq_dist(F.col("sv"), F.col("cvec")).alias("__d")
+    )
+    best = scored.groupBy(id_col, "m").agg(
+        F.min(F.struct(F.col("__d"), F.col("cid"), F.col("sv"))).alias("b")
+    )
+    return best.select(id_col, "m", F.col("b.cid").alias("cid"), F.col("b.sv").alias("sv"))
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    n_subspaces: int = 4,
+    n_codes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = DEFAULT_SEED,
+    iters: int = 1,
+) -> DataFrame:
+    """Train per-subspace codebooks as (m, cid, cvec).
+
+    Seeding mirrors ``similarity.ivf_centroids``: the initial codewords
+    of EVERY subspace are the slices of the same ``n_codes``
+    md5-hash-ordered sample vectors (no driver randomness — stable
+    across runs, partitionings, and cluster sizes), then ``iters``
+    Lloyd steps refine each subspace independently: assign (broadcast
+    scoring) -> per-(m, cid, pos) mean -> rebuild. A codeword that wins
+    no subvectors drops out (same convention as the IVF oracle —
+    replayed identically by SQL, so the faces cannot drift).
+    """
+    if dim % n_subspaces:
+        raise ValueError(f"dim {dim} not divisible by n_subspaces {n_subspaces}")
+    d_sub = dim // n_subspaces
+    seeds = (
+        corpus.filter(F.col(vec_col).isNotNull())
+        .withColumn("__r", F.md5(F.concat(F.lit(f"{seed}|pq|"), F.col(id_col).cast("string"))))
+        .orderBy("__r", id_col)
+        .limit(n_codes)
+    )
+    # n_codes rows post-limit — the unpartitioned window is benign
+    w = Window.orderBy("__r", id_col)
+    seeded = seeds.select(F.row_number().over(w).alias("cid"), F.col(vec_col).cast("array<double>").alias("__v"))
+    slices = F.array(*[F.slice(F.col("__v"), j * d_sub + 1, d_sub) for j in range(n_subspaces)])
+    cb = seeded.select("cid", F.posexplode(slices).alias("m", "cvec"))
+    sub = None
+    for _ in range(iters):
+        if sub is None:
+            sub = _subvectors(corpus, n_subspaces, d_sub, id_col, vec_col)
+        assigned = _assign(sub, cb, id_col)
+        cb = (
+            assigned.select("m", "cid", F.posexplode("sv").alias("pos", "v"))
+            .groupBy("m", "cid", "pos")
+            .agg(F.avg("v").alias("mv"))
+            .groupBy("m", "cid")
+            .agg(F.transform(F.array_sort(F.collect_list(F.struct("pos", "mv"))), lambda s: s["mv"]).alias("cvec"))
+        )
+    return cb
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    n_subspaces: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector to (id, codes array<int>) — code j is the
+    nearest codeword of subspace j. One corpus pass; the broadcast-join
+    fan-out (n_subspaces x n_codes scorings per row) is the standard PQ
+    build cost and stays embarrassingly parallel."""
+    d_sub = dim // n_subspaces
+    sub = _subvectors(corpus, n_subspaces, d_sub, id_col, vec_col)
+    assigned = _assign(sub, codebooks, id_col)
+    return assigned.groupBy(id_col).agg(
+        F.transform(F.array_sort(F.collect_list(F.struct("m", "cid"))), lambda s: s["cid"]).alias("codes")
+    )
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_subspaces: int = 4,
+    n_codes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = DEFAULT_SEED,
+    iters: int = 1,
+) -> DataFrame:
+    """HOF/Catalyst twin of PQ ANN: top-k approximate cosine neighbors
+    per query, scored against RECONSTRUCTED candidates (codes -> concat
+    of codewords), which is mathematically the ADC score. This is the
+    oracle-parity face — the registered scale path is
+    :func:`pq_adc_topk_block`, pinned output-identical by test.
+
+    Returns (query_id, neighbor_id, sim, rank); self-matches excluded;
+    ties break on neighbor id.
+    """
+    cb = pq_codebooks(corpus, n_subspaces, n_codes, dim, id_col, vec_col, seed, iters)
+    codes = pq_encode(corpus, cb, n_subspaces, dim, id_col, vec_col)
+    # (m|cid) -> codeword map as ONE broadcast row; reconstruction is a
+    # pure expression over it — no shuffle, no per-row python
+    cbmap = cb.groupBy().agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(
+                    F.concat(F.col("m").cast("string"), F.lit("|"), F.col("cid").cast("string")).alias("k"),
+                    F.col("cvec").alias("v"),
+                )
+            )
+        ).alias("__cb")
+    )
+    recon = codes.crossJoin(F.broadcast(cbmap)).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_subspaces - 1)),
+                lambda j: F.element_at(
+                    F.col("__cb"),
+                    F.concat(j.cast("string"), F.lit("|"), F.element_at(F.col("codes"), j + 1).cast("string")),
+                ),
+            )
+        ).alias("__rv"),
+    )
+    q = queries.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("__qv")
+    )
+    scored = (
+        recon.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", F.round(cosine(F.col("__qv"), F.col("__rv")), 6).alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def _collect_codebooks(codebooks: DataFrame):
+    """(m, cid, cvec) rows -> {(m, cid): np.float64 vector}; tiny
+    (n_subspaces x n_codes) by construction."""
+    import numpy as np
+
+    return {(r["m"], r["cid"]): np.asarray(r["cvec"], dtype=np.float64) for r in codebooks.collect()}
+
+
+def pq_adc_topk_block(
+    corpus_codes: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_subspaces: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_map: dict | None = None,
+    cid_col: str | None = None,
+) -> DataFrame:
+    """The registered/scale face of PQ search: true ADC over the codes.
+
+    Driver collects only the codebook (KBs) and the bounded query set;
+    per query it precomputes the LUT ip[q][m][code] = dot(q_m, codeword)
+    and the shared norm table n2[m][code] = |codeword|^2, broadcasts
+    them ONCE (torrent, per-executor), and the mapInPandas kernel scores
+    a whole Arrow batch of codes with two fancy-index sums — never
+    touching float vectors, never shuffling the corpus. Per-batch top-k
+    per query (bounded rows out), then one window over the k-per-batch
+    candidates — the brute_force_topk_block reduction shape.
+
+    Output contract matches :func:`pq_adc_topk` on clean vectors
+    (pinned by test): ADC sums per-subspace partials where the HOF twin
+    dots the reconstruction in one pass — algebraically identical,
+    float-order near-identical, and both round half-away to 6 dp.
+    Dirty-data policy as the other block kernels: NULL / zero-norm /
+    NaN queries are dropped at the kernel boundary.
+
+    ``probe_map`` (used by the persisted IVF-PQ path): {query_id:
+    iterable of coarse list ids this query probes}; ``cid_col`` names
+    the coarse-list column on ``corpus_codes``. Candidates outside a
+    query's probed lists are masked out per-batch — the compute-side
+    complement of the partition pruning that already restricted the
+    SCAN to the union of probed lists.
+    """
+    import numpy as np
+
+    spark = corpus_codes.sparkSession
+    out_ddl = "query_id long, neighbor_id long, sim double"
+    cb = _collect_codebooks(codebooks)
+    qpdf = queries.filter(F.col(vec_col).isNotNull()).select(id_col, vec_col).toPandas()
+    if qpdf.empty or not cb:
+        return spark.createDataFrame([], out_ddl + ", rank int")
+    d_sub = dim // n_subspaces
+    max_cid = max(c for _, c in cb)
+    # dense (m, cid) tables; unused slots stay NaN and can never be
+    # referenced — codes only ever point at surviving codewords
+    n2 = np.full((n_subspaces, max_cid + 1), np.nan)
+    cw = np.full((n_subspaces, max_cid + 1, d_sub), np.nan)
+    for (m, cid), v in cb.items():
+        cw[m, cid] = v
+        n2[m, cid] = float(np.dot(v, v))
+    q_ids = qpdf[id_col].to_numpy(dtype=np.int64)
+    q_mat = np.stack([np.asarray(v, dtype=np.float64) for v in qpdf[vec_col]])
+    q_norm = np.linalg.norm(q_mat, axis=1)
+    keep_q = np.isfinite(q_norm) & (q_norm > 0.0)
+    q_ids, q_mat, q_norm = q_ids[keep_q], q_mat[keep_q], q_norm[keep_q]
+    if not len(q_ids):
+        return spark.createDataFrame([], out_ddl + ", rank int")
+    # LUT: ip[qi, m, cid] = dot(q_m, codeword_{m,cid})
+    lut = np.einsum("qmd,mcd->qmc", q_mat.reshape(len(q_ids), n_subspaces, d_sub), cw)
+    # probe mask: allowed[qi, coarse_cid] — tiny (|queries| x n_lists)
+    allowed = None
+    if probe_map is not None:
+        n_lists = 1 + max((c for cids in probe_map.values() for c in cids), default=0)
+        allowed = np.zeros((len(q_ids), n_lists), dtype=bool)
+        for qi, qid in enumerate(q_ids):
+            for c in probe_map.get(int(qid), ()):
+                allowed[qi, c] = True
+    b = spark.sparkContext.broadcast((q_ids, q_norm, lut, n2, allowed))
+    sel_cols = [id_col, "codes"] + ([cid_col] if cid_col else [])
+
+    def score(batches):
+        import pandas as pd
+
+        q_ids, q_norm, lut, n2, allowed = b.value
+        m_idx = np.arange(lut.shape[1])
+        for pdf in batches:
+            pdf = pdf[pdf["codes"].notna()]
+            if pdf.empty:
+                continue
+            c_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            codes = np.stack([np.asarray(c, dtype=np.int64) for c in pdf["codes"]])
+            ip = lut[:, m_idx, codes].sum(axis=2)  # [Q, B]
+            cnorm = np.sqrt(n2[m_idx, codes].sum(axis=1))  # [B]
+            sims = _round_half_away(ip / (q_norm[:, None] * cnorm[None, :]))
+            sims = np.where((q_ids[:, None] != c_ids[None, :]) & np.isfinite(sims), sims, -np.inf)
+            if allowed is not None:
+                batch_cids = pdf[cid_col].to_numpy(dtype=np.int64)
+                in_range = batch_cids < allowed.shape[1]
+                mask = np.zeros((len(q_ids), len(batch_cids)), dtype=bool)
+                mask[:, in_range] = allowed[:, batch_cids[in_range]]
+                sims = np.where(mask, sims, -np.inf)
+            rows = []
+            kk = min(k, sims.shape[1])
+            for qi in range(len(q_ids)):
+                row = sims[qi]
+                order = np.lexsort((c_ids, -row))[:kk]
+                for ci in order:
+                    if np.isfinite(row[ci]):
+                        rows.append((q_ids[qi], c_ids[ci], row[ci]))
+            if rows:
+                yield pd.DataFrame(rows, columns=["query_id", "neighbor_id", "sim"])
+
+    per_batch = corpus_codes.select(*sel_cols).mapInPandas(score, out_ddl)
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return per_batch.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def pq_write_index(
+    corpus: DataFrame,
+    path: str,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    dim: int = 64,
+    coarse_clusters: int = 0,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = DEFAULT_SEED,
+) -> None:
+    """Materialize a PQ (or IVF-PQ) index.
+
+    Layout: ``<path>/_codebooks`` (the m x k codewords, KBs),
+    ``<path>/codes`` (one row per vector: id + codes — ~16-64x smaller
+    than the float vectors). With ``coarse_clusters > 0`` the codes are
+    additionally PARTITIONED BY a coarse IVF list id (trained via
+    ``similarity.ivf_centroids``, persisted under ``<path>/_centroids``)
+    — the production IVF-PQ shape at 100 TB: a query batch's probe-list
+    selection compiles to parquet partition pruning, and what it scans
+    is codes, not vectors. Compaction/replay follow the plain-parquet
+    rules (overwrite per run; no partial-write window beyond parquet's
+    own _temporary rename).
+
+    This variant quantizes raw vectors, not IVF residuals — simpler,
+    deterministic, and the oracle-checked contract; residual encoding
+    is a recall refinement, not a semantic change, documented here so
+    a future round can add it without breaking layout.
+    """
+    cb = pq_codebooks(corpus, n_subspaces, n_codes, dim, id_col, vec_col, seed, iters)
+    cb.write.mode("overwrite").parquet(f"{path}/_codebooks")
+    codes = pq_encode(corpus, cb, n_subspaces, dim, id_col, vec_col)
+    if coarse_clusters > 0:
+        from rustic_witcher_spark.operators.similarity import ivf_assign, ivf_centroids
+
+        cent = ivf_centroids(corpus, coarse_clusters, id_col, vec_col, seed=seed, iters=iters)
+        cent.write.mode("overwrite").parquet(f"{path}/_centroids")
+        lists = ivf_assign(corpus, cent, id_col, vec_col, nprobe=1).select(id_col, "cid")
+        codes.join(lists, id_col).write.mode("overwrite").partitionBy("cid").parquet(f"{path}/codes")
+    else:
+        codes.write.mode("overwrite").parquet(f"{path}/codes")
+
+
+def pq_query_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    n_subspaces: int | None = None,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query a persisted PQ / IVF-PQ index with the ADC block kernel.
+    Geometry (n_subspaces, dim) is inferred from the stored codebook
+    unless overridden.
+
+    IVF-PQ (``_centroids`` present): queries are assigned their
+    ``nprobe`` nearest coarse lists; the codes scan carries a
+    ``cid IN (...)`` partition filter (only the probed lists' files
+    open), and the kernel masks each query to ITS OWN probed lists —
+    scan pruning and compute pruning from one probe assignment. Flat
+    PQ: full codes scan, ADC against every candidate.
+
+    Driver-side collects are bounded: the codebook (KBs) and the
+    |queries| x nprobe probe assignment.
+    """
+    import os
+
+    # explicit schemas on every index read-back: an EMPTY index (0-row
+    # corpus) writes only _SUCCESS, and schema inference would raise
+    # UNABLE_TO_INFER_SCHEMA instead of returning empty results — the
+    # bug class already fixed three times elsewhere (shards, cli split,
+    # media-dedup); don't reintroduce it here
+    cb = spark.read.schema("m int, cid int, cvec array<double>").parquet(f"{path}/_codebooks")
+    if n_subspaces is None or dim is None:
+        geo = cb.agg(F.max("m").alias("mm"), F.max(F.size("cvec")).alias("d")).collect()[0]
+        if geo["mm"] is None:  # empty codebook -> empty index -> empty result
+            return spark.createDataFrame([], "query_id long, neighbor_id long, sim double, rank int")
+        n_subspaces = n_subspaces or (geo["mm"] + 1)
+        dim = dim or n_subspaces * geo["d"]
+    probe_map = None
+    cid_col = None
+    if os.path.isdir(f"{path}/_centroids"):
+        from rustic_witcher_spark.operators.similarity import ivf_assign
+
+        cent = spark.read.parquet(f"{path}/_centroids")
+        probes = (
+            ivf_assign(queries.filter(F.col(vec_col).isNotNull()), cent, id_col, vec_col, nprobe=nprobe)
+            .select(F.col(id_col), F.col("cid"))
+            .collect()
+        )
+        probe_map = {}
+        for r in probes:
+            probe_map.setdefault(int(r[id_col]), []).append(int(r["cid"]))
+        probe_cids = sorted({c for cids in probe_map.values() for c in cids})
+        codes = (
+            spark.read.schema(f"{id_col} long, codes array<int>, cid int")
+            .parquet(f"{path}/codes")
+            .filter(F.col("cid").isin(probe_cids))
+        )
+        cid_col = "cid"
+    else:
+        codes = spark.read.schema(f"{id_col} long, codes array<int>").parquet(f"{path}/codes")
+    return pq_adc_topk_block(
+        codes, cb, queries, k, n_subspaces, dim, id_col, vec_col, probe_map=probe_map, cid_col=cid_col
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_subspaces: int = 4,
+    n_codes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = DEFAULT_SEED,
+    iters: int = 1,
+) -> DataFrame:
+    """Train + encode + ADC in one call, scoring via the block kernel —
+    the one-shot form of the persisted index path."""
+    cb = pq_codebooks(corpus, n_subspaces, n_codes, dim, id_col, vec_col, seed, iters)
+    codes = pq_encode(corpus, cb, n_subspaces, dim, id_col, vec_col)
+    return pq_adc_topk_block(codes, cb, queries, k, n_subspaces, dim, id_col, vec_col)

@@ -41,7 +41,7 @@ from rustic_witcher_spark.operators import (
     skew,
     text,
 )
-from rustic_witcher_spark.operators import graph, layout, profile, scd2, skyline
+from rustic_witcher_spark.operators import graph, layout, pq, profile, scd2, skyline
 from rustic_witcher_spark.operators.asof import asof_join
 from rustic_witcher_spark.operators.cdc import apply_cdc
 from rustic_witcher_spark.operators.range_join import range_join
@@ -1958,6 +1958,102 @@ s AS (
   SELECT query_id, neighbor_id, round({cos.format(a='qv', b='cv')}, 6) AS sim
   FROM inv JOIN probes USING (cid)
   WHERE query_id <> neighbor_id
+)
+SELECT query_id, neighbor_id, rank, sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank FROM s)
+WHERE rank <= {k}
+"""
+
+
+def q_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ANN (operators/pq.py): train 16x16 subspace
+    codebooks (md5-seeded + 1 Lloyd step), encode the corpus to 16
+    4-bit codes (16x smaller than the float32 vectors), score queries
+    against the CODES via the ADC numpy block kernel — the registered
+    path IS the 100 TB path (the kernel fancy-indexes per-query lookup
+    tables broadcast once per executor; the corpus scan reads codes
+    only and never shuffles).
+
+    16 subspaces (4-dim each): the synthetic embeddings are near-pure
+    noise (same-label mean cosine 0.02), so quantization error per
+    subspace dominates recall — more, smaller subspaces is the right
+    trade on unstructured data (measured recall@5 vs brute force:
+    4x8 0.10, 8x16 0.20, 16x16 0.38 on sf0.001; clustered data recalls
+    ~1.0 — see tests/test_pq.py).
+
+    Fully deterministic, so the DuckDB twin replays the identical
+    train -> encode -> reconstruct -> cosine pipeline; the HOF face
+    (pq.pq_adc_topk) is additionally pinned output-identical to this
+    kernel by test — three faces, one contract."""
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return pq.pq_topk(emb, queries, k=5, n_subspaces=16, n_codes=16, dim=64, iters=1).select(
+        "query_id", "neighbor_id", "rank", "sim"
+    )
+
+
+def sql_pq_ann_topk(
+    n_subspaces: int = 16, n_codes: int = 16, dim: int = 64, k: int = 5, seed: int = 42
+) -> str:
+    """DuckDB twin of ``pq.pq_topk``: md5-ordered seed sample (shared
+    across subspaces, sliced), one Lloyd step per subspace, argmin
+    encode, codeword-concat reconstruction, cosine re-rank. The
+    squared-distance argmin uses the same dot-product decomposition
+    (d(a,b) = a.a - 2 a.b + b.b, each a sequential fold) as the Spark
+    ``pq._sq_dist`` expression so assignment tie-breaks agree
+    bit-for-bit."""
+    d_sub = dim // n_subspaces
+    sqd = (
+        "(list_dot_product({a}, {a}) - 2.0 * list_dot_product({a}, {b})"
+        " + list_dot_product({b}, {b}))"
+    )
+    cos = _SQL_IVF_COS
+    return f"""
+WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
+ms AS (SELECT unnest(range(0, {n_subspaces})) AS m),
+seeds AS (
+  SELECT vec_id, v, md5('{seed}|pq|' || vec_id::VARCHAR) AS r
+  FROM corpus ORDER BY r, vec_id LIMIT {n_codes}
+),
+cb0 AS (
+  SELECT ms.m, s.cid, list_slice(s.v, ms.m * {d_sub} + 1, ms.m * {d_sub} + {d_sub}) AS cvec
+  FROM (SELECT row_number() OVER (ORDER BY r, vec_id) AS cid, v FROM seeds) s CROSS JOIN ms
+),
+sub AS (
+  SELECT c.vec_id, ms.m, list_slice(c.v, ms.m * {d_sub} + 1, ms.m * {d_sub} + {d_sub}) AS sv
+  FROM corpus c CROSS JOIN ms
+),
+a0 AS (
+  SELECT vec_id, m, sv, cid,
+         row_number() OVER (PARTITION BY vec_id, m
+                            ORDER BY {sqd.format(a='sv', b='cvec')} ASC, cid ASC) AS rn
+  FROM sub JOIN cb0 USING (m)
+),
+w0 AS (SELECT vec_id, m, sv, cid FROM a0 WHERE rn = 1),
+cb1 AS (
+  SELECT m, cid, list(mv ORDER BY pos) AS cvec FROM (
+    SELECT m, cid, pos, avg(sv[pos]) AS mv
+    FROM w0 CROSS JOIN (SELECT unnest(range(1, {d_sub + 1})) AS pos)
+    GROUP BY m, cid, pos
+  ) GROUP BY m, cid
+),
+a1 AS (
+  SELECT vec_id, m, cid,
+         row_number() OVER (PARTITION BY vec_id, m
+                            ORDER BY {sqd.format(a='sv', b='cvec')} ASC, cid ASC) AS rn
+  FROM sub JOIN cb1 USING (m)
+),
+recon AS (
+  SELECT c.vec_id, flatten(list(b.cvec ORDER BY c.m)) AS rv
+  FROM (SELECT vec_id, m, cid FROM a1 WHERE rn = 1) c
+  JOIN cb1 b USING (m, cid)
+  GROUP BY c.vec_id
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM corpus WHERE vec_id < 5),
+s AS (
+  SELECT query_id, r.vec_id AS neighbor_id, round({cos.format(a='qv', b='r.rv')}, 6) AS sim
+  FROM recon r CROSS JOIN q
+  WHERE query_id <> r.vec_id
 )
 SELECT query_id, neighbor_id, rank, sim FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank FROM s)
@@ -5882,13 +5978,15 @@ def build_registry() -> dict[str, tuple[QueryFn, str | None]]:
     r7∪r8 jointly cover the whole inventory with post-rewrite
     verdicts; the oldest cohort for the r9 window is then the 49
     entries holding r06 stamps — everything in neither ROUND7_PREFIX
-    nor ROUND8_PREFIX (149 total − 50 r07-stamped − 47 r08-stamped
-    − 3 r8-new): the filter family tail, anonymize/faker suite,
-    CDC/validation, the dedup/similarity/sampling/sketch/corpus/
-    multimodal groups graded in r6, events_session, and the r6
-    curation entries. ROUND9_PREFIX = any r9 additions + those 49,
-    sized to 50 (so at most ONE new entry fits without deferring a
-    stale one).
+    nor ROUND8_PREFIX (150 total − 50 r07-stamped − 47 r08-stamped
+    − 3 r8-new − 1 r8-late): the filter family tail, anonymize/faker
+    suite, CDC/validation, the dedup/similarity/sampling/sketch/
+    corpus/multimodal groups graded in r6, events_session, and the r6
+    curation entries. ROUND9_PREFIX = pq_ann_topk (the r8-late
+    addition — the window was already full with the 47 mandated
+    rotations when it landed, so it leads r9 as the sole
+    never-driver-verified entry) + those 49 = exactly 50, zero
+    deferrals.
     The full local gate (`scripts/compare_oracle.py`) runs ALL
     entries every round, and is order- AND dtype-faithful to the
     driver hash (round-7 rewrite after q12 shipped red twice).
@@ -6070,6 +6168,12 @@ def build_registry() -> dict[str, tuple[QueryFn, str | None]]:
             "drift_vs_reference": (q_drift_vs_reference, sql_drift_vs_reference()),
             "media_near_dups": (q_media_near_dups, sql_media_near_dups()),
             "bpe_merge_chain": (q_bpe_merge_chain, sql_bpe_merge_chain()),
+            # --- round-8 LATE addition (the r8 window was already full
+            # with the 47 mandated r05-verdict rotations, so this is the
+            # ONE new entry the r9 window can absorb without deferring a
+            # stale one — it takes ROUND9_PREFIX slot 1; local-gate
+            # verified this round) ---
+            "pq_ann_topk": (q_pq_ann_topk, sql_pq_ann_topk()),
         }
     )
     ordered = {name: reg.pop(name) for name in ROUND8_PREFIX}

@@ -39,6 +39,9 @@ ARROW_OK = {
     "hard_negatives",
     # r8: perceptual-hash decode kernel (mapInPandas bincount)
     "media_near_dups",
+    # r8-late: PQ ADC scoring kernel (mapInPandas LUT fancy-indexing —
+    # the codes-only scan that makes ANN memory-resident at 100 TB)
+    "pq_ann_topk",
 }
 
 
