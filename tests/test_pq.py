@@ -141,6 +141,22 @@ def test_empty_inputs_yield_empty_with_schema(spark):
     assert out2.count() == 0
 
 
+def test_fused_kernel_identical_to_staged_path(spark, emb):
+    """pq_topk fuses encode+ADC into one kernel pass; it must be
+    row-identical to the staged pipeline (DataFrame encode -> ADC over
+    materialized codes). The fused kernel's assignment arithmetic is
+    explicitly left-associated to reproduce the Catalyst unrolled
+    expression float-for-float — this test is the tripwire if anyone
+    'optimizes' it back to a BLAS matmul that re-associates the sums
+    and flips a near-tie assignment."""
+    queries = emb.filter(F.col("vec_id") < 8)
+    cb = pq._localize(pq.pq_codebooks(emb, 16, 16, 64))
+    codes = pq.pq_encode(emb, cb, 16, 64)
+    staged = pq.pq_adc_topk_block(codes, cb, queries, k=5, n_subspaces=16, dim=64)
+    fused = pq.pq_encode_adc_topk_block(emb, cb, queries, k=5, n_subspaces=16, dim=64)
+    assert _rows(staged) == _rows(fused)
+
+
 def test_indivisible_dim_raises():
     with pytest.raises(ValueError, match="not divisible"):
         pq.pq_codebooks(None, n_subspaces=5, n_codes=2, dim=64)
