@@ -199,6 +199,20 @@ def build_parser() -> argparse.ArgumentParser:
     aq.add_argument("--vec-col", default="embedding")
     aq.add_argument("--k", type=int, default=5)
     aq.add_argument("--nprobe", type=int, default=2)
+    aq.add_argument(
+        "--delta",
+        default=None,
+        help="streaming-appender delta dir to union into the search "
+        "(PQ indexes only; see streaming/ann_stream.py)",
+    )
+    am = sub.add_parser(
+        "ann-delta-merge",
+        help="fold a streaming delta's codes into the base PQ index and empty the delta "
+        "(the replay cursor survives)",
+    )
+    am.add_argument("--index", required=True, help="base PQ index (as written by ann-index --pq-subspaces)")
+    am.add_argument("--delta", required=True, help="delta dir (as written by the streaming appender)")
+    am.add_argument("--id-col", default="vec_id")
     return p
 
 
@@ -462,17 +476,34 @@ def main(argv: list[str] | None = None) -> int:
             )
         )
         return 0
+    if args.command == "ann-delta-merge":
+        from rustic_witcher_spark.streaming.ann_stream import merge_ann_delta
+
+        spark = get_spark("ann-delta-merge")
+        rep = merge_ann_delta(spark, args.index, args.delta, id_col=args.id_col)
+        print(json.dumps({"index": args.index, "delta": args.delta, **rep}, sort_keys=True))
+        return 0
     if args.command == "ann-query":
         spark = get_spark("ann-query")
         q = spark.read.parquet(args.queries)
         if os.path.isdir(os.path.join(args.index, "_codebooks")):
-            from rustic_witcher_spark.operators.pq import pq_query_index
+            if args.delta:
+                from rustic_witcher_spark.streaming.ann_stream import query_with_delta
 
-            out = pq_query_index(
-                spark, args.index, q, k=args.k, nprobe=args.nprobe,
-                id_col=args.id_col, vec_col=args.vec_col,
-            )
+                out = query_with_delta(
+                    spark, args.index, args.delta, q, k=args.k, nprobe=args.nprobe,
+                    id_col=args.id_col, vec_col=args.vec_col,
+                )
+            else:
+                from rustic_witcher_spark.operators.pq import pq_query_index
+
+                out = pq_query_index(
+                    spark, args.index, q, k=args.k, nprobe=args.nprobe,
+                    id_col=args.id_col, vec_col=args.vec_col,
+                )
         else:
+            if args.delta:
+                raise SystemExit("--delta requires a PQ index (codebooks not found)")
             from rustic_witcher_spark.operators.similarity import ivf_query_index
 
             out = ivf_query_index(

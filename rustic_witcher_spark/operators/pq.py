@@ -432,10 +432,17 @@ def pq_query_index(
     dim: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    extra_codes: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Query a persisted PQ / IVF-PQ index with the ADC block kernel.
     Geometry (n_subspaces, dim) is inferred from the stored codebook
     unless overridden.
+
+    ``extra_codes``: additional codes DataFrames (same layout:
+    id, codes[, cid]) unioned into the scan — the streaming appender's
+    not-yet-merged delta. They get the same per-probe cid filter as the
+    base codes (a column filter rather than partition pruning, which is
+    the right trade for small deltas).
 
     IVF-PQ (``_centroids`` present): queries are assigned their
     ``nprobe`` nearest coarse lists; the codes scan carries a
@@ -484,6 +491,11 @@ def pq_query_index(
         cid_col = "cid"
     else:
         codes = spark.read.schema(f"{id_col} long, codes array<int>").parquet(f"{path}/codes")
+    for extra in extra_codes or []:
+        extra = extra.select(id_col, "codes", *([cid_col] if cid_col else []))
+        if cid_col:
+            extra = extra.filter(F.col(cid_col).isin(probe_cids))
+        codes = codes.select(*extra.columns).unionByName(extra)
     return pq_adc_topk_block(
         codes, cb, queries, k, n_subspaces, dim, id_col, vec_col, probe_map=probe_map, cid_col=cid_col
     )

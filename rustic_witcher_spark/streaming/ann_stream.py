@@ -1,0 +1,212 @@
+"""Streaming face of the PQ/IVF-PQ embedding index: a continuous drop
+of new vectors is encoded against the FROZEN codebook of a persisted
+base index and appended as a codes delta — the embedding twin of the
+media fingerprint appender (`streaming/media_dedup.py`), with the same
+replay contract.
+
+Design:
+
+- **The codebook is frozen at base-index build time.** Encoding a
+  vector needs only the codebook (KBs, broadcast) — so a micro-batch's
+  cost is the micro-batch, never a re-scan or re-train. Codebook drift
+  (embedding distribution shift) is a REBUILD decision, made offline
+  (the drift monitor is the signal for it), not something a stream
+  mutates mid-flight — queries must stay comparable across the whole
+  index, and codes are only meaningful against the codebook that
+  produced them.
+- **Idempotent replay** via the foreachBatch contract (shard/media
+  pattern): a meta file records ``last_batch_id``; replayed (≤)
+  batches are skipped before any write; each batch's codes land in
+  their OWN partition dir (``data/batch=N``) with overwrite, so a
+  crash-replay rewrites byte-for-byte instead of duplicating.
+- **Queries see base + delta with one kernel**: `query_with_delta`
+  unions the not-yet-merged delta into `pq.pq_query_index`'s pruned
+  scan (same probe assignment, same per-query list mask). Chunked
+  streaming therefore answers EXACTLY like a batch re-index under the
+  same frozen codebook (pinned by test at arbitrary cuts).
+- **`merge_ann_delta`** folds the delta into the base index's
+  cid-partitioned codes (the compaction step): after it, the delta dir
+  is empty but its replay cursor SURVIVES — a late replay of an
+  already-merged batch must still be recognized and skipped.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from rustic_witcher_spark.operators import pq
+
+META_NAME = "_ann_delta_meta.json"
+CODEBOOK_SCHEMA = "m int, cid int, cvec array<double>"
+
+
+def _load_meta(path: str) -> dict:
+    try:
+        with open(os.path.join(path, META_NAME)) as fh:
+            return json.load(fh)
+    except FileNotFoundError:
+        return {"last_batch_id": -1, "indexed_rows": 0}
+
+
+def _store_meta(path: str, meta: dict) -> None:
+    os.makedirs(path, exist_ok=True)
+    tmp = os.path.join(path, META_NAME + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh, sort_keys=True)
+    os.replace(tmp, os.path.join(path, META_NAME))
+
+
+def _index_geometry(spark, base_index_path: str):
+    """(codebook DF, n_subspaces, dim) from the frozen base codebook;
+    (None, 0, 0) for an empty/absent codebook."""
+    cb = spark.read.schema(CODEBOOK_SCHEMA).parquet(f"{base_index_path}/_codebooks")
+    geo = cb.agg(F.max("m").alias("mm"), F.max(F.size("cvec")).alias("d")).collect()[0]
+    if geo["mm"] is None:
+        return None, 0, 0
+    n_subspaces = geo["mm"] + 1
+    return cb, n_subspaces, n_subspaces * geo["d"]
+
+
+def _delta_schema(id_col: str, with_cid: bool) -> str:
+    return f"{id_col} long, codes array<int>" + (", cid int" if with_cid else "")
+
+
+def ann_index_append_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    base_index_path: str,
+    delta_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> bool:
+    """One micro-batch through the appender: encode against the frozen
+    codebook (+ coarse list assignment when the base is IVF-PQ), write
+    the batch's codes to its own partition. Returns False (no work) for
+    a replayed batch_id. Empty batches advance the cursor without
+    touching the index; all read-backs carry explicit schemas (the
+    empty-parquet inference bug class)."""
+    meta = _load_meta(delta_path)
+    if batch_id <= meta.get("last_batch_id", -1):
+        return False
+    spark = batch_df.sparkSession
+    cb, n_subspaces, dim = _index_geometry(spark, base_index_path)
+    if cb is None:
+        raise ValueError(
+            f"base index at {base_index_path!r} has an empty codebook — "
+            "build it with pq_write_index over a non-empty corpus first"
+        )
+    codes = pq.pq_encode(batch_df, cb, n_subspaces, dim, id_col, vec_col)
+    with_cid = os.path.isdir(f"{base_index_path}/_centroids")
+    if with_cid:
+        from rustic_witcher_spark.operators.similarity import ivf_assign
+
+        cent = spark.read.parquet(f"{base_index_path}/_centroids")
+        lists = ivf_assign(
+            batch_df.filter(F.col(vec_col).isNotNull()), cent, id_col, vec_col, nprobe=1
+        ).select(id_col, "cid")
+        codes = codes.join(lists, id_col)
+    batch_dir = os.path.join(delta_path, "data", f"batch={batch_id}")
+    codes.write.mode("overwrite").parquet(batch_dir)
+    appended = (
+        spark.read.schema(_delta_schema(id_col, with_cid)).parquet(batch_dir).count()
+    )
+    meta["last_batch_id"] = batch_id
+    meta["indexed_rows"] = meta.get("indexed_rows", 0) + appended
+    _store_meta(delta_path, meta)
+    return True
+
+
+def read_delta_codes(spark, base_index_path: str, delta_path: str, id_col: str = "vec_id") -> DataFrame:
+    """The delta's codes as one DataFrame (explicit schema; empty frame
+    when nothing has been appended yet)."""
+    with_cid = os.path.isdir(f"{base_index_path}/_centroids")
+    schema = _delta_schema(id_col, with_cid)
+    data_dir = os.path.join(delta_path, "data")
+    if not os.path.isdir(data_dir) or _load_meta(delta_path).get("indexed_rows", 0) == 0:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema + ", batch long").parquet(data_dir).drop("batch")
+
+
+def query_with_delta(
+    spark,
+    base_index_path: str,
+    delta_path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC top-k over base ∪ not-yet-merged delta — one probe
+    assignment, one kernel, one window."""
+    delta = read_delta_codes(spark, base_index_path, delta_path, id_col)
+    return pq.pq_query_index(
+        spark, base_index_path, queries, k=k, nprobe=nprobe,
+        id_col=id_col, vec_col=vec_col, extra_codes=[delta],
+    )
+
+
+def merge_ann_delta(spark, base_index_path: str, delta_path: str, id_col: str = "vec_id") -> dict:
+    """Fold the delta into the base index's codes (compaction /
+    promotion) and empty the delta — keeping its replay CURSOR, so a
+    late replay of an already-merged batch is still skipped.
+
+    Id collisions (contract violation — ids are unique across the
+    stream) resolve base-wins, so a merge can never silently replace
+    an already-indexed vector. The base codes dir is rewritten via the
+    same rename swap as the media-index compactor (documented
+    non-atomic window; recovery = rename ``codes_old`` back)."""
+    import shutil
+
+    meta = _load_meta(delta_path)
+    with_cid = os.path.isdir(f"{base_index_path}/_centroids")
+    delta = read_delta_codes(spark, base_index_path, delta_path, id_col)
+    n_delta = delta.count()
+    if n_delta == 0:
+        return {**meta, "merged_rows": 0}
+    base_dir = f"{base_index_path}/codes"
+    base = spark.read.schema(_delta_schema(id_col, with_cid)).parquet(base_dir)
+    fresh = delta.join(base.select(id_col), id_col, "left_anti")
+    merged = base.unionByName(fresh)
+    compact_dir = f"{base_index_path}/codes_compact"
+    shutil.rmtree(compact_dir, ignore_errors=True)
+    writer = merged.write.mode("overwrite")
+    if with_cid:
+        writer = writer.partitionBy("cid")
+    writer.parquet(compact_dir)
+    old = f"{base_index_path}/codes_old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(base_dir, old)
+    os.rename(compact_dir, base_dir)
+    shutil.rmtree(old)
+    shutil.rmtree(os.path.join(delta_path, "data"))
+    merged_meta = {**meta, "indexed_rows": 0}
+    _store_meta(delta_path, merged_meta)
+    return {**merged_meta, "merged_rows": n_delta}
+
+
+def write_ann_index_stream(
+    vector_stream: DataFrame,
+    base_index_path: str,
+    delta_path: str,
+    checkpoint: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    queryName: str = "ann_index",
+):
+    """Run the appender as a Structured Streaming query (foreachBatch):
+    each micro-batch's codes land under ``<delta_path>/data/batch=N``."""
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        ann_index_append_batch(batch_df, batch_id, base_index_path, delta_path, id_col, vec_col)
+
+    return (
+        vector_stream.writeStream.foreachBatch(_apply)
+        .queryName(queryName)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
