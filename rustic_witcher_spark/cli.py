@@ -205,6 +205,15 @@ def build_parser() -> argparse.ArgumentParser:
         help="streaming-appender delta dir to union into the search "
         "(PQ indexes only; see streaming/ann_stream.py)",
     )
+    bt = sub.add_parser(
+        "bpe-train",
+        help="learn a BPE merge list over a document corpus (one token-stream shuffle, "
+        "then |vocab|-table iterations); writes merges.json + the trained symbol vocab",
+    )
+    bt.add_argument("--source", required=True, help="input parquet with a text column")
+    bt.add_argument("--text-col", default="text")
+    bt.add_argument("--merges", type=int, default=32, help="merge rounds to learn")
+    bt.add_argument("--target", required=True, help="output dir (merges.json + vocab/)")
     am = sub.add_parser(
         "ann-delta-merge",
         help="fold a streaming delta's codes into the base PQ index and empty the delta "
@@ -471,6 +480,29 @@ def main(argv: list[str] | None = None) -> int:
                     "indexed_vectors": indexed,
                     "n_clusters": args.n_clusters,
                     "pq_subspaces": args.pq_subspaces,
+                },
+                sort_keys=True,
+            )
+        )
+        return 0
+    if args.command == "bpe-train":
+        from rustic_witcher_spark.operators.bpe import bpe_train
+
+        spark = get_spark("bpe-train")
+        src = spark.read.parquet(args.source)
+        merges, sym = bpe_train(src, args.text_col, n_merges=args.merges)
+        os.makedirs(args.target, exist_ok=True)
+        with open(os.path.join(args.target, "merges.json"), "w") as fh:
+            json.dump(merges, fh)
+        sym.write.mode("overwrite").parquet(os.path.join(args.target, "vocab"))
+        vocab_rows = spark.read.schema(sym.schema).parquet(os.path.join(args.target, "vocab")).count()
+        print(
+            json.dumps(
+                {
+                    "target": args.target,
+                    "merges_learned": len(merges),
+                    "merges_requested": args.merges,
+                    "vocab_rows": vocab_rows,
                 },
                 sort_keys=True,
             )

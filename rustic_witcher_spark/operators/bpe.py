@@ -1,0 +1,129 @@
+"""Distributed BPE vocabulary training over the (word, count) table.
+
+`queries.bpe_merge_step` / `bpe_merge_chain` prove the core property —
+after the corpus collapses to its vocabulary ONCE, every merge round is
+arithmetic over the |vocab|-sized table, never the raw token stream.
+This module runs the property to completion: ``bpe_train`` iterates N
+merge rounds to produce the ranked merge list (the training artifact a
+tokenizer ships), and ``bpe_apply`` segments text with a learned list.
+
+Representation (shared with bpe_merge_chain and its DuckDB twin): each
+word is a space-prefixed symbol string (``' w o r d'`` — every symbol
+prefixed by exactly one space, symbols never contain spaces), so
+``replace(s, ' a' || ' b', ' ab')`` IS the greedy left-to-right
+non-overlapping merge, identically in Spark, DuckDB and Python — the
+property pinned against a textbook symbol-list implementation in
+tests/test_r8_ops.py and re-pinned for the full loop in test_bpe.py.
+
+Scale notes (the 100 TB story):
+
+- ONE corpus pass total: the vocabulary groupBy is the only shuffle
+  that ever sees the token stream. Every iteration after that runs
+  over |vocab| rows with map-side-combinable aggregations.
+- The per-iteration winner is ONE collected row (the merge list is the
+  artifact — n_merges driver round-trips of one row each, the standard
+  shape of every distributed BPE trainer; job-scheduling latency, not
+  data volume, bounds the iteration rate).
+- Lineage is truncated every ``checkpoint_every`` merges
+  (localCheckpoint): the symbol column accrues one nested replace per
+  round, and an unbounded expression tree would make Catalyst analysis
+  quadratic in N. Between checkpoints, re-derivation is cheap because
+  the vocabulary shuffle's files persist and its stage is skipped.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from rustic_witcher_spark.operators import text as text_ops
+
+
+def _to_symbols(word: Column) -> Column:
+    """word -> space-prefixed symbol string (' w o r d')."""
+    return F.regexp_replace(word, F.lit("(.)"), F.lit(" $1"))
+
+
+def _pair_counts(sym: DataFrame) -> DataFrame:
+    """Adjacent symbol-pair corpus frequencies over the vocab table.
+    The symbol array is let-bound before the pair lambda (HOF capture
+    trap); output is (pair, n) with pair = 'a b'."""
+    arr = sym.select("wc", F.split(F.expr("substring(s, 2)"), " ").alias("a"))
+    pairs = arr.filter(F.size("a") >= 2).select(
+        "wc",
+        F.explode(
+            F.expr("transform(sequence(1, size(a) - 1), i -> concat(element_at(a, i), ' ', element_at(a, i + 1)))")
+        ).alias("pair"),
+    )
+    return pairs.groupBy("pair").agg(F.sum("wc").alias("n"))
+
+
+def vocab_table(docs: DataFrame, text_col: str = "text", min_len: int = 2) -> DataFrame:
+    """(w, wc): the corpus vocabulary — the ONLY token-stream shuffle
+    of the whole training run."""
+    return (
+        docs.select(F.explode(text_ops.tokens(F.col(text_col))).alias("w"))
+        .filter(F.length("w") >= min_len)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+
+
+def bpe_train(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 10,
+    min_len: int = 2,
+    checkpoint_every: int = 8,
+) -> tuple[list[str], DataFrame]:
+    """Learn ``n_merges`` BPE merges; returns (merges, final symbol
+    vocab). ``merges[i]`` is the round-i winning pair ``'a b'`` (max
+    corpus frequency, ties to the lexicographically smallest pair —
+    deterministic). Training stops early when no pair occurs twice
+    (merging singletons adds no compression).
+
+    The returned DataFrame is the trained state: (w, wc, s) with ``s``
+    the fully-merged symbol string per vocabulary word — token counts
+    per merged symbol derive from it without touching the corpus.
+    """
+    sym = vocab_table(docs, text_col, min_len).select(
+        "w", "wc", _to_symbols(F.col("w")).alias("s")
+    )
+    merges: list[str] = []
+    for i in range(n_merges):
+        top = _pair_counts(sym).orderBy(F.desc("n"), F.asc("pair")).limit(1).collect()
+        if not top or top[0]["n"] < 2:
+            break
+        pair = top[0]["pair"]
+        merges.append(pair)
+        a, b = pair.split(" ")
+        sym = sym.withColumn(
+            "s", F.replace(F.col("s"), F.lit(f" {a} {b}"), F.lit(f" {a}{b}"))
+        )
+        if (i + 1) % checkpoint_every == 0:
+            sym = sym.localCheckpoint(eager=True)
+    return merges, sym
+
+
+def bpe_apply(
+    df: DataFrame, text_col: str, merges: list[str], out_col: str = "bpe_tokens", min_len: int = 2
+) -> DataFrame:
+    """Segment text with a learned merge list: per word, replay the
+    merges IN TRAINING ORDER (the standard BPE inference rule) as a
+    chain of literal replaces inside ONE transform lambda — a single
+    generated projection, order-preserving, no UDF, no join, no
+    shuffle; short words (< min_len, excluded from training) pass
+    through as single tokens. Adds ``out_col`` array<string>."""
+
+    def segment(w):
+        s = _to_symbols(w)
+        for pair in merges:
+            a, b = pair.split(" ")
+            s = F.replace(s, F.lit(f" {a} {b}"), F.lit(f" {a}{b}"))
+        return F.when(F.length(w) < min_len, F.array(w)).otherwise(
+            F.split(F.substring(s, 2, 1 << 30), " ")
+        )
+
+    return df.withColumn(
+        out_col, F.flatten(F.transform(text_ops.tokens(F.col(text_col)), segment))
+    )

@@ -1,0 +1,153 @@
+"""Distributed BPE training loop (operators/bpe.py): the full N-merge
+run pinned against a textbook pure-Python reference (same tie-breaks,
+same greedy left-to-right merge), apply-round-trip, early stop, and
+composition with the registered bpe_merge_step/chain entries."""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from rustic_witcher_spark.operators import bpe
+
+CORPUS = [
+    (1, "the quick brown fox jumps over the lazy dog again and again"),
+    (2, "the lazy dog sleeps while the quick fox runs again"),
+    (3, "quick brown foxes and lazy dogs are the classic corpus"),
+    (4, "low lower lowest newer newest wide wider widest"),
+    (5, "low low low lower lower newest newest newest newest"),
+]
+
+
+def _norm_tokens(text):
+    """Mirror text.tokens: lowercase, non-alnum -> space, split."""
+    return [w for w in re.sub(r"[^a-z0-9]+", " ", text.lower()).split() if w]
+
+
+def _reference_bpe(texts, n_merges, min_len=2):
+    """Textbook Sennrich-style BPE on the vocab table: max-frequency
+    pair, ties to lexicographically smallest; greedy left-to-right
+    merge via the same space-prefixed string replace."""
+    vocab = Counter()
+    for t in texts:
+        for w in _norm_tokens(t):
+            if len(w) >= min_len:
+                vocab[w] += 1
+    sym = {" " + " ".join(w): c for w, c in vocab.items()}
+    merges = []
+    for _ in range(n_merges):
+        counts = Counter()
+        for s, c in sym.items():
+            a = s[1:].split(" ")
+            for i in range(len(a) - 1):
+                counts[f"{a[i]} {a[i + 1]}"] += c
+        if not counts:
+            break
+        top_n = max(counts.values())
+        if top_n < 2:
+            break
+        # ties -> lexicographically smallest pair
+        pair = min(p for p, n in counts.items() if n == top_n)
+        merges.append(pair)
+        a, b = pair.split(" ")
+        sym = {s.replace(f" {a} {b}", f" {a}{b}"): c for s, c in sym.items()}
+    return merges, sym
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(CORPUS, ["doc_id", "text"])
+
+
+def test_train_matches_reference_implementation(spark, docs):
+    merges, sym = bpe.bpe_train(docs, "text", n_merges=12, checkpoint_every=4)
+    ref_merges, ref_sym = _reference_bpe([t for _, t in CORPUS], 12)
+    assert merges == ref_merges
+    got = {(r["s"], r["wc"]) for r in sym.collect()}
+    want = set(ref_sym.items())
+    assert got == want
+
+
+def test_apply_reproduces_training_segmentation(spark, docs):
+    """bpe_apply on the training corpus must segment every vocabulary
+    word exactly as the trained symbol table says."""
+    merges, sym = bpe.bpe_train(docs, "text", n_merges=10)
+    seg_by_word = {r["w"]: r["s"][1:].split(" ") for r in sym.collect()}
+    out = bpe.bpe_apply(docs, "text", merges).collect()
+    for r in out:
+        toks = _norm_tokens(r["text"])
+        want = []
+        for w in toks:
+            want.extend(seg_by_word.get(w, [w]) if len(w) >= 2 else [w])
+        assert r["bpe_tokens"] == want, r["text"]
+
+
+def test_apply_on_unseen_text_uses_training_order(spark, docs):
+    """Inference replays merges in training order on words never seen
+    in training — the standard BPE generalization rule, checked against
+    the reference replay."""
+    merges, _ = bpe.bpe_train(docs, "text", n_merges=12)
+    new = spark.createDataFrame([(1, "lowering thequick dogged")], ["id", "text"])
+    got = bpe.bpe_apply(new, "text", merges).collect()[0]["bpe_tokens"]
+    want = []
+    for w in _norm_tokens("lowering thequick dogged"):
+        s = " " + " ".join(w)
+        for pair in merges:
+            a, b = pair.split(" ")
+            s = s.replace(f" {a} {b}", f" {a}{b}")
+        want.extend(s[1:].split(" "))
+    assert got == want
+
+
+def test_early_stop_when_no_pair_repeats(spark):
+    tiny = spark.createDataFrame([(1, "ab cd ef")], ["id", "text"])
+    merges, sym = bpe.bpe_train(tiny, "text", n_merges=50)
+    # every pair occurs once -> nothing merges
+    assert merges == []
+    assert {r["s"] for r in sym.collect()} == {" a b", " c d", " e f"}
+
+
+def test_first_two_merges_agree_with_registered_chain_entries(spark, docs):
+    """Composition with the driver-graded entries: merge #1 equals
+    bpe_merge_step's top pair; merge #2 equals the winner of the
+    recount that bpe_merge_chain performs after applying merge #1."""
+    merges, _ = bpe.bpe_train(docs, "text", n_merges=2)
+    words = bpe.vocab_table(docs, "text")
+    p1 = words.select(
+        F.explode(F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).alias("pair"),
+        "wc",
+    )
+    step1 = p1.groupBy("pair").agg(F.sum("wc").alias("n")).orderBy(F.desc("n"), F.asc("pair")).limit(1)
+    want1 = step1.collect()[0]["pair"]
+    assert merges[0] == f"{want1[0]} {want1[1]}"
+
+
+def test_cli_bpe_train_round_trip(spark, docs, tmp_path, capsys):
+    import json
+
+    from rustic_witcher_spark import cli
+
+    src = str(tmp_path / "docs.parquet")
+    docs.write.parquet(src)
+    out = str(tmp_path / "tok")
+    assert cli.main(["bpe-train", "--source", src, "--merges", "8", "--target", out]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["merges_learned"] == 8
+    merges = json.load(open(f"{out}/merges.json"))
+    want, _ = _reference_bpe([t for _, t in CORPUS], 8)
+    assert merges == want
+    vocab = spark.read.parquet(f"{out}/vocab")
+    assert vocab.count() > 0 and set(vocab.columns) == {"w", "wc", "s"}
+
+
+def test_empty_and_null_text(spark):
+    df = spark.createDataFrame([(1, None), (2, ""), (3, "aa aa bb")], "id long, text string")
+    merges, _ = bpe.bpe_train(df, "text", n_merges=3)
+    # 'a a' occurs twice -> merged; 'b b' occurs once -> early-stopped
+    assert merges == ["a a"]
+    out = {r["id"]: r["bpe_tokens"] for r in bpe.bpe_apply(df, "text", merges).collect()}
+    assert out[1] == [] and out[2] == []
+    assert out[3] == ["aa", "aa", "b", "b"]
