@@ -214,6 +214,22 @@ def build_parser() -> argparse.ArgumentParser:
     bt.add_argument("--text-col", default="text")
     bt.add_argument("--merges", type=int, default=32, help="merge rounds to learn")
     bt.add_argument("--target", required=True, help="output dir (merges.json + vocab/)")
+    tk = sub.add_parser(
+        "tokenize",
+        help="segment text with a learned BPE merge list (one generated projection); "
+        "optionally assign concat-and-chunk packing offsets at a token budget",
+    )
+    tk.add_argument("--source", required=True, help="input parquet with a text column")
+    tk.add_argument("--merges", required=True, help="merges.json written by bpe-train")
+    tk.add_argument("--text-col", default="text")
+    tk.add_argument("--id-col", default="doc_id")
+    tk.add_argument("--target", required=True, help="output parquet")
+    tk.add_argument(
+        "--pack-budget",
+        type=int,
+        default=0,
+        help="when > 0, add (start_offset, seq_id) for concat-and-chunk packing at this budget",
+    )
     am = sub.add_parser(
         "ann-delta-merge",
         help="fold a streaming delta's codes into the base PQ index and empty the delta "
@@ -484,6 +500,43 @@ def main(argv: list[str] | None = None) -> int:
                 sort_keys=True,
             )
         )
+        return 0
+    if args.command == "tokenize":
+        from pyspark.sql import functions as F
+
+        from rustic_witcher_spark.operators.bpe import bpe_apply
+        from rustic_witcher_spark.operators.packing import pack_sequences
+
+        spark = get_spark("tokenize")
+        with open(args.merges) as fh:
+            merges = json.load(fh)
+        src = spark.read.parquet(args.source)
+        out = bpe_apply(src, args.text_col, merges).withColumn(
+            "n_tokens", F.size("bpe_tokens").cast("long")
+        )
+        if args.pack_budget > 0:
+            out = pack_sequences(out, args.id_col, "n_tokens", args.pack_budget)
+        out.write.mode("overwrite").parquet(args.target)
+        result = spark.read.schema(out.schema).parquet(args.target)
+        agg = result.agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("tokens"),
+            *(
+                [F.coalesce(F.countDistinct("seq_id"), F.lit(0)).alias("sequences")]
+                if args.pack_budget > 0
+                else []
+            ),
+        ).collect()[0]
+        rep = {
+            "target": args.target,
+            "rows": agg["rows"],
+            "tokens": agg["tokens"],
+            "merges_applied": len(merges),
+        }
+        if args.pack_budget > 0:
+            rep["sequences"] = agg["sequences"]
+            rep["pack_budget"] = args.pack_budget
+        print(json.dumps(rep, sort_keys=True))
         return 0
     if args.command == "bpe-train":
         from rustic_witcher_spark.operators.bpe import bpe_train

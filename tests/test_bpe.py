@@ -143,6 +143,38 @@ def test_cli_bpe_train_round_trip(spark, docs, tmp_path, capsys):
     assert vocab.count() > 0 and set(vocab.columns) == {"w", "wc", "s"}
 
 
+def test_cli_tokenize_with_packing(spark, docs, tmp_path, capsys):
+    """bpe-train -> tokenize --pack-budget: the end-to-end tokenizer
+    leg; offsets are the exact prefix sums of the learned token counts
+    in id order."""
+    import json
+
+    from rustic_witcher_spark import cli
+
+    src = str(tmp_path / "docs.parquet")
+    docs.write.parquet(src)
+    tok = str(tmp_path / "tok")
+    assert cli.main(["bpe-train", "--source", src, "--merges", "6", "--target", tok]) == 0
+    capsys.readouterr()
+    out = str(tmp_path / "tokens")
+    assert cli.main([
+        "tokenize", "--source", src, "--merges", f"{tok}/merges.json",
+        "--id-col", "doc_id", "--target", out, "--pack-budget", "16",
+    ]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["rows"] == len(CORPUS) and rep["merges_applied"] == 6
+    rows = sorted(
+        (r["doc_id"], r["n_tokens"], r["start_offset"], r["seq_id"])
+        for r in spark.read.parquet(out).collect()
+    )
+    # offsets = exclusive prefix sums in doc_id order; seq = offset//16
+    run = 0
+    for doc_id, n, off, seq in rows:
+        assert off == run and seq == run // 16
+        run += n
+    assert rep["tokens"] == run and rep["sequences"] == len({r[3] for r in rows})
+
+
 def test_empty_and_null_text(spark):
     df = spark.createDataFrame([(1, None), (2, ""), (3, "aa aa bb")], "id long, text string")
     merges, _ = bpe.bpe_train(df, "text", n_merges=3)
