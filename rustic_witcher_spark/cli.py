@@ -480,7 +480,13 @@ def main(argv: list[str] | None = None) -> int:
                 dim=args.dim, coarse_clusters=args.n_clusters, iters=args.iters,
                 id_col=args.id_col, vec_col=args.vec_col,
             )
-            indexed = spark.read.parquet(f"{args.target}/codes").count()
+            # explicit (pruned) schema: an empty corpus writes only
+            # _SUCCESS and schema inference would raise instead of 0
+            indexed = (
+                spark.read.schema(f"{args.id_col} long")
+                .parquet(f"{args.target}/codes")
+                .count()
+            )
         else:
             from rustic_witcher_spark.operators.similarity import ivf_write_index
 
@@ -488,7 +494,11 @@ def main(argv: list[str] | None = None) -> int:
                 src, args.target, n_clusters=args.n_clusters, iters=args.iters,
                 id_col=args.id_col, vec_col=args.vec_col,
             )
-            indexed = spark.read.parquet(f"{args.target}/lists").count()
+            indexed = (
+                spark.read.schema(f"{args.id_col} long")
+                .parquet(f"{args.target}/lists")
+                .count()
+            )
         print(
             json.dumps(
                 {

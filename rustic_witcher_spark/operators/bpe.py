@@ -7,13 +7,23 @@ This module runs the property to completion: ``bpe_train`` iterates N
 merge rounds to produce the ranked merge list (the training artifact a
 tokenizer ships), and ``bpe_apply`` segments text with a learned list.
 
-Representation (shared with bpe_merge_chain and its DuckDB twin): each
-word is a space-prefixed symbol string (``' w o r d'`` — every symbol
-prefixed by exactly one space, symbols never contain spaces), so
-``replace(s, ' a' || ' b', ' ab')`` IS the greedy left-to-right
-non-overlapping merge, identically in Spark, DuckDB and Python — the
-property pinned against a textbook symbol-list implementation in
-tests/test_r8_ops.py and re-pinned for the full loop in test_bpe.py.
+Representation: the PUBLIC symbol string (the ``s`` column this module
+returns and the CLI persists) is space-prefixed, ``' w o r d'``, the
+same format as bpe_merge_chain. INTERNALLY each symbol additionally
+carries a trailing ``\\x01`` sentinel (``' w\\x01 o\\x01 …'``) during the
+merge loop, because the bare space-prefixed form is only left-delimited:
+from merge round 2 onward a multi-char symbol can merely START with the
+pair's right element, and ``replace(s, ' a b', ' ab')`` would glue its
+remainder into a never-learned symbol (e.g. merging ``'a l'`` inside
+``' a lo n e'`` → bogus ``'alo'``). With both a left delimiter (space)
+and a right delimiter (sentinel) the pattern ``' a\\x01 b\\x01'`` can
+only match a WHOLE adjacent symbol pair, so the plain greedy
+left-to-right non-overlapping string replace is exactly the textbook
+symbol-list merge — pinned against a boundary-aware Sennrich reference
+in tests/test_bpe.py. (bpe_merge_chain itself applies only merge #1,
+where every symbol is still a single character and the right boundary
+is structurally guaranteed — the registered entry and its DuckDB twin
+need no sentinel.)
 
 Scale notes (the 100 TB story):
 
@@ -39,16 +49,36 @@ from pyspark.sql import functions as F
 from rustic_witcher_spark.operators import text as text_ops
 
 
+# Right-boundary sentinel appended to every symbol during the merge
+# loop (see module docstring); never appears in tokens (normalized_text
+# strips non-alnum), stripped before anything user-visible.
+SENT = "\x01"
+
+
 def _to_symbols(word: Column) -> Column:
-    """word -> space-prefixed symbol string (' w o r d')."""
-    return F.regexp_replace(word, F.lit("(.)"), F.lit(" $1"))
+    """word -> sentinel-delimited symbol string (' w\\x01 o\\x01 …')."""
+    return F.regexp_replace(word, F.lit("(.)"), F.lit(f" $1{SENT}"))
+
+
+def _strip_sent(s: Column) -> Column:
+    """Internal sentinel form -> public ' w o r d' form."""
+    return F.replace(s, F.lit(SENT), F.lit(""))
+
+
+def _merge_pattern(pair: str) -> tuple[str, str]:
+    """(search, replacement) literals for one merge, both boundaries
+    delimited so only a whole adjacent symbol pair can match."""
+    a, b = pair.split(" ")
+    return f" {a}{SENT} {b}{SENT}", f" {a}{b}{SENT}"
 
 
 def _pair_counts(sym: DataFrame) -> DataFrame:
     """Adjacent symbol-pair corpus frequencies over the vocab table.
     The symbol array is let-bound before the pair lambda (HOF capture
     trap); output is (pair, n) with pair = 'a b'."""
-    arr = sym.select("wc", F.split(F.expr("substring(s, 2)"), " ").alias("a"))
+    arr = sym.select(
+        "wc", F.split(F.substring(_strip_sent(F.col("s")), 2, 1 << 30), " ").alias("a")
+    )
     pairs = arr.filter(F.size("a") >= 2).select(
         "wc",
         F.explode(
@@ -96,13 +126,11 @@ def bpe_train(
             break
         pair = top[0]["pair"]
         merges.append(pair)
-        a, b = pair.split(" ")
-        sym = sym.withColumn(
-            "s", F.replace(F.col("s"), F.lit(f" {a} {b}"), F.lit(f" {a}{b}"))
-        )
+        search, repl = _merge_pattern(pair)
+        sym = sym.withColumn("s", F.replace(F.col("s"), F.lit(search), F.lit(repl)))
         if (i + 1) % checkpoint_every == 0:
             sym = sym.localCheckpoint(eager=True)
-    return merges, sym
+    return merges, sym.withColumn("s", _strip_sent(F.col("s")))
 
 
 def bpe_apply(
@@ -118,10 +146,10 @@ def bpe_apply(
     def segment(w):
         s = _to_symbols(w)
         for pair in merges:
-            a, b = pair.split(" ")
-            s = F.replace(s, F.lit(f" {a} {b}"), F.lit(f" {a}{b}"))
+            search, repl = _merge_pattern(pair)
+            s = F.replace(s, F.lit(search), F.lit(repl))
         return F.when(F.length(w) < min_len, F.array(w)).otherwise(
-            F.split(F.substring(s, 2, 1 << 30), " ")
+            F.split(F.substring(_strip_sent(s), 2, 1 << 30), " ")
         )
 
     return df.withColumn(

@@ -48,6 +48,9 @@ from pyspark.sql import functions as F
 from rustic_witcher_spark.functions.wordlists import DEFAULT_SEED
 from rustic_witcher_spark.operators.similarity import _round_half_away, cosine, dot
 
+# persisted layout of <index>/_codebooks (see pq_write_index)
+CODEBOOK_SCHEMA = "m int, cid int, cvec array<double>"
+
 
 def _sq_dist(a, b):
     """Squared L2 distance as dot(a,a) - 2*dot(a,b) + dot(b,b).
@@ -407,9 +410,7 @@ def pq_write_index(
     # encode against the WRITTEN codebook (parquet round-trips doubles
     # losslessly): keeps the Lloyd pipeline out of the encode lineage,
     # so training runs once, not once per downstream job
-    cb = corpus.sparkSession.read.schema("m int, cid int, cvec array<double>").parquet(
-        f"{path}/_codebooks"
-    )
+    cb = corpus.sparkSession.read.schema(CODEBOOK_SCHEMA).parquet(f"{path}/_codebooks")
     codes = pq_encode(corpus, cb, n_subspaces, dim, id_col, vec_col)
     if coarse_clusters > 0:
         from rustic_witcher_spark.operators.similarity import ivf_assign, ivf_centroids
@@ -420,6 +421,22 @@ def pq_write_index(
         codes.join(lists, id_col).write.mode("overwrite").partitionBy("cid").parquet(f"{path}/codes")
     else:
         codes.write.mode("overwrite").parquet(f"{path}/codes")
+
+
+def codebook_geometry(spark, path: str):
+    """(codebook DF, n_subspaces, dim) from a persisted index's frozen
+    codebook; (cb, 0, 0) when the codebook is empty. The SINGLE source
+    of geometry inference for query and streaming-append paths — the
+    max(m)/max(size(cvec)) rule must not fork per caller. The read-back
+    carries an explicit schema: an empty index dir (0-row corpus) holds
+    only _SUCCESS, and schema inference would raise
+    UNABLE_TO_INFER_SCHEMA instead of yielding an empty frame."""
+    cb = spark.read.schema(CODEBOOK_SCHEMA).parquet(f"{path}/_codebooks")
+    geo = cb.agg(F.max("m").alias("mm"), F.max(F.size("cvec")).alias("d")).collect()[0]
+    if geo["mm"] is None:
+        return cb, 0, 0
+    n_subspaces = geo["mm"] + 1
+    return cb, n_subspaces, n_subspaces * geo["d"]
 
 
 def pq_query_index(
@@ -456,18 +473,12 @@ def pq_query_index(
     """
     import os
 
-    # explicit schemas on every index read-back: an EMPTY index (0-row
-    # corpus) writes only _SUCCESS, and schema inference would raise
-    # UNABLE_TO_INFER_SCHEMA instead of returning empty results — the
-    # bug class already fixed three times elsewhere (shards, cli split,
-    # media-dedup); don't reintroduce it here
-    cb = spark.read.schema("m int, cid int, cvec array<double>").parquet(f"{path}/_codebooks")
+    cb, inferred_m, inferred_dim = codebook_geometry(spark, path)
     if n_subspaces is None or dim is None:
-        geo = cb.agg(F.max("m").alias("mm"), F.max(F.size("cvec")).alias("d")).collect()[0]
-        if geo["mm"] is None:  # empty codebook -> empty index -> empty result
+        if inferred_m == 0:  # empty codebook -> empty index -> empty result
             return spark.createDataFrame([], "query_id long, neighbor_id long, sim double, rank int")
-        n_subspaces = n_subspaces or (geo["mm"] + 1)
-        dim = dim or n_subspaces * geo["d"]
+        n_subspaces = n_subspaces or inferred_m
+        dim = dim or inferred_dim
     probe_map = None
     cid_col = None
     if os.path.isdir(f"{path}/_centroids"):

@@ -32,43 +32,23 @@ Design:
 
 from __future__ import annotations
 
-import json
 import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from rustic_witcher_spark.operators import pq
+from rustic_witcher_spark.streaming.replay_meta import load_meta, store_meta
 
 META_NAME = "_ann_delta_meta.json"
-CODEBOOK_SCHEMA = "m int, cid int, cvec array<double>"
 
 
 def _load_meta(path: str) -> dict:
-    try:
-        with open(os.path.join(path, META_NAME)) as fh:
-            return json.load(fh)
-    except FileNotFoundError:
-        return {"last_batch_id": -1, "indexed_rows": 0}
+    return load_meta(path, META_NAME)
 
 
 def _store_meta(path: str, meta: dict) -> None:
-    os.makedirs(path, exist_ok=True)
-    tmp = os.path.join(path, META_NAME + ".tmp")
-    with open(tmp, "w") as fh:
-        json.dump(meta, fh, sort_keys=True)
-    os.replace(tmp, os.path.join(path, META_NAME))
-
-
-def _index_geometry(spark, base_index_path: str):
-    """(codebook DF, n_subspaces, dim) from the frozen base codebook;
-    (None, 0, 0) for an empty/absent codebook."""
-    cb = spark.read.schema(CODEBOOK_SCHEMA).parquet(f"{base_index_path}/_codebooks")
-    geo = cb.agg(F.max("m").alias("mm"), F.max(F.size("cvec")).alias("d")).collect()[0]
-    if geo["mm"] is None:
-        return None, 0, 0
-    n_subspaces = geo["mm"] + 1
-    return cb, n_subspaces, n_subspaces * geo["d"]
+    store_meta(path, META_NAME, meta)
 
 
 def _delta_schema(id_col: str, with_cid: bool) -> str:
@@ -93,8 +73,8 @@ def ann_index_append_batch(
     if batch_id <= meta.get("last_batch_id", -1):
         return False
     spark = batch_df.sparkSession
-    cb, n_subspaces, dim = _index_geometry(spark, base_index_path)
-    if cb is None:
+    cb, n_subspaces, dim = pq.codebook_geometry(spark, base_index_path)
+    if n_subspaces == 0:
         raise ValueError(
             f"base index at {base_index_path!r} has an empty codebook — "
             "build it with pq_write_index over a non-empty corpus first"
@@ -122,13 +102,27 @@ def ann_index_append_batch(
 
 def read_delta_codes(spark, base_index_path: str, delta_path: str, id_col: str = "vec_id") -> DataFrame:
     """The delta's codes as one DataFrame (explicit schema; empty frame
-    when nothing has been appended yet)."""
+    when nothing has been appended yet).
+
+    Only batches AT OR BELOW the replay cursor are returned: a batch
+    dir written during the torn-write window (data landed, crash before
+    the meta update) is invisible until its replay re-cursors it —
+    otherwise `merge_ann_delta` would fold the torn batch into the base
+    while the cursor still schedules its replay, and the re-appended
+    delta would duplicate every one of its vec_ids in base ∪ delta
+    (two rank-window rows per neighbor, pushing a true top-k hit out)."""
     with_cid = os.path.isdir(f"{base_index_path}/_centroids")
     schema = _delta_schema(id_col, with_cid)
     data_dir = os.path.join(delta_path, "data")
-    if not os.path.isdir(data_dir) or _load_meta(delta_path).get("indexed_rows", 0) == 0:
+    meta = _load_meta(delta_path)
+    if not os.path.isdir(data_dir) or meta.get("indexed_rows", 0) == 0:
         return spark.createDataFrame([], schema)
-    return spark.read.schema(schema + ", batch long").parquet(data_dir).drop("batch")
+    return (
+        spark.read.schema(schema + ", batch long")
+        .parquet(data_dir)
+        .filter(F.col("batch") <= meta.get("last_batch_id", -1))
+        .drop("batch")
+    )
 
 
 def query_with_delta(
@@ -183,7 +177,14 @@ def merge_ann_delta(spark, base_index_path: str, delta_path: str, id_col: str = 
     os.rename(base_dir, old)
     os.rename(compact_dir, base_dir)
     shutil.rmtree(old)
-    shutil.rmtree(os.path.join(delta_path, "data"))
+    # drop only the batch partitions that were folded (≤ cursor): a
+    # torn-write batch dir past the cursor stays put for its scheduled
+    # replay, which overwrites it byte-for-byte and re-cursors it
+    data_dir = os.path.join(delta_path, "data")
+    cursor = meta.get("last_batch_id", -1)
+    for name in os.listdir(data_dir):
+        if name.startswith("batch=") and int(name.split("=", 1)[1]) <= cursor:
+            shutil.rmtree(os.path.join(data_dir, name))
     merged_meta = {**meta, "indexed_rows": 0}
     _store_meta(delta_path, merged_meta)
     return {**merged_meta, "merged_rows": n_delta}

@@ -29,7 +29,6 @@ Design (the shard-appender pattern, `streaming/shard_stream.py`):
 
 from __future__ import annotations
 
-import json
 import os
 
 from pyspark.sql import DataFrame, Window
@@ -38,24 +37,17 @@ from pyspark.sql import types as T
 
 from rustic_witcher_spark.operators.dedup import incremental_hamming_flags
 from rustic_witcher_spark.operators.multimodal import attach_perceptual_hash
+from rustic_witcher_spark.streaming.replay_meta import load_meta, store_meta
 
 META_NAME = "_media_index_meta.json"
 
 
 def _load_meta(path: str) -> dict:
-    try:
-        with open(os.path.join(path, META_NAME)) as fh:
-            return json.load(fh)
-    except FileNotFoundError:
-        return {"last_batch_id": -1, "indexed_rows": 0}
+    return load_meta(path, META_NAME)
 
 
 def _store_meta(path: str, meta: dict) -> None:
-    os.makedirs(path, exist_ok=True)
-    tmp = os.path.join(path, META_NAME + ".tmp")
-    with open(tmp, "w") as fh:
-        json.dump(meta, fh, sort_keys=True)
-    os.replace(tmp, os.path.join(path, META_NAME))
+    store_meta(path, META_NAME, meta)
 
 
 def media_index_append_batch(
@@ -133,28 +125,40 @@ def compact_media_index(spark, index_path: str) -> dict:
     long-running appender eventually needs (one parquet file per
     micro-batch otherwise).
 
-    Safe with respect to replay: compacted rows land under
-    ``batch=<last_batch_id>``, which the index read (``batch <
-    next_id``) still sees for every future batch, and the cursor means
-    no batch ≤ last_batch_id can re-run. Fingerprints are already
-    unique across the index (exact-dups are never re-indexed; replays
-    overwrite their own partition), so compaction is purely file
-    layout. The old data is swapped via rename with a documented
+    Safe with respect to replay: only batches AT OR BELOW the replay
+    cursor are compacted, into ``batch=<last_batch_id>`` — which the
+    index read (``batch < next_id``) still sees for every future
+    batch, and the cursor means no batch ≤ last_batch_id can re-run.
+    A batch dir PAST the cursor (torn write: data landed, crash before
+    the meta update) is carried through untouched — folding it down to
+    ``batch=<last_batch_id>`` would let its own scheduled replay see
+    its own fingerprints in the pre-batch index and flag the whole
+    batch as exact dups of itself. Fingerprints are already unique
+    across the cursored index (exact-dups are never re-indexed;
+    replays overwrite their own partition), so compaction is purely
+    file layout. The old data is swapped via rename with a documented
     non-atomic window (data_old left behind on a crash between
     renames — recovery is renaming it back), the same
     parquet-directory-level trade as the shard sink's manifest."""
     import shutil
 
     meta = _load_meta(index_path)
-    if meta.get("last_batch_id", -1) < 0 or meta.get("indexed_rows", 0) == 0:
+    cursor = meta.get("last_batch_id", -1)
+    if cursor < 0 or meta.get("indexed_rows", 0) == 0:
         return meta
     data_dir = os.path.join(index_path, "data")
     df = spark.read.parquet(data_dir)  # schema known-present: indexed_rows > 0
     cols = [c for c in df.columns if c != "batch"]
     compact_root = os.path.join(index_path, "data_compact")
     shutil.rmtree(compact_root, ignore_errors=True)
-    target = os.path.join(compact_root, f"batch={meta['last_batch_id']}")
-    df.select(*cols).coalesce(1).write.mode("overwrite").parquet(target)
+    target = os.path.join(compact_root, f"batch={cursor}")
+    df.filter(F.col("batch") <= cursor).select(*cols).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(target)
+    # carry torn-write batch dirs (> cursor) through the swap unchanged
+    for name in os.listdir(data_dir):
+        if name.startswith("batch=") and int(name.split("=", 1)[1]) > cursor:
+            os.rename(os.path.join(data_dir, name), os.path.join(compact_root, name))
     old = os.path.join(index_path, "data_old")
     shutil.rmtree(old, ignore_errors=True)
     os.rename(data_dir, old)

@@ -27,21 +27,36 @@ def _norm_tokens(text):
     return [w for w in re.sub(r"[^a-z0-9]+", " ", text.lower()).split() if w]
 
 
+def _merge_syms(syms, a, b):
+    """Boundary-aware greedy left-to-right Sennrich merge over a symbol
+    LIST — a pair only matches two whole adjacent symbols, never a
+    symbol that merely starts with `b` (the glue bug a naive string
+    replace has from merge round 2 onward)."""
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
 def _reference_bpe(texts, n_merges, min_len=2):
     """Textbook Sennrich-style BPE on the vocab table: max-frequency
-    pair, ties to lexicographically smallest; greedy left-to-right
-    merge via the same space-prefixed string replace."""
+    pair, ties to lexicographically smallest; boundary-aware greedy
+    left-to-right merge over symbol lists."""
     vocab = Counter()
     for t in texts:
         for w in _norm_tokens(t):
             if len(w) >= min_len:
                 vocab[w] += 1
-    sym = {" " + " ".join(w): c for w, c in vocab.items()}
+    sym = {tuple(w): c for w, c in vocab.items()}
     merges = []
     for _ in range(n_merges):
         counts = Counter()
-        for s, c in sym.items():
-            a = s[1:].split(" ")
+        for a, c in sym.items():
             for i in range(len(a) - 1):
                 counts[f"{a[i]} {a[i + 1]}"] += c
         if not counts:
@@ -53,8 +68,8 @@ def _reference_bpe(texts, n_merges, min_len=2):
         pair = min(p for p, n in counts.items() if n == top_n)
         merges.append(pair)
         a, b = pair.split(" ")
-        sym = {s.replace(f" {a} {b}", f" {a}{b}"): c for s, c in sym.items()}
-    return merges, sym
+        sym = {tuple(_merge_syms(list(s), a, b)): c for s, c in sym.items()}
+    return merges, {" " + " ".join(s): c for s, c in sym.items()}
 
 
 @pytest.fixture(scope="module")
@@ -94,11 +109,11 @@ def test_apply_on_unseen_text_uses_training_order(spark, docs):
     got = bpe.bpe_apply(new, "text", merges).collect()[0]["bpe_tokens"]
     want = []
     for w in _norm_tokens("lowering thequick dogged"):
-        s = " " + " ".join(w)
+        syms = list(w)
         for pair in merges:
             a, b = pair.split(" ")
-            s = s.replace(f" {a} {b}", f" {a}{b}")
-        want.extend(s[1:].split(" "))
+            syms = _merge_syms(syms, a, b)
+        want.extend(syms)
     assert got == want
 
 
@@ -123,6 +138,45 @@ def test_first_two_merges_agree_with_registered_chain_entries(spark, docs):
     step1 = p1.groupBy("pair").agg(F.sum("wc").alias("n")).orderBy(F.desc("n"), F.asc("pair")).limit(1)
     want1 = step1.collect()[0]["pair"]
     assert merges[0] == f"{want1[0]} {want1[1]}"
+    # merge #2 = the winner of the recount bpe_merge_chain performs
+    # after applying merge #1 (replicated with the chain entry's exact
+    # expressions: at merge #1 every symbol is one char, so the chain's
+    # plain space-prefixed replace is boundary-safe)
+    sym1 = words.select(
+        "wc",
+        F.replace(
+            F.regexp_replace(F.col("w"), F.lit("(.)"), F.lit(" $1")),
+            F.lit(" " + " ".join(merges[0].split(" "))),
+            F.lit(" " + merges[0].replace(" ", "")),
+        ).alias("s"),
+    )
+    arr = sym1.select("wc", F.split(F.expr("substring(s, 2)"), " ").alias("a"))
+    p2 = arr.filter(F.size("a") >= 2).select(
+        "wc",
+        F.explode(
+            F.expr("transform(sequence(1, size(a) - 1), i -> concat(element_at(a, i), ' ', element_at(a, i + 1)))")
+        ).alias("pair"),
+    )
+    step2 = p2.groupBy("pair").agg(F.sum("wc").alias("n")).orderBy(F.desc("n"), F.asc("pair")).limit(1)
+    assert merges[1] == step2.collect()[0]["pair"]
+
+
+def test_merge_never_glues_across_symbol_boundaries(spark):
+    """Regression for the right-boundary glue bug: merging 'a l' must
+    NOT consume the 'l' prefix of the already-merged symbol 'lo' in
+    ' a lo n e'. Corpus engineered so merge #1 = 'l o' (freq 7) and
+    merge #2 = 'a l' (freq 4, from alp/alf only after merge #1)."""
+    text = "lot lot lot log log log alp alp alf alf alone"
+    docs = spark.createDataFrame([(1, text)], ["id", "text"])
+    merges, sym = bpe.bpe_train(docs, "text", n_merges=3)
+    by_word = {r["w"]: r["s"] for r in sym.collect()}
+    assert merges[:2] == ["l o", "a l"]
+    # the buggy replace produced ' alo n e' here (glued symbol 'alo')
+    assert by_word["alone"] == " a lo n e"
+    assert by_word["alp"] == " al p" and by_word["alf"] == " al f"
+    ref_merges, ref_sym = _reference_bpe([text], 3)
+    assert merges == ref_merges
+    assert {(r["s"], r["wc"]) for r in sym.collect()} == set(ref_sym.items())
 
 
 def test_cli_bpe_train_round_trip(spark, docs, tmp_path, capsys):

@@ -157,6 +157,50 @@ def test_merge_folds_delta_into_base_and_keeps_cursor(spark, base_index, tmp_pat
     assert not os.path.exists(f"{idx}/codes_old")
 
 
+def test_merge_during_torn_window_excludes_uncursored_batch(spark, base_index, tmp_path):
+    """Regression: merge must fold only batches AT OR BELOW the replay
+    cursor. A torn-write batch (data written, crash before the meta
+    update) folded into the base would be re-appended by its scheduled
+    replay, duplicating every one of its vec_ids across base ∪ delta
+    and pushing true top-k neighbors out of the rank window."""
+    import shutil
+
+    idx = str(tmp_path / "idx")
+    shutil.copytree(base_index, idx)
+    delta = str(tmp_path / "delta")
+    b0 = _vectors(8, start=700)
+    b1 = _vectors(6, start=800)
+    ann_index_append_batch(spark.createDataFrame(b0, SCHEMA), 0, idx, delta)
+    df1 = spark.createDataFrame(b1, SCHEMA)
+    ann_index_append_batch(df1, 1, idx, delta)
+
+    # torn window: data/batch=1 written, meta rolled back to batch 0
+    meta_path = os.path.join(delta, META_NAME)
+    meta = json.load(open(meta_path))
+    meta["last_batch_id"] = 0
+    meta["indexed_rows"] -= 6
+    json.dump(meta, open(meta_path, "w"))
+
+    rep = merge_ann_delta(spark, idx, delta)
+    assert rep["merged_rows"] == 8  # batch 0 only — never the torn batch
+    base_ids = {
+        r.vec_id
+        for r in spark.read.schema("vec_id long, codes array<int>, cid int").parquet(f"{idx}/codes").collect()
+    }
+    assert {i for i, _ in b0} <= base_ids and not ({i for i, _ in b1} & base_ids)
+    # the torn batch dir survives for its replay
+    assert os.path.isdir(os.path.join(delta, "data", "batch=1"))
+
+    # replay re-appends batch 1; afterwards no vec_id is duplicated
+    # across base ∪ delta, so every query sees each neighbor once
+    assert ann_index_append_batch(df1, 1, idx, delta) is True
+    assert {r.vec_id for r in read_delta_codes(spark, idx, delta).collect()} == {i for i, _ in b1}
+    queries = spark.createDataFrame(_vectors(4, seed=55, start=900), SCHEMA)
+    res = query_with_delta(spark, idx, delta, queries, k=5, nprobe=4)
+    pairs = [(r.query_id, r.neighbor_id) for r in res.collect()]
+    assert len(pairs) == len(set(pairs))
+
+
 def test_merge_id_collision_resolves_base_wins(spark, base_index, tmp_path):
     """vec_id already in base arriving via the delta (contract
     violation): the merge must keep the BASE row — never silently

@@ -246,6 +246,44 @@ def test_compact_media_index_preserves_set_and_future_flags(spark, tmp_path):
     assert f[4] == (True, True) and f[5] == (False, False)
 
 
+def test_compact_during_torn_window_leaves_uncursored_batch(spark, tmp_path):
+    """Regression: compaction must NOT fold a batch dir written past the
+    replay cursor (torn write) down to batch=<cursor> — the batch's
+    scheduled replay would then see its own fingerprints in the
+    pre-batch index and flag the entire batch as exact dups of itself.
+    The torn dir is carried through the swap untouched and the replay
+    reproduces the original flags byte-for-byte."""
+    from rustic_witcher_spark.streaming.media_dedup import compact_media_index
+
+    midx = str(tmp_path / "midx")
+    media_index_append_batch(spark.createDataFrame([(1, _blob(0))], SCHEMA), 0, "doc_id", "media", midx)
+    batch1 = spark.createDataFrame([(2, _blob(1)), (3, _blob(2))], SCHEMA)
+    assert media_index_append_batch(batch1, 1, "doc_id", "media", midx)
+    flags_before = _flags(spark, midx)
+
+    # torn window: data/batch=1 written, meta rolled back to batch 0
+    meta_path = os.path.join(midx, META_NAME)
+    meta = json.load(open(meta_path))
+    meta["last_batch_id"] = 0
+    meta["indexed_rows"] -= 2
+    json.dump(meta, open(meta_path, "w"))
+
+    meta = compact_media_index(spark, midx)
+    assert meta["last_batch_id"] == 0
+    data = spark.read.parquet(os.path.join(midx, "data"))
+    # compacted cursored rows at batch=0; torn batch=1 dir untouched
+    assert {r.batch for r in data.select("batch").distinct().collect()} == {0, 1}
+    assert os.path.isdir(os.path.join(midx, "data", "batch=1"))
+
+    # the replay re-flags against the pre-batch index — with the old
+    # fold-everything compaction it saw its own fingerprints at batch=0
+    # and reported (True, True) for every row
+    assert media_index_append_batch(batch1, 1, "doc_id", "media", midx)
+    assert _flags(spark, midx) == flags_before
+    assert _flags(spark, midx)[2] == (False, False)
+    assert spark.read.parquet(os.path.join(midx, "data")).count() == 3
+
+
 def test_compact_empty_index_is_noop(spark, tmp_path):
     from rustic_witcher_spark.streaming.media_dedup import compact_media_index
 
