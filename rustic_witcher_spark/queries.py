@@ -4097,6 +4097,140 @@ ORDER BY d.doc_id
 """
 
 
+# Gopher-style repetition thresholds (Rae et al. 2021 §A1.1): a doc is
+# flagged when any signal exceeds its cutoff. Word-n-gram family only —
+# the synthetic corpus carries no newlines, so the line-based signals
+# of the paper would degenerate to constants here.
+_REP_THRESH_TOP2 = 0.20
+_REP_THRESH_TOP3 = 0.18
+_REP_THRESH_DUP5 = 0.15
+
+
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition quality signals — the
+    standard pre-training filter for template/boilerplate/generated
+    text that length- and stopword-based `doc_quality` cannot see:
+
+    - ``top2_frac`` / ``top3_frac``: max over 2-/3-word grams
+      occurring ≥2× of (occurrences × gram chars) / doc chars — the
+      char coverage of the single most-covering REPEATED n-gram (max
+      of c·len rather than the paper's argmax-by-count, which would
+      need a cross-engine tie-break; restricted to c ≥ 2 because a
+      once-occurring gram is not repetition — without that floor any
+      short doc's longest gram alone can clear the cutoffs).
+    - ``dup5_frac``: Σ over 5-grams occurring ≥2× of (occurrences ×
+      gram chars) / doc chars — the duplicate-n-gram char fraction
+      (overlaps counted, as in the paper; can exceed 1 on degenerate
+      docs).
+    - ``flagged``: any signal over its Gopher cutoff (0.20/0.18/0.15),
+      computed from the ROUNDED fractions so both engines compare
+      identical 6-dp values.
+
+    Scale: all grouping is at (doc_id, gram) then (doc_id) grain — the
+    gram fan-out is ~3 rows per token and every aggregate is
+    map-side-combinable; no corpus-wide join, no window over the full
+    gram table (unlike dup_span_fraction, which needs cross-doc
+    ownership). The three gram sizes ride ONE explode of a concat of
+    three guarded transforms over the let-bound token array (the HOF
+    capture trap; Spark's sequence(1, n) DESCENDS for n < 1, so each
+    transform is size-guarded instead of relying on an empty range)."""
+    d = _spread(spark, _read(spark, sf_dir, "documents"))
+    base = d.select(
+        "doc_id",
+        F.length("text").alias("nc"),
+        text.tokens(F.col("text")).alias("tk"),
+    )
+    gram_arrays = ", ".join(
+        f"if(size(tk) >= {n}, transform(sequence(1, size(tk) - {n - 1}), "
+        f"i -> named_struct('n', {n}, 'gram', array_join(slice(tk, i, {n}), ' '))), "
+        f"cast(array() as array<struct<n:int,gram:string>>))"
+        for n in (2, 3, 5)
+    )
+    g = base.select(
+        "doc_id", "nc", F.explode(F.expr(f"concat({gram_arrays})")).alias("g")
+    ).select("doc_id", "nc", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+    cnt = g.groupBy("doc_id", "nc", "n", "gram").agg(F.count(F.lit(1)).alias("c"))
+    per = cnt.groupBy("doc_id", "nc", "n").agg(
+        F.max(
+            F.when(F.col("c") >= 2, F.col("c") * F.length("gram"))
+        ).alias("topchars"),
+        F.sum(
+            F.when(F.col("c") >= 2, F.col("c") * F.length("gram")).otherwise(F.lit(0))
+        ).alias("dupchars"),
+    )
+    piv = per.groupBy("doc_id").agg(
+        F.max(F.when(F.col("n") == 2, F.col("topchars"))).alias("t2"),
+        F.max(F.when(F.col("n") == 3, F.col("topchars"))).alias("t3"),
+        F.max(F.when(F.col("n") == 5, F.col("dupchars"))).alias("d5"),
+    )
+    out = (
+        d.select("doc_id", F.length("text").alias("nc"))
+        .join(piv, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce(F.col("t2"), F.lit(0)) / F.greatest(F.col("nc"), F.lit(1)), 6
+            ).alias("top2_frac"),
+            F.round(
+                F.coalesce(F.col("t3"), F.lit(0)) / F.greatest(F.col("nc"), F.lit(1)), 6
+            ).alias("top3_frac"),
+            F.round(
+                F.coalesce(F.col("d5"), F.lit(0)) / F.greatest(F.col("nc"), F.lit(1)), 6
+            ).alias("dup5_frac"),
+        )
+    )
+    return out.select(
+        "doc_id",
+        "top2_frac",
+        "top3_frac",
+        "dup5_frac",
+        (
+            (F.col("top2_frac") > _REP_THRESH_TOP2)
+            | (F.col("top3_frac") > _REP_THRESH_TOP3)
+            | (F.col("dup5_frac") > _REP_THRESH_DUP5)
+        ).alias("flagged"),
+    ).orderBy("doc_id")
+
+
+def sql_repetition_signals() -> str:
+    toks = _toks_sql("text")
+    gram_selects = " UNION ALL ".join(
+        f"SELECT doc_id, nc, {n} AS n, "
+        f"unnest(list_transform(range(1, len(tk) - {n - 2}), "
+        f"i -> array_to_string(list_slice(tk, i::INT, i::INT + {n - 1}), ' '))) AS gram FROM d"
+        for n in (2, 3, 5)
+    )
+    return f"""
+WITH d AS (SELECT doc_id, length(text) AS nc, {toks} AS tk FROM documents),
+g AS ({gram_selects}),
+cnt AS (SELECT doc_id, nc, n, gram, count(*) AS c FROM g GROUP BY 1, 2, 3, 4),
+per AS (
+  SELECT doc_id, nc, n,
+         max(CASE WHEN c >= 2 THEN c * length(gram) END)::BIGINT AS topchars,
+         sum(CASE WHEN c >= 2 THEN c * length(gram) ELSE 0 END)::BIGINT AS dupchars
+  FROM cnt GROUP BY 1, 2, 3
+),
+piv AS (
+  SELECT doc_id,
+         max(CASE WHEN n = 2 THEN topchars END) AS t2,
+         max(CASE WHEN n = 3 THEN topchars END) AS t3,
+         max(CASE WHEN n = 5 THEN dupchars END) AS d5
+  FROM per GROUP BY 1
+),
+fr AS (
+  SELECT doc.doc_id,
+         round(coalesce(t2, 0) / greatest(length(doc.text), 1), 6) AS top2_frac,
+         round(coalesce(t3, 0) / greatest(length(doc.text), 1), 6) AS top3_frac,
+         round(coalesce(d5, 0) / greatest(length(doc.text), 1), 6) AS dup5_frac
+  FROM documents doc LEFT JOIN piv ON doc.doc_id = piv.doc_id
+)
+SELECT doc_id, top2_frac, top3_frac, dup5_frac,
+       (top2_frac > {_REP_THRESH_TOP2} OR top3_frac > {_REP_THRESH_TOP3}
+        OR dup5_frac > {_REP_THRESH_DUP5}) AS flagged
+FROM fr ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Round-6 late additions: pivot / grouping-sets / capping / budgeting /
 # embedding stats / range-frame windows / PMI phrase mining
@@ -5978,15 +6112,15 @@ def build_registry() -> dict[str, tuple[QueryFn, str | None]]:
     r7∪r8 jointly cover the whole inventory with post-rewrite
     verdicts; the oldest cohort for the r9 window is then the 49
     entries holding r06 stamps — everything in neither ROUND7_PREFIX
-    nor ROUND8_PREFIX (150 total − 50 r07-stamped − 47 r08-stamped
-    − 3 r8-new − 1 r8-late): the filter family tail, anonymize/faker
+    nor ROUND8_PREFIX (151 total − 50 r07-stamped − 47 r08-stamped
+    − 3 r8-new − 2 r8-late): the filter family tail, anonymize/faker
     suite, CDC/validation, the dedup/similarity/sampling/sketch/
     corpus/multimodal groups graded in r6, events_session, and the r6
-    curation entries. ROUND9_PREFIX = pq_ann_topk (the r8-late
-    addition — the window was already full with the 47 mandated
-    rotations when it landed, so it leads r9 as the sole
-    never-driver-verified entry) + those 49 = exactly 50, zero
-    deferrals.
+    curation entries. ROUND9_PREFIX = pq_ann_topk + repetition_signals
+    (the two r8-late additions — the window was already full with the
+    47 mandated rotations when they landed, so they lead r9 as the
+    only never-driver-verified entries) + 48 of those 49 r06 holders =
+    exactly 50; the one r06 deferral spills to the r10 window.
     The full local gate (`scripts/compare_oracle.py`) runs ALL
     entries every round, and is order- AND dtype-faithful to the
     driver hash (round-7 rewrite after q12 shipped red twice).
@@ -6130,6 +6264,7 @@ def build_registry() -> dict[str, tuple[QueryFn, str | None]]:
             "latency_histogram": (q_latency_histogram, SQL_LATENCY_HISTOGRAM),
             "zorder_layout": (q_zorder_layout, sql_zorder_layout()),
             "dup_span_fraction": (q_dup_span_fraction, sql_dup_span_fraction()),
+            "repetition_signals": (q_repetition_signals, sql_repetition_signals()),
             # --- (8) round-6 late additions (past the driver window —
             # local gate this round, rotate into r07) ---
             "orders_pivot": (q_orders_pivot, SQL_ORDERS_PIVOT),

@@ -497,3 +497,91 @@ def test_cli_media_dedup_empty_source_yields_empty_outputs(spark, tmp_path, caps
     ]) == 0
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["batch_rows"] == 0 and rep["exact_dups"] == 0
+
+
+# ---------------------------------------------------------------------------
+# repetition_signals (Gopher word-n-gram repetition filters)
+# ---------------------------------------------------------------------------
+
+
+def _write_docs(spark, tmp_path, texts):
+    d = tmp_path / "repfix"
+    rows = [(i, t, "en", "srcX", len(t) if t else 0) for i, t in enumerate(texts)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_repetition_signals_hand_computed(spark, tmp_path):
+    """Pin the metric meanings on a doc where every value is computable
+    by hand: 'ab cd ab cd ab cd' (17 chars, 6 tokens)."""
+    from rustic_witcher_spark.queries import q_repetition_signals
+
+    sf = _write_docs(spark, tmp_path, ["ab cd ab cd ab cd"])
+    r = q_repetition_signals(spark, str(tmp_path / "repfix")).collect()[0]
+    # 2-grams: 'ab cd' x3 (len 5), 'cd ab' x2 -> top coverage 15/17
+    assert r["top2_frac"] == round(15 / 17, 6)
+    # 3-grams: 'ab cd ab' x2 (len 8), 'cd ab cd' x2 (len 8) -> 16/17
+    assert r["top3_frac"] == round(16 / 17, 6)
+    # 5-grams: 'ab cd ab cd ab' x1, 'cd ab cd ab cd' x1 -> no dups
+    assert r["dup5_frac"] == 0.0
+    assert bool(r["flagged"]) is True  # top2 0.88 > 0.20
+    assert sf  # silence unused
+
+
+def test_repetition_signals_clean_doc_not_flagged(spark, tmp_path):
+    from rustic_witcher_spark.queries import q_repetition_signals
+
+    _write_docs(spark, tmp_path, ["alpha beta gamma delta epsilon zeta eta theta"])
+    r = q_repetition_signals(spark, str(tmp_path / "repfix")).collect()[0]
+    # all grams unique (no gram occurs twice): zero repetition signal —
+    # a once-occurring gram is NOT repetition, however long
+    assert r["top2_frac"] == 0.0 and r["top3_frac"] == 0.0 and r["dup5_frac"] == 0.0
+    assert bool(r["flagged"]) is False
+
+
+def test_repetition_signals_dup5_overlap_counting(spark, tmp_path):
+    """'x x x x x x' (6 tokens, 11 chars): the single 5-gram 'x x x x x'
+    (len 9) occurs twice (positions 1 and 2, overlapping) -> dup5 =
+    2*9/11; overlaps are counted as in the paper."""
+    from rustic_witcher_spark.queries import q_repetition_signals
+
+    _write_docs(spark, tmp_path, ["x x x x x x"])
+    r = q_repetition_signals(spark, str(tmp_path / "repfix")).collect()[0]
+    assert r["dup5_frac"] == round(2 * 9 / 11, 6)
+    assert bool(r["flagged"]) is True
+
+
+def test_repetition_signals_short_null_empty_docs(spark, tmp_path):
+    """Docs with <2 tokens (or NULL/empty text) produce zero signals
+    and are never flagged — the left join backfills them."""
+    from rustic_witcher_spark.queries import q_repetition_signals
+
+    _write_docs(spark, tmp_path, ["single", None, ""])
+    rows = {r["doc_id"]: r for r in q_repetition_signals(spark, str(tmp_path / "repfix")).collect()}
+    assert len(rows) == 3
+    for i in range(3):
+        assert rows[i]["top2_frac"] == 0.0 and rows[i]["dup5_frac"] == 0.0
+        assert bool(rows[i]["flagged"]) is False
+
+
+def test_repetition_signals_oracle_parity_on_fixture(spark, tmp_path):
+    """Spark == DuckDB on a fixture mixing repetitive, clean, and
+    degenerate docs (value-level, all columns)."""
+    import duckdb
+
+    from rustic_witcher_spark.queries import q_repetition_signals, sql_repetition_signals
+
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        ["spam spam spam spam spam", "the quick brown fox jumps", "a b a b a b a b", None, "", "x"],
+    )
+    got = sorted(map(tuple, q_repetition_signals(spark, sf).collect()))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    want = sorted(map(tuple, con.execute(sql_repetition_signals()).fetchall()))
+    assert got == want
