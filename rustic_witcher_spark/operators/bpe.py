@@ -50,9 +50,23 @@ from rustic_witcher_spark.operators import text as text_ops
 
 
 # Right-boundary sentinel appended to every symbol during the merge
-# loop (see module docstring); never appears in tokens (normalized_text
-# strips non-alnum), stripped before anything user-visible.
+# loop (see module docstring). text.tokens only lowercases/collapses
+# whitespace, so a literal \x01 in scraped corpus text WOULD survive
+# tokenization and forge symbol boundaries — _clean_tokens below strips
+# it from every token before symbolization (train and apply alike).
 SENT = "\x01"
+
+
+def _clean_tokens(col: Column) -> Column:
+    """Corpus tokens with the internal sentinel char removed. Control
+    chars are common in scraped pre-training data; without this, a
+    token containing ``\\x01`` corrupts the symbol representation
+    (phantom boundaries during training, silent char loss + empty
+    tokens at apply time). Tokens that were ONLY sentinels drop out."""
+    stripped = F.transform(
+        text_ops.tokens(col), lambda t: F.replace(t, F.lit(SENT), F.lit(""))
+    )
+    return F.filter(stripped, lambda t: F.length(t) > 0)
 
 
 def _to_symbols(word: Column) -> Column:
@@ -92,7 +106,7 @@ def vocab_table(docs: DataFrame, text_col: str = "text", min_len: int = 2) -> Da
     """(w, wc): the corpus vocabulary — the ONLY token-stream shuffle
     of the whole training run."""
     return (
-        docs.select(F.explode(text_ops.tokens(F.col(text_col))).alias("w"))
+        docs.select(F.explode(_clean_tokens(F.col(text_col))).alias("w"))
         .filter(F.length("w") >= min_len)
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("wc"))
@@ -153,5 +167,5 @@ def bpe_apply(
         )
 
     return df.withColumn(
-        out_col, F.flatten(F.transform(text_ops.tokens(F.col(text_col)), segment))
+        out_col, F.flatten(F.transform(_clean_tokens(F.col(text_col)), segment))
     )

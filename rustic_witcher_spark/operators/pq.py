@@ -423,6 +423,12 @@ def pq_write_index(
         codes.write.mode("overwrite").parquet(f"{path}/codes")
 
 
+def codebook_df(spark, path: str) -> DataFrame:
+    """The persisted codebook frame, explicit schema (an empty index
+    dir holds only _SUCCESS — inference would raise). No Spark job."""
+    return spark.read.schema(CODEBOOK_SCHEMA).parquet(f"{path}/_codebooks")
+
+
 def codebook_geometry(spark, path: str):
     """(codebook DF, n_subspaces, dim) from a persisted index's frozen
     codebook; (cb, 0, 0) when the codebook is empty. The SINGLE source
@@ -431,7 +437,7 @@ def codebook_geometry(spark, path: str):
     carries an explicit schema: an empty index dir (0-row corpus) holds
     only _SUCCESS, and schema inference would raise
     UNABLE_TO_INFER_SCHEMA instead of yielding an empty frame."""
-    cb = spark.read.schema(CODEBOOK_SCHEMA).parquet(f"{path}/_codebooks")
+    cb = codebook_df(spark, path)
     geo = cb.agg(F.max("m").alias("mm"), F.max(F.size("cvec")).alias("d")).collect()[0]
     if geo["mm"] is None:
         return cb, 0, 0
@@ -473,12 +479,18 @@ def pq_query_index(
     """
     import os
 
-    cb, inferred_m, inferred_dim = codebook_geometry(spark, path)
+    # Geometry inference costs an agg+collect Spark job — run it ONLY
+    # when the caller didn't supply the geometry (query loops pass it).
     if n_subspaces is None or dim is None:
+        cb, inferred_m, inferred_dim = codebook_geometry(spark, path)
         if inferred_m == 0:  # empty codebook -> empty index -> empty result
             return spark.createDataFrame([], "query_id long, neighbor_id long, sim double, rank int")
         n_subspaces = n_subspaces or inferred_m
-        dim = dim or inferred_dim
+        # per-subspace width from the stored codebook, scaled by the
+        # CALLER's n_subspaces when one was supplied
+        dim = dim or n_subspaces * (inferred_dim // inferred_m)
+    else:
+        cb = codebook_df(spark, path)
     probe_map = None
     cid_col = None
     if os.path.isdir(f"{path}/_centroids"):

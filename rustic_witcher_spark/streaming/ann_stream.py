@@ -100,7 +100,10 @@ def ann_index_append_batch(
     return True
 
 
-def read_delta_codes(spark, base_index_path: str, delta_path: str, id_col: str = "vec_id") -> DataFrame:
+def read_delta_codes(
+    spark, base_index_path: str, delta_path: str, id_col: str = "vec_id",
+    meta: dict | None = None,
+) -> DataFrame:
     """The delta's codes as one DataFrame (explicit schema; empty frame
     when nothing has been appended yet).
 
@@ -110,11 +113,18 @@ def read_delta_codes(spark, base_index_path: str, delta_path: str, id_col: str =
     otherwise `merge_ann_delta` would fold the torn batch into the base
     while the cursor still schedules its replay, and the re-appended
     delta would duplicate every one of its vec_ids in base ∪ delta
-    (two rank-window rows per neighbor, pushing a true top-k hit out)."""
+    (two rank-window rows per neighbor, pushing a true top-k hit out).
+
+    ``meta`` lets a caller that already snapshotted the replay meta
+    pin THIS read to that snapshot's cursor — `merge_ann_delta` relies
+    on it so the batches it folds and the batches it later deletes are
+    decided by ONE cursor value even if an appender advances the meta
+    file mid-merge."""
     with_cid = os.path.isdir(f"{base_index_path}/_centroids")
     schema = _delta_schema(id_col, with_cid)
     data_dir = os.path.join(delta_path, "data")
-    meta = _load_meta(delta_path)
+    if meta is None:
+        meta = _load_meta(delta_path)
     if not os.path.isdir(data_dir) or meta.get("indexed_rows", 0) == 0:
         return spark.createDataFrame([], schema)
     return (
@@ -158,7 +168,12 @@ def merge_ann_delta(spark, base_index_path: str, delta_path: str, id_col: str = 
 
     meta = _load_meta(delta_path)
     with_cid = os.path.isdir(f"{base_index_path}/_centroids")
-    delta = read_delta_codes(spark, base_index_path, delta_path, id_col)
+    # ONE meta snapshot decides the fold set, the cleanup set, and the
+    # row accounting: re-reading the meta here could see a cursor a
+    # concurrent appender advanced mid-merge, folding a batch the
+    # cleanup loop then leaves behind (and whose crash-replay would
+    # duplicate every vec_id across base ∪ delta).
+    delta = read_delta_codes(spark, base_index_path, delta_path, id_col, meta=meta)
     n_delta = delta.count()
     if n_delta == 0:
         return {**meta, "merged_rows": 0}
@@ -185,9 +200,15 @@ def merge_ann_delta(spark, base_index_path: str, delta_path: str, id_col: str = 
     for name in os.listdir(data_dir):
         if name.startswith("batch=") and int(name.split("=", 1)[1]) <= cursor:
             shutil.rmtree(os.path.join(data_dir, name))
-    merged_meta = {**meta, "indexed_rows": 0}
-    _store_meta(delta_path, merged_meta)
-    return {**merged_meta, "merged_rows": n_delta}
+    # Re-read the meta at store time: an appender may have advanced the
+    # cursor/row count since the snapshot, and writing the stale
+    # snapshot back would rewind last_batch_id (un-skipping a replay of
+    # a batch whose rows this merge just folded). Subtract only what
+    # was actually folded; an advanced cursor survives.
+    fresh_meta = _load_meta(delta_path)
+    fresh_meta["indexed_rows"] = max(0, fresh_meta.get("indexed_rows", 0) - n_delta)
+    _store_meta(delta_path, fresh_meta)
+    return {**fresh_meta, "merged_rows": n_delta}
 
 
 def write_ann_index_stream(

@@ -163,6 +163,17 @@ def compact_media_index(spark, index_path: str) -> dict:
     shutil.rmtree(old, ignore_errors=True)
     os.rename(data_dir, old)
     os.rename(compact_root, data_dir)
+    # Rescue any batch dir a live appender landed between the carry
+    # loop's listdir and the rename: it rode into `old` with the swap,
+    # is > cursor (the cursor means no batch at or below it can run
+    # again), and wasn't in the carry snapshot — without this it would
+    # be rmtree'd while the appender's meta records it as indexed,
+    # silently losing its fingerprints forever.
+    for name in os.listdir(old):
+        if name.startswith("batch=") and int(name.split("=", 1)[1]) > cursor:
+            dest = os.path.join(data_dir, name)
+            if not os.path.exists(dest):
+                os.rename(os.path.join(old, name), dest)
     shutil.rmtree(old)
     return meta
 

@@ -237,3 +237,40 @@ def test_empty_and_null_text(spark):
     out = {r["id"]: r["bpe_tokens"] for r in bpe.bpe_apply(df, "text", merges).collect()}
     assert out[1] == [] and out[2] == []
     assert out[3] == ["aa", "aa", "b", "b"]
+
+
+def test_sentinel_char_in_corpus_is_stripped_not_corrupting(spark):
+    """Regression: a literal \\x01 (the internal right-boundary
+    sentinel) in scraped corpus text must not forge symbol boundaries.
+    text.tokens only lowercases/collapses whitespace, so without the
+    token-level strip the trainer selects degenerate empty-left-symbol
+    pairs forever (no early stop) and bpe_apply emits empty tokens and
+    silently drops the character. Training and segmentation must behave
+    exactly as if the sentinel char were absent."""
+    dirty = [
+        (1, "ab\x01cd ab\x01cd xx yy"),
+        (2, "low low low\x01 lower lower"),
+        (3, "\x01\x01 newest newest"),  # a token that is ONLY sentinels
+    ]
+    clean_texts = [t.replace("\x01", "") for _, t in dirty]
+
+    df = spark.createDataFrame(dirty, "id long, text string")
+    merges, vocab = bpe.bpe_train(df, "text", n_merges=6)
+    want_merges, want_vocab = _reference_bpe(clean_texts, 6)
+    assert merges == want_merges
+    assert {(r["s"], r["wc"]) for r in vocab.collect()} == set(want_vocab.items())
+
+    out = {r["id"]: r["bpe_tokens"] for r in bpe.bpe_apply(df, "text", merges).collect()}
+    for (i, _), clean in zip(dirty, clean_texts):
+        want = []
+        for w in _norm_tokens(clean):
+            if len(w) < 2:
+                want.append(w)
+                continue
+            syms = list(w)
+            for pair in merges:
+                a, b = pair.split(" ")
+                syms = _merge_syms(syms, a, b)
+            want.extend(syms)
+        assert out[i] == want, (i, out[i], want)
+        assert all(t and "\x01" not in t for t in out[i])

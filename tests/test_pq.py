@@ -255,3 +255,27 @@ def test_cli_pq_index_and_query_round_trip(spark, tmp_path, capsys):
         for r in pq.pq_query_index(spark, idx, q, k=3, nprobe=2).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_explicit_geometry_matches_inferred_and_skips_the_agg(spark, emb, tmp_path):
+    """Caller-supplied (n_subspaces, dim) must produce row-identical
+    results to the inferred path — and must not run the geometry
+    agg+collect job at all (query loops pass geometry precisely to
+    avoid paying a driver round-trip per call)."""
+    from rustic_witcher_spark.operators import pq as pq_mod
+
+    idx = str(tmp_path / "pqidx")
+    pq.pq_write_index(emb, idx, n_subspaces=8, n_codes=16, dim=64, coarse_clusters=4)
+    queries = emb.filter(F.col("vec_id") < 4)
+    inferred = pq.pq_query_index(spark, idx, queries, k=5, nprobe=4)
+
+    def boom(*a, **k):
+        raise AssertionError("geometry inference job ran despite explicit n_subspaces/dim")
+
+    orig = pq_mod.codebook_geometry
+    pq_mod.codebook_geometry = boom
+    try:
+        explicit = pq.pq_query_index(spark, idx, queries, k=5, nprobe=4, n_subspaces=8, dim=64)
+    finally:
+        pq_mod.codebook_geometry = orig
+    assert _rows(inferred) == _rows(explicit)

@@ -288,3 +288,70 @@ def test_null_vectors_skipped_in_delta(spark, base_index, tmp_path):
     ann_index_append_batch(spark.createDataFrame(rows, SCHEMA), 0, base_index, delta)
     got = {r.vec_id for r in read_delta_codes(spark, base_index, delta).collect()}
     assert got == {700, 701, 702}
+
+
+def test_read_delta_codes_pins_to_meta_snapshot(spark, base_index, tmp_path):
+    """A caller-supplied meta snapshot decides the cursor — a batch an
+    appender lands AFTER the snapshot is invisible to that read even
+    though the meta file on disk already advanced past it."""
+    delta = str(tmp_path / "delta")
+    ann_index_append_batch(spark.createDataFrame(_vectors(4, start=300), SCHEMA), 0, base_index, delta)
+    snapshot = json.load(open(os.path.join(delta, META_NAME)))
+    ann_index_append_batch(spark.createDataFrame(_vectors(3, start=400), SCHEMA), 1, base_index, delta)
+
+    pinned = {r.vec_id for r in read_delta_codes(spark, base_index, delta, meta=snapshot).collect()}
+    live = {r.vec_id for r in read_delta_codes(spark, base_index, delta).collect()}
+    assert pinned == {300, 301, 302, 303}
+    assert live == pinned | {400, 401, 402}
+
+
+def test_merge_concurrent_append_not_folded_and_cursor_not_rewound(spark, base_index, tmp_path, monkeypatch):
+    """Regression for the merge-vs-appender race: merge snapshots the
+    meta (cursor 0), an appender lands batch 1 (meta advances) before
+    merge finishes. ONE snapshot must decide fold + cleanup + row
+    accounting: batch 1 stays in the delta for querying, its dir is not
+    deleted, and the stored meta keeps the ADVANCED cursor (a stale
+    rewrite would un-skip batch 1's replay and duplicate every one of
+    its vec_ids across base ∪ delta)."""
+    import shutil as _shutil
+
+    from rustic_witcher_spark.streaming import ann_stream
+
+    idx = str(tmp_path / "idx")
+    _shutil.copytree(base_index, idx)
+    delta = str(tmp_path / "delta")
+    ann_index_append_batch(spark.createDataFrame(_vectors(4, start=300), SCHEMA), 0, idx, delta)
+    ann_index_append_batch(spark.createDataFrame(_vectors(3, start=400), SCHEMA), 1, idx, delta)
+
+    # merge's FIRST meta load sees the pre-append snapshot (cursor 0);
+    # every later load (store-time re-read) sees the real file (cursor 1)
+    real_load, calls = ann_stream._load_meta, []
+
+    def stale_first(path):
+        m = real_load(path)
+        if not calls:
+            calls.append(1)
+            m = {**m, "last_batch_id": 0, "indexed_rows": 4}
+        return m
+
+    monkeypatch.setattr(ann_stream, "_load_meta", stale_first)
+    rep = merge_ann_delta(spark, idx, delta)
+    monkeypatch.undo()
+
+    assert rep["merged_rows"] == 4  # only the snapshot-cursored batch folded
+    base_ids = {r.vec_id for r in spark.read.schema("vec_id long, codes array<int>, cid int")
+                .parquet(f"{idx}/codes").select("vec_id").collect() if r.vec_id >= 300}
+    assert base_ids == {300, 301, 302, 303}
+    # batch 1 survives in the delta: dir present, cursor NOT rewound,
+    # rows still counted, and still visible to the delta read
+    assert os.path.isdir(os.path.join(delta, "data", "batch=1"))
+    meta = json.load(open(os.path.join(delta, META_NAME)))
+    assert meta["last_batch_id"] == 1 and meta["indexed_rows"] == 3
+    left = {r.vec_id for r in read_delta_codes(spark, idx, delta).collect()}
+    assert left == {400, 401, 402}
+    # a crash-replay of batch 1 is still skipped (cursor intact)
+    assert not ann_index_append_batch(
+        spark.createDataFrame(_vectors(3, start=400), SCHEMA), 1, idx, delta
+    )
+    # no vec_id appears in both base and delta
+    assert not (base_ids & left)

@@ -305,3 +305,52 @@ def test_cli_media_index_compact(spark, tmp_path, capsys):
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["indexed_rows"] == 2 and rep["last_batch_id"] == 1
     assert spark.read.parquet(os.path.join(midx, "data")).count() == 2
+
+
+def test_compact_rescues_batch_landed_in_rename_window(spark, tmp_path, monkeypatch):
+    """Regression for the compactor-vs-appender race: a batch dir the
+    appender lands between the carry loop's listdir snapshot and the
+    data→data_old rename rides into data_old with the swap. It must be
+    rescued into the new layout before data_old is deleted — otherwise
+    its fingerprints are lost forever while the appender's meta records
+    the batch as indexed (so no replay ever rewrites them)."""
+    from rustic_witcher_spark.streaming import media_dedup
+    from rustic_witcher_spark.streaming.media_dedup import compact_media_index
+
+    midx = str(tmp_path / "midx")
+    for bi, rows in enumerate([[(1, _blob(0))], [(2, _blob(1))]]):
+        media_index_append_batch(spark.createDataFrame(rows, SCHEMA), bi, "doc_id", "media", midx)
+    # the "late" batch: exists on disk by rename time, invisible to the
+    # carry loop's snapshot (simulated by hiding it from that listdir)
+    media_index_append_batch(spark.createDataFrame([(3, _blob(2))], SCHEMA), 2, "doc_id", "media", midx)
+    meta_path = os.path.join(midx, META_NAME)
+    meta = json.load(open(meta_path))
+    meta["last_batch_id"], meta["indexed_rows"] = 1, meta["indexed_rows"] - 1
+    json.dump(meta, open(meta_path, "w"))
+
+    data_dir = os.path.join(midx, "data")
+    real_listdir = os.listdir
+
+    def hiding_listdir(path):
+        names = real_listdir(path)
+        if os.path.abspath(path) == os.path.abspath(data_dir):
+            names = [n for n in names if n != "batch=2"]
+        return names
+
+    monkeypatch.setattr(media_dedup.os, "listdir", hiding_listdir)
+    compact_media_index(spark, midx)
+    monkeypatch.undo()
+
+    # appender's meta write lands (as it would have in the live race)
+    meta = json.load(open(meta_path))
+    meta["last_batch_id"], meta["indexed_rows"] = 2, meta["indexed_rows"] + 1
+    json.dump(meta, open(meta_path, "w"))
+
+    assert os.path.isdir(os.path.join(data_dir, "batch=2"))
+    assert not os.path.exists(os.path.join(midx, "data_old"))
+    data = spark.read.parquet(data_dir)
+    assert {r.doc_id for r in data.collect()} == {1, 2, 3}
+    # a re-upload of doc 3's blob still flags as a dup — the rescued
+    # fingerprints participate in future batches
+    media_index_append_batch(spark.createDataFrame([(9, _blob(2))], SCHEMA), 3, "doc_id", "media", midx)
+    assert _flags(spark, midx)[9] == (True, True)
