@@ -5921,6 +5921,148 @@ ORDER BY score DESC, doc_id ASC LIMIT {BM25_TOPK}
 """
 
 
+# --- hybrid retrieval: lexical + dense legs fused by reciprocal rank ---
+
+RRF_N_ANCHORS = 3  # anchor queries = documents/embeddings with id < 3
+RRF_K0 = 60        # the standard RRF damping constant
+RRF_POOL = 20      # per-leg candidate pool depth
+RRF_TOPK = 10      # fused results per anchor
+
+
+def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: a LEXICAL ranking (distinct-token Jaccard vs
+    the anchor document's text) and a DENSE ranking (cosine over the
+    id-aligned embeddings table) fused by reciprocal rank,
+    score = Σ_legs 1/(K0 + rank) — the Cormack/Clarke/Büttcher rule
+    every hybrid search stack ships, and the retrieval face a
+    paired-data mining pipeline needs beside `bm25_search` (one lexical
+    system alone) and `knn_bruteforce` (one dense system alone).
+
+    Cross-engine determinism: the fused score is emitted in integer
+    micro-units via FLOOR division — floor(1e6 / (K0 + rank)) is exact
+    in both engines, so the fused ordering cannot drift on float
+    rounding; per-leg ranks tie-break on doc_id; absent-leg ranks
+    surface as 0, not NULL ("not in this leg's pool" — and NULL-order
+    is an engine-specific hash trap).
+
+    Scale shape: each leg broadcasts the |anchors|-row query set
+    against ONE corpus scan (the bm25/hard_negatives pattern — never a
+    corpus self-join); the lexical leg prunes non-intersecting docs
+    before ranking. The per-anchor row_number pool shuffles skinny
+    (anchor, doc, score) rows only; at 1000-executor scale the window
+    swaps for the two-level salted top-k (`token_budget_selection`'s
+    prefix-scan pattern) with identical semantics. The fusion join runs
+    over two ≤ |anchors|·RRF_POOL frames — trivial at any scale.
+    """
+    docs = _read(spark, sf_dir, "documents")
+    emb = _read(spark, sf_dir, "embeddings")
+
+    dense = similarity.brute_force_topk(
+        emb, emb.filter(F.col("vec_id") < RRF_N_ANCHORS), k=RRF_POOL
+    ).select(
+        F.col("query_id").alias("anchor_id"),
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").alias("dense_rank"),
+    )
+
+    toks = docs.select("doc_id", F.array_distinct(text.tokens(F.col("text"))).alias("t"))
+    anch = toks.filter(F.col("doc_id") < RRF_N_ANCHORS).select(
+        F.col("doc_id").alias("anchor_id"), F.col("t").alias("at")
+    )
+    inter = F.size(F.array_intersect("t", "at"))
+    uni = F.size("t") + F.size("at") - inter
+    scored = (
+        toks.crossJoin(F.broadcast(anch))
+        .filter(F.col("doc_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            "doc_id",
+            inter.alias("i"),
+            F.round(inter / F.greatest(uni, F.lit(1)), 6).alias("sim"),
+        )
+        .filter(F.col("i") > 0)
+    )
+    w_lex = Window.partitionBy("anchor_id").orderBy(F.col("sim").desc(), F.col("doc_id").asc())
+    lex = (
+        scored.withColumn("lex_rank", F.row_number().over(w_lex))
+        .filter(F.col("lex_rank") <= RRF_POOL)
+        .select("anchor_id", "doc_id", "lex_rank")
+    )
+
+    def _rrf(rank_col):
+        return F.when(
+            rank_col.isNotNull(),
+            F.floor(F.lit(1_000_000) / (F.lit(RRF_K0) + rank_col)).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+
+    fused = (
+        lex.join(dense, ["anchor_id", "doc_id"], "full_outer")
+        .select(
+            "anchor_id",
+            "doc_id",
+            F.coalesce("lex_rank", F.lit(0)).cast("int").alias("lex_rank"),
+            F.coalesce("dense_rank", F.lit(0)).cast("int").alias("dense_rank"),
+            (_rrf(F.col("lex_rank")) + _rrf(F.col("dense_rank"))).alias("rrf_micro"),
+        )
+    )
+    w_fused = Window.partitionBy("anchor_id").orderBy(F.col("rrf_micro").desc(), F.col("doc_id").asc())
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w_fused))
+        .filter(F.col("fused_rank") <= RRF_TOPK)
+        .orderBy("anchor_id", "fused_rank")
+    )
+
+
+def sql_hybrid_search_rrf() -> str:
+    """DuckDB twin: same two legs, same floor-division micro-units.
+    The dense leg replays SQL_KNN's rounded-cosine convention."""
+    cos = (
+        "round(list_dot_product(qv::DOUBLE[], cv::DOUBLE[]) / "
+        "(sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[])) * "
+        "sqrt(list_dot_product(cv::DOUBLE[], cv::DOUBLE[]))), 6)"
+    )
+    return f"""
+WITH q AS (SELECT vec_id AS anchor_id, embedding AS qv FROM embeddings WHERE vec_id < {RRF_N_ANCHORS}),
+c AS (SELECT vec_id AS doc_id, embedding AS cv FROM embeddings),
+ds AS (
+  SELECT anchor_id, doc_id, {cos} AS sim FROM c, q WHERE anchor_id <> doc_id
+),
+dense AS (
+  SELECT anchor_id, doc_id,
+         row_number() OVER (PARTITION BY anchor_id ORDER BY sim DESC, doc_id ASC) AS dense_rank
+  FROM ds QUALIFY dense_rank <= {RRF_POOL}
+),
+toks AS (SELECT doc_id, list_distinct({_toks_sql('text')}) AS t FROM documents),
+anch AS (SELECT doc_id AS anchor_id, t AS at FROM toks WHERE doc_id < {RRF_N_ANCHORS}),
+ls AS (
+  SELECT anchor_id, doc_id, len(list_intersect(t, at))::BIGINT AS i,
+         round(len(list_intersect(t, at))::DOUBLE /
+               greatest(len(t) + len(at) - len(list_intersect(t, at)), 1), 6) AS sim
+  FROM toks, anch WHERE doc_id <> anchor_id
+),
+lex AS (
+  SELECT anchor_id, doc_id,
+         row_number() OVER (PARTITION BY anchor_id ORDER BY sim DESC, doc_id ASC) AS lex_rank
+  FROM ls WHERE i > 0 QUALIFY lex_rank <= {RRF_POOL}
+),
+fused AS (
+  SELECT coalesce(l.anchor_id, d.anchor_id) AS anchor_id,
+         coalesce(l.doc_id, d.doc_id) AS doc_id,
+         coalesce(l.lex_rank, 0)::INT AS lex_rank,
+         coalesce(d.dense_rank, 0)::INT AS dense_rank,
+         (CASE WHEN l.lex_rank IS NULL THEN 0
+               ELSE CAST(floor(1000000 / ({RRF_K0} + l.lex_rank)) AS BIGINT) END
+          + CASE WHEN d.dense_rank IS NULL THEN 0
+                 ELSE CAST(floor(1000000 / ({RRF_K0} + d.dense_rank)) AS BIGINT) END) AS rrf_micro
+  FROM lex l FULL OUTER JOIN dense d ON l.anchor_id = d.anchor_id AND l.doc_id = d.doc_id
+)
+SELECT anchor_id, doc_id, lex_rank, dense_rank, rrf_micro,
+       row_number() OVER (PARTITION BY anchor_id ORDER BY rrf_micro DESC, doc_id ASC) AS fused_rank
+FROM fused QUALIFY fused_rank <= {RRF_TOPK}
+ORDER BY anchor_id, fused_rank
+"""
+
+
 SPLIT_BUCKETS = 10  # train / 1 val / 1 test over these buckets
 SPLIT_TRAIN_BUCKETS = 8  # passed to BOTH faces so the CASE thresholds can't drift
 
@@ -6126,10 +6268,11 @@ def build_registry() -> dict[str, tuple[QueryFn, str | None]]:
     suite, CDC/validation, the dedup/similarity/sampling/sketch/
     corpus/multimodal groups graded in r6, events_session, and the r6
     curation entries. ROUND9_PREFIX = pq_ann_topk + repetition_signals
-    (the two r8-late additions — the window was already full with the
-    47 mandated rotations when they landed, so they lead r9 as the
-    only never-driver-verified entries) + 48 of those 49 r06 holders =
-    exactly 50; the one r06 deferral spills to the r10 window.
+    + hybrid_search_rrf (the three r8-late additions — the window was
+    already full with the 47 mandated rotations when they landed, so
+    they lead r9 as the only never-driver-verified entries) + 47 of
+    those 49 r06 holders = exactly 50; the two r06 deferrals spill to
+    the r10 window.
     The full local gate (`scripts/compare_oracle.py`) runs ALL
     entries every round, and is order- AND dtype-faithful to the
     driver hash (round-7 rewrite after q12 shipped red twice).
@@ -6312,12 +6455,12 @@ def build_registry() -> dict[str, tuple[QueryFn, str | None]]:
             "drift_vs_reference": (q_drift_vs_reference, sql_drift_vs_reference()),
             "media_near_dups": (q_media_near_dups, sql_media_near_dups()),
             "bpe_merge_chain": (q_bpe_merge_chain, sql_bpe_merge_chain()),
-            # --- round-8 LATE addition (the r8 window was already full
-            # with the 47 mandated r05-verdict rotations, so this is the
-            # ONE new entry the r9 window can absorb without deferring a
-            # stale one — it takes ROUND9_PREFIX slot 1; local-gate
-            # verified this round) ---
+            # --- round-8 LATE additions (the r8 window was already full
+            # with the 47 mandated r05-verdict rotations; these lead
+            # ROUND9_PREFIX as the only never-driver-verified entries —
+            # local-gate verified this round) ---
             "pq_ann_topk": (q_pq_ann_topk, sql_pq_ann_topk()),
+            "hybrid_search_rrf": (q_hybrid_search_rrf, sql_hybrid_search_rrf()),
         }
     )
     ordered = {name: reg.pop(name) for name in ROUND8_PREFIX}

@@ -585,3 +585,124 @@ def test_repetition_signals_oracle_parity_on_fixture(spark, tmp_path):
     )
     want = sorted(map(tuple, con.execute(sql_repetition_signals()).fetchall()))
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# hybrid_search_rrf — reciprocal rank fusion of lexical + dense legs
+# ---------------------------------------------------------------------------
+
+
+def _write_hybrid_fixture(spark, tmp_path):
+    """Aligned documents + embeddings (ids 0-7; anchors are ids < 3)."""
+    d = tmp_path / "rrffix"
+    texts = [
+        "apple banana cherry",            # anchor 0
+        "dog elephant fox goose",         # anchor 1
+        "red green blue",                 # anchor 2
+        "apple banana cherry",            # exact lexical twin of anchor 0
+        "apple banana kiwi lemon",        # partial overlap with anchor 0
+        "dog elephant fox goose",         # exact lexical twin of anchor 1
+        "red blue yellow",                # partial overlap with anchor 2
+        "zz ww qq",                       # lexical orphan (dense-only)
+    ]
+    rows = [(i, t, "en", "srcX", len(t)) for i, t in enumerate(texts)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    vecs = [
+        [1.0, 0.0, 0.0, 0.1], [0.0, 1.0, 0.0, 0.1], [0.0, 0.0, 1.0, 0.1],
+        [0.9, 0.1, 0.0, 0.0], [0.8, 0.0, 0.2, 0.1], [0.1, 0.9, 0.0, 0.2],
+        [0.0, 0.2, 0.9, 0.0], [0.5, 0.5, 0.5, 0.5],
+    ]
+    erows = [(i, v, i % 3) for i, v in enumerate(vecs)]
+    spark.createDataFrame(
+        erows, "vec_id long, embedding array<double>, label long"
+    ).write.mode("overwrite").parquet(str(d / "embeddings.parquet"))
+    return str(d), texts, vecs
+
+
+def _py_rrf_reference(texts, vecs, n_anchors=3, pool=20, k0=60, topk=10):
+    import math
+    import re
+
+    def toks(t):
+        return set(re.sub(r"\s+", " ", t.lower().strip()).split(" ")) if t.strip() else set()
+
+    token_sets = [toks(t) for t in texts]
+    out = []
+    for a in range(n_anchors):
+        legs = {}
+        # lexical leg
+        scored = []
+        for d in range(len(texts)):
+            if d == a:
+                continue
+            i = len(token_sets[a] & token_sets[d])
+            if i == 0:
+                continue
+            u = len(token_sets[a] | token_sets[d])
+            scored.append((round(i / max(u, 1), 6), d))
+        scored.sort(key=lambda s: (-s[0], s[1]))
+        for r, (_, d) in enumerate(scored[:pool], 1):
+            legs.setdefault(d, {})["lex"] = r
+        # dense leg
+        scored = []
+        qa = vecs[a]
+        for d in range(len(vecs)):
+            if d == a:
+                continue
+            dv = vecs[d]
+            dot = sum(x * y for x, y in zip(qa, dv))
+            sim = round(dot / (math.sqrt(sum(x * x for x in qa)) * math.sqrt(sum(x * x for x in dv))), 6)
+            scored.append((sim, d))
+        scored.sort(key=lambda s: (-s[0], s[1]))
+        for r, (_, d) in enumerate(scored[:pool], 1):
+            legs.setdefault(d, {})["dense"] = r
+        fused = []
+        for d, rr in legs.items():
+            micro = sum(math.floor(1_000_000 / (k0 + r)) for r in rr.values())
+            fused.append((micro, d, rr.get("lex", 0), rr.get("dense", 0)))
+        fused.sort(key=lambda s: (-s[0], s[1]))
+        for fr, (micro, d, lr, dr) in enumerate(fused[:topk], 1):
+            out.append((a, d, lr, dr, micro, fr))
+    return sorted(out)
+
+
+def test_hybrid_rrf_matches_python_reference(spark, tmp_path):
+    """The whole entry — both legs' scores, pool ranks, floor-division
+    micro-units, absent-leg-0 encoding, fused order — pinned against a
+    from-scratch pure-Python reference on a handcrafted corpus with
+    exact lexical twins, partial overlaps, and a dense-only orphan."""
+    from rustic_witcher_spark.queries import q_hybrid_search_rrf
+
+    sf, texts, vecs = _write_hybrid_fixture(spark, tmp_path)
+    got = sorted(
+        (r["anchor_id"], r["doc_id"], r["lex_rank"], r["dense_rank"], r["rrf_micro"], r["fused_rank"])
+        for r in q_hybrid_search_rrf(spark, sf).collect()
+    )
+    assert got == _py_rrf_reference(texts, vecs)
+    # structural invariants: no self-retrieval; both-leg docs exist;
+    # the lexical orphan surfaces with lex_rank == 0
+    assert all(a != d for a, d, *_ in got)
+    assert any(lr > 0 and dr > 0 for _, _, lr, dr, _, _ in got)
+    orphan = [r for r in got if r[1] == 7]
+    assert orphan and all(lr == 0 for _, _, lr, _, _, _ in orphan)
+
+
+def test_hybrid_rrf_oracle_parity_on_fixture(spark, tmp_path):
+    """Spark face == DuckDB twin on the fixture corpus (the sf0.01 gate
+    covers the synthetic tables; this covers the hand-built edge mix)."""
+    import duckdb
+
+    from rustic_witcher_spark.queries import q_hybrid_search_rrf, sql_hybrid_search_rrf
+
+    sf, _, _ = _write_hybrid_fixture(spark, tmp_path)
+    g = q_hybrid_search_rrf(spark, sf).toPandas()
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet/*.parquet')")
+    w = con.execute(sql_hybrid_search_rrf()).fetchdf()
+    cols = sorted(g.columns)
+    assert sorted(map(tuple, g[cols].astype(str).values.tolist())) == sorted(
+        map(tuple, w[cols].astype(str).values.tolist())
+    )
