@@ -230,6 +230,21 @@ def build_parser() -> argparse.ArgumentParser:
         default=0,
         help="when > 0, add (start_offset, seq_id) for concat-and-chunk packing at this budget",
     )
+    hs = sub.add_parser(
+        "hybrid-search",
+        help="fused lexical+dense retrieval per anchor id (reciprocal rank fusion; "
+        "operators/retrieval.hybrid_rrf)",
+    )
+    hs.add_argument("--docs", required=True, help="documents parquet (id + text columns)")
+    hs.add_argument("--embeddings", required=True, help="id-aligned embeddings parquet")
+    hs.add_argument("--anchors", required=True, help="comma-separated anchor ids")
+    hs.add_argument("--target", required=True, help="output parquet for the fused ranking")
+    hs.add_argument("--id-col", default="doc_id")
+    hs.add_argument("--text-col", default="text")
+    hs.add_argument("--vec-id-col", default="vec_id")
+    hs.add_argument("--vec-col", default="embedding")
+    hs.add_argument("--pool", type=int, default=20, help="per-leg candidate pool depth")
+    hs.add_argument("--k", type=int, default=10, help="fused results per anchor")
     am = sub.add_parser(
         "ann-delta-merge",
         help="fold a streaming delta's codes into the base PQ index and empty the delta "
@@ -615,6 +630,37 @@ def main(argv: list[str] | None = None) -> int:
                     "queries": result.select("query_id").distinct().count(),
                     "k": args.k,
                     "nprobe": args.nprobe,
+                },
+                sort_keys=True,
+            )
+        )
+        return 0
+    if args.command == "hybrid-search":
+        from rustic_witcher_spark.operators.retrieval import hybrid_rrf
+
+        spark = get_spark("hybrid-search")
+        anchor_ids = [int(a) for a in args.anchors.split(",") if a.strip()]
+        out = hybrid_rrf(
+            spark.read.parquet(args.docs),
+            spark.read.parquet(args.embeddings),
+            anchor_ids=anchor_ids,
+            id_col=args.id_col,
+            text_col=args.text_col,
+            vec_id_col=args.vec_id_col,
+            vec_col=args.vec_col,
+            pool=args.pool,
+            topk=args.k,
+        )
+        out.write.mode("overwrite").parquet(args.target)
+        result = spark.read.schema(out.schema).parquet(args.target)
+        print(
+            json.dumps(
+                {
+                    "target": args.target,
+                    "result_rows": result.count(),
+                    "anchors": len(anchor_ids),
+                    "pool": args.pool,
+                    "k": args.k,
                 },
                 sort_keys=True,
             )

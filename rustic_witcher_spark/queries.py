@@ -41,7 +41,7 @@ from rustic_witcher_spark.operators import (
     skew,
     text,
 )
-from rustic_witcher_spark.operators import graph, layout, pq, profile, scd2, skyline
+from rustic_witcher_spark.operators import graph, layout, pq, profile, retrieval, scd2, skyline
 from rustic_witcher_spark.operators.asof import asof_join
 from rustic_witcher_spark.operators.cdc import apply_cdc
 from rustic_witcher_spark.operators.range_join import range_join
@@ -5924,7 +5924,7 @@ ORDER BY score DESC, doc_id ASC LIMIT {BM25_TOPK}
 # --- hybrid retrieval: lexical + dense legs fused by reciprocal rank ---
 
 RRF_N_ANCHORS = 3  # anchor queries = documents/embeddings with id < 3
-RRF_K0 = 60        # the standard RRF damping constant
+RRF_K0 = retrieval.RRF_K0  # shared with the operator so the SQL twin can't drift
 RRF_POOL = 20      # per-leg candidate pool depth
 RRF_TOPK = 10      # fused results per anchor
 
@@ -5953,63 +5953,17 @@ def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     swaps for the two-level salted top-k (`token_budget_selection`'s
     prefix-scan pattern) with identical semantics. The fusion join runs
     over two ≤ |anchors|·RRF_POOL frames — trivial at any scale.
+
+    Core lives in `operators/retrieval.hybrid_rrf` (the CLI's
+    `hybrid-search` leg runs the same code over arbitrary corpora).
     """
-    docs = _read(spark, sf_dir, "documents")
-    emb = _read(spark, sf_dir, "embeddings")
-
-    dense = similarity.brute_force_topk(
-        emb, emb.filter(F.col("vec_id") < RRF_N_ANCHORS), k=RRF_POOL
-    ).select(
-        F.col("query_id").alias("anchor_id"),
-        F.col("neighbor_id").alias("doc_id"),
-        F.col("rank").alias("dense_rank"),
-    )
-
-    toks = docs.select("doc_id", F.array_distinct(text.tokens(F.col("text"))).alias("t"))
-    anch = toks.filter(F.col("doc_id") < RRF_N_ANCHORS).select(
-        F.col("doc_id").alias("anchor_id"), F.col("t").alias("at")
-    )
-    inter = F.size(F.array_intersect("t", "at"))
-    uni = F.size("t") + F.size("at") - inter
-    scored = (
-        toks.crossJoin(F.broadcast(anch))
-        .filter(F.col("doc_id") != F.col("anchor_id"))
-        .select(
-            "anchor_id",
-            "doc_id",
-            inter.alias("i"),
-            F.round(inter / F.greatest(uni, F.lit(1)), 6).alias("sim"),
-        )
-        .filter(F.col("i") > 0)
-    )
-    w_lex = Window.partitionBy("anchor_id").orderBy(F.col("sim").desc(), F.col("doc_id").asc())
-    lex = (
-        scored.withColumn("lex_rank", F.row_number().over(w_lex))
-        .filter(F.col("lex_rank") <= RRF_POOL)
-        .select("anchor_id", "doc_id", "lex_rank")
-    )
-
-    def _rrf(rank_col):
-        return F.when(
-            rank_col.isNotNull(),
-            F.floor(F.lit(1_000_000) / (F.lit(RRF_K0) + rank_col)).cast("long"),
-        ).otherwise(F.lit(0).cast("long"))
-
-    fused = (
-        lex.join(dense, ["anchor_id", "doc_id"], "full_outer")
-        .select(
-            "anchor_id",
-            "doc_id",
-            F.coalesce("lex_rank", F.lit(0)).cast("int").alias("lex_rank"),
-            F.coalesce("dense_rank", F.lit(0)).cast("int").alias("dense_rank"),
-            (_rrf(F.col("lex_rank")) + _rrf(F.col("dense_rank"))).alias("rrf_micro"),
-        )
-    )
-    w_fused = Window.partitionBy("anchor_id").orderBy(F.col("rrf_micro").desc(), F.col("doc_id").asc())
-    return (
-        fused.withColumn("fused_rank", F.row_number().over(w_fused))
-        .filter(F.col("fused_rank") <= RRF_TOPK)
-        .orderBy("anchor_id", "fused_rank")
+    return retrieval.hybrid_rrf(
+        _read(spark, sf_dir, "documents"),
+        _read(spark, sf_dir, "embeddings"),
+        anchor_ids=list(range(RRF_N_ANCHORS)),
+        pool=RRF_POOL,
+        topk=RRF_TOPK,
+        k0=RRF_K0,
     )
 
 

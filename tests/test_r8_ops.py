@@ -706,3 +706,41 @@ def test_hybrid_rrf_oracle_parity_on_fixture(spark, tmp_path):
     assert sorted(map(tuple, g[cols].astype(str).values.tolist())) == sorted(
         map(tuple, w[cols].astype(str).values.tolist())
     )
+
+
+def test_cli_hybrid_search(spark, tmp_path, capsys):
+    """CLI leg runs the same operator over arbitrary corpora and the
+    report counts are consistent; empty anchor intersection with the
+    corpus yields an empty (but well-formed) result."""
+    import json as _json
+
+    from rustic_witcher_spark import cli
+
+    sf, texts, vecs = _write_hybrid_fixture(spark, tmp_path)
+    out = str(tmp_path / "fused")
+    assert cli.main([
+        "hybrid-search",
+        "--docs", f"{sf}/documents.parquet",
+        "--embeddings", f"{sf}/embeddings.parquet",
+        "--anchors", "0,1,2", "--target", out, "--k", "10",
+    ]) == 0
+    want = _py_rrf_reference(texts, vecs)
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # 8-doc fixture: 7 candidates per anchor (< k), all surfaced
+    assert rep["anchors"] == 3 and rep["result_rows"] == len(want) == 21
+    rows = sorted(
+        (r["anchor_id"], r["doc_id"], r["lex_rank"], r["dense_rank"], r["rrf_micro"], r["fused_rank"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert rows == want
+
+    # anchors not present in either table -> empty result, exit 0
+    out2 = str(tmp_path / "fused2")
+    assert cli.main([
+        "hybrid-search",
+        "--docs", f"{sf}/documents.parquet",
+        "--embeddings", f"{sf}/embeddings.parquet",
+        "--anchors", "999", "--target", out2,
+    ]) == 0
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["result_rows"] == 0
