@@ -744,3 +744,79 @@ def test_cli_hybrid_search(spark, tmp_path, capsys):
     ]) == 0
     rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["result_rows"] == 0
+
+
+# ---------------------------------------------------------------------------
+# contrastive_triplets — dedup positives × exclusion-aware hard negatives
+# ---------------------------------------------------------------------------
+
+
+def test_contrastive_triplets_excludes_partners_from_negatives(spark, tmp_path):
+    """Planted exact-dup pair (0,1): both directions surface as
+    (anchor, positive); the negative is each anchor's hardest
+    NON-PARTNER — vec 1 is by far the most cosine-similar to vec 0,
+    but it is the positive, so the negative must be vec 2. A doc with
+    no near-dup partner (2) is not an anchor at all."""
+    from rustic_witcher_spark.queries import q_contrastive_triplets
+
+    d = tmp_path / "tripfix"
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "totally unrelated words nothing shared here at all whatsoever",
+    ]
+    rows = [(i, t, "en", "srcX", len(t)) for i, t in enumerate(texts)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    vecs = [
+        [1.0, 0.0, 0.0, 0.0],
+        [0.99, 0.1, 0.0, 0.0],   # closest to vec 0 — but it's the positive
+        [0.8, 0.0, 0.6, 0.0],    # the hardest legitimate negative
+    ]
+    spark.createDataFrame(
+        [(i, v, 0) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>, label long",
+    ).write.mode("overwrite").parquet(str(d / "embeddings.parquet"))
+
+    got = {
+        (r["anchor_id"], r["positive_id"]): (r["negative_id"], r["jaccard"], r["neg_sim"])
+        for r in q_contrastive_triplets(spark, str(d)).collect()
+    }
+    assert set(got) == {(0, 1), (1, 0)}
+    for (a, p), (n, j, s) in got.items():
+        assert n == 2, (a, p, n)
+        assert j == 1.0  # exact dups
+        assert 0 < s < 1
+
+
+def test_contrastive_triplets_oracle_parity_on_fixture(spark, tmp_path):
+    import duckdb
+
+    from rustic_witcher_spark.queries import q_contrastive_triplets, sql_contrastive_triplets
+
+    d = tmp_path / "tripfix2"
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    texts = [base, base + " x", "other text one", base.upper(), "unrelated corpus filler words"]
+    rows = [(i, t, "en", "srcX", len(t)) for i, t in enumerate(texts)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    import random
+
+    rnd = random.Random(7)
+    spark.createDataFrame(
+        [(i, [rnd.gauss(0, 1) for _ in range(8)], i % 2) for i in range(len(texts))],
+        "vec_id long, embedding array<double>, label long",
+    ).write.mode("overwrite").parquet(str(d / "embeddings.parquet"))
+
+    g = q_contrastive_triplets(spark, str(d)).toPandas()
+    assert len(g) >= 2  # the planted near-dup family surfaced
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet/*.parquet')")
+    w = con.execute(sql_contrastive_triplets()).fetchdf()
+    cols = sorted(g.columns)
+    assert sorted(map(tuple, g[cols].astype(str).values.tolist())) == sorted(
+        map(tuple, w[cols].astype(str).values.tolist())
+    )
