@@ -5841,6 +5841,87 @@ WHERE rank = 1 ORDER BY query_id
 """
 
 
+# --- embedding outliers: distance-to-centroid corpus hygiene ---
+
+OUTLIER_CLUSTERS = 8
+OUTLIER_K = 20
+
+
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus hygiene via embedding structure: the ``OUTLIER_K``
+    vectors farthest from their own k-means centroid — mislabeled,
+    corrupted, or genuinely out-of-distribution items that quality
+    heuristics over TEXT can't see (the embedding-side complement of
+    `doc_quality`/`repetition_signals`, and the audit face of the
+    `semdedup` clustering).
+
+    Clustering replays the deterministic IVF machinery (md5-seeded
+    sample + one Lloyd step — the exact `knn_ivf`/`semdedup` skeleton,
+    so all three oracles share one centroid derivation). Assignment
+    happens ENTIRELY IN THE PROJECTION: the ≤ n_clusters centroids are
+    collected (a documented bounded collect, same budget as the IVF
+    probe ids) and embedded as literal arrays, so the nearest-centroid
+    argmax is an array_max over n_clusters structs per row — ZERO
+    shuffle, no per-vector window, followed by a global TakeOrdered
+    bottom-K. Ranks compare ROUNDED (6 dp) similarity with (sim, -cid)
+    struct tie-breaking, so engine choice can't drift inside a rounding
+    bucket. At 100 TB this plan is scan → project → TakeOrdered: the
+    only data movement is K rows.
+    """
+    emb = _read(spark, sf_dir, "embeddings")
+    cent_rows = sorted(
+        similarity.ivf_centroids(emb, n_clusters=OUTLIER_CLUSTERS, iters=1).collect(),
+        key=lambda r: r["cid"],
+    )
+    if not cent_rows:  # empty / all-null corpus: no structure, no outliers
+        return spark.createDataFrame([], "vec_id long, label long, cid int, csim double, rank int")
+    clean = emb.filter(F.col("embedding").isNotNull())
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    F.round(
+                        similarity.cosine(
+                            F.col("embedding"), F.array(*[F.lit(float(x)) for x in r["cvec"]])
+                        ),
+                        6,
+                    ).alias("csim"),
+                    F.lit(-int(r["cid"])).alias("__nc"),
+                    F.lit(int(r["cid"])).cast("int").alias("cid"),
+                )
+                for r in cent_rows
+            ]
+        )
+    )
+    scored = clean.select(
+        "vec_id", "label", best["cid"].alias("cid"), best["csim"].alias("csim")
+    )
+    out = scored.orderBy(F.col("csim").asc(), F.col("vec_id").asc()).limit(OUTLIER_K)
+    w = Window.orderBy(F.col("csim").asc(), F.col("vec_id").asc())  # K rows post-limit
+    return out.withColumn("rank", F.row_number().over(w))
+
+
+def sql_embedding_outliers(n_clusters: int = OUTLIER_CLUSTERS, dim: int = 64, seed: int = SEED) -> str:
+    """DuckDB twin: shared IVF seed/Lloyd skeleton, final assignment
+    ordered by the SAME rounded similarity + cid tie-break as the
+    Spark struct comparison."""
+    cos = _SQL_IVF_COS
+    return f"""
+WITH {_sql_ivf_cent1_ctes(n_clusters, dim, seed)},
+a AS (
+  SELECT c.vec_id, k.cid, round({cos.format(a='c.v', b='k.cvec')}, 6) AS csim,
+         row_number() OVER (PARTITION BY c.vec_id
+                            ORDER BY round({cos.format(a='c.v', b='k.cvec')}, 6) DESC, k.cid ASC) AS rn
+  FROM corpus c CROSS JOIN cent1 k
+)
+SELECT a.vec_id, e.label, a.cid::INT AS cid, a.csim,
+       row_number() OVER (ORDER BY a.csim ASC, a.vec_id ASC) AS rank
+FROM a JOIN embeddings e ON e.vec_id = a.vec_id
+WHERE a.rn = 1
+ORDER BY a.csim ASC, a.vec_id ASC LIMIT {OUTLIER_K}
+"""
+
+
 # --- contrastive triplet construction (dedup positives × hard negatives) ---
 
 TRIPLET_NUM_PERM = 32
@@ -6348,11 +6429,11 @@ def build_registry() -> dict[str, tuple[QueryFn, str | None]]:
     suite, CDC/validation, the dedup/similarity/sampling/sketch/
     corpus/multimodal groups graded in r6, events_session, and the r6
     curation entries. ROUND9_PREFIX = pq_ann_topk + repetition_signals
-    + hybrid_search_rrf + contrastive_triplets (the four r8-late
-    additions — the window was already full with the 47 mandated
-    rotations when they landed, so they lead r9 as the only
-    never-driver-verified entries) + 46 of those 49 r06 holders =
-    exactly 50; the three r06 deferrals spill to the r10 window.
+    + hybrid_search_rrf + contrastive_triplets + embedding_outliers
+    (the five r8-late additions — the window was already full with the
+    47 mandated rotations when they landed, so they lead r9 as the
+    only never-driver-verified entries) + 45 of those 49 r06 holders =
+    exactly 50; the four r06 deferrals spill to the r10 window.
     The full local gate (`scripts/compare_oracle.py`) runs ALL
     entries every round, and is order- AND dtype-faithful to the
     driver hash (round-7 rewrite after q12 shipped red twice).
@@ -6542,6 +6623,7 @@ def build_registry() -> dict[str, tuple[QueryFn, str | None]]:
             "pq_ann_topk": (q_pq_ann_topk, sql_pq_ann_topk()),
             "hybrid_search_rrf": (q_hybrid_search_rrf, sql_hybrid_search_rrf()),
             "contrastive_triplets": (q_contrastive_triplets, sql_contrastive_triplets()),
+            "embedding_outliers": (q_embedding_outliers, sql_embedding_outliers()),
         }
     )
     ordered = {name: reg.pop(name) for name in ROUND8_PREFIX}

@@ -820,3 +820,52 @@ def test_contrastive_triplets_oracle_parity_on_fixture(spark, tmp_path):
     assert sorted(map(tuple, g[cols].astype(str).values.tolist())) == sorted(
         map(tuple, w[cols].astype(str).values.tolist())
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding_outliers — distance-to-centroid corpus hygiene
+# ---------------------------------------------------------------------------
+
+
+def test_embedding_outliers_planted_outlier_ranks_first(spark, tmp_path):
+    """Two tight clusters + one vector orthogonal to both: the orphan
+    must surface at rank 1 with the lowest centroid similarity."""
+    from rustic_witcher_spark.queries import OUTLIER_K, q_embedding_outliers
+
+    d = tmp_path / "outfix"
+    import random
+
+    rnd = random.Random(5)
+    rows = []
+    for i in range(30):  # cluster A around e0, cluster B around e1
+        base = [1.0, 0.0, 0.0, 0.0] if i % 2 == 0 else [0.0, 1.0, 0.0, 0.0]
+        rows.append((i, [x + rnd.gauss(0, 0.02) for x in base], i % 2))
+    rows.append((99, [0.0, 0.0, 1.0, 0.0], 7))  # the planted orphan
+    spark.createDataFrame(rows, "vec_id long, embedding array<double>, label long").write.mode(
+        "overwrite"
+    ).parquet(str(d / "embeddings.parquet"))
+
+    got = q_embedding_outliers(spark, str(d)).collect()
+    assert got and got[0]["vec_id"] == 99 and got[0]["rank"] == 1
+    assert got[0]["csim"] == min(r["csim"] for r in got)
+    assert len(got) <= OUTLIER_K
+    # ranks are a clean 1..n sequence ordered by (csim, vec_id)
+    assert [r["rank"] for r in got] == list(range(1, len(got) + 1))
+
+
+def test_embedding_outliers_empty_and_all_null_corpus(spark, tmp_path):
+    """No structure -> no outliers (and no crash): empty corpus and
+    all-NULL embeddings both yield the typed empty frame."""
+    from rustic_witcher_spark.queries import q_embedding_outliers
+
+    d1 = tmp_path / "out_empty"
+    spark.createDataFrame([], "vec_id long, embedding array<double>, label long").write.parquet(
+        str(d1 / "embeddings.parquet")
+    )
+    assert q_embedding_outliers(spark, str(d1)).count() == 0
+
+    d2 = tmp_path / "out_null"
+    spark.createDataFrame(
+        [(1, None, 0), (2, None, 1)], "vec_id long, embedding array<double>, label long"
+    ).write.parquet(str(d2 / "embeddings.parquet"))
+    assert q_embedding_outliers(spark, str(d2)).count() == 0
