@@ -723,3 +723,107 @@ def brute_force_topk_block(
     per_batch = corpus.select(id_col, vec_col).mapInPandas(score, out_ddl)
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
     return per_batch.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def exclusion_top1_block(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    anchor_id_col: str = "anchor_id",
+    anchor_vec_col: str = "__qv",
+    excl_col: str = "__ex",
+) -> DataFrame:
+    """Top-1 cosine neighbor per anchor EXCLUDING a per-anchor id set
+    (and the anchor itself) — the vectorized negative-mining leg for
+    `contrastive_triplets`, where the exclusion is the anchor's
+    near-dup partner set rather than a label mismatch.
+
+    Same block-kernel shape as :func:`hard_negative_top1_block`: the
+    anchor block (ids, float64 matrix, norms, exclusion id lists)
+    broadcasts once per executor; each Arrow batch reduces to one
+    candidate row per anchor via a matmul + masked argmax; a map-side
+    max(struct) reduces batches to the global top-1 with the standard
+    (sim DESC, neighbor_id ASC) tie-break. The anchor set is bounded by
+    the corpus' near-dup rate — the same collect budget the entry
+    documents; exclusion masking costs one np.isin per anchor per
+    batch over its (small) partner list.
+
+    Dirty-data policy as the sibling kernels: NULL-vector, zero-norm,
+    and NaN rows drop at the kernel boundary on both sides. Sims are
+    computed dot/(|a|·|c|) and rounded half-away-from-zero to 6 dp
+    INSIDE the kernel — identical operation order to the Catalyst HOF
+    and the SQL oracle, so a 6-dp rounding boundary cannot flip across
+    faces.
+    """
+    import numpy as np
+
+    apdf = (
+        anchors.filter(F.col(anchor_vec_col).isNotNull())
+        .select(anchor_id_col, anchor_vec_col, excl_col)
+        .toPandas()
+    )
+    out_ddl = "anchor_id long, neighbor_id long, sim double"
+    spark = corpus.sparkSession
+    if apdf.empty:
+        return spark.createDataFrame([], out_ddl)
+    a_ids = apdf[anchor_id_col].to_numpy(dtype=np.int64)
+    a_mat = np.stack([np.asarray(v, dtype=np.float64) for v in apdf[anchor_vec_col]])
+    a_norm = np.linalg.norm(a_mat, axis=1)
+    keep_a = np.isfinite(a_norm) & (a_norm > 0.0)
+    a_ids = a_ids[keep_a]
+    if not len(a_ids):
+        return spark.createDataFrame([], out_ddl)
+    # exclusion = partners ∪ {self}: a degenerate near-dup of oneself
+    # can never be the negative
+    a_excl = [
+        np.append(np.asarray(ex if ex is not None else [], dtype=np.int64), aid)
+        for ex, aid in zip(apdf[excl_col][keep_a], a_ids)
+    ]
+    b_a = spark.sparkContext.broadcast((a_ids, a_mat[keep_a], a_norm[keep_a], a_excl))
+
+    def score(batches):
+        import pandas as pd
+
+        a_ids, a_mat, a_norm, a_excl = b_a.value
+        for pdf in batches:
+            pdf = pdf[pdf[vec_col].notna()]
+            if pdf.empty:
+                continue
+            c_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            c_mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            c_norm = np.linalg.norm(c_mat, axis=1)
+            keep = np.isfinite(c_norm) & (c_norm > 0.0)
+            if not keep.any():
+                continue
+            c_ids = c_ids[keep]
+            sims = _round_half_away((a_mat @ c_mat[keep].T) / (a_norm[:, None] * c_norm[keep][None, :]))
+            sims = np.where(np.isfinite(sims), sims, -np.inf)
+            best_rows = []
+            for ai in range(len(a_ids)):
+                row = sims[ai].copy()
+                row[np.isin(c_ids, a_excl[ai])] = -np.inf
+                m = row.max()
+                if not np.isfinite(m):
+                    continue
+                cand = np.nonzero(row == m)[0]
+                ci = cand[np.argmin(c_ids[cand])]
+                best_rows.append((a_ids[ai], c_ids[ci], m))
+            if best_rows:
+                yield pd.DataFrame(best_rows, columns=["anchor_id", "neighbor_id", "sim"])
+
+    per_batch = corpus.select(id_col, vec_col).mapInPandas(score, out_ddl)
+    best = per_batch.groupBy("anchor_id").agg(
+        F.max(
+            F.struct(
+                F.col("sim").alias("sim"),
+                (-F.col("neighbor_id")).alias("__nn"),
+                F.col("neighbor_id").alias("neighbor_id"),
+            )
+        ).alias("b")
+    )
+    return best.select(
+        "anchor_id",
+        F.col("b.neighbor_id").alias("neighbor_id"),
+        F.col("b.sim").alias("sim"),
+    )

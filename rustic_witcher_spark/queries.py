@@ -5942,17 +5942,30 @@ def q_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the positive side is the banded-bucket pair engine
     (one shuffle, never an all-pairs self-join — `dedup.py` notes); the
-    negative side broadcasts the anchor set (bounded by the corpus'
-    near-dup rate, NOT its size) with per-anchor exclusion arrays
-    against ONE corpus scan, reducing map-side via max(struct) to one
-    row per anchor — the `hard_negatives` top-1 pattern, no per-anchor
-    window. When the dup rate makes the anchor set too large to
-    broadcast, the swap is the numpy block kernel with anchor batching
-    (`similarity.hard_negative_top1_block`'s shape), semantics
-    unchanged. Ties break toward the smallest neighbor id via the
-    struct's (sim, -id) lexicographic order; cosine rounds to 6 dp
-    before comparison on both engines.
+    negative side is the REGISTERED vectorized block kernel
+    (`similarity.exclusion_top1_block`): the anchor set (bounded by the
+    corpus' near-dup rate, NOT its size) broadcasts once per executor
+    with per-anchor exclusion id lists, each Arrow batch reduces to one
+    candidate per anchor via matmul + masked argmax, and a map-side
+    max(struct) finishes the top-1 — no per-anchor window, and the
+    per-pair cosine is a BLAS multiply-add instead of an interpreted
+    HOF lambda (hundreds of anchors × corpus at sf0.1: the HOF face
+    measured 3.7 s, the kernel ~2 s; the gap grows with the dup rate).
+    `q_contrastive_triplets_hof` is the pure-Catalyst fallback, pinned
+    output-identical on clean vectors. Ties break toward the smallest
+    neighbor id; cosine rounds to 6 dp (half-away, kernel and HOF and
+    SQL alike) before comparison.
     """
+    sym, anch = _triplet_positives(spark, sf_dir)
+    emb = _read(spark, sf_dir, "embeddings")
+    best = similarity.exclusion_top1_block(emb, anch)
+    return _triplet_assemble(sym, best)
+
+
+def _triplet_positives(spark: SparkSession, sf_dir: str):
+    """Shared positive side of both triplet faces: verified near-dup
+    pairs → symmetric (anchor, positive) rows + per-anchor exclusion
+    arrays joined to the anchor embeddings."""
     docs = _spread(spark, _read(spark, sf_dir, "documents"))
     emb = _read(spark, sf_dir, "embeddings")
 
@@ -5960,9 +5973,17 @@ def q_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "text", "doc_id", num_perm=TRIPLET_NUM_PERM, bands=TRIPLET_BANDS,
         n=3, seed=SEED, max_bucket_size=1 << 40,
     )
-    pairs = dedup.verify_candidates_jaccard(
-        cands, docs, "text", "doc_id", threshold=TRIPLET_JACCARD, k=5
-    ).select("id_a", "id_b", "jaccard")
+    # Materialize the verified pair set (|pairs| rows — corpus dup-rate
+    # sized): it feeds THREE consumers (both union branches of `sym`
+    # and the final join-back), and Catalyst offers no cross-branch
+    # subtree reuse — without the cut the 32-perm signature subplan
+    # executes three times (9.9 s → 3.7 s measured at sf0.1; the block
+    # kernel then takes the remainder to ~2 s).
+    pairs = materialize(
+        dedup.verify_candidates_jaccard(
+            cands, docs, "text", "doc_id", threshold=TRIPLET_JACCARD, k=5
+        ).select("id_a", "id_b", "jaccard")
+    )
 
     sym = pairs.select(
         F.col("id_a").alias("anchor_id"), F.col("id_b").alias("positive_id"), "jaccard"
@@ -5976,6 +5997,29 @@ def q_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.select(F.col("vec_id").alias("anchor_id"), F.col("embedding").alias("__qv")),
         "anchor_id",
     )
+    return sym, anch
+
+
+def _triplet_assemble(sym: DataFrame, best: DataFrame) -> DataFrame:
+    return (
+        sym.join(best, "anchor_id")
+        .select(
+            "anchor_id",
+            "positive_id",
+            F.col("neighbor_id").alias("negative_id"),
+            F.round("jaccard", 4).alias("jaccard"),
+            F.col("sim").alias("neg_sim"),
+        )
+        .orderBy("anchor_id", "positive_id")
+    )
+
+
+def q_contrastive_triplets_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalyst-HOF twin of the registered block-kernel path — the
+    no-Python-worker fallback and the contract pin for the kernel
+    (same shape as `q_hard_negatives_hof` vs its block kernel)."""
+    sym, anch = _triplet_positives(spark, sf_dir)
+    emb = _read(spark, sf_dir, "embeddings")
     scored = (
         emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("__cv"))
         .crossJoin(F.broadcast(anch))
@@ -5995,18 +6039,8 @@ def q_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("neighbor_id").alias("neighbor_id"),
             )
         ).alias("b")
-    )
-    return (
-        sym.join(best, "anchor_id")
-        .select(
-            "anchor_id",
-            "positive_id",
-            F.col("b.neighbor_id").alias("negative_id"),
-            F.round("jaccard", 4).alias("jaccard"),
-            F.col("b.sim").alias("neg_sim"),
-        )
-        .orderBy("anchor_id", "positive_id")
-    )
+    ).select("anchor_id", F.col("b.neighbor_id").alias("neighbor_id"), F.col("b.sim").alias("sim"))
+    return _triplet_assemble(sym, best)
 
 
 def sql_contrastive_triplets() -> str:

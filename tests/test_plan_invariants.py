@@ -42,6 +42,9 @@ ARROW_OK = {
     # r8-late: PQ ADC scoring kernel (mapInPandas LUT fancy-indexing —
     # the codes-only scan that makes ANN memory-resident at 100 TB)
     "pq_ann_topk",
+    # r8-late: exclusion-aware hard-negative block kernel (mapInPandas
+    # matmul; HOF twin pinned output-identical)
+    "contrastive_triplets",
 }
 
 

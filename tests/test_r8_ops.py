@@ -869,3 +869,14 @@ def test_embedding_outliers_empty_and_all_null_corpus(spark, tmp_path):
         [(1, None, 0), (2, None, 1)], "vec_id long, embedding array<double>, label long"
     ).write.parquet(str(d2 / "embeddings.parquet"))
     assert q_embedding_outliers(spark, str(d2)).count() == 0
+
+
+def test_contrastive_triplets_block_kernel_identical_to_hof(spark, tmp_path):
+    """The registered exclusion-aware block kernel must be
+    output-identical to the Catalyst-HOF fallback on clean vectors —
+    the same contract pin as hard_negatives vs its block twin."""
+    from rustic_witcher_spark.queries import q_contrastive_triplets, q_contrastive_triplets_hof
+
+    a = sorted(map(tuple, q_contrastive_triplets(spark, SF_DIR).collect()))
+    b = sorted(map(tuple, q_contrastive_triplets_hof(spark, SF_DIR).collect()))
+    assert a == b and len(a) > 0
