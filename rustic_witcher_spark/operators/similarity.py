@@ -750,7 +750,11 @@ def exclusion_top1_block(
     batch over its (small) partner list.
 
     Dirty-data policy as the sibling kernels: NULL-vector, zero-norm,
-    and NaN rows drop at the kernel boundary on both sides. Sims are
+    and NaN rows drop at the kernel boundary on both the anchor and
+    corpus inputs; the HOF fallback and the SQL oracle replicate the
+    NULL/NaN drops via explicit sim filters (zero-norm remains the
+    documented ANSI-division exposure all the cosine faces share, as
+    for hard_negatives). Sims are
     computed dot/(|a|·|c|) and rounded half-away-from-zero to 6 dp
     INSIDE the kernel — identical operation order to the Catalyst HOF
     and the SQL oracle, so a 6-dp rounding boundary cannot flip across

@@ -1495,7 +1495,7 @@ def _sql_minhash_sig_array(num_perm: int) -> str:
     )
 
 
-def sql_minhash_lsh_candidates(num_perm: int = 32, bands: int = 8) -> str:
+def sql_minhash_lsh_candidates(num_perm: int = 32, bands: int = 8, threshold: float = 0.5) -> str:
     rpb = num_perm // bands
     shingles = (
         f"SELECT doc_id, list_distinct([substring(n, i, 5) FOR i IN "
@@ -1526,7 +1526,7 @@ j AS (
   FROM est e JOIN shg ha ON ha.doc_id = e.id_a JOIN shg hb ON hb.doc_id = e.id_b
 )
 SELECT id_a, id_b, round(est_jaccard, 4) AS est_jaccard, round(jaccard, 4) AS jaccard
-FROM j WHERE jaccard >= 0.5
+FROM j WHERE jaccard >= {threshold}
 """
 
 
@@ -5912,7 +5912,7 @@ a AS (
   SELECT c.vec_id, k.cid, round({cos.format(a='c.v', b='k.cvec')}, 6) AS csim,
          row_number() OVER (PARTITION BY c.vec_id
                             ORDER BY round({cos.format(a='c.v', b='k.cvec')}, 6) DESC, k.cid ASC) AS rn
-  FROM corpus c CROSS JOIN cent1 k
+  FROM (SELECT vec_id, v FROM corpus WHERE v IS NOT NULL) c CROSS JOIN cent1 k
 )
 SELECT a.vec_id, e.label, a.cid::INT AS cid, a.csim,
        row_number() OVER (ORDER BY a.csim ASC, a.vec_id ASC) AS rank
@@ -6030,6 +6030,12 @@ def q_contrastive_triplets_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
             "neighbor_id",
             F.round(similarity.cosine(F.col("__qv"), F.col("__cv")), 6).alias("sim"),
         )
+        # align the dirty-data policy with the registered kernel: a
+        # NULL/NaN similarity (NULL or NaN-component vector) can never
+        # win — without this, NaN sorts greatest in max(struct) and a
+        # single poisoned vector becomes EVERY anchor's negative,
+        # diverging from the kernel's drop-at-boundary policy
+        .filter(F.col("sim").isNotNull() & ~F.isnan("sim"))
     )
     best = scored.groupBy("anchor_id").agg(
         F.max(
@@ -6053,7 +6059,8 @@ def sql_contrastive_triplets() -> str:
     )
     return f"""
 WITH cand AS (
-  SELECT id_a, id_b, jaccard FROM ({sql_minhash_lsh_candidates(TRIPLET_NUM_PERM, TRIPLET_BANDS)})
+  SELECT id_a, id_b, jaccard
+  FROM ({sql_minhash_lsh_candidates(TRIPLET_NUM_PERM, TRIPLET_BANDS, TRIPLET_JACCARD)})
 ),
 sym AS (
   SELECT id_a AS anchor_id, id_b AS positive_id, jaccard FROM cand
@@ -6066,9 +6073,12 @@ a AS (
   FROM excl JOIN embeddings e ON e.vec_id = excl.anchor_id
 ),
 s AS (
-  SELECT a.anchor_id, c.vec_id AS neighbor_id, {cos} AS sim
-  FROM embeddings c, a
-  WHERE c.vec_id <> a.anchor_id AND NOT list_contains(a.ex, c.vec_id)
+  SELECT * FROM (
+    SELECT a.anchor_id, c.vec_id AS neighbor_id, {cos} AS sim
+    FROM embeddings c, a
+    WHERE c.vec_id <> a.anchor_id AND NOT list_contains(a.ex, c.vec_id)
+      AND c.embedding IS NOT NULL
+  ) WHERE sim IS NOT NULL AND NOT isnan(sim)
 ),
 best AS (
   SELECT anchor_id, neighbor_id AS negative_id, sim,

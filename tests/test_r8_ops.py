@@ -880,3 +880,54 @@ def test_contrastive_triplets_block_kernel_identical_to_hof(spark, tmp_path):
     a = sorted(map(tuple, q_contrastive_triplets(spark, SF_DIR).collect()))
     b = sorted(map(tuple, q_contrastive_triplets_hof(spark, SF_DIR).collect()))
     assert a == b and len(a) > 0
+
+
+def test_contrastive_triplets_nan_vector_cannot_win_any_face(spark, tmp_path):
+    """Dirty-data alignment across all three faces: a NaN-component
+    vector must never be selected as a negative. Before the fix the
+    HOF max(struct) and the DuckDB oracle both ranked NaN greatest
+    and emitted the poisoned vector as EVERY anchor's negative, while
+    the registered kernel dropped it — three-way divergence."""
+    import math
+
+    import duckdb
+
+    from rustic_witcher_spark.queries import (
+        q_contrastive_triplets,
+        q_contrastive_triplets_hof,
+        sql_contrastive_triplets,
+    )
+
+    d = tmp_path / "nanfix"
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "totally unrelated words nothing shared here at all whatsoever",
+    ]
+    rows = [(i, t, "en", "srcX", len(t)) for i, t in enumerate(texts)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    vecs = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [0.99, 0.1, 0.0, 0.0], 0),
+        (2, [0.8, 0.0, 0.6, 0.0], 0),
+        (3, [math.nan, 1.0, 0.0, 0.0], 1),  # poisoned
+        (4, None, 1),                        # whole-NULL vector
+    ]
+    spark.createDataFrame(
+        vecs, "vec_id long, embedding array<double>, label long"
+    ).write.mode("overwrite").parquet(str(d / "embeddings.parquet"))
+
+    kernel = sorted(map(tuple, q_contrastive_triplets(spark, str(d)).collect()))
+    hof = sorted(map(tuple, q_contrastive_triplets_hof(spark, str(d)).collect()))
+    assert kernel == hof
+    assert kernel and all(r[2] == 2 for r in kernel), kernel  # negative is always vec 2
+
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet/*.parquet')")
+    w = con.execute(sql_contrastive_triplets()).fetchdf()
+    assert sorted(map(tuple, w[["anchor_id", "positive_id", "negative_id"]].values.tolist())) == [
+        (r[0], r[1], r[2]) for r in kernel
+    ]
