@@ -5805,6 +5805,12 @@ def q_hard_negatives_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
             "neighbor_label",
             F.round(similarity.cosine(F.col("__qv"), F.col("__cv")), 6).alias("sim"),
         )
+        # align with the registered block kernel's drop-at-boundary
+        # policy: NaN sorts greatest in max(struct), so without this a
+        # single NaN-component vector would become every query's hard
+        # negative here while the kernel ignores it (same fix as
+        # contrastive_triplets' HOF face)
+        .filter(F.col("sim").isNotNull() & ~F.isnan("sim"))
     )
     best = scored.groupBy("query_id", "query_label").agg(
         F.max(
@@ -5830,10 +5836,13 @@ WITH q AS (SELECT vec_id AS query_id, label AS query_label, embedding AS qv
            FROM embeddings WHERE vec_id < {HARDNEG_QUERIES}),
 c AS (SELECT vec_id AS neighbor_id, label AS neighbor_label, embedding AS cv FROM embeddings),
 s AS (
-  SELECT query_id, query_label, neighbor_id, neighbor_label,
-         round(list_dot_product(qv::DOUBLE[], cv::DOUBLE[]) /
-               (sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[])) * sqrt(list_dot_product(cv::DOUBLE[], cv::DOUBLE[]))), 6) AS sim
-  FROM c, q WHERE neighbor_label <> query_label
+  SELECT * FROM (
+    SELECT query_id, query_label, neighbor_id, neighbor_label,
+           round(list_dot_product(qv::DOUBLE[], cv::DOUBLE[]) /
+                 (sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[])) * sqrt(list_dot_product(cv::DOUBLE[], cv::DOUBLE[]))), 6) AS sim
+    FROM c, q WHERE neighbor_label <> query_label
+      AND cv IS NOT NULL AND qv IS NOT NULL
+  ) WHERE sim IS NOT NULL AND NOT isnan(sim)
 )
 SELECT query_id, query_label, neighbor_id, neighbor_label, sim FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank FROM s)
@@ -6077,7 +6086,7 @@ s AS (
     SELECT a.anchor_id, c.vec_id AS neighbor_id, {cos} AS sim
     FROM embeddings c, a
     WHERE c.vec_id <> a.anchor_id AND NOT list_contains(a.ex, c.vec_id)
-      AND c.embedding IS NOT NULL
+      AND c.embedding IS NOT NULL AND a.qv IS NOT NULL
   ) WHERE sim IS NOT NULL AND NOT isnan(sim)
 ),
 best AS (

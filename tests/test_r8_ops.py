@@ -931,3 +931,43 @@ def test_contrastive_triplets_nan_vector_cannot_win_any_face(spark, tmp_path):
     assert sorted(map(tuple, w[["anchor_id", "positive_id", "negative_id"]].values.tolist())) == [
         (r[0], r[1], r[2]) for r in kernel
     ]
+
+
+def test_hard_negatives_nan_vector_cannot_win_any_face(spark, tmp_path):
+    """Same dirty-vector alignment for hard_negatives: kernel, HOF
+    fallback, and DuckDB oracle must all ignore a NaN-component
+    candidate instead of letting NaN-sorts-greatest crown it."""
+    import math
+
+    import duckdb
+
+    from rustic_witcher_spark.operators.similarity import hard_negative_top1_block
+    from rustic_witcher_spark.queries import SQL_HARD_NEGATIVES, q_hard_negatives_hof
+
+    d = tmp_path / "hnfix"
+    vecs = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [0.9, 0.1, 0.0, 0.0], 1),       # legit other-label negative
+        (2, [math.nan, 1.0, 0.0, 0.0], 1),  # poisoned other-label row
+        (3, None, 1),                        # whole-NULL vector
+    ]
+    spark.createDataFrame(
+        vecs, "vec_id long, embedding array<double>, label long"
+    ).write.mode("overwrite").parquet(str(d / "embeddings.parquet"))
+
+    class _Q:
+        pass
+
+    import rustic_witcher_spark.queries as Qm
+
+    emb = spark.read.parquet(str(d / "embeddings.parquet"))
+    kernel = sorted(map(tuple, hard_negative_top1_block(emb, Qm.HARDNEG_QUERIES).collect()))
+    hof = sorted(map(tuple, q_hard_negatives_hof(spark, str(d)).collect()))
+    assert kernel == hof, (kernel, hof)
+    by_q = {r[0]: r[2] for r in kernel}
+    assert by_q[0] == 1  # NOT the NaN row
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{d}/embeddings.parquet/*.parquet')")
+    w = con.execute(SQL_HARD_NEGATIVES).fetchdf()
+    assert sorted(map(tuple, w.astype(object).values.tolist())) == [tuple(r) for r in kernel]
