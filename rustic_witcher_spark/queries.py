@@ -6792,3 +6792,35 @@ ROUND8_PREFIX = [
     "lsh_calibration", "quality_threshold_sweep", "ann_recall_eval",
     "frame_sample",
 ]
+
+
+# STAGED for round 9 — do not wire into build_registry until the r9
+# session starts (build_registry must keep popping ROUND8_PREFIX while
+# the round-8 driver gate is live). At r9 start: change the pop in
+# build_registry to ROUND9_PREFIX and update the contract test.
+# Composition per the rotation ledger in the build_registry docstring:
+# the five r8-late never-driver-verified entries lead, then 45 of the
+# 49 r06-verdict holders; the four deferrals to the r10 window are
+# filter_startswith / filter_endswith / filter_startsends /
+# filter_equals (the simplest, most-stable Catalyst predicate entries
+# — least drift risk of the cohort).
+ROUND9_PREFIX = [
+    # never driver-verified (r8-late additions)
+    "pq_ann_topk", "repetition_signals", "hybrid_search_rrf",
+    "contrastive_triplets", "embedding_outliers",
+    # r06-verdict rotation (45 of 49)
+    "filter_anyofint", "filter_anyofstring",
+    "anonymize_supplier", "anonymize_orders", "faker_suite",
+    "fake_multi_email", "fake_email_id_prefix", "sanitize_null_bytes",
+    "keep_num_of_records", "agg_max_pk", "validation_check",
+    "datadiff_check", "dedup_exact", "minhash_signatures", "simhash",
+    "simhash_near_dups", "dedup_clusters", "ngram_jaccard_adjacent",
+    "knn_bruteforce", "knn_lsh", "knn_ivf", "embedding_near_dups",
+    "embedding_project", "semdedup", "stratified_sample",
+    "weighted_sample", "mixture_sample", "pack_sequences",
+    "training_shards", "hll_users", "heavy_hitters", "bloom_probe",
+    "decontaminate", "unigram_nll", "chunk_dedup", "curation_pipeline",
+    "corpus_report", "media_metadata", "multimodal_features",
+    "text_stats", "text_langid", "text_fingerprint",
+    "q20_part_promotion", "q21_waiting_suppliers", "events_session",
+]

@@ -84,3 +84,68 @@ def test_hamming_banding_matches_brute_force(spark, hs, max_h):
         if bin(a ^ b).count("1") <= max_h
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# exclusion_top1_block vs naive reference (contrastive negative leg)
+# ---------------------------------------------------------------------------
+
+
+@settings(**SETTINGS)
+@given(data=st.data())
+def test_exclusion_kernel_matches_naive_reference(spark, data):
+    """The exclusion-aware block kernel must agree with a from-scratch
+    O(anchors × corpus) Python reference on arbitrary vector sets and
+    arbitrary exclusion lists — including exclusions covering the whole
+    corpus (anchor drops out) and empty exclusion lists."""
+    import math
+
+    from rustic_witcher_spark.operators.similarity import (
+        _round_half_away,
+        exclusion_top1_block,
+    )
+
+    n = data.draw(st.integers(min_value=2, max_value=10))
+    dim = data.draw(st.integers(min_value=2, max_value=4))
+    vecs = [
+        [data.draw(st.integers(min_value=-3, max_value=3)) * 0.5 + 0.25 for _ in range(dim)]
+        for _ in range(n)
+    ]
+    # keep vectors non-degenerate: zero-norm rows are a documented
+    # drop class tested separately
+    vecs = [v if any(abs(x) > 1e-9 for x in v) else [1.0] + v[1:] for v in vecs]
+    n_anchors = data.draw(st.integers(min_value=1, max_value=min(3, n)))
+    excl = {
+        a: sorted(set(data.draw(st.lists(st.integers(min_value=0, max_value=n - 1), max_size=n))))
+        for a in range(n_anchors)
+    }
+
+    corpus = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<double>"
+    )
+    anchors = spark.createDataFrame(
+        [(a, vecs[a], excl[a]) for a in range(n_anchors)],
+        "anchor_id long, __qv array<double>, __ex array<long>",
+    )
+    got = {
+        r["anchor_id"]: (r["neighbor_id"], r["sim"])
+        for r in exclusion_top1_block(corpus, anchors).collect()
+    }
+
+    want = {}
+    for a in range(n_anchors):
+        banned = set(excl[a]) | {a}
+        best = None
+        qa = vecs[a]
+        qn = math.sqrt(sum(x * x for x in qa))
+        for c in range(n):
+            if c in banned:
+                continue
+            cv = vecs[c]
+            cn = math.sqrt(sum(x * x for x in cv))
+            sim = float(_round_half_away(sum(x * y for x, y in zip(qa, cv)) / (qn * cn)))
+            if best is None or sim > best[1] or (sim == best[1] and c < best[0]):
+                best = (c, sim)
+        if best is not None:
+            want[a] = best
+    assert got == want
