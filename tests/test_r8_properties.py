@@ -149,3 +149,69 @@ def test_exclusion_kernel_matches_naive_reference(spark, data):
         if best is not None:
             want[a] = best
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# randomized clean-corpus oracle parity (r8-late entries)
+# ---------------------------------------------------------------------------
+
+WORDS = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta", "dup", "spark"]
+
+
+@settings(max_examples=3, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture])
+@given(data=st.data())
+def test_r8_late_entries_oracle_parity_on_random_clean_corpora(spark, tmp_path_factory, data):
+    """Beyond the fixed synthetic testdata: on RANDOM well-formed
+    corpora (no NULL/NaN — the documented dirty policies are pinned
+    separately), every r8-late entry must match its DuckDB twin
+    exactly. This is the q12 class of bug-hunt: logic divergences that
+    only appear on data shapes the fixed tables never produce."""
+    import duckdb
+
+    from rustic_witcher_spark import queries as Q
+
+    rnd_docs = data.draw(st.integers(min_value=4, max_value=12))
+    texts = [
+        " ".join(data.draw(st.sampled_from(WORDS)) for _ in range(data.draw(st.integers(2, 12))))
+        for _ in range(rnd_docs)
+    ]
+    # force at least one near-dup family so the triplet entry has work
+    texts[1] = texts[0]
+    # dim matches the testdata schema: the IVF-skeleton oracles
+    # (embedding_outliers, knn_ivf, semdedup) generate SQL for a FIXED
+    # dim — `avg(v[pos]) over range(1, dim+1)` yields NULL positions on
+    # narrower vectors (a documented per-schema oracle contract, which
+    # this fuzz's first run demonstrated by tripping on dim=4)
+    dim = 64
+    vecs = [
+        [1.0] + [data.draw(st.integers(-4, 4)) * 0.5 for _ in range(7)] + [0.0] * (dim - 8)
+        for _ in range(rnd_docs)
+    ]
+    d = tmp_path_factory.mktemp("fuzz")
+    spark.createDataFrame(
+        [(i, t, "en", f"src{i % 2}", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    spark.createDataFrame(
+        [(i, v, i % 3) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>, label long",
+    ).write.mode("overwrite").parquet(str(d / "embeddings.parquet"))
+
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet/*.parquet')")
+
+    entries = {
+        "repetition_signals": (Q.q_repetition_signals, Q.sql_repetition_signals()),
+        "hybrid_search_rrf": (Q.q_hybrid_search_rrf, Q.sql_hybrid_search_rrf()),
+        "contrastive_triplets": (Q.q_contrastive_triplets, Q.sql_contrastive_triplets()),
+        "embedding_outliers": (Q.q_embedding_outliers, Q.sql_embedding_outliers()),
+    }
+    for name, (fn, osql) in entries.items():
+        g = fn(spark, str(d)).toPandas()
+        w = con.execute(osql).fetchdf()
+        cols = sorted(g.columns)
+        gs = sorted(map(tuple, g[cols].astype(str).values.tolist()))
+        ws = sorted(map(tuple, w[cols].astype(str).values.tolist()))
+        assert gs == ws, (name, len(gs), len(ws), gs[:3], ws[:3])
