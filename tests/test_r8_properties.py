@@ -202,12 +202,18 @@ def test_r8_late_entries_oracle_parity_on_random_clean_corpora(spark, tmp_path_f
     for t in ("documents", "embeddings"):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet/*.parquet')")
 
-    entries = {
-        "repetition_signals": (Q.q_repetition_signals, Q.sql_repetition_signals()),
-        "hybrid_search_rrf": (Q.q_hybrid_search_rrf, Q.sql_hybrid_search_rrf()),
-        "contrastive_triplets": (Q.q_contrastive_triplets, Q.sql_contrastive_triplets()),
-        "embedding_outliers": (Q.q_embedding_outliers, Q.sql_embedding_outliers()),
-    }
+    import __spark_entry__ as entrymod
+
+    qs, osqls = entrymod.queries(), entrymod.oracle_sql()
+    # the r8-late additions plus the doc/embedding entries rotating
+    # into the r9 window with the OLDEST driver verdicts — random
+    # corpora harden exactly the cohort the fixed tables covered least
+    fuzzed = [
+        "repetition_signals", "hybrid_search_rrf", "contrastive_triplets",
+        "embedding_outliers", "text_stats", "doc_quality", "text_langid",
+        "dedup_exact", "bm25_search", "knn_bruteforce",
+    ]
+    entries = {n: (qs[n], osqls[n]) for n in fuzzed}
     for name, (fn, osql) in entries.items():
         g = fn(spark, str(d)).toPandas()
         w = con.execute(osql).fetchdf()
