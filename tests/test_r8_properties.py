@@ -221,3 +221,59 @@ def test_r8_late_entries_oracle_parity_on_random_clean_corpora(spark, tmp_path_f
         gs = sorted(map(tuple, g[cols].astype(str).values.tolist()))
         ws = sorted(map(tuple, w[cols].astype(str).values.tolist()))
         assert gs == ws, (name, len(gs), len(ws), gs[:3], ws[:3])
+
+
+@settings(max_examples=3, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture])
+@given(data=st.data())
+def test_event_entries_oracle_parity_on_random_clean_streams(spark, tmp_path_factory, data):
+    """Random well-formed event streams (whole-microsecond NTZ
+    timestamps, exact-cent values, the testdata type vocabulary) —
+    window/funnel/sweep-line entries must match their DuckDB twins
+    exactly. Hardens the event cohort rotating through the r9/r10
+    windows against timestamp/rounding logic divergences the fixed
+    stream never exercises (bursts, same-second ties, single-user
+    streams)."""
+    import datetime
+
+    import duckdb
+
+    import __spark_entry__ as entrymod
+
+    n = data.draw(st.integers(min_value=5, max_value=40))
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for i in range(n):
+        ts = base + datetime.timedelta(
+            seconds=data.draw(st.integers(0, 3 * 3600)),
+            microseconds=data.draw(st.sampled_from([0, 250000, 999999])),
+        )
+        rows.append((
+            i,
+            ts,
+            data.draw(st.integers(1, 4)),  # few users -> dense per-user streams
+            data.draw(st.sampled_from(["click", "view", "purchase", "signup", "error"])),
+            data.draw(st.integers(0, 9999)) / 100.0,  # exact cents
+            '{"k": %d}' % data.draw(st.integers(0, 99)),
+        ))
+    d = tmp_path_factory.mktemp("evfuzz")
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).write.mode("overwrite").parquet(str(d / "events.parquet"))
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet/*.parquet')")
+
+    qs, osqls = entrymod.queries(), entrymod.oracle_sql()
+    fuzzed = [
+        "events_tumbling", "events_sliding", "funnel_3step", "peak_concurrency",
+        "interval_coverage", "events_mad_outliers", "user_dwell_stats",
+        "funnel_click_purchase", "value_percentiles",
+    ]
+    for name in fuzzed:
+        g = qs[name](spark, str(d)).toPandas()
+        w = con.execute(osqls[name]).fetchdf()
+        cols = sorted(g.columns)
+        gs = sorted(map(tuple, g[cols].astype(str).values.tolist()))
+        ws = sorted(map(tuple, w[cols].astype(str).values.tolist()))
+        assert gs == ws, (name, len(gs), len(ws), gs[:3], ws[:3])
