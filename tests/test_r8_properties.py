@@ -277,3 +277,77 @@ def test_event_entries_oracle_parity_on_random_clean_streams(spark, tmp_path_fac
         gs = sorted(map(tuple, g[cols].astype(str).values.tolist()))
         ws = sorted(map(tuple, w[cols].astype(str).values.tolist()))
         assert gs == ws, (name, len(gs), len(ws), gs[:3], ws[:3])
+
+
+@settings(max_examples=3, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture])
+@given(data=st.data())
+def test_lineitem_entries_oracle_parity_on_random_clean_tables(spark, tmp_path_factory, data):
+    """Random well-formed lineitem+orders tables (exact-cent doubles,
+    whole-day NTZ dates, the testdata categorical domains) — the
+    scan-agg/bucket/ratio TPC-H entries must match their DuckDB twins
+    exactly. This is the literal q12 bug class (HUGEINT/dtype drift on
+    aggregates) probed on shapes the fixed tables never produce:
+    single-order tables, all-one-flag tables, zero-discount rows,
+    duplicate orderkeys across priorities."""
+    import datetime
+
+    import duckdb
+
+    import __spark_entry__ as entrymod
+
+    n_orders = data.draw(st.integers(min_value=2, max_value=15))
+    base = datetime.datetime(2024, 1, 1)
+    orows = []
+    for ok in range(n_orders):
+        orows.append((
+            ok,
+            data.draw(st.integers(1, 5)),
+            data.draw(st.sampled_from(["P", "O", "F"])),
+            data.draw(st.integers(100, 99999)) / 100.0,
+            base + datetime.timedelta(days=data.draw(st.integers(0, 300))),
+            data.draw(st.sampled_from(
+                ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"])),
+        ))
+    n_items = data.draw(st.integers(min_value=3, max_value=40))
+    lrows = []
+    for i in range(n_items):
+        lrows.append((
+            data.draw(st.integers(0, n_orders - 1)),
+            data.draw(st.integers(1, 20)),  # partkey
+            data.draw(st.integers(1, 10)),  # suppkey
+            i,
+            float(data.draw(st.integers(1, 50))),
+            data.draw(st.integers(100, 999999)) / 100.0,
+            data.draw(st.sampled_from([0.0, 0.01, 0.05, 0.1])),
+            data.draw(st.sampled_from([0.0, 0.02, 0.08])),
+            data.draw(st.sampled_from(["R", "A", "N"])),
+            data.draw(st.sampled_from(["O", "F"])),
+            base + datetime.timedelta(days=data.draw(st.integers(0, 400))),
+        ))
+    d = tmp_path_factory.mktemp("lifuzz")
+    spark.createDataFrame(
+        orows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, "
+        "o_orderdate timestamp, o_orderpriority string",
+    ).write.mode("overwrite").parquet(str(d / "orders.parquet"))
+    spark.createDataFrame(
+        lrows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, l_quantity double, "
+        "l_extendedprice double, l_discount double, l_tax double, l_returnflag string, "
+        "l_linestatus string, l_shipdate timestamp",
+    ).write.mode("overwrite").parquet(str(d / "lineitem.parquet"))
+
+    con = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet/*.parquet')")
+
+    qs, osqls = entrymod.queries(), entrymod.oracle_sql()
+    fuzzed = ["q1_pricing_summary", "q6_forecast_revenue", "q12_shipping_lateness", "q4_priority_returns"]
+    for name in fuzzed:
+        g = qs[name](spark, str(d)).toPandas()
+        w = con.execute(osqls[name]).fetchdf()
+        cols = sorted(g.columns)
+        gs = sorted(map(tuple, g[cols].astype(str).values.tolist()))
+        ws = sorted(map(tuple, w[cols].astype(str).values.tolist()))
+        assert gs == ws, (name, len(gs), len(ws), gs[:3], ws[:3])
