@@ -351,3 +351,88 @@ def test_lineitem_entries_oracle_parity_on_random_clean_tables(spark, tmp_path_f
         gs = sorted(map(tuple, g[cols].astype(str).values.tolist()))
         ws = sorted(map(tuple, w[cols].astype(str).values.tolist()))
         assert gs == ws, (name, len(gs), len(ws), gs[:3], ws[:3])
+
+
+@settings(max_examples=3, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture])
+@given(data=st.data())
+def test_join_entries_oracle_parity_on_random_mini_warehouse(spark, tmp_path_factory, data):
+    """Random consistent mini-warehouse (region→nation→customer/
+    supplier FK web, parts, orders, lineitem) — the join-pattern
+    entries must match their DuckDB twins exactly. Probes join/agg
+    logic on shapes the fixed tables never produce: empty regions,
+    single-customer nations, every-order-same-day, promo-only parts."""
+    import datetime
+
+    import duckdb
+
+    import __spark_entry__ as entrymod
+
+    base = datetime.datetime(2024, 1, 1)
+    regions = [(i, n) for i, n in enumerate(["MIDDLE EAST", "AMERICA", "EUROPE", "ASIA", "AFRICA"])]
+    n_nations = data.draw(st.integers(3, 8))
+    nations = [(i, f"NATION{i}", data.draw(st.integers(0, 4))) for i in range(n_nations)]
+    n_cust = data.draw(st.integers(2, 10))
+    custs = [
+        (i, f"Customer#{i}", data.draw(st.integers(0, n_nations - 1)),
+         data.draw(st.integers(-5000, 999900)) / 100.0,
+         data.draw(st.sampled_from(["MACHINERY", "AUTOMOBILE", "HOUSEHOLD", "BUILDING", "FURNITURE"])))
+        for i in range(n_cust)
+    ]
+    n_supp = data.draw(st.integers(1, 6))
+    supps = [
+        (i, f"Supplier#{i}", data.draw(st.integers(0, n_nations - 1)),
+         data.draw(st.integers(-5000, 999900)) / 100.0)
+        for i in range(n_supp)
+    ]
+    n_part = data.draw(st.integers(1, 8))
+    parts = [
+        (i, f"part name {i}", f"Brand#{data.draw(st.integers(1, 20))}",
+         data.draw(st.sampled_from(["ECONOMY", "STANDARD", "LARGE", "MEDIUM", "SMALL", "PROMO"])),
+         data.draw(st.integers(1, 50)), data.draw(st.integers(100, 99999)) / 100.0)
+        for i in range(n_part)
+    ]
+    n_orders = data.draw(st.integers(2, 12))
+    orders = [
+        (ok, data.draw(st.integers(0, n_cust - 1)), data.draw(st.sampled_from(["P", "O", "F"])),
+         data.draw(st.integers(100, 99999)) / 100.0,
+         base + datetime.timedelta(days=data.draw(st.integers(0, 300))),
+         data.draw(st.sampled_from(["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"])))
+        for ok in range(n_orders)
+    ]
+    n_items = data.draw(st.integers(3, 30))
+    items = [
+        (data.draw(st.integers(0, n_orders - 1)), data.draw(st.integers(0, n_part - 1)),
+         data.draw(st.integers(0, n_supp - 1)), i, float(data.draw(st.integers(1, 50))),
+         data.draw(st.integers(100, 999999)) / 100.0,
+         data.draw(st.sampled_from([0.0, 0.01, 0.05, 0.1])),
+         data.draw(st.sampled_from([0.0, 0.02, 0.08])),
+         data.draw(st.sampled_from(["R", "A", "N"])), data.draw(st.sampled_from(["O", "F"])),
+         base + datetime.timedelta(days=data.draw(st.integers(0, 400))))
+        for i in range(n_items)
+    ]
+    d = tmp_path_factory.mktemp("whfuzz")
+    spark.createDataFrame(regions, "r_regionkey int, r_name string").write.parquet(str(d / "region.parquet"))
+    spark.createDataFrame(nations, "n_nationkey int, n_name string, n_regionkey int").write.parquet(str(d / "nation.parquet"))
+    spark.createDataFrame(custs, "c_custkey long, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string").write.parquet(str(d / "customer.parquet"))
+    spark.createDataFrame(supps, "s_suppkey long, s_name string, s_nationkey int, s_acctbal double").write.parquet(str(d / "supplier.parquet"))
+    spark.createDataFrame(parts, "p_partkey long, p_name string, p_brand string, p_type string, p_size int, p_retailprice double").write.parquet(str(d / "part.parquet"))
+    spark.createDataFrame(orders, "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, o_orderdate timestamp, o_orderpriority string").write.parquet(str(d / "orders.parquet"))
+    spark.createDataFrame(items, "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, l_quantity double, l_extendedprice double, l_discount double, l_tax double, l_returnflag string, l_linestatus string, l_shipdate timestamp").write.parquet(str(d / "lineitem.parquet"))
+
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part", "orders", "lineitem"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet/*.parquet')")
+
+    qs, osqls = entrymod.queries(), entrymod.oracle_sql()
+    fuzzed = [
+        "q3_top_revenue", "q5_nation_revenue", "q10_returned_items",
+        "q14_promo_revenue", "q13_order_distribution", "rollup_revenue",
+    ]
+    for name in fuzzed:
+        g = qs[name](spark, str(d)).toPandas()
+        w = con.execute(osqls[name]).fetchdf()
+        cols = sorted(g.columns)
+        gs = sorted(map(tuple, g[cols].astype(str).values.tolist()))
+        ws = sorted(map(tuple, w[cols].astype(str).values.tolist()))
+        assert gs == ws, (name, len(gs), len(ws), gs[:3], ws[:3])
