@@ -243,7 +243,16 @@ SQL_SANITIZE_EVENTS = (
 
 
 def q_keep_records(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S2 record reduction: head-slice of the (single) LOAD file."""
+    """S2 record reduction: head-slice of the (single) LOAD file.
+
+    Layout contract (matches the reference): keep_num_of_records heads
+    the FIRST load file, so WHICH rows survive is defined by that
+    file's row order. On a multi-file layout a head-N without ORDER BY
+    is engine-arbitrary — the 8-way layout-invariance sweep documents
+    this as the ONE entry (of 154) whose result is layout-defined, not
+    layout-invariant; the reference prunes to the first file before
+    slicing (sources/parquet.py S3 pruning) for exactly this reason.
+    """
     cfg = TableConfig(table_name="part", keep_num_of_records=100)
     return anonymize_table(_read(spark, sf_dir, "part"), cfg, SEED)
 

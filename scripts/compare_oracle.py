@@ -52,7 +52,9 @@ def create_views(con, sf_dir: str) -> None:
     view — shared with scripts/bench_duck.py."""
     for t in TABLES:
         p = Path(sf_dir) / f"{t}.parquet"
-        if p.exists():
+        if p.is_dir():  # Spark-written multi-file layout
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')")
+        elif p.exists():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
 
