@@ -428,6 +428,16 @@ def test_join_entries_oracle_parity_on_random_mini_warehouse(spark, tmp_path_fac
     fuzzed = [
         "q3_top_revenue", "q5_nation_revenue", "q10_returned_items",
         "q14_promo_revenue", "q13_order_distribution", "rollup_revenue",
+        "q7_nation_volume", "q8_market_share", "q9_profit_by_nation",
+        "q15_top_supplier", "q18_large_orders", "q22_idle_customers",
+        "q2_min_cost_supplier", "q11_important_parts", "q16_supplier_variety",
+        "q20_part_promotion", "q21_waiting_suppliers",
+        "top_customers_per_nation", "distinct_parts_per_supplier",
+        "q17_small_quantity_revenue", "q19_disjunctive_revenue",
+        "fuzzy_part_names", "orders_pivot", "grouping_sets_revenue",
+        "lineitem_unpivot", "customer_revenue_standing", "benford_profile",
+        "pareto_suppliers", "triangle_count", "supplier_pagerank",
+        "customer_churn_sets", "ri_orphans",
     ]
     for name in fuzzed:
         g = qs[name](spark, str(d)).toPandas()
