@@ -2636,7 +2636,13 @@ def q_events_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_SESSION = """
 WITH g AS (
   SELECT user_id, ts, value,
-         CASE WHEN lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+         -- STRICT >: F.session_window keeps an event landing at
+         -- exactly last_ts + gap IN the session (empirically probed;
+         -- the window range [start, last+gap) merges on touch). The
+         -- >= form split there — found by the random-stream fuzz,
+         -- latent because the fixed testdata never produced an
+         -- exact-1800s gap.
+         CASE WHEN lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 ),
 s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM g)

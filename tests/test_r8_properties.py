@@ -212,6 +212,19 @@ def test_r8_late_entries_oracle_parity_on_random_clean_corpora(spark, tmp_path_f
         "repetition_signals", "hybrid_search_rrf", "contrastive_triplets",
         "embedding_outliers", "text_stats", "doc_quality", "text_langid",
         "dedup_exact", "bm25_search", "knn_bruteforce",
+        "minhash_signatures", "minhash_lsh_candidates", "simhash",
+        "simhash_near_dups", "ngram_jaccard_adjacent", "dedup_clusters",
+        "dedup_survivors", "dedup_weighted", "chunk_dedup",
+        "dup_span_fraction", "decontaminate", "unigram_nll",
+        "corpus_report", "text_fingerprint", "tfidf_top_terms",
+        "vocab_top_terms", "term_pmi", "langid_confusion",
+        "source_overlap", "doc_length_deciles", "source_cap",
+        "leakage_safe_split", "source_kl_divergence", "dsir_selection",
+        "bpe_merge_step", "bpe_merge_chain", "mixture_temperature",
+        "quality_threshold_sweep", "pii_redact", "weighted_reservoir",
+        "stratified_sample", "knn_lsh", "knn_ivf", "semdedup",
+        "embedding_near_dups", "embedding_project", "embedding_dim_stats",
+        "hard_negatives", "pq_ann_topk",
     ]
     entries = {n: (qs[n], osqls[n]) for n in fuzzed}
     for name, (fn, osql) in entries.items():
@@ -269,6 +282,11 @@ def test_event_entries_oracle_parity_on_random_clean_streams(spark, tmp_path_fac
         "events_tumbling", "events_sliding", "funnel_3step", "peak_concurrency",
         "interval_coverage", "events_mad_outliers", "user_dwell_stats",
         "funnel_click_purchase", "value_percentiles",
+        "events_session", "cohort_retention", "events_gapfill",
+        "events_anomaly", "latency_histogram", "quantile_sketch_events",
+        "session_transitions", "rolling_distinct_users", "events_moving_avg",
+        "asof_last_purchase", "hll_users", "heavy_hitters",
+        "events_json_extract", "ewma_events", "sanitize_null_bytes",
     ]
     for name in fuzzed:
         g = qs[name](spark, str(d)).toPandas()
