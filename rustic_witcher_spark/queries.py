@@ -2635,17 +2635,22 @@ def q_events_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_SESSION = """
 WITH g AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, ts, value, event_id,
          -- STRICT >: F.session_window keeps an event landing at
          -- exactly last_ts + gap IN the session (empirically probed;
          -- the window range [start, last+gap) merges on touch). The
          -- >= form split there — found by the random-stream fuzz,
          -- latent because the fixed testdata never produced an
          -- exact-1800s gap.
+         -- event_id tie-break in BOTH window orders: with several
+         -- events at the SAME timestamp, ts alone lets the lag window
+         -- and the cumsum window sort the tie differently — the
+         -- lag-NULL brk=1 row can land mid-tie in the cumsum and split
+         -- a zero-gap group in two (also fuzz-found).
          CASE WHEN lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
-  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
-s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM g)
+s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM g)
 SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
        count(*) AS n_events, round(sum(value), 4) AS sum_value
 FROM s GROUP BY user_id, sid

@@ -225,6 +225,11 @@ def test_r8_late_entries_oracle_parity_on_random_clean_corpora(spark, tmp_path_f
         "stratified_sample", "knn_lsh", "knn_ivf", "semdedup",
         "embedding_near_dups", "embedding_project", "embedding_dim_stats",
         "hard_negatives", "pq_ann_topk",
+        "curation_pipeline", "dedup_incremental", "lsh_calibration",
+        "mixture_sample", "pack_sequences", "token_budget_selection",
+        "token_count_bpe", "training_shards", "weighted_sample",
+        "drift_vs_reference", "ann_recall_eval", "media_metadata",
+        "media_near_dups", "multimodal_features", "frame_sample",
     ]
     entries = {n: (qs[n], osqls[n]) for n in fuzzed}
     for name, (fn, osql) in entries.items():
@@ -287,6 +292,9 @@ def test_event_entries_oracle_parity_on_random_clean_streams(spark, tmp_path_fac
         "session_transitions", "rolling_distinct_users", "events_moving_avg",
         "asof_last_purchase", "hll_users", "heavy_hitters",
         "events_json_extract", "ewma_events", "sanitize_null_bytes",
+        "cdc_upsert", "click_attribution", "events_in_campaign_windows",
+        "events_rollup_cascade", "purchases_with_state_asof",
+        "scd2_point_in_time", "scd2_user_history", "state_tier_timeline",
     ]
     for name in fuzzed:
         g = qs[name](spark, str(d)).toPandas()
@@ -478,7 +486,7 @@ def test_join_entries_oracle_parity_on_random_mini_warehouse(spark, tmp_path_fac
         "anonymize_orders", "faker_suite", "fake_multi_email",
         "fake_email_id_prefix", "keep_num_of_records", "agg_max_pk",
         "validation_check", "datadiff_check", "skew_salted_stats",
-        "column_profile", "ops_healthcheck",
+        "column_profile", "ops_healthcheck", "bloom_probe", "zorder_layout",
     ]
     for name in fuzzed:
         g = qs[name](spark, str(d)).toPandas()
