@@ -971,3 +971,67 @@ def test_hard_negatives_nan_vector_cannot_win_any_face(spark, tmp_path):
     con.execute(f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{d}/embeddings.parquet/*.parquet')")
     w = con.execute(SQL_HARD_NEGATIVES).fetchdf()
     assert sorted(map(tuple, w.astype(object).values.tolist())) == [tuple(r) for r in kernel]
+
+
+# ---------------------------------------------------------------------------
+# feature_hash_embed — hashing-trick text featurizer
+# ---------------------------------------------------------------------------
+
+
+def test_feature_hash_embed_semantics(spark, tmp_path):
+    """Meaning pins: identical texts get identical vectors (cosine 1
+    with itself by construction); non-empty docs are unit-norm to
+    rounding; empty/NULL docs emit the all-zero vector; a doc's vector
+    is a function of its token multiset only (order-invariant)."""
+    import math
+
+    from rustic_witcher_spark.queries import FH_DIM, q_feature_hash_embed
+
+    d = tmp_path / "fhfix"
+    texts = [
+        (0, "alpha beta gamma alpha"),
+        (1, "beta alpha alpha gamma"),   # same multiset, different order
+        (2, ""),                          # empty -> zero vector
+        (3, None),                        # NULL -> zero vector
+        (4, "delta epsilon zeta"),
+    ]
+    rows = [(i, t, "en", "srcX", len(t) if t else 0) for i, t in texts]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+
+    got = {r["doc_id"]: list(r["fh"]) for r in q_feature_hash_embed(spark, str(d)).collect()}
+    assert set(got) == {0, 1, 2, 3, 4}
+    assert all(len(v) == FH_DIM for v in got.values())
+    assert got[0] == got[1]  # order-invariant
+    assert got[2] == [0.0] * FH_DIM and got[3] == [0.0] * FH_DIM
+    for i in (0, 4):
+        assert abs(math.sqrt(sum(x * x for x in got[i])) - 1.0) < 1e-4, got[i]
+    # different token sets hash to different vectors
+    assert got[0] != got[4]
+
+
+def test_feature_hash_embed_feeds_the_ann_stack(spark, tmp_path):
+    """The bridge contract: hashed vectors are a drop-in embedding
+    column for the similarity machinery — near-identical texts rank
+    closer than unrelated ones through brute_force_topk."""
+    from pyspark.sql import functions as F
+
+    from rustic_witcher_spark.operators.similarity import brute_force_topk
+    from rustic_witcher_spark.queries import q_feature_hash_embed
+
+    d = tmp_path / "fhann"
+    texts = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog again"),
+        (2, "completely unrelated legal boilerplate terms conditions apply"),
+    ]
+    rows = [(i, t, "en", "srcX", len(t)) for i, t in texts]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    emb = q_feature_hash_embed(spark, str(d)).select(
+        F.col("doc_id").alias("vec_id"), F.col("fh").alias("embedding")
+    )
+    top = brute_force_topk(emb, emb.filter(F.col("vec_id") == 0), k=2).collect()
+    assert [r["neighbor_id"] for r in sorted(top, key=lambda r: r["rank"])] == [1, 2]

@@ -230,6 +230,7 @@ def test_r8_late_entries_oracle_parity_on_random_clean_corpora(spark, tmp_path_f
         "token_count_bpe", "training_shards", "weighted_sample",
         "drift_vs_reference", "ann_recall_eval", "media_metadata",
         "media_near_dups", "multimodal_features", "frame_sample",
+        "feature_hash_embed",
     ]
     entries = {n: (qs[n], osqls[n]) for n in fuzzed}
     for name, (fn, osql) in entries.items():
