@@ -5898,6 +5898,16 @@ def q_feature_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines instead of tripping ANSI division.
     """
     d = _read(spark, sf_dir, "documents")
+
+    def bind1(value, fn):
+        """Evaluate ``value`` ONCE and use it through a lambda variable
+        — the transform-over-1-element-array binding that survives
+        CollapseProject inlining (the HOF capture trap: a computed
+        capture re-evaluates inside EVERY enclosing lambda iteration;
+        the unbound form re-ran the per-token md5 chain 16× per doc,
+        measured 26.8 s at sf0.1 vs ~2 s bound)."""
+        return F.element_at(F.transform(F.array(value), fn), 1)
+
     toks = text.tokens(F.col("text"))
     pairs = F.transform(
         toks,
@@ -5906,25 +5916,21 @@ def q_feature_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((hash64(t, SEED, "fhsign") % 2) * 2 - 1).cast("long").alias("s"),
         ),
     )
-    raw = F.transform(
-        F.sequence(F.lit(0), F.lit(FH_DIM - 1)),
-        lambda b: F.aggregate(
-            pairs, F.lit(0).cast("long"),
-            lambda acc, p: acc + F.when(p["b"] == b, p["s"]).otherwise(F.lit(0).cast("long")),
+    fh = bind1(pairs, lambda P: bind1(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(FH_DIM - 1)),
+            lambda b: F.aggregate(
+                P, F.lit(0).cast("long"),
+                lambda acc, p: acc + F.when(p["b"] == b, p["s"]).otherwise(F.lit(0).cast("long")),
+            ),
         ),
-    )
-    staged = d.select(
-        "doc_id",
-        raw.alias("__raw"),
-    ).select(
-        "doc_id",
-        "__raw",
-        F.sqrt(F.aggregate("__raw", F.lit(0.0), lambda a, x: a + (x * x).cast("double"))).alias("__n"),
-    )
-    fh = F.when(
-        F.col("__n") == 0.0, F.transform("__raw", lambda x: x.cast("double"))
-    ).otherwise(F.transform("__raw", lambda x: F.round(x / F.col("__n"), 6)))
-    return staged.select("doc_id", fh.alias("fh")).orderBy("doc_id")
+        lambda R: bind1(
+            F.sqrt(F.aggregate(R, F.lit(0.0), lambda a, x: a + (x * x).cast("double"))),
+            lambda nrm: F.when(nrm == 0.0, F.transform(R, lambda x: x.cast("double")))
+            .otherwise(F.transform(R, lambda x: F.round(x / nrm, 6))),
+        ),
+    ))
+    return d.select("doc_id", fh.alias("fh")).orderBy("doc_id")
 
 
 def sql_feature_hash_embed() -> str:
