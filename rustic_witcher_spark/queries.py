@@ -5875,6 +5875,28 @@ WHERE rank = 1 ORDER BY query_id
 FH_DIM = 16
 
 
+def _fh_bucket_sign(h):
+    """(bucket, signbit) from ONE md5 digest column: bucket = the
+    60-bit hash64 slice (hex 1-15) mod FH_DIM, signbit = the 32-bit
+    hash_slice(16) slice (hex 16-23) mod 2. Both slices are
+    non-negative, so the Spark/DuckDB ``%`` sign conventions agree."""
+    b = (F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % FH_DIM).cast("int")
+    sbit = (F.conv(F.substring(h, 16, 8), 16, 10).cast("long") % 2).cast("int")
+    return b, sbit
+
+
+def _fh_enc(h):
+    """bucket*2 + signbit as one int — the kernel's wire encoding."""
+    b, sbit = _fh_bucket_sign(h)
+    return b * 2 + sbit
+
+
+def _fh_pair(h):
+    """(b, s=±1) struct — the HOF face's per-token pair."""
+    b, sbit = _fh_bucket_sign(h)
+    return F.struct(b.alias("b"), (sbit * 2 - 1).cast("long").alias("s"))
+
+
 def q_feature_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashing-trick document embedding (Weinberger et al. 2009;
     sklearn FeatureHasher): each token lands in one of ``FH_DIM``
@@ -5882,20 +5904,95 @@ def q_feature_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     L2-normalized — a deterministic text→vector featurizer with NO
     trained model, the bridge from the text family into the
     similarity/ANN stack (hashed vectors feed `knn_*`, `semdedup`,
-    `pq_*`, `hybrid_search_rrf` directly). The constant feature space
-    regardless of vocabulary is the same state-bounding trick
-    `dsir_selection` uses for its n-gram models.
+    `pq_*`, `hybrid_search_rrf` directly).
 
-    Scale shape: computed ENTIRELY IN THE PROJECTION — the (bucket,
-    sign) pair array is bound once per doc (transform), the per-bucket
-    signed sums are FH_DIM aggregate folds over that array, and the
-    normalization reads a let-bound norm column from the previous
-    projection (the HOF-capture discipline). ZERO shuffle except the
-    output sort; at 100 TB this featurizes at parquet-scan speed. The
-    oracle runs the relational explode→group→grid plan — same answer,
-    deliberately different plan (the `repetition_signals` pattern).
-    Zero-norm docs (empty text) emit the all-zero vector on both
-    engines instead of tripping ANSI division.
+    Registered face = the numpy bincount kernel (r9, the r8-verdict
+    prescription): tokenizing + BOTH md5 hashes stay Catalyst-side in
+    ONE transform that encodes each token as ``bucket*2 + signbit``
+    (hash64 is a non-negative 60-bit slice, so both ``%`` results are
+    non-negative), then a mapInPandas kernel folds each Arrow batch
+    with ONE vectorized ``np.bincount(doc*FH_DIM + b, weights=s)`` +
+    row-wise L2 normalize — replacing FH_DIM interpreted
+    ``F.aggregate`` lambda folds per document (measured 2.7-3.1 s at
+    sf0.1, 5.5-6.3x the DuckDB twin) with C-speed accumulation. ZERO
+    shuffle except the output sort; at 100 TB this featurizes at
+    parquet-scan speed. The HOF face (`q_feature_hash_embed_hof`) is
+    kept and pinned output-identical (`test_r9_ops.py`), same
+    discipline as `similarity.hard_negative_top1_block`. The oracle
+    runs the relational explode->group->grid plan -- same answer,
+    deliberately different plan. Zero-norm docs (empty/NULL text) emit
+    the all-zero vector on all three faces (kernel, HOF-on-clean,
+    oracle grid) instead of tripping ANSI division; rounding is
+    half-away (`similarity._round_half_away`) to match F.round/DuckDB.
+    """
+    from rustic_witcher_spark.operators.similarity import _round_half_away
+
+    # range-partition on doc_id on the INPUT side: the global output
+    # order then costs only a sortWithinPartitions after the kernel
+    # (range partitions are emitted in ascending key order). A plain
+    # trailing orderBy would make the RangePartitioner SAMPLING pass
+    # re-execute the whole hash+kernel stage (measured: exactly 2x);
+    # sampling the input costs one cheap (doc_id, text) scan instead.
+    d = _read(spark, sf_dir, "documents").repartitionByRange(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    toks = text.tokens(F.col("text"))
+    # ONE md5 per token: bucket from hex chars 1-15 (the hash64 slice),
+    # sign bit from chars 16-23 (the hash_slice(16) slice) of the SAME
+    # digest — md5 dominates the per-token cost, so this halves it vs
+    # the original two-digest form (oracle + HOF face changed in
+    # lockstep; entry has never held a driver verdict, so the hash
+    # function is still free to move)
+    enc = F.transform(
+        toks,
+        lambda t: _fh_enc(md5_hex(t, SEED, "fh")),
+    )
+    src = d.select("doc_id", enc.alias("__enc"))
+
+    def fold(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            arrs = [
+                np.asarray(a, dtype=np.int64) if a is not None else np.empty(0, dtype=np.int64)
+                for a in pdf["__enc"]
+            ]
+            lens = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=len(arrs))
+            n = len(arrs)
+            if lens.sum() == 0:
+                mat = np.zeros((n, FH_DIM))
+            else:
+                flat = np.concatenate(arrs)
+                doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+                b, sign = flat >> 1, (flat & 1) * 2 - 1
+                # ±1 sums are exact in float64 far past any real doc length
+                mat = np.bincount(
+                    doc_idx * FH_DIM + b, weights=sign, minlength=n * FH_DIM
+                ).reshape(n, FH_DIM)
+            nrm = np.linalg.norm(mat, axis=1)
+            safe = np.where(nrm == 0.0, 1.0, nrm)
+            out = _round_half_away(mat / safe[:, None])
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].to_numpy(), "fh": list(out)}
+            )
+
+    return src.mapInPandas(fold, "doc_id long, fh array<double>").sortWithinPartitions(
+        "doc_id"
+    )
+
+
+def q_feature_hash_embed_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-Catalyst HOF face of `q_feature_hash_embed`, kept as the
+    no-Python-stage fallback and pinned output-identical to the
+    registered kernel: the (bucket, sign) pair array is bound once per
+    doc (transform), the per-bucket signed sums are FH_DIM aggregate
+    folds over that array, and the normalization reads a let-bound
+    norm column (the HOF-capture discipline). Correct and shuffle-free
+    but interpreted — O(FH_DIM * tokens) lambda evaluations per doc is
+    what the kernel replaces.
     """
     d = _read(spark, sf_dir, "documents")
 
@@ -5911,10 +6008,7 @@ def q_feature_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = text.tokens(F.col("text"))
     pairs = F.transform(
         toks,
-        lambda t: F.struct(
-            (hash64(t, SEED, "fh") % FH_DIM).cast("int").alias("b"),
-            ((hash64(t, SEED, "fhsign") % 2) * 2 - 1).cast("long").alias("s"),
-        ),
+        lambda t: _fh_pair(md5_hex(t, SEED, "fh")),
     )
     fh = bind1(pairs, lambda P: bind1(
         F.transform(
@@ -5934,11 +6028,12 @@ def q_feature_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sql_feature_hash_embed() -> str:
-    b_expr = f"({sql_hash64('term', SEED, 'fh')} % {FH_DIM})"
-    s_expr = f"(({sql_hash64('term', SEED, 'fhsign')} % 2) * 2 - 1)"
+    b_expr = f"(('0x' || substr(hh, 1, 15))::BIGINT % {FH_DIM})"
+    s_expr = f"((('0x' || substr(hh, 16, 8))::BIGINT % 2) * 2 - 1)"
     return f"""
 WITH toks AS (SELECT doc_id, unnest({_toks_sql("text")}) AS term FROM documents),
-h AS (SELECT doc_id, {b_expr} AS b, {s_expr} AS s FROM toks),
+dig AS (SELECT doc_id, {sql_md5_hex('term', SEED, 'fh')} AS hh FROM toks),
+h AS (SELECT doc_id, {b_expr} AS b, {s_expr} AS s FROM dig),
 agg AS (SELECT doc_id, b, sum(s) AS v FROM h GROUP BY doc_id, b),
 grid AS (
   SELECT d.doc_id, gs.b FROM (SELECT DISTINCT doc_id FROM documents) d,
@@ -6787,7 +6882,7 @@ def build_registry() -> dict[str, tuple[QueryFn, str | None]]:
             "feature_hash_embed": (q_feature_hash_embed, sql_feature_hash_embed()),
         }
     )
-    ordered = {name: reg.pop(name) for name in ROUND8_PREFIX}
+    ordered = {name: reg.pop(name) for name in ROUND9_PREFIX}
     ordered.update(reg)
     return ordered
 
@@ -6902,13 +6997,10 @@ ROUND8_PREFIX = [
 ]
 
 
-# STAGED for round 9 — do not wire into build_registry until the r9
-# session starts (build_registry must keep popping ROUND8_PREFIX while
-# the round-8 driver gate is live). At r9 start: change the pop in
-# build_registry to ROUND9_PREFIX and update the contract test.
+# ACTIVE round-9 window (wired into build_registry this round).
 # Composition per the rotation ledger in the build_registry docstring:
-# the five r8-late never-driver-verified entries lead, then 45 of the
-# 49 r06-verdict holders; the four deferrals to the r10 window are
+# the six r8-late never-driver-verified entries lead, then 44 of the
+# 49 r06-verdict holders; the five deferrals to the r10 window are
 # filter_startswith / filter_endswith / filter_startsends /
 # filter_equals / filter_anyofint (the simplest, most-stable Catalyst
 # predicate entries — least drift risk of the cohort; all five also

@@ -69,8 +69,8 @@ def test_every_oracle_sql_parses_in_duckdb():
     assert not bad, "oracle SQL failed to plan:\n" + "\n".join(bad)
 
 
-# Enforce the round-8 rotation: the driver's correctness gate grades a
-# 50-entry PREFIX, and the prefix is an explicit list (ROUND8_PREFIX)
+# Enforce the round-9 rotation: the driver's correctness gate grades a
+# 50-entry PREFIX, and the prefix is an explicit list (ROUND9_PREFIX)
 # leading with never/stale-verified entries so consecutive rounds'
 # CORRECTNESS files jointly cover the whole inventory. This test pins
 # the prefix so an accidental reorder (the round-3 failure mode) fails
@@ -79,15 +79,16 @@ def test_every_oracle_sql_parses_in_duckdb():
 
 def test_registry_prefix_matches_rotation_plan():
     import __spark_entry__ as entrymod
-    from rustic_witcher_spark.queries import ROUND8_PREFIX
+    from rustic_witcher_spark.queries import ROUND9_PREFIX
 
     names = list(entrymod.queries())
-    assert len(ROUND8_PREFIX) == 50
-    assert names[: len(ROUND8_PREFIX)] == ROUND8_PREFIX, (
-        "registry prefix diverged from ROUND8_PREFIX — the driver gate "
+    assert len(ROUND9_PREFIX) == 50
+    assert names[: len(ROUND9_PREFIX)] == ROUND9_PREFIX, (
+        "registry prefix diverged from ROUND9_PREFIX — the driver gate "
         "grades a 50-entry prefix; see build_registry() docstring"
     )
     assert len(names) == len(set(names))
-    # r8 window composition: the 3 new entries + all 47 r05-verdict
-    # holders (the pre-hash-faithful-gate cohort) — nothing else
-    assert ROUND8_PREFIX[:3] == ["drift_vs_reference", "media_near_dups", "bpe_merge_chain"]
+    # r9 window composition: new-in-r9 entries + the six r8-late
+    # never-driver-verified entries + r06-verdict holders — nothing else
+    assert "pq_ann_topk" in ROUND9_PREFIX[:8]
+    assert "feature_hash_embed" in ROUND9_PREFIX[:8]

@@ -45,6 +45,10 @@ ARROW_OK = {
     # r8-late: exclusion-aware hard-negative block kernel (mapInPandas
     # matmul; HOF twin pinned output-identical)
     "contrastive_triplets",
+    # r9: feature-hash bincount kernel (mapInPandas; replaces FH_DIM
+    # interpreted aggregate folds per doc — hashing stays Catalyst-side,
+    # HOF twin pinned output-identical)
+    "feature_hash_embed",
 }
 
 
