@@ -444,8 +444,15 @@ def main(argv: list[str] | None = None) -> int:
         hashed = attach_perceptual_hash(src, args.binary_col).select(args.id_col, "phash")
         if args.against:
             # incremental mode: batch vs persisted fingerprint index,
-            # never corpus-vs-corpus (see incremental_hamming_flags)
-            index = spark.read.parquet(args.against).select(args.id_col, "phash")
+            # never corpus-vs-corpus (see incremental_hamming_flags).
+            # Explicit schema: a freshly initialized streaming index dir
+            # holds only _SUCCESS, and inference would raise (the same
+            # empty-parquet class as the read-back below).
+            index = (
+                spark.read.schema(f"{args.id_col} long, phash long")
+                .parquet(args.against)
+                .select(args.id_col, "phash")
+            )
             both = hashed.withColumn("__new", F.lit(True)).unionByName(
                 index.withColumn("__new", F.lit(False))
             )

@@ -119,7 +119,8 @@ def bpe_train(
     n_merges: int = 10,
     min_len: int = 2,
     checkpoint_every: int = 8,
-) -> tuple[list[str], DataFrame]:
+    return_trace: bool = False,
+):
     """Learn ``n_merges`` BPE merges; returns (merges, final symbol
     vocab). ``merges[i]`` is the round-i winning pair ``'a b'`` (max
     corpus frequency, ties to the lexicographically smallest pair —
@@ -129,22 +130,36 @@ def bpe_train(
     The returned DataFrame is the trained state: (w, wc, s) with ``s``
     the fully-merged symbol string per vocabulary word — token counts
     per merged symbol derive from it without touching the corpus.
+
+    ``return_trace=True`` additionally returns the per-round winner
+    trace ``[(pair, n), ...]`` — the corpus-weighted frequency each
+    winner held WHEN it was chosen, i.e. the training curve. The
+    driver-graded ``bpe_vocab_trained`` entry emits exactly this
+    trace, putting the full recurrence (counts round i depend on the
+    replaces of rounds 1..i-1, sentinel machinery included) under the
+    oracle gate; it costs nothing extra — the winner row is collected
+    each round regardless.
     """
     sym = vocab_table(docs, text_col, min_len).select(
         "w", "wc", _to_symbols(F.col("w")).alias("s")
     )
     merges: list[str] = []
+    trace: list[tuple[str, int]] = []
     for i in range(n_merges):
         top = _pair_counts(sym).orderBy(F.desc("n"), F.asc("pair")).limit(1).collect()
         if not top or top[0]["n"] < 2:
             break
         pair = top[0]["pair"]
         merges.append(pair)
+        trace.append((pair, int(top[0]["n"])))
         search, repl = _merge_pattern(pair)
         sym = sym.withColumn("s", F.replace(F.col("s"), F.lit(search), F.lit(repl)))
         if (i + 1) % checkpoint_every == 0:
             sym = sym.localCheckpoint(eager=True)
-    return merges, sym.withColumn("s", _strip_sent(F.col("s")))
+    final = sym.withColumn("s", _strip_sent(F.col("s")))
+    if return_trace:
+        return merges, final, trace
+    return merges, final
 
 
 def bpe_apply(

@@ -658,6 +658,62 @@ def pq_topk(
     return pq_encode_adc_topk_block(corpus, cb, queries, k, n_subspaces, dim, id_col, vec_col)
 
 
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_clusters: int = 8,
+    nprobe: int = 2,
+    n_subspaces: int = 16,
+    n_codes: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = DEFAULT_SEED,
+    iters: int = 1,
+) -> DataFrame:
+    """Composed IVF-PQ: coarse-quantize the corpus into ``n_clusters``
+    inverted lists (similarity.ivf_centroids / ivf_assign — the exact
+    skeleton knn_ivf twins), PQ-encode it (pq_codebooks/pq_encode —
+    the exact pipeline pq_ann_topk twins), then ADC-score each query
+    against ONLY its ``nprobe`` probed lists' codes via the block
+    kernel's probe mask. This is the one-shot face of the persisted
+    path (pq_write_index(coarse_clusters>0) + pq_query_index): at
+    100 TB the list selection compiles to parquet partition pruning
+    over the (cid)-partitioned codes; here the same pruning is the
+    ``cid IN (probed)`` filter plus the kernel's per-query mask, so
+    the scan cost per query batch is nprobe/n_clusters of the codes —
+    already 16x smaller than the vectors.
+
+    Both trainings are deterministic and _localize'd (lineage cut —
+    otherwise every downstream job replays the Lloyd passes); the
+    driver-side collects are the two tiny codebooks plus the
+    |queries| x nprobe probe assignment. The (id -> cid) attach is a
+    join against the coarse assignment; the persisted path pays it
+    once at index build, never per query.
+    """
+    from rustic_witcher_spark.operators.similarity import ivf_assign, ivf_centroids
+
+    cent = _localize(ivf_centroids(corpus, n_clusters, id_col, vec_col, seed=seed, iters=iters))
+    cb = _localize(pq_codebooks(corpus, n_subspaces, n_codes, dim, id_col, vec_col, seed, iters))
+    lists = ivf_assign(corpus, cent, id_col, vec_col, nprobe=1).select(id_col, "cid")
+    codes = pq_encode(corpus, cb, n_subspaces, dim, id_col, vec_col).join(lists, id_col)
+    probes = (
+        ivf_assign(queries.filter(F.col(vec_col).isNotNull()), cent, id_col, vec_col, nprobe=nprobe)
+        .select(id_col, "cid")
+        .collect()
+    )
+    probe_map: dict[int, list[int]] = {}
+    for r in probes:
+        probe_map.setdefault(int(r[id_col]), []).append(int(r["cid"]))
+    probe_cids = sorted({c for cids in probe_map.values() for c in cids})
+    codes = codes.filter(F.col("cid").isin(probe_cids))
+    return pq_adc_topk_block(
+        codes, cb, queries, k, n_subspaces, dim, id_col, vec_col,
+        probe_map=probe_map, cid_col="cid",
+    )
+
+
 def _localize(cb: DataFrame) -> DataFrame:
     """Collect a (tiny) codebook and re-create it as a local-rows
     DataFrame, cutting the training pipeline out of downstream

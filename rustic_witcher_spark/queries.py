@@ -2070,6 +2070,119 @@ WHERE rank <= {k}
 """
 
 
+def q_ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed IVF-PQ ANN (pq.ivfpq_topk) — the r8 verdict's task 3
+    and the shape you'd actually run at 100 TB: coarse-quantize into 8
+    inverted lists (the exact md5-seeded + 1-Lloyd skeleton `knn_ivf`
+    twins), PQ-encode to 16x16 codes (the exact pipeline `pq_ann_topk`
+    twins), then ADC-score each query against ONLY its nprobe=2 probed
+    lists via the block kernel's probe mask. Scan per query batch =
+    nprobe/n_clusters of a codes table that is already 16x smaller
+    than the vectors — multiplicative pruning from the two stages.
+
+    The oracle splices the two existing derivations (the shared
+    `_sql_ivf_cent1_ctes` skeleton + the `sql_pq_ann_topk` train/
+    encode/reconstruct CTEs, prefixed) and joins candidates through
+    the probed lists — so this entry can only be green if both parent
+    derivations AND their composition agree."""
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return pq.ivfpq_topk(
+        emb, queries, k=5, n_clusters=8, nprobe=2, n_subspaces=16, n_codes=16, dim=64, iters=1
+    ).select("query_id", "neighbor_id", "rank", "sim")
+
+
+def sql_ivfpq_ann_topk(
+    n_clusters: int = 8,
+    nprobe: int = 2,
+    n_subspaces: int = 16,
+    n_codes: int = 16,
+    dim: int = 64,
+    k: int = 5,
+    seed: int = 42,
+) -> str:
+    """DuckDB twin of ``pq.ivfpq_topk``: the shared IVF cent1 skeleton
+    (corpus/seeds/cent0/a0/m0/cent1 — verbatim `_sql_ivf_cent1_ctes`,
+    same CTEs as sql_knn_ivf) + the PQ train/encode/reconstruct CTEs
+    of sql_pq_ann_topk under ``p``-prefixed names, then: inv = each
+    corpus vector's nearest coarse list, probes = each query's nprobe
+    nearest lists, candidates = inv ⨝ probes on cid, scored against
+    the PQ reconstruction (ADC ≡ reconstructed cosine)."""
+    d_sub = dim // n_subspaces
+    sqd = (
+        "(list_dot_product({a}, {a}) - 2.0 * list_dot_product({a}, {b})"
+        " + list_dot_product({b}, {b}))"
+    )
+    cos = _SQL_IVF_COS
+    return f"""
+WITH {_sql_ivf_cent1_ctes(n_clusters, dim, seed)},
+pcorpus AS (SELECT vec_id, v FROM corpus WHERE v IS NOT NULL),
+ms AS (SELECT unnest(range(0, {n_subspaces})) AS m),
+pseeds AS (
+  SELECT vec_id, v, md5('{seed}|pq|' || vec_id::VARCHAR) AS r
+  FROM pcorpus ORDER BY r, vec_id LIMIT {n_codes}
+),
+pcb0 AS (
+  SELECT ms.m, s.cid, list_slice(s.v, ms.m * {d_sub} + 1, ms.m * {d_sub} + {d_sub}) AS cvec
+  FROM (SELECT row_number() OVER (ORDER BY r, vec_id) AS cid, v FROM pseeds) s CROSS JOIN ms
+),
+psub AS (
+  SELECT c.vec_id, ms.m, list_slice(c.v, ms.m * {d_sub} + 1, ms.m * {d_sub} + {d_sub}) AS sv
+  FROM pcorpus c CROSS JOIN ms
+),
+pa0 AS (
+  SELECT vec_id, m, sv, cid,
+         row_number() OVER (PARTITION BY vec_id, m
+                            ORDER BY {sqd.format(a='sv', b='cvec')} ASC, cid ASC) AS rn
+  FROM psub JOIN pcb0 USING (m)
+),
+pw0 AS (SELECT vec_id, m, sv, cid FROM pa0 WHERE rn = 1),
+pcb1 AS (
+  SELECT m, cid, list(mv ORDER BY pos) AS cvec FROM (
+    SELECT m, cid, pos, avg(sv[pos]) AS mv
+    FROM pw0 CROSS JOIN (SELECT unnest(range(1, {d_sub + 1})) AS pos)
+    GROUP BY m, cid, pos
+  ) GROUP BY m, cid
+),
+pa1 AS (
+  SELECT vec_id, m, cid,
+         row_number() OVER (PARTITION BY vec_id, m
+                            ORDER BY {sqd.format(a='sv', b='cvec')} ASC, cid ASC) AS rn
+  FROM psub JOIN pcb1 USING (m)
+),
+recon AS (
+  SELECT c.vec_id, flatten(list(b.cvec ORDER BY c.m)) AS rv
+  FROM (SELECT vec_id, m, cid FROM pa1 WHERE rn = 1) c
+  JOIN pcb1 b USING (m, cid)
+  GROUP BY c.vec_id
+),
+inv AS (
+  SELECT cid, vec_id AS neighbor_id FROM (
+    SELECT c.vec_id, k.cid,
+           row_number() OVER (PARTITION BY c.vec_id
+                              ORDER BY {cos.format(a='c.v', b='k.cvec')} DESC, k.cid ASC) AS rn
+    FROM corpus c CROSS JOIN cent1 k)
+  WHERE rn = 1
+),
+probes AS (
+  SELECT cid, vec_id AS query_id, v AS qv FROM (
+    SELECT q.vec_id, q.v, k.cid,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {cos.format(a='q.v', b='k.cvec')} DESC, k.cid ASC) AS rn
+    FROM (SELECT vec_id, v FROM corpus WHERE vec_id < 5) q CROSS JOIN cent1 k)
+  WHERE rn <= {nprobe}
+),
+s AS (
+  SELECT query_id, neighbor_id, round({cos.format(a='qv', b='r.rv')}, 6) AS sim
+  FROM probes JOIN inv USING (cid) JOIN recon r ON r.vec_id = inv.neighbor_id
+  WHERE query_id <> neighbor_id
+)
+SELECT query_id, neighbor_id, rank, sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank FROM s)
+WHERE rank <= {k}
+"""
+
+
 def q_embedding_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JL random projection 64→16: the cheap deterministic dim
     reduction applied before LSH/storage at 100 TB (pure expressions,
@@ -5293,6 +5406,81 @@ FROM p2 GROUP BY 1, 2 ORDER BY n DESC, pair ASC LIMIT 20
 """
 
 
+BPE_TRAIN_MERGES = 6
+
+
+def q_bpe_vocab_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACTUAL distributed BPE training loop (operators/bpe.py
+    bpe_train — the same code path the `bpe-train` CLI runs) under the
+    driver gate, r8 verdict task 5: 6 merge rounds over the documents
+    vocabulary, emitting the per-round winner trace (rnd, pair, n)
+    where n is the corpus-weighted frequency the winner held when
+    chosen. Round i's counts depend on the sentinel-delimited replaces
+    of rounds 1..i-1, so a green verdict pins the full recurrence —
+    counting, argmax tie-breaks, AND merge application (the sentinel
+    right-boundary machinery bpe_merge_step/chain can't reach, since
+    merge #1/#2 still operate on single-char symbols).
+
+    Scale shape (see bpe.py module docstring): ONE corpus-touching
+    shuffle (the vocab groupBy, whose exchange is reused by every
+    round's job), then each round is |vocab|-sized arithmetic with a
+    1-row TakeOrdered collect — driver round-trips bounded by
+    n_merges, the standard distributed-BPE-trainer shape. The output
+    frame is the collected 6-row trace (LocalTableScan).
+
+    The oracle unrolls the identical 6 rounds as chained CTEs (same
+    sentinel representation via chr(1)) and gates rows on the
+    cumulative n>=2 early-stop rule, so both engines emit the same
+    prefix when training stops early (random fuzz corpora can)."""
+    from rustic_witcher_spark.operators import bpe
+
+    d = _spread(spark, _read(spark, sf_dir, "documents"))
+    _, _, trace = bpe.bpe_train(d, n_merges=BPE_TRAIN_MERGES, return_trace=True)
+    rows = [(i + 1, pair, n) for i, (pair, n) in enumerate(trace)]
+    return spark.createDataFrame(rows, "rnd int, pair string, n long")
+
+
+def sql_bpe_vocab_trained(n_merges: int = BPE_TRAIN_MERGES) -> str:
+    """Unrolled DuckDB twin of ``bpe.bpe_train(n_merges)``: the
+    sentinel symbol form (' w\x01 o\x01 …' via chr(1)), per-round
+    adjacent-symbol-pair counts / argmax / whole-pair replace, chained
+    n_merges times; the final select keeps only the prefix of rounds
+    whose winners all had n >= 2 (the trainer's early-stop rule)."""
+    parts = [f"""words AS (
+  SELECT w, count(*) AS wc FROM (
+    SELECT replace(t, chr(1), '') AS w
+    FROM (SELECT unnest({_toks_sql("text")}) AS t FROM documents)
+  ) WHERE length(w) >= 2 GROUP BY w
+),
+s0 AS (SELECT wc, regexp_replace(w, '(.)', ' \\1' || chr(1), 'g') AS s FROM words)"""]
+    for i in range(1, n_merges + 1):
+        prev = f"s{i - 1}"
+        parts.append(f"""a{i} AS (SELECT wc, string_split(substr(replace(s, chr(1), ''), 2), ' ') AS a FROM {prev}),
+c{i} AS (
+  SELECT pair, sum(wc)::BIGINT AS n FROM (
+    SELECT wc, unnest(list_transform(range(1, len(a)), j -> a[j::INT] || ' ' || a[j::INT + 1])) AS pair
+    FROM a{i} WHERE len(a) >= 2
+  ) GROUP BY pair
+),
+w{i} AS (SELECT pair, n FROM c{i} ORDER BY n DESC, pair ASC LIMIT 1),
+s{i} AS (
+  SELECT wc, replace(s,
+    ' ' || split_part(pair, ' ', 1) || chr(1) || ' ' || split_part(pair, ' ', 2) || chr(1),
+    ' ' || replace(pair, ' ', '') || chr(1)) AS s
+  FROM {prev}, w{i}
+)""")
+    unions = "\nUNION ALL ".join(
+        f"SELECT {i} AS rnd, pair, n FROM w{i}" for i in range(1, n_merges + 1)
+    )
+    parts.append(f"rounds AS ({unions})")
+    return f"""
+WITH {','.join(parts)}
+SELECT rnd, pair, n FROM rounds r
+WHERE NOT EXISTS (SELECT 1 FROM rounds p WHERE p.rnd <= r.rnd AND p.n < 2)
+ORDER BY rnd
+"""
+
+
 MIX_TAU = 0.7
 MIX_BUDGET = 100_000
 
@@ -6876,6 +7064,9 @@ def build_registry() -> dict[str, tuple[QueryFn, str | None]]:
             # ROUND9_PREFIX as the only never-driver-verified entries —
             # local-gate verified this round) ---
             "pq_ann_topk": (q_pq_ann_topk, sql_pq_ann_topk()),
+            # --- round-9 additions (enter the r9 window immediately) ---
+            "ivfpq_ann_topk": (q_ivfpq_ann_topk, sql_ivfpq_ann_topk()),
+            "bpe_vocab_trained": (q_bpe_vocab_trained, sql_bpe_vocab_trained()),
             "hybrid_search_rrf": (q_hybrid_search_rrf, sql_hybrid_search_rrf()),
             "contrastive_triplets": (q_contrastive_triplets, sql_contrastive_triplets()),
             "embedding_outliers": (q_embedding_outliers, sql_embedding_outliers()),
@@ -6999,17 +7190,24 @@ ROUND8_PREFIX = [
 
 # ACTIVE round-9 window (wired into build_registry this round).
 # Composition per the rotation ledger in the build_registry docstring:
-# the six r8-late never-driver-verified entries lead, then 44 of the
-# 49 r06-verdict holders; the five deferrals to the r10 window are
-# filter_startswith / filter_endswith / filter_startsends /
+# the two r9 additions lead (new entries always enter the CURRENT
+# window), then the six r8-late never-driver-verified entries, then 42
+# of the 49 r06-verdict holders; the seven deferrals to the r10 window
+# are filter_startswith / filter_endswith / filter_startsends /
 # filter_equals / filter_anyofint (the simplest, most-stable Catalyst
-# predicate entries — least drift risk of the cohort; all five also
-# hold randomized-warehouse fuzz parity).
+# predicate entries — least drift risk of the cohort; all five hold
+# randomized-warehouse fuzz parity) plus q20_part_promotion /
+# q21_waiting_suppliers (lineitem-family fuzz parity).
 ROUND9_PREFIX = [
+    # new in round 9 (enter the current window immediately)
+    "ivfpq_ann_topk", "bpe_vocab_trained",
     # never driver-verified (r8-late additions)
     "pq_ann_topk", "repetition_signals", "hybrid_search_rrf",
     "contrastive_triplets", "embedding_outliers", "feature_hash_embed",
-    # r06-verdict rotation (44 of 49)
+    # r06-verdict rotation (42 of 49; q20_part_promotion and
+    # q21_waiting_suppliers additionally defer to r10 to make room for
+    # the two r9 additions — both hold lineitem-family randomized fuzz
+    # parity, the least-drift-risk pair of the remaining cohort)
     "filter_anyofstring",
     "anonymize_supplier", "anonymize_orders", "faker_suite",
     "fake_multi_email", "fake_email_id_prefix", "sanitize_null_bytes",
@@ -7023,5 +7221,5 @@ ROUND9_PREFIX = [
     "decontaminate", "unigram_nll", "chunk_dedup", "curation_pipeline",
     "corpus_report", "media_metadata", "multimodal_features",
     "text_stats", "text_langid", "text_fingerprint",
-    "q20_part_promotion", "q21_waiting_suppliers", "events_session",
+    "events_session",
 ]

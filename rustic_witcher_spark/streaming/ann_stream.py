@@ -119,7 +119,21 @@ def read_delta_codes(
     pin THIS read to that snapshot's cursor — `merge_ann_delta` relies
     on it so the batches it folds and the batches it later deletes are
     decided by ONE cursor value even if an appender advances the meta
-    file mid-merge."""
+    file mid-merge.
+
+    Ids are deduped ACROSS batches here (earliest batch wins —
+    consistent with base-wins-over-delta in `merge_ann_delta`): ids
+    are unique by contract, but a violating stream that appends the
+    same id in two non-replayed batches would otherwise put two rows
+    into every downstream scan — each consuming a top-k rank slot in
+    `query_with_delta` and both surviving `merge_ann_delta`'s
+    base-anti-join into the merged codes. Enforcing the contract at
+    the single choke point both paths read through keeps them
+    duplicate-free for free (the media twin dedupes its appends the
+    same way). The window runs over the delta only — micro-batch
+    sized, never the base index."""
+    from pyspark.sql import Window
+
     with_cid = os.path.isdir(f"{base_index_path}/_centroids")
     schema = _delta_schema(id_col, with_cid)
     data_dir = os.path.join(delta_path, "data")
@@ -127,11 +141,14 @@ def read_delta_codes(
         meta = _load_meta(delta_path)
     if not os.path.isdir(data_dir) or meta.get("indexed_rows", 0) == 0:
         return spark.createDataFrame([], schema)
+    w = Window.partitionBy(id_col).orderBy(F.col("batch").asc())
     return (
         spark.read.schema(schema + ", batch long")
         .parquet(data_dir)
         .filter(F.col("batch") <= meta.get("last_batch_id", -1))
-        .drop("batch")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("batch", "__rn")
     )
 
 

@@ -45,6 +45,9 @@ ARROW_OK = {
     # r8-late: exclusion-aware hard-negative block kernel (mapInPandas
     # matmul; HOF twin pinned output-identical)
     "contrastive_triplets",
+    # r9: composed IVF-PQ probe path (same ADC block kernel as
+    # pq_ann_topk, plus the coarse probe mask)
+    "ivfpq_ann_topk",
     # r9: feature-hash bincount kernel (mapInPandas; replaces FH_DIM
     # interpreted aggregate folds per doc — hashing stays Catalyst-side,
     # HOF twin pinned output-identical)

@@ -1,0 +1,201 @@
+"""Round-9 additions: the composed IVF-PQ probe entry, the trained-BPE
+driver entry, and the feature-hash bincount kernel. The local oracle
+gate checks value parity; these tests pin MEANING — face identity,
+recall behavior of the composed coarse+fine pruning, early-stop and
+sentinel semantics of the training loop."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from rustic_witcher_spark.operators import pq
+from rustic_witcher_spark.operators.similarity import brute_force_topk
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# feature_hash_embed — kernel face ≡ HOF face
+# ---------------------------------------------------------------------------
+
+
+def test_feature_hash_kernel_identical_to_hof_face(spark):
+    """The registered bincount kernel and the pure-Catalyst HOF face
+    must be row-for-row identical on the real table (the
+    similarity.hard_negative_top1_block discipline): same single-md5
+    (bucket, sign) derivation, same half-away 6-dp rounding, same
+    global doc_id order."""
+    from rustic_witcher_spark.queries import q_feature_hash_embed, q_feature_hash_embed_hof
+
+    a = q_feature_hash_embed(spark, SF_DIR).collect()
+    b = q_feature_hash_embed_hof(spark, SF_DIR).collect()
+    assert len(a) == len(b) > 0
+    assert [r["doc_id"] for r in a] == sorted(r["doc_id"] for r in a)
+    for ra, rb in zip(a, b):
+        assert ra["doc_id"] == rb["doc_id"]
+        assert list(ra["fh"]) == list(rb["fh"])
+
+
+def test_feature_hash_zero_norm_doc_emits_zero_vector(spark):
+    """Empty/NULL text must produce the all-zero FH_DIM vector, not a
+    NULL row or an ANSI division error — the oracle's grid LEFT JOIN
+    emits zeros for token-less docs and the kernel must agree."""
+    from rustic_witcher_spark.queries import FH_DIM, q_feature_hash_embed
+    import os
+
+    rows = [(1, "some actual words here", "s"), (2, "", "s"), (3, None, "s")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    out = {r["doc_id"]: list(r["fh"]) for r in q_feature_hash_embed(spark, d).collect()}
+    assert len(out[1]) == FH_DIM and any(v != 0.0 for v in out[1])
+    assert out[2] == [0.0] * FH_DIM
+    assert out[3] == [0.0] * FH_DIM
+
+
+# ---------------------------------------------------------------------------
+# ivfpq_topk — the composed coarse+fine path
+# ---------------------------------------------------------------------------
+
+
+def test_ivfpq_full_probe_equals_flat_pq(spark):
+    """With nprobe == n_clusters the coarse stage prunes nothing, so
+    the composed path must reduce EXACTLY to flat PQ — the composition
+    adds pruning, never different scores."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+    queries = emb.filter(F.col("vec_id") < 5)
+    flat = pq.pq_topk(emb, queries, k=5, n_subspaces=16, n_codes=16, dim=64)
+    comp = pq.ivfpq_topk(
+        emb, queries, k=5, n_clusters=4, nprobe=4, n_subspaces=16, n_codes=16, dim=64
+    )
+    cols = ["query_id", "neighbor_id", "rank", "sim"]
+    assert sorted(map(tuple, flat.select(*cols).collect())) == sorted(
+        map(tuple, comp.select(*cols).collect())
+    )
+
+
+def test_ivfpq_probe_restricts_candidates_to_probed_lists(spark):
+    """Every returned neighbor must live in one of its query's probed
+    coarse lists — the compute-side contract of the probe mask."""
+    from rustic_witcher_spark.operators.similarity import ivf_assign, ivf_centroids
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+    queries = emb.filter(F.col("vec_id") < 5)
+    cent = ivf_centroids(emb, 8, iters=1)
+    lists = {
+        int(r["vec_id"]): int(r["cid"])
+        for r in ivf_assign(emb, cent, nprobe=1).select("vec_id", "cid").collect()
+    }
+    probes: dict[int, set] = {}
+    for r in ivf_assign(queries, cent, nprobe=2).select("vec_id", "cid").collect():
+        probes.setdefault(int(r["vec_id"]), set()).add(int(r["cid"]))
+    out = pq.ivfpq_topk(emb, queries, k=5, n_clusters=8, nprobe=2).collect()
+    assert out, "composed path returned nothing"
+    for r in out:
+        assert lists[r["neighbor_id"]] in probes[r["query_id"]], (
+            f"neighbor {r['neighbor_id']} outside query {r['query_id']}'s probed lists"
+        )
+
+
+def test_ivfpq_recall_floor_vs_brute_force(spark):
+    """Composed-path recall gate (r8 verdict task 3): on clustered data
+    (the realistic embedding shape) the coarse probe sends each query
+    to its own cluster's list, so IVF-PQ top-5 stays cluster-pure and
+    the exact top-5 is captured by the composed shortlist."""
+    import random
+
+    rnd = random.Random(11)
+    centers = [[rnd.gauss(0, 1) for _ in range(64)] for _ in range(8)]
+    rows = [(i, [x + rnd.gauss(0, 0.1) for x in centers[i % 8]]) for i in range(320)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>").cache()
+    queries = df.filter(F.col("vec_id") < 16)
+    exact = brute_force_topk(df, queries, k=5)
+    truth = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    top5 = pq.ivfpq_topk(
+        df, queries, k=5, n_clusters=8, nprobe=2, n_subspaces=16, n_codes=16, dim=64
+    ).collect()
+    same = sum(1 for r in top5 if r["neighbor_id"] % 8 == r["query_id"] % 8)
+    assert same / len(top5) >= 0.95, f"cluster purity {same / len(top5):.2f}"
+    shortlist = pq.ivfpq_topk(
+        df, queries, k=30, n_clusters=8, nprobe=2, n_subspaces=16, n_codes=16, dim=64
+    )
+    sl = {(r["query_id"], r["neighbor_id"]) for r in shortlist.collect()}
+    captured = len(truth & sl) / len(truth)
+    # measured 0.89 on this fixture: the 1-Lloyd coarse stage sometimes
+    # splits one center across two lists and nprobe=2 misses a few
+    # tail neighbors — the floor guards against the path going to
+    # nonsense, not against the probe's own (tunable) recall budget
+    assert captured >= 0.8, f"exact top-5 only {captured:.2f}-captured by IVF-PQ top-30"
+
+
+def test_ivfpq_entry_matches_oracle(spark):
+    from rustic_witcher_spark.queries import q_ivfpq_ann_topk, sql_ivfpq_ann_topk
+
+    g = q_ivfpq_ann_topk(spark, SF_DIR).toPandas().sort_values(["query_id", "rank"])
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{SF_DIR}/embeddings.parquet')"
+    )
+    w = con.execute(sql_ivfpq_ann_topk()).fetchdf().sort_values(["query_id", "rank"])
+    assert g.astype(str).values.tolist() == w.astype(str).values.tolist()
+
+
+# ---------------------------------------------------------------------------
+# bpe_vocab_trained — the training loop under the gate
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_trace_matches_merges_and_counts_monotone_with_state(spark, tmp_path):
+    """The trace IS the merge list with counts attached; round-2+ pairs
+    reflect post-merge symbols (a multi-char element appears once the
+    corpus forces it)."""
+    from rustic_witcher_spark.operators import bpe
+
+    rows = [(i, "banana bandana banana", "s") for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    merges, _, trace = bpe.bpe_train(df, n_merges=4, return_trace=True)
+    assert [p for p, _ in trace] == merges
+    assert all(n >= 2 for _, n in trace)
+    # 'an' dominates banana/bandana; later rounds must merge against
+    # the already-merged multi-char symbol, not raw characters
+    assert merges[0] == "a n"
+    assert any(len(p.replace(" ", "")) > 2 for p in merges[1:]), merges
+
+
+def test_bpe_vocab_trained_early_stop_prefix_matches_oracle(spark, tmp_path):
+    """A near-degenerate corpus (every pair count collapses to 1 after
+    a few merges) must stop early on BOTH engines — the oracle's
+    cumulative n>=2 gate mirrors the trainer's break."""
+    import os
+
+    from rustic_witcher_spark.queries import q_bpe_vocab_trained, sql_bpe_vocab_trained
+
+    rows = [(0, "aa aa xyzq", "s")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    d = str(tmp_path)
+    df.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    g = q_bpe_vocab_trained(spark, d).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    w = con.execute(sql_bpe_vocab_trained()).fetchdf()
+    assert g.astype(str).values.tolist() == w.astype(str).values.tolist()
+    assert len(g) < 6, "degenerate corpus should stop before 6 merges"
+
+
+def test_bpe_vocab_trained_entry_matches_oracle(spark):
+    from rustic_witcher_spark.queries import q_bpe_vocab_trained, sql_bpe_vocab_trained
+
+    g = q_bpe_vocab_trained(spark, SF_DIR).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    w = con.execute(sql_bpe_vocab_trained()).fetchdf()
+    assert len(g) == 6
+    assert g.astype(str).values.tolist() == w.astype(str).values.tolist()

@@ -355,3 +355,40 @@ def test_merge_concurrent_append_not_folded_and_cursor_not_rewound(spark, base_i
     )
     # no vec_id appears in both base and delta
     assert not (base_ids & left)
+
+
+def test_duplicate_id_across_batches_deduped_everywhere(spark, base_index, tmp_path):
+    """Contract-violating stream: the same vec_id appended in TWO
+    non-replayed batches. read_delta_codes (the single choke point
+    both the query and merge paths scan through) keeps only the
+    earliest batch's row, so (a) query_with_delta emits each neighbor
+    at most once per query — a duplicate would burn a second top-k
+    rank slot — and (b) merge_ann_delta folds the id exactly once."""
+    delta = str(tmp_path / "delta")
+    v = _vectors(1, start=400)
+    ann_index_append_batch(spark.createDataFrame(v, SCHEMA), 0, base_index, delta)
+    # same id again, different vector, later batch — earliest must win
+    v2 = [(400, [x + 1.0 for x in v[0][1]])]
+    ann_index_append_batch(spark.createDataFrame(v2, SCHEMA), 1, base_index, delta)
+
+    rows = read_delta_codes(spark, base_index, delta).collect()
+    assert [r["vec_id"] for r in rows] == [400]
+    cb = spark.read.schema("m int, cid int, cvec array<double>").parquet(
+        f"{base_index}/_codebooks"
+    )
+    want = pq.pq_encode(spark.createDataFrame(v, SCHEMA), cb, 8, 64).collect()[0]["codes"]
+    assert list(rows[0]["codes"]) == list(want), "dedup kept the wrong (later) row"
+
+    queries = spark.createDataFrame(_vectors(3, seed=5, start=900), SCHEMA)
+    got = query_with_delta(spark, base_index, delta, queries, k=10, nprobe=4).collect()
+    per_q = {}
+    for r in got:
+        key = (r["query_id"], r["neighbor_id"])
+        per_q[key] = per_q.get(key, 0) + 1
+    assert all(n == 1 for n in per_q.values()), "duplicate neighbor rows in top-k"
+
+    merge_ann_delta(spark, base_index, delta)
+    base = spark.read.schema("vec_id long, codes array<int>, cid int").parquet(
+        f"{base_index}/codes"
+    )
+    assert base.filter(F.col("vec_id") == 400).count() == 1
