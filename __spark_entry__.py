@@ -11,7 +11,7 @@ queries()     — one entry per implemented operator from SURVEY.md §2
                 survivors, batch-vs-corpus dedup, LSH calibration,
                 threshold sweep, ANN recall eval, frame sampling,
                 inter-event gap stats).
-oracle_sql()  — DuckDB-dialect twins for EVERY entry (146/146 — the
+oracle_sql()  — DuckDB-dialect twins for EVERY entry (all of them — the
                 deterministic IVF seed/Lloyd/probe replay and the md5
                 hex-chain multimodal kernel included); IVF additionally
                 carries a recall-vs-brute-force gate in tests.

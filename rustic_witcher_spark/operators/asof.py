@@ -33,7 +33,18 @@ def asof_join(
     tiebreak: str | None = None,
     suffix: str = "_asof",
 ) -> DataFrame:
-    """Backward as-of join; appends ``<value_col><suffix>`` columns to left."""
+    """Backward as-of join; appends ``<value_col><suffix>`` columns to left.
+
+    Rows with a NULL timestamp are DROPPED on both sides: an event with
+    no timestamp has no as-of position. Left in, the engines invent
+    opposite answers — Spark's NULLS-FIRST sort makes a NULL-ts left
+    row see nothing and a NULL-ts right row visible to EVERY left row,
+    while DuckDB's native ASOF treats NULL as +infinity (a NULL-ts left
+    row matches the latest right row) — the dirty-stream fuzz caught
+    exactly this divergence (r9).
+    """
+    left = left.filter(F.col(left_ts).isNotNull())
+    right = right.filter(F.col(right_ts).isNotNull())
     lcols = left.columns
     l = left.withColumn("__ts", F.col(left_ts)).withColumn("__side", F.lit(0))
     for v in value_cols:

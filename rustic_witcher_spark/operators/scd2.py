@@ -65,7 +65,15 @@ def scd2_intervals(
     several versions can share one valid_from timestamp (zero-length
     intervals from same-ts changes), and only the stored tiebreak can
     re-order them correctly on a later rebuild.
+
+    Rows with a NULL ``ts_col`` are DROPPED: a version with no
+    effective timestamp has no place on the validity axis — and left
+    in, it both forges run breaks (the lag-is-NULL "no previous event"
+    test can't distinguish a missing row from a NULL ts) and sorts
+    NULLS FIRST here but NULLS LAST in the DuckDB twins (dirty-stream
+    fuzz finding, r9).
     """
+    df = df.filter(F.col(ts_col).isNotNull())
     order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in tiebreak_cols]
     w = Window.partitionBy(*key_cols).orderBy(*order)
 

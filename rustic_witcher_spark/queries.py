@@ -2625,8 +2625,10 @@ def q_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_ASOF = """
-WITH l AS (SELECT event_id, ts, user_id, value FROM events WHERE event_type = 'click'),
-r AS (SELECT user_id, ts, max(value) AS purchase_value FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+WITH l AS (SELECT event_id, ts, user_id, value FROM events
+           WHERE event_type = 'click' AND ts IS NOT NULL),
+r AS (SELECT user_id, ts, max(value) AS purchase_value FROM events
+      WHERE event_type = 'purchase' AND ts IS NOT NULL GROUP BY 1, 2)
 SELECT l.event_id, strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS ts, l.user_id,
        round(l.value, 4) AS value, round(r.purchase_value, 4) AS purchase_value
 FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
@@ -2694,8 +2696,9 @@ SQL_ROLLUP_CASCADE = """
 SELECT event_type, strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS bucket_start,
        count(*) AS n, round(sum(value), 4) AS sum_value,
        round(min(value), 4) AS min_value, round(max(value), 4) AS max_value
-FROM events GROUP BY 1, 2
+FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 """
+# ^ ts IS NOT NULL mirrors F.window's structural drop (dirty fuzz, r9).
 
 
 def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2726,8 +2729,12 @@ def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_TUMBLING = """
 SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        count(*) AS n_events, round(sum(value), 4) AS sum_value
-FROM events GROUP BY 1
+FROM events WHERE ts IS NOT NULL GROUP BY 1
 """
+# ^ ts IS NOT NULL: an event with no timestamp belongs to NO time
+# window — Spark's F.window drops such rows structurally; the oracle
+# must say so explicitly or DuckDB groups them under a NULL bucket
+# (dirty-stream fuzz finding, r9).
 
 
 def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2735,7 +2742,7 @@ def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_SLIDING = """
-WITH b AS (SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS tb, value FROM events),
+WITH b AS (SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS tb, value FROM events WHERE ts IS NOT NULL),
 w AS (SELECT unnest([tb, tb - INTERVAL 30 MINUTE]) AS ws, value FROM b)
 SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, count(*) AS n_events, round(sum(value), 4) AS sum_value
 FROM w GROUP BY 1
@@ -2761,7 +2768,9 @@ WITH g AS (
          -- lag-NULL brk=1 row can land mid-tie in the cumsum and split
          -- a zero-gap group in two (also fuzz-found).
          CASE WHEN lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
-  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+  -- ts IS NOT NULL: a timestamp-less event belongs to NO session —
+  -- Spark's F.session_window drops such rows structurally (dirty fuzz)
+  FROM events WHERE ts IS NOT NULL WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM g)
 SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
@@ -3491,7 +3500,7 @@ WITH marked AS (
          CASE WHEN lag(ts) OVER w IS NULL
                 OR lag(event_type) OVER w IS DISTINCT FROM event_type
               THEN 1 ELSE 0 END AS is_new
-  FROM events
+  FROM events WHERE ts IS NOT NULL
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 runs AS (
@@ -3539,7 +3548,7 @@ WITH marked AS (
          CASE WHEN lag(ts) OVER w IS NULL
                 OR lag(event_type) OVER w IS DISTINCT FROM event_type
               THEN 1 ELSE 0 END AS is_new
-  FROM events
+  FROM events WHERE ts IS NOT NULL
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 runs AS (
@@ -3583,8 +3592,11 @@ def q_purchases_with_state_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the join condition never leans on Spark's dataset-id self-join
     # disambiguation heuristic (which warns today and hard-fails once
     # lineage is transformed or cached)
+    # ts IS NOT NULL: a purchase with no timestamp has no as-of
+    # position — and its 'none' output row would sort NULLS FIRST in
+    # Spark but NULLS LAST in DuckDB (dirty-stream fuzz class, r9)
     p = (
-        ev.filter(F.col("event_type") == "purchase")
+        ev.filter((F.col("event_type") == "purchase") & F.col("ts").isNotNull())
         .select("user_id", F.col("ts").alias("purchase_ts"), "event_id", "value")
         .alias("p")
     )
@@ -3611,7 +3623,7 @@ WITH marked AS (
          CASE WHEN lag(ts) OVER w IS NULL
                 OR lag(event_type) OVER w IS DISTINCT FROM event_type
               THEN 1 ELSE 0 END AS is_new
-  FROM events WHERE event_type <> 'purchase'
+  FROM events WHERE event_type <> 'purchase' AND ts IS NOT NULL
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 runs AS (
@@ -3632,7 +3644,7 @@ SELECT p.user_id, strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_at,
 FROM events p
 LEFT JOIN hist h
   ON h.user_id = p.user_id AND p.ts >= h.vf AND (h.vt IS NULL OR p.ts < h.vt)
-WHERE p.event_type = 'purchase'
+WHERE p.event_type = 'purchase' AND p.ts IS NOT NULL
 ORDER BY 1, 2, 3
 """
 
@@ -3651,8 +3663,11 @@ def q_state_tier_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, ["user_id"], ["event_type"], "ts", tiebreak_cols=["event_id"]
     )
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    # ts IS NOT NULL: a purchase with no timestamp has no position in
+    # the running count (and NULLS FIRST/LAST divergence would shift
+    # every later purchase's tier — dirty-stream fuzz, r9)
     p = (
-        ev.filter(F.col("event_type") == "purchase")
+        ev.filter((F.col("event_type") == "purchase") & F.col("ts").isNotNull())
         .withColumn("__cnt", F.row_number().over(w))
         .withColumn(
             "tier",
@@ -3684,7 +3699,7 @@ WITH marked AS (
          CASE WHEN lag(ts) OVER w IS NULL
                 OR lag(event_type) OVER w IS DISTINCT FROM event_type
               THEN 1 ELSE 0 END AS is_new
-  FROM events
+  FROM events WHERE ts IS NOT NULL
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 runs AS (
@@ -3698,7 +3713,7 @@ state_hist AS (
 purch AS (
   SELECT user_id, ts, event_id,
          row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS cnt
-  FROM events WHERE event_type = 'purchase'
+  FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
 ),
 tiers AS (
   SELECT user_id, ts, event_id,
@@ -3937,15 +3952,17 @@ WITH h AS (
   SELECT event_type,
          length(bin((floor(value) + 1)::BIGINT)) - 1 AS bucket,
          count(*) AS n
-  FROM events GROUP BY 1, 2
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
 )
 SELECT event_type, bucket, power(2, bucket)::BIGINT - 1 AS lo, n,
        round(n / sum(n) OVER (PARTITION BY event_type), 6) AS share,
        round(sum(n) OVER (PARTITION BY event_type ORDER BY bucket)
              / sum(n) OVER (PARTITION BY event_type), 6) AS cum_share
 FROM h
-ORDER BY event_type, bucket
+ORDER BY event_type NULLS FIRST, bucket
 """
+# ^ value IS NOT NULL mirrors value_histogram's drop; NULLS FIRST pins
+# the NULL event_type group to Spark's ASC default (dirty fuzz, r9).
 
 def q_session_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence analytics: the event-type transition matrix (Markov
@@ -3956,7 +3973,11 @@ def q_session_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle on user_id, one map-side-combinable rollup to a
     #types x #types matrix. The share window runs over that matrix,
     not the data."""
-    ev = read_events(spark, sf_dir)
+    # ts IS NOT NULL: a timestamp-less event has no position in the
+    # sequence — and a NULL sort key orders NULLS FIRST in Spark but
+    # NULLS LAST in DuckDB, silently changing the transition pairs
+    # (dirty-stream fuzz finding, r9)
+    ev = read_events(spark, sf_dir).filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
     pairs = ev.select(
         F.lag("event_type").over(w).alias("from_type"),
@@ -3974,7 +3995,7 @@ SQL_SESSION_TRANSITIONS = """
 WITH pairs AS (
   SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_type,
          event_type AS to_type
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 ),
 m AS (
   SELECT from_type, to_type, count(*) AS n
@@ -6870,12 +6891,15 @@ def build_registry() -> dict[str, tuple[QueryFn, str | None]]:
     − 3 r8-new − 2 r8-late): the filter family tail, anonymize/faker
     suite, CDC/validation, the dedup/similarity/sampling/sketch/
     corpus/multimodal groups graded in r6, events_session, and the r6
-    curation entries. ROUND9_PREFIX = pq_ann_topk + repetition_signals
-    + hybrid_search_rrf + contrastive_triplets + embedding_outliers +
-    feature_hash_embed (the six r8-late additions — the window was
+    curation entries. ROUND9_PREFIX = ivfpq_ann_topk +
+    bpe_vocab_trained (the two r9 additions — new entries always enter
+    the current window) + pq_ann_topk + repetition_signals +
+    hybrid_search_rrf + contrastive_triplets + embedding_outliers +
+    feature_hash_embed (the six r8-late additions — the r8 window was
     already full with the 47 mandated rotations when they landed, so
-    they lead r9 as the only never-driver-verified entries) + 44 of
-    those 49 r06 holders = exactly 50; the five r06 deferrals spill to
+    they lead r9 as never-driver-verified entries) + 42 of those 49
+    r06 holders = exactly 50; the seven deferrals (five filter
+    predicates + q20_part_promotion + q21_waiting_suppliers) spill to
     the r10 window.
     The full local gate (`scripts/compare_oracle.py`) runs ALL
     entries every round, and is order- AND dtype-faithful to the

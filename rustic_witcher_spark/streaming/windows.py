@@ -56,12 +56,19 @@ def value_histogram(df: DataFrame, value_col: str = "value", keys: list[str] | N
     Contract: ``value_col`` must be non-negative. floor(v)+1 <= 0
     makes F.conv read the long as unsigned 64-bit (bucket 63) and
     v in [-1, 0) collides with the [0, 1) bucket — clamp or abs
-    signed metrics before calling."""
+    signed metrics before calling. NULL values are DROPPED: a row with
+    no measurement belongs to no bucket (a NULL bucket group would
+    also sort NULLS FIRST in Spark but NULLS LAST in the DuckDB twin's
+    cumulative window — the dirty-stream fuzz caught exactly that)."""
     keys = keys or []
     bucket = (
         F.length(F.conv((F.floor(F.col(value_col)) + F.lit(1)).cast("long"), 10, 2)) - 1
     ).alias("bucket")
-    return df.groupBy(*keys, bucket).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*keys, bucket)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
 
 
 def session(df: DataFrame, ts_col: str = "ts", gap: str = "30 minutes", key: str = "user_id") -> DataFrame:
