@@ -42,27 +42,37 @@ def asof_join(
     while DuckDB's native ASOF treats NULL as +infinity (a NULL-ts left
     row matches the latest right row) — the dirty-stream fuzz caught
     exactly this divergence (r9).
+
+    The carried payload is the whole right-row STRUCT, not the bare
+    value columns: the match is "most recent right ROW", and if that
+    row's value is NULL the result is NULL. A bare
+    ``last(value, ignorenulls)`` would skip the NULL-valued row and
+    resurrect an OLDER right row — masking instead of matching (a
+    second real fuzz finding, r9: DuckDB's ASOF returned the latest
+    purchase's NULL while this operator time-traveled past it).
     """
     left = left.filter(F.col(left_ts).isNotNull())
     right = right.filter(F.col(right_ts).isNotNull())
     lcols = left.columns
+    pack_t = ", ".join(
+        f"`{v}`: {right.schema[v].dataType.simpleString()}" for v in value_cols
+    )
     l = left.withColumn("__ts", F.col(left_ts)).withColumn("__side", F.lit(0))
-    for v in value_cols:
-        l = l.withColumn(f"__v_{v}", F.lit(None).cast(right.schema[v].dataType))
+    l = l.withColumn("__pack", F.lit(None).cast(f"struct<{pack_t}>"))
     l = l.withColumn("__tb", F.lit(None).cast("long"))
 
     r = right.select(
         *on,
         F.col(right_ts).alias("__ts"),
         F.lit(1).alias("__side"),
-        *[F.col(v).alias(f"__v_{v}") for v in value_cols],
+        F.struct(*[F.col(v).alias(v) for v in value_cols]).alias("__pack"),
         (F.col(tiebreak).cast("long") if tiebreak else F.lit(0).cast("long")).alias("__tb"),
     )
     for c in lcols:
         if c not in r.columns:
             r = r.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
-    unioned = l.select(*lcols, "__ts", "__side", "__tb", *[f"__v_{v}" for v in value_cols]).unionByName(
-        r.select(*lcols, "__ts", "__side", "__tb", *[f"__v_{v}" for v in value_cols])
+    unioned = l.select(*lcols, "__ts", "__side", "__tb", "__pack").unionByName(
+        r.select(*lcols, "__ts", "__side", "__tb", "__pack")
     )
 
     # right rows (side=1) sort BEFORE left rows at equal ts → inclusive <=
@@ -71,7 +81,10 @@ def asof_join(
         .orderBy(F.col("__ts").asc(), F.col("__side").desc(), F.col("__tb").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    out = unioned
-    for v in value_cols:
-        out = out.withColumn(f"{v}{suffix}", F.last(F.col(f"__v_{v}"), ignorenulls=True).over(w))
-    return out.filter(F.col("__side") == 0).select(*lcols, *[f"{v}{suffix}" for v in value_cols])
+    # the struct literal from a right row is never NULL (even when every
+    # field is), so ignorenulls finds the latest right ROW, not the
+    # latest non-null value
+    out = unioned.withColumn("__m", F.last(F.col("__pack"), ignorenulls=True).over(w))
+    return out.filter(F.col("__side") == 0).select(
+        *lcols, *[F.col("__m").getField(v).alias(f"{v}{suffix}") for v in value_cols]
+    )

@@ -691,3 +691,95 @@ def verify_candidates_jaccard(
         .filter(F.col("jaccard") >= threshold)
         .drop("__ta", "__tb")
     )
+
+
+# ------------------------------------------------- containment (doc-in-doc)
+
+
+def containment_near_duplicates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    seed: int = DEFAULT_SEED,
+    max_posting: int = 2048,
+) -> DataFrame:
+    """Asymmetric set-containment near-duplicates — the doc-in-doc
+    detector Jaccard-based dedup structurally misses (ref parity: the
+    reference has no containment op; this extends its dedup surface the
+    way a quote-wrapper / boilerplate-inclusion pass needs it).
+
+    A short document quoted whole inside a long one has containment
+    C(A→B) = |S(A)∩S(B)| / |S(A)| ≈ 1 while Jaccard ≈ |A|/|B| ≈ 0 —
+    below every MinHash banding threshold, so LSH never surfaces the
+    pair. Candidates here come from PREFIX FILTERING (Chaudhuri et al.
+    SSJoin / Xiao et al. PPJoin): order each doc's word-3-gram-hash
+    set by GLOBAL gram frequency ascending (rarest first, gram-hash
+    tie-break); if max-containment ≥ 1/2 then the smaller side shares
+    at least one of its first ⌊sz/2⌋+1 grams with the other doc —
+    so probing only those prefix grams against the full posting index
+    finds every qualifying pair.
+
+    All thresholds are INTEGER arithmetic on both engine faces:
+    prefix length = sz - (sz+1)//2 + 1 and the keep test is
+    2·n_inter ≥ min(sz_a, sz_b) — no float rounding can disagree.
+
+    Scale shape: one (doc, gram) distinct projection feeds everything;
+    the probe side is ~half of it; candidate enumeration is ONE
+    equi-join on the gram hash; the exact verify touches only candidate
+    pairs (never an all-pairs overlap join). ``max_posting`` bounds
+    degenerate gram posting lists (boilerplate grams at web scale)
+    exactly like minhash_lsh_candidates' bucket cap: keep the
+    ``max_posting`` lowest-id members per gram on BOTH probe and index
+    sides, deterministically.
+
+    Returns (id_a, id_b, n_inter, sz_a, sz_b, cont_a_in_b, cont_b_in_a)
+    with id_a < id_b for pairs with max(C(A→B), C(B→A)) ≥ 1/2.
+    """
+    sg = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.array_distinct(word_shingle_hashes(F.col(text_col), seed))).alias("g"),
+    )
+    if max_posting is not None:
+        wp = Window.partitionBy("g").orderBy("__id")
+        sg = sg.withColumn("__pn", F.row_number().over(wp)).filter(F.col("__pn") <= max_posting).drop("__pn")
+    sizes = sg.groupBy("__id").agg(F.count(F.lit(1)).alias("sz"))
+    freq = sg.groupBy("g").agg(F.count(F.lit(1)).alias("nf"))
+    wr = Window.partitionBy("__id").orderBy(F.col("nf").asc(), F.col("g").asc())
+    ranked = sg.join(freq, "g").withColumn("pos", F.row_number().over(wr))
+    probe = ranked.join(sizes, "__id").filter(
+        F.col("pos") <= F.col("sz") - F.expr("(sz + 1) div 2") + 1
+    )
+    cands = (
+        probe.select(F.col("__id").alias("id_a"), "g")
+        .join(sg.select(F.col("__id").alias("id_b"), "g"), "g")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+        .distinct()
+    )
+    # exact verify: A's grams matched into B's posting rows, counted per
+    # pair — candidate-bounded work, never an all-pairs overlap join
+    inter = (
+        cands.join(sg.select(F.col("__id").alias("id_a"), "g"), "id_a")
+        .join(sg.select(F.col("__id").alias("id_b"), "g"), ["id_b", "g"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("__id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("__id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(2 * F.col("n_inter") >= F.least("sz_a", "sz_b"))
+        .select(
+            "id_a",
+            "id_b",
+            "n_inter",
+            "sz_a",
+            "sz_b",
+            F.round(F.col("n_inter") / F.col("sz_a"), 6).alias("cont_a_in_b"),
+            F.round(F.col("n_inter") / F.col("sz_b"), 6).alias("cont_b_in_a"),
+        )
+    )

@@ -5782,6 +5782,229 @@ ORDER BY source_a, source_b
 """
 
 
+def _sql_doc_grams_sg() -> str:
+    """DuckDB twin of ``explode(array_distinct(word_shingle_hashes(text)))``
+    keyed by doc_id — the shared (doc_id, g) CTE body for the
+    containment / novelty entries (same gram arithmetic as
+    sql_source_overlap / the minhash twins: ONE md5 per token,
+    arithmetic 3-gram combine mod M31)."""
+    from rustic_witcher_spark.operators.dedup import _GRAM_W1, _GRAM_W2
+
+    norm = _norm_sql("text")
+    toks = f"string_split({norm}, ' ')"
+    th = f"list_transform({toks}, t -> ({sql_hash64('t', SEED, 'mh')}) % {MERSENNE_31})"
+    grams = (
+        f"list_transform(generate_series(1, len(tok_h) - 2), "
+        f"i -> ((tok_h[i] * {_GRAM_W1}) % {MERSENNE_31} + (tok_h[i+1] * {_GRAM_W2}) % {MERSENNE_31} + tok_h[i+2]) % {MERSENNE_31})"
+    )
+    whole = f"[({sql_hash64('norm', SEED, 'mh')}) % {MERSENNE_31}]"
+    return (
+        f"th AS (SELECT doc_id, {th} AS tok_h, {norm} AS norm FROM documents),\n"
+        f"sg AS (SELECT doc_id, unnest(list_distinct("
+        f"CASE WHEN len(tok_h) >= 3 THEN {grams} ELSE {whole} END)) AS g FROM th)"
+    )
+
+
+def q_containment_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-in-doc containment dedup via prefix filtering (SSJoin /
+    PPJoin) — the asymmetric near-dup class MinHash banding
+    structurally misses: a short doc quoted whole inside a long one has
+    containment ≈ 1 but Jaccard ≈ |A|/|B| ≈ 0, below every LSH
+    threshold. See operators/dedup.containment_near_duplicates for the
+    algorithm and the integer-arithmetic threshold discipline (prefix
+    length and the ≥1/2 keep test never touch floats, so the engines
+    cannot disagree at a boundary). max_posting is effectively
+    unbounded here so the oracle reproduces the exact pair set; the
+    operator default caps degenerate posting lists at web scale."""
+    d = _spread(spark, _read(spark, sf_dir, "documents"))
+    return dedup.containment_near_duplicates(
+        d, "text", "doc_id", seed=SEED, max_posting=1 << 40
+    ).orderBy("id_a", "id_b")
+
+
+def sql_containment_near_dups() -> str:
+    return f"""
+WITH {_sql_doc_grams_sg()},
+sizes AS (SELECT doc_id, count(*) AS sz FROM sg GROUP BY 1),
+freq AS (SELECT g, count(*) AS nf FROM sg GROUP BY 1),
+ranked AS (
+  SELECT s.doc_id, s.g,
+         row_number() OVER (PARTITION BY s.doc_id ORDER BY f.nf ASC, s.g ASC) AS pos
+  FROM sg s JOIN freq f USING (g)
+),
+probe AS (
+  SELECT r.doc_id, r.g FROM ranked r JOIN sizes z USING (doc_id)
+  WHERE r.pos <= z.sz - ((z.sz + 1) // 2) + 1
+),
+cands AS (
+  SELECT DISTINCT least(p.doc_id, s.doc_id) AS id_a, greatest(p.doc_id, s.doc_id) AS id_b
+  FROM probe p JOIN sg s ON p.g = s.g AND p.doc_id <> s.doc_id
+),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_inter
+  FROM cands c
+  JOIN sg a ON a.doc_id = c.id_a
+  JOIN sg b ON b.doc_id = c.id_b AND b.g = a.g
+  GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b, i.n_inter, za.sz AS sz_a, zb.sz AS sz_b,
+       round(i.n_inter / za.sz, 6) AS cont_a_in_b,
+       round(i.n_inter / zb.sz, 6) AS cont_b_in_a
+FROM inter i
+JOIN sizes za ON za.doc_id = i.id_a
+JOIN sizes zb ON zb.doc_id = i.id_b
+WHERE 2 * i.n_inter >= least(za.sz, zb.sz)
+ORDER BY 1, 2
+"""
+
+
+def q_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marginal-novelty curation signal: per document, the fraction of
+    its DISTINCT word-3-gram shingles whose global FIRST owner
+    (min doc_id — ingestion order) is this document. Low-novelty docs
+    add little over the corpus already ingested before them — the
+    greedy selection signal incremental curation (D4-style) ranks by,
+    and the per-doc face of chunk_dedup's duplicate-chunk counts.
+    Scale shape: ONE (doc, gram) distinct projection; the first-owner
+    table is gram-vocabulary-sized (min is map-side combinable); the
+    join back is on the same gram key — two shuffles total, both on
+    the gram hash, no pair enumeration anywhere."""
+    d = _spread(spark, _read(spark, sf_dir, "documents"))
+    sg = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(dedup.word_shingle_hashes(F.col("text"), seed=SEED))).alias("g"),
+    )
+    first = sg.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sg.join(first, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("int")).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.round(F.col("n_novel") / F.col("n_shingles"), 6).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def sql_novelty_scores() -> str:
+    return f"""
+WITH {_sql_doc_grams_sg()},
+first AS (SELECT g, min(doc_id) AS first_doc FROM sg GROUP BY 1)
+SELECT s.doc_id, count(*) AS n_shingles,
+       sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)::BIGINT AS n_novel,
+       round(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) / count(*), 6) AS novelty
+FROM sg s JOIN first f USING (g)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth (Heaps' law) curve: cumulative distinct token
+    types vs cumulative token volume over the corpus in ingestion order
+    (doc_id), at 10 checkpoints — the curve that sizes a tokenizer
+    vocabulary and detects a crawl gone stale (type growth flattening
+    while volume grows). Checkpoint assignment uses the decile-BOUNDS
+    pattern (doc_length_deciles): the nine doc_id quantile boundaries
+    are ONE scalar aggregate row broadcast to the scan — NOT an
+    ntile(10) global-sort window, the classic single-partition
+    scale-killer. Each token type contributes to the decile of its
+    FIRST-owner doc (min doc_id — a vocabulary-sized map-combinable
+    agg); the cumulative window then runs over exactly 10 rows."""
+    d = _spread(spark, _read(spark, sf_dir, "documents"))
+    fracs = [i / 10 for i in range(1, 10)]
+    bounds = d.agg(
+        F.expr(
+            "transform(percentile(doc_id, array({fs})), x -> round(x, 4))".format(
+                fs=", ".join(str(f) for f in fracs)
+            )
+        ).alias("__bounds")
+    )
+    decile_of = lambda c: 1 + F.aggregate(  # noqa: E731
+        "__bounds", F.lit(0), lambda acc, b: acc + F.when(c > b, 1).otherwise(0)
+    )
+    docs_d = (
+        d.select("doc_id", text.token_count(F.col("text")).alias("__nt"))
+        .crossJoin(F.broadcast(bounds))
+        .withColumn("decile", decile_of(F.col("doc_id")))
+    )
+    base = docs_d.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("__nt").alias("n_tokens")
+    )
+    first = (
+        d.select("doc_id", F.explode(F.array_distinct(text.tokens(F.col("text")))).alias("t"))
+        .groupBy("t")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    newt = (
+        first.crossJoin(F.broadcast(bounds))
+        .withColumn("decile", decile_of(F.col("first_doc")))
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).alias("new_types"))
+    )
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        base.join(newt, "decile", "left")
+        .withColumn("new_types", F.coalesce(F.col("new_types"), F.lit(0)))
+        .withColumn("cum_types", F.sum("new_types").over(wc))
+        .withColumn("cum_tokens", F.sum("n_tokens").over(wc))
+        .select(
+            "decile",
+            "n_docs",
+            "n_tokens",
+            "new_types",
+            "cum_types",
+            "cum_tokens",
+            # try_divide: an all-empty corpus folds cum_tokens to 0 —
+            # DuckDB yields NULL there, ANSI Spark would throw
+            F.round(F.try_divide(F.col("cum_types"), F.col("cum_tokens")), 6).alias("type_token_ratio"),
+        )
+        .orderBy("decile")
+    )
+
+
+def sql_vocab_growth() -> str:
+    toks = _toks_sql("text")
+    return f"""
+WITH b AS (
+  SELECT list_transform(quantile_cont(doc_id, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+                        x -> round(x, 4)) AS bounds
+  FROM documents
+),
+docs_d AS (
+  SELECT doc_id, len({toks}) AS nt,
+         1 + len(list_filter(bounds, x -> doc_id > x)) AS decile
+  FROM documents CROSS JOIN b
+),
+base AS (SELECT decile, count(*) AS n_docs, sum(nt)::BIGINT AS n_tokens FROM docs_d GROUP BY 1),
+first AS (
+  SELECT t, min(doc_id) AS first_doc
+  FROM (SELECT doc_id, unnest(list_distinct({toks})) AS t FROM documents)
+  GROUP BY 1
+),
+newt AS (
+  SELECT 1 + len(list_filter(bounds, x -> first_doc > x)) AS decile, count(*) AS new_types
+  FROM first CROSS JOIN b GROUP BY 1
+),
+curve AS (
+  SELECT base.decile, base.n_docs, base.n_tokens, coalesce(newt.new_types, 0) AS new_types
+  FROM base LEFT JOIN newt USING (decile)
+)
+SELECT decile, n_docs, n_tokens, new_types,
+       (sum(new_types) OVER w)::BIGINT AS cum_types,
+       (sum(n_tokens) OVER w)::BIGINT AS cum_tokens,
+       round(sum(new_types) OVER w / sum(n_tokens) OVER w, 6) AS type_token_ratio
+FROM curve
+WINDOW w AS (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+ORDER BY decile
+"""
+
+
 MAD_CONSISTENCY = 0.6745  # Φ⁻¹(3/4): scales MAD to σ under normality
 MAD_TOP_N = 20
 
@@ -6892,15 +7115,16 @@ def build_registry() -> dict[str, tuple[QueryFn, str | None]]:
     suite, CDC/validation, the dedup/similarity/sampling/sketch/
     corpus/multimodal groups graded in r6, events_session, and the r6
     curation entries. ROUND9_PREFIX = ivfpq_ann_topk +
-    bpe_vocab_trained (the two r9 additions — new entries always enter
+    bpe_vocab_trained + containment_near_dups + novelty_scores +
+    vocab_growth (the five r9 additions — new entries always enter
     the current window) + pq_ann_topk + repetition_signals +
     hybrid_search_rrf + contrastive_triplets + embedding_outliers +
     feature_hash_embed (the six r8-late additions — the r8 window was
     already full with the 47 mandated rotations when they landed, so
-    they lead r9 as never-driver-verified entries) + 42 of those 49
-    r06 holders = exactly 50; the seven deferrals (five filter
-    predicates + q20_part_promotion + q21_waiting_suppliers) spill to
-    the r10 window.
+    they lead r9 as never-driver-verified entries) + 39 of those 49
+    r06 holders = exactly 50; the ten deferrals (five filter
+    predicates + q20_part_promotion + q21_waiting_suppliers + the
+    faker trio) spill to the r10 window.
     The full local gate (`scripts/compare_oracle.py`) runs ALL
     entries every round, and is order- AND dtype-faithful to the
     driver hash (round-7 rewrite after q12 shipped red twice).
@@ -7091,6 +7315,9 @@ def build_registry() -> dict[str, tuple[QueryFn, str | None]]:
             # --- round-9 additions (enter the r9 window immediately) ---
             "ivfpq_ann_topk": (q_ivfpq_ann_topk, sql_ivfpq_ann_topk()),
             "bpe_vocab_trained": (q_bpe_vocab_trained, sql_bpe_vocab_trained()),
+            "containment_near_dups": (q_containment_near_dups, sql_containment_near_dups()),
+            "novelty_scores": (q_novelty_scores, sql_novelty_scores()),
+            "vocab_growth": (q_vocab_growth, sql_vocab_growth()),
             "hybrid_search_rrf": (q_hybrid_search_rrf, sql_hybrid_search_rrf()),
             "contrastive_triplets": (q_contrastive_triplets, sql_contrastive_triplets()),
             "embedding_outliers": (q_embedding_outliers, sql_embedding_outliers()),
@@ -7214,27 +7441,29 @@ ROUND8_PREFIX = [
 
 # ACTIVE round-9 window (wired into build_registry this round).
 # Composition per the rotation ledger in the build_registry docstring:
-# the two r9 additions lead (new entries always enter the CURRENT
-# window), then the six r8-late never-driver-verified entries, then 42
-# of the 49 r06-verdict holders; the seven deferrals to the r10 window
+# the five r9 additions lead (new entries always enter the CURRENT
+# window), then the six r8-late never-driver-verified entries, then 39
+# of the 49 r06-verdict holders; the ten deferrals to the r10 window
 # are filter_startswith / filter_endswith / filter_startsends /
 # filter_equals / filter_anyofint (the simplest, most-stable Catalyst
 # predicate entries — least drift risk of the cohort; all five hold
-# randomized-warehouse fuzz parity) plus q20_part_promotion /
-# q21_waiting_suppliers (lineitem-family fuzz parity).
+# randomized-warehouse fuzz parity), q20_part_promotion /
+# q21_waiting_suppliers (lineitem-family fuzz parity), and faker_suite
+# / fake_multi_email / fake_email_id_prefix (anonymization family —
+# warehouse-fuzz parity, deterministic per-value seeds, no drift risk).
 ROUND9_PREFIX = [
     # new in round 9 (enter the current window immediately)
     "ivfpq_ann_topk", "bpe_vocab_trained",
+    "containment_near_dups", "novelty_scores", "vocab_growth",
     # never driver-verified (r8-late additions)
     "pq_ann_topk", "repetition_signals", "hybrid_search_rrf",
     "contrastive_triplets", "embedding_outliers", "feature_hash_embed",
-    # r06-verdict rotation (42 of 49; q20_part_promotion and
-    # q21_waiting_suppliers additionally defer to r10 to make room for
-    # the two r9 additions — both hold lineitem-family randomized fuzz
-    # parity, the least-drift-risk pair of the remaining cohort)
+    # r06-verdict rotation (39 of 49; the faker trio additionally
+    # defers to r10 to make room for the three late-r9 additions —
+    # warehouse-fuzz-covered, the least-drift-risk of the remaining
+    # cohort)
     "filter_anyofstring",
-    "anonymize_supplier", "anonymize_orders", "faker_suite",
-    "fake_multi_email", "fake_email_id_prefix", "sanitize_null_bytes",
+    "anonymize_supplier", "anonymize_orders", "sanitize_null_bytes",
     "keep_num_of_records", "agg_max_pk", "validation_check",
     "datadiff_check", "dedup_exact", "minhash_signatures", "simhash",
     "simhash_near_dups", "dedup_clusters", "ngram_jaccard_adjacent",

@@ -67,3 +67,27 @@ def test_asof_plan_single_shuffle(spark, sf_dir):
     plan = q_asof_last_purchase(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     n_exchanges = plan.count("Exchange hashpartitioning")
     assert n_exchanges <= 2, plan  # right-side pre-agg + window partition
+
+
+def test_asof_null_valued_right_row_masks_not_skips(spark):
+    # The match is "most recent right ROW": a NULL-valued right row at
+    # t=10 must yield NULL for a t=11 probe — NOT resurrect the t=8 row
+    # (r9 dirty-stream fuzz finding; DuckDB's native ASOF agrees).
+    left = spark.createDataFrame([(1, _ts(11))], ["k", "ts"])
+    right = spark.createDataFrame(
+        [(1, _ts(8), 100.0), (1, _ts(10), None)],
+        "k long, ts timestamp, v double",
+    )
+    out = asof_join(left, right, on=["k"], left_ts="ts", right_ts="ts", value_cols=["v"])
+    assert out.collect()[0]["v_asof"] is None
+
+
+def test_asof_null_ts_rows_dropped_both_sides(spark):
+    # NULL ts: no as-of position. Left NULL-ts rows leave the output;
+    # right NULL-ts rows are invisible to every probe.
+    left = spark.createDataFrame([(1, _ts(11)), (1, None)], "k long, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, None, 999.0), (1, _ts(8), 100.0)], "k long, ts timestamp, v double"
+    )
+    out = asof_join(left, right, on=["k"], left_ts="ts", right_ts="ts", value_cols=["v"]).collect()
+    assert len(out) == 1 and out[0]["v_asof"] == 100.0

@@ -90,5 +90,6 @@ def test_registry_prefix_matches_rotation_plan():
     assert len(names) == len(set(names))
     # r9 window composition: new-in-r9 entries + the six r8-late
     # never-driver-verified entries + r06-verdict holders — nothing else
-    assert "pq_ann_topk" in ROUND9_PREFIX[:8]
-    assert "feature_hash_embed" in ROUND9_PREFIX[:8]
+    assert "pq_ann_topk" in ROUND9_PREFIX[:11]
+    assert "feature_hash_embed" in ROUND9_PREFIX[:11]
+    assert "containment_near_dups" in ROUND9_PREFIX[:5]

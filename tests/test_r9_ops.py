@@ -199,3 +199,131 @@ def test_bpe_vocab_trained_entry_matches_oracle(spark):
     w = con.execute(sql_bpe_vocab_trained()).fetchdf()
     assert len(g) == 6
     assert g.astype(str).values.tolist() == w.astype(str).values.tolist()
+
+
+# ---------------------------------------------------------------------------
+# containment_near_dups / novelty_scores / vocab_growth (late-r9 curation ops)
+# ---------------------------------------------------------------------------
+
+
+def _containment_corpus(spark):
+    # B contains A verbatim (contiguous), so shingles(A) ⊆ shingles(B):
+    # containment(A→B) = 1 while Jaccard = |A|/|B| is far below any LSH
+    # threshold. C is unrelated. D/E are exact twins (symmetric dup).
+    a = "the quick brown fox jumps over the lazy dog near the river bank"
+    b = (
+        "intro words before anything relevant appears here now "
+        + a
+        + " and then a very long tail of unrelated filler content goes on "
+        "and on with many more words to dilute the jaccard similarity far "
+        "below every banding threshold used anywhere in this engine"
+    )
+    c = "completely different text about spark catalyst optimizer plans and shuffles"
+    d = "twin document body shared exactly by two rows in this corpus"
+    rows = [(0, a), (1, b), (2, c), (3, d), (4, d)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_containment_catches_doc_in_doc_that_jaccard_misses(spark):
+    from rustic_witcher_spark.operators import dedup
+
+    docs = _containment_corpus(spark)
+    out = {
+        (r["id_a"], r["id_b"]): r
+        for r in dedup.containment_near_duplicates(docs, "text", "doc_id").collect()
+    }
+    assert (0, 1) in out, "A-inside-B pair missed"
+    assert out[(0, 1)]["cont_a_in_b"] == 1.0  # every shingle of A is in B
+    assert out[(0, 1)]["cont_b_in_a"] < 0.5   # ...but B is mostly not A
+    assert (3, 4) in out and out[(3, 4)]["cont_a_in_b"] == 1.0  # exact twins
+    assert not any(2 in p for p in out), "unrelated doc flagged"
+    # the pair LSH banding was built for is also the pair it misses here:
+    jacc = out[(0, 1)]["n_inter"] / (
+        out[(0, 1)]["sz_a"] + out[(0, 1)]["sz_b"] - out[(0, 1)]["n_inter"]
+    )
+    assert jacc < 0.5, "fixture degenerated: Jaccard high enough for LSH anyway"
+
+
+def test_containment_prefix_filter_is_complete_vs_brute_force(spark):
+    """The prefix probe must find EVERY pair with max-containment ≥ 1/2
+    (the SSJoin guarantee). Brute-force the expected pair set from the
+    exact shingle sets and compare."""
+    import itertools
+    import random
+
+    from rustic_witcher_spark.operators import dedup
+
+    rng = random.Random(97)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    for i in range(24):
+        n = rng.randint(1, 12)
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sg = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(dedup.word_shingle_hashes(F.col("text")))
+        ).alias("g"),
+    ).collect()
+    sets: dict[int, set] = {}
+    for r in sg:
+        sets.setdefault(r["doc_id"], set()).add(r["g"])
+    expected = set()
+    for x, y in itertools.combinations(sorted(sets), 2):
+        n = len(sets[x] & sets[y])
+        if 2 * n >= min(len(sets[x]), len(sets[y])) and n > 0:
+            expected.add((x, y))
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.containment_near_duplicates(docs, "text", "doc_id").collect()
+    }
+    assert got == expected
+
+
+def test_novelty_scores_order_dependence(spark):
+    """An exact copy ingested later has novelty 0; the original keeps
+    1.0; a half-borrowed doc lands strictly between."""
+    from rustic_witcher_spark.queries import q_novelty_scores
+
+    a = "alpha beta gamma delta epsilon zeta eta theta"
+    half = "alpha beta gamma delta epsilon nine ten eleven twelve thirteen"
+    d = "/tmp/novelty_fixture_r9"
+    spark.createDataFrame(
+        [(0, a, "en", "s", 1), (1, a, "en", "s", 1), (2, half, "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = {r["doc_id"]: r for r in q_novelty_scores(spark, d).collect()}
+    assert out[0]["novelty"] == 1.0
+    assert out[1]["novelty"] == 0.0
+    assert 0.0 < out[2]["novelty"] < 1.0
+
+
+def test_vocab_growth_curve_invariants(spark):
+    """Cumulative types are monotone, the last checkpoint equals the
+    corpus vocabulary, doc counts cover the corpus, and a second half
+    that only repeats the first half contributes zero new types."""
+    from rustic_witcher_spark.operators import text as text_ops
+    from rustic_witcher_spark.queries import q_vocab_growth
+
+    rows = [(i, f"tok{i} tok{i+1} shared common words", "en", "s", 1) for i in range(10)]
+    rows += [(10 + i, rows[i][1], "en", "s", 1) for i in range(10)]  # pure repeats
+    d = "/tmp/vocab_growth_fixture_r9"
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = q_vocab_growth(spark, d).collect()
+    assert [r["decile"] for r in out] == sorted(r["decile"] for r in out)
+    cum = [r["cum_types"] for r in out]
+    assert cum == sorted(cum)
+    docs = spark.read.parquet(f"{d}/documents.parquet")
+    n_vocab = (
+        docs.select(F.explode(F.array_distinct(text_ops.tokens(F.col("text")))).alias("t"))
+        .agg(F.countDistinct("t"))
+        .collect()[0][0]
+    )
+    assert cum[-1] == n_vocab
+    assert sum(r["n_docs"] for r in out) == 20
+    # the repeat half adds nothing: every decile past the median is flat
+    second_half = [r for r in out if r["decile"] > 5]
+    assert all(r["new_types"] == 0 for r in second_half)
