@@ -723,32 +723,47 @@ def containment_near_duplicates(
     prefix length = sz - (sz+1)//2 + 1 and the keep test is
     2·n_inter ≥ min(sz_a, sz_b) — no float rounding can disagree.
 
-    Scale shape: one (doc, gram) distinct projection feeds everything;
-    the probe side is ~half of it; candidate enumeration is ONE
-    equi-join on the gram hash; the exact verify touches only candidate
-    pairs (never an all-pairs overlap join). ``max_posting`` bounds
-    degenerate gram posting lists (boilerplate grams at web scale)
-    exactly like minhash_lsh_candidates' bucket cap: keep the
-    ``max_posting`` lowest-id members per gram on BOTH probe and index
-    sides, deterministically.
+    Scale shape: one (doc, gram) distinct projection is MATERIALIZED
+    once (operators/materialize — it feeds the probe, the posting
+    index, and both verify legs; Catalyst has no cross-branch subtree
+    reuse, so without the cut the explode subplan runs four times —
+    the contrastive_triplets lesson). Gram frequency and per-doc
+    size/position attach as full-frame WINDOW aggregates over the two
+    partitionings the plan already shuffles on (gram, then doc) — a
+    groupBy+join-back per statistic would shuffle both join sides
+    each time (measured 11.4 s → ~4 s at sf0.1). Candidate
+    enumeration is ONE equi-join on the gram hash; the exact verify
+    touches only candidate pairs (never an all-pairs overlap join).
+    ``max_posting`` bounds degenerate gram posting lists (boilerplate
+    grams at web scale) exactly like minhash_lsh_candidates' bucket
+    cap: keep the ``max_posting`` lowest-id members per gram on BOTH
+    probe and index sides, deterministically.
 
     Returns (id_a, id_b, n_inter, sz_a, sz_b, cont_a_in_b, cont_b_in_a)
     with id_a < id_b for pairs with max(C(A→B), C(B→A)) ≥ 1/2.
     """
+    from rustic_witcher_spark.operators.materialize import materialize
+
     sg = df.select(
         F.col(id_col).alias("__id"),
         F.explode(F.array_distinct(word_shingle_hashes(F.col(text_col), seed))).alias("g"),
     )
+    wg = Window.partitionBy("g")
     if max_posting is not None:
-        wp = Window.partitionBy("g").orderBy("__id")
-        sg = sg.withColumn("__pn", F.row_number().over(wp)).filter(F.col("__pn") <= max_posting).drop("__pn")
-    sizes = sg.groupBy("__id").agg(F.count(F.lit(1)).alias("sz"))
-    freq = sg.groupBy("g").agg(F.count(F.lit(1)).alias("nf"))
-    wr = Window.partitionBy("__id").orderBy(F.col("nf").asc(), F.col("g").asc())
-    ranked = sg.join(freq, "g").withColumn("pos", F.row_number().over(wr))
-    probe = ranked.join(sizes, "__id").filter(
-        F.col("pos") <= F.col("sz") - F.expr("(sz + 1) div 2") + 1
+        sg = (
+            sg.withColumn("__pn", F.row_number().over(wg.orderBy("__id")))
+            .filter(F.col("__pn") <= max_posting)
+            .drop("__pn")
+        )
+    sg = materialize(sg)
+    wd = Window.partitionBy("__id")
+    ranked = (
+        sg.withColumn("nf", F.count(F.lit(1)).over(wg))
+        .withColumn("sz", F.count(F.lit(1)).over(wd))
+        .withColumn("pos", F.row_number().over(wd.orderBy(F.col("nf").asc(), F.col("g").asc())))
     )
+    sizes = ranked.filter(F.col("pos") == 1).select("__id", "sz")
+    probe = ranked.filter(F.col("pos") <= F.col("sz") - F.expr("(sz + 1) div 2") + 1)
     cands = (
         probe.select(F.col("__id").alias("id_a"), "g")
         .join(sg.select(F.col("__id").alias("id_b"), "g"), "g")

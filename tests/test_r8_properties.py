@@ -231,6 +231,10 @@ def test_r8_late_entries_oracle_parity_on_random_clean_corpora(spark, tmp_path_f
         "drift_vs_reference", "ann_recall_eval", "media_metadata",
         "media_near_dups", "multimodal_features", "frame_sample",
         "feature_hash_embed",
+        # r9 additions (corpus-shaped): the containment prefix filter,
+        # novelty first-owner attribution, and the Heaps-curve decile
+        # boundaries are exactly the kind of logic random corpora break
+        "containment_near_dups", "novelty_scores", "vocab_growth",
     ]
     entries = {n: (qs[n], osqls[n]) for n in fuzzed}
     for name, (fn, osql) in entries.items():
