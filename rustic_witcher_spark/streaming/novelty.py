@@ -1,0 +1,150 @@
+"""Streaming face of the novelty signal: continuous document drops are
+scored against the persisted gram-first-owner index and extend it —
+the "have we already seen this content" check a streaming ingest
+pipeline runs per micro-batch (the incremental form of
+``queries.novelty_scores``, whose batch face computes first owners
+over the whole corpus at once).
+
+Design (the shard-appender pattern shared with `streaming/media_dedup`
+and `streaming/ann_stream`):
+
+- **The index is a SET of (g, first_doc) rows** — g is the word-3-gram
+  hash, first_doc the id that introduced it — so maintaining it needs
+  no custom state store. Per micro-batch: explode the batch's distinct
+  grams (ONE projection), LEFT-join the index (gram-keyed, never a
+  corpus re-scan), score each doc's novel fraction, append the
+  previously-unseen grams with their in-batch first owner. Micro-batch
+  cost is O(batch grams + index join).
+- **Idempotent replay** via the foreachBatch contract: a metadata file
+  records ``last_batch_id``; a replayed (≤) batch is skipped before
+  any write. Scores and index rows are batch-partitioned and written
+  with overwrite (``scores/batch=<id>``, ``data/batch=<id>``), and the
+  index read is FILTERED to strictly older batches — a crash-replay
+  (data landed, meta not yet written) re-scores against exactly the
+  pre-batch index (never seeing its own grams, which would zero the
+  whole batch's novelty) and rewrites its own partitions instead of
+  appending duplicates.
+- **Stream ≡ batch** when batches cut the corpus in ascending doc_id
+  order: first-owner-by-processing-order then coincides with the batch
+  face's global min(doc_id) (pinned at arbitrary ascending cuts in
+  ``test_streaming_novelty.py``). Out-of-order arrival keeps the
+  processing-order semantic — first seen wins — which is the honest
+  streaming meaning of "novel".
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from rustic_witcher_spark.functions.wordlists import DEFAULT_SEED
+from rustic_witcher_spark.operators.dedup import word_shingle_hashes
+from rustic_witcher_spark.streaming.replay_meta import load_meta, store_meta
+
+META_NAME = "_novelty_index_meta.json"
+_IDX_SCHEMA = "g long, first_doc long"
+
+
+def novelty_append_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = DEFAULT_SEED,
+) -> bool:
+    """One micro-batch through the index loop: explode → score vs index
+    → append unseen grams. Returns False (no work) for a replayed
+    batch_id. Empty batches advance the replay cursor without touching
+    the index (explicit schemas on every read-back — a 0-row parquet
+    dir must not raise UNABLE_TO_INFER_SCHEMA)."""
+    meta = load_meta(index_path, META_NAME)
+    if batch_id <= meta.get("last_batch_id", -1):
+        return False
+    spark = batch_df.sparkSession
+    sg = batch_df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(word_shingle_hashes(F.col(text_col), seed))).alias("g"),
+    )
+    # persist: the gram projection feeds the score write AND the index
+    # append — without the cut the explode subplan runs per action
+    sg = sg.persist()
+    try:
+        data_dir = os.path.join(index_path, "data")
+        if meta.get("indexed_rows", 0) > 0:
+            # batch-partitioned index; read strictly OLDER batches so a
+            # crash-replay never scores against its own grams
+            seen = (
+                spark.read.schema(f"{_IDX_SCHEMA}, batch long").parquet(data_dir)
+                .filter(F.col("batch") < batch_id)
+                .select("g")
+            )
+        else:
+            seen = spark.createDataFrame([], "g long")
+
+        wg = Window.partitionBy("g")
+        scored = (
+            sg.withColumn("first_in_batch", F.min("doc_id").over(wg))
+            .join(seen.withColumn("__seen", F.lit(True)), "g", "left")
+            .withColumn(
+                "__novel",
+                (F.col("__seen").isNull() & (F.col("first_in_batch") == F.col("doc_id"))).cast("int"),
+            )
+        )
+        scores = scored.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum("__novel").alias("n_novel"),
+        ).select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.round(F.col("n_novel") / F.col("n_shingles"), 6).alias("novelty"),
+        )
+        scores_dir = os.path.join(index_path, "scores", f"batch={batch_id}")
+        scores.write.mode("overwrite").parquet(scores_dir)
+
+        fresh = (
+            scored.filter(F.col("__seen").isNull() & (F.col("first_in_batch") == F.col("doc_id")))
+            .select("g", F.col("doc_id").alias("first_doc"))
+        )
+        batch_dir = os.path.join(data_dir, f"batch={batch_id}")
+        fresh.write.mode("overwrite").parquet(batch_dir)
+        appended = spark.read.schema(_IDX_SCHEMA).parquet(batch_dir).count()
+    finally:
+        sg.unpersist()
+    meta["last_batch_id"] = batch_id
+    meta["indexed_rows"] = meta.get("indexed_rows", 0) + appended
+    store_meta(index_path, META_NAME, meta)
+    return True
+
+
+def read_novelty_scores(spark, index_path: str) -> DataFrame:
+    """All per-batch score partitions as one frame (explicit schema)."""
+    return spark.read.schema(
+        "doc_id long, n_shingles long, n_novel long, novelty double, batch long"
+    ).parquet(os.path.join(index_path, "scores"))
+
+
+def write_novelty_stream(
+    doc_stream: DataFrame,
+    index_path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    queryName: str = "novelty_index",
+):
+    """Run the index loop as a Structured Streaming query (foreachBatch).
+    Per-batch scores land under ``<index_path>/scores/batch=N``; the
+    gram-first-owner set under ``<index_path>/data``."""
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        novelty_append_batch(batch_df, batch_id, index_path, text_col=text_col, id_col=id_col)
+
+    return (
+        doc_stream.writeStream.foreachBatch(_apply)
+        .queryName(queryName)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
