@@ -253,6 +253,33 @@ def build_parser() -> argparse.ArgumentParser:
     am.add_argument("--index", required=True, help="base PQ index (as written by ann-index --pq-subspaces)")
     am.add_argument("--delta", required=True, help="delta dir (as written by the streaming appender)")
     am.add_argument("--id-col", default="vec_id")
+    nv = sub.add_parser(
+        "novelty",
+        help="per-doc marginal novelty (fraction of word-3-gram shingles first owned by "
+        "the doc); one-shot over a corpus, or incremental vs a persisted gram index",
+    )
+    nv.add_argument("--input", required=True, help="documents parquet path")
+    nv.add_argument("--target", default=None, help="scores parquet path (one-shot mode; required without --index)")
+    nv.add_argument("--id-col", default="doc_id")
+    nv.add_argument("--text-col", default="text")
+    nv.add_argument(
+        "--index",
+        default=None,
+        help="gram-first-owner index dir (streaming/novelty layout): score the input as "
+        "the next micro-batch against it and extend it; scores land under the index",
+    )
+    nv.add_argument("--seed", type=int, default=int(os.environ.get("RNG_SEED", DEFAULT_SEED)))
+    ct = sub.add_parser(
+        "containment-dedup",
+        help="asymmetric doc-in-doc near-duplicate pairs (prefix-filtered set-containment "
+        "join; catches quote-wrappers Jaccard/LSH structurally miss)",
+    )
+    ct.add_argument("--input", required=True, help="documents parquet path")
+    ct.add_argument("--target", required=True, help="output parquet path for flagged pairs")
+    ct.add_argument("--id-col", default="doc_id")
+    ct.add_argument("--text-col", default="text")
+    ct.add_argument("--max-posting", type=int, default=2048, help="cap per-gram posting lists (degenerate boilerplate grams)")
+    ct.add_argument("--seed", type=int, default=int(os.environ.get("RNG_SEED", DEFAULT_SEED)))
     return p
 
 
@@ -641,6 +668,55 @@ def main(argv: list[str] | None = None) -> int:
                 sort_keys=True,
             )
         )
+        return 0
+    if args.command == "novelty":
+        from pyspark.sql import functions as F
+
+        from rustic_witcher_spark.operators.dedup import novelty_scores
+
+        spark = get_spark("novelty")
+        docs = spark.read.parquet(args.input)
+        if args.index:
+            from rustic_witcher_spark.streaming.novelty import (
+                META_NAME,
+                novelty_append_batch,
+                read_novelty_scores,
+            )
+            from rustic_witcher_spark.streaming.replay_meta import load_meta
+
+            batch_id = load_meta(args.index, META_NAME).get("last_batch_id", -1) + 1
+            ran = novelty_append_batch(
+                docs, batch_id, args.index, text_col=args.text_col, id_col=args.id_col, seed=args.seed
+            )
+            n = read_novelty_scores(spark, args.index).filter(F.col("batch") == batch_id).count()
+            print(json.dumps({"mode": "incremental", "index": args.index, "batch": batch_id,
+                              "ran": ran, "scored_docs": n}, sort_keys=True))
+            return 0
+        if not args.target:
+            print(json.dumps({"error": "one-shot mode requires --target"}))
+            return 2
+        out = novelty_scores(docs, args.text_col, args.id_col, seed=args.seed)
+        out.write.mode("overwrite").parquet(args.target)
+        scored = spark.read.schema(out.schema).parquet(args.target).count()
+        print(json.dumps({"mode": "one-shot", "target": args.target, "scored_docs": scored}, sort_keys=True))
+        return 0
+    if args.command == "containment-dedup":
+        from pyspark.sql import functions as F
+
+        from rustic_witcher_spark.operators.dedup import containment_near_duplicates
+
+        spark = get_spark("containment-dedup")
+        out = containment_near_duplicates(
+            spark.read.parquet(args.input),
+            args.text_col,
+            args.id_col,
+            seed=args.seed,
+            max_posting=args.max_posting,
+        )
+        out.write.mode("overwrite").parquet(args.target)
+        pairs = spark.read.schema(out.schema).parquet(args.target).count()
+        print(json.dumps({"target": args.target, "flagged_pairs": pairs,
+                          "max_posting": args.max_posting}, sort_keys=True))
         return 0
     if args.command == "hybrid-search":
         from rustic_witcher_spark.operators.retrieval import hybrid_rrf

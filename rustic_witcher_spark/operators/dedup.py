@@ -798,3 +798,35 @@ def containment_near_duplicates(
             F.round(F.col("n_inter") / F.col("sz_b"), 6).alias("cont_b_in_a"),
         )
     )
+
+
+def novelty_scores(df: DataFrame, text_col: str, id_col: str, seed: int = DEFAULT_SEED) -> DataFrame:
+    """Per-doc marginal novelty: the fraction of the doc's DISTINCT
+    word-3-gram shingles whose global first owner (min id — ingestion
+    order) is the doc itself. The batch face shared by the
+    `novelty_scores` registry entry and the `novelty` CLI; the
+    incremental face is streaming/novelty.py.
+
+    ONE explode, ONE gram shuffle (first-owner attaches as a
+    full-frame min() window — a groupBy+join-back would run the
+    explode subplan twice and shuffle both join sides), then a
+    map-combinable per-doc rollup.
+    """
+    sg = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(word_shingle_hashes(F.col(text_col), seed))).alias("g"),
+    )
+    return (
+        sg.withColumn("first_doc", F.min("doc_id").over(Window.partitionBy("g")))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("int")).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.round(F.col("n_novel") / F.col("n_shingles"), 6).alias("novelty"),
+        )
+    )

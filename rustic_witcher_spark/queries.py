@@ -5871,27 +5871,10 @@ def q_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     (The groupBy-then-join-back form runs the explode subplan twice
     and shuffles both join sides — Catalyst has no cross-branch
     subtree reuse; measured 1.7 s → ~1.1 s at sf0.1.) No pair
-    enumeration anywhere."""
+    enumeration anywhere. Shared with the `novelty` CLI (one-shot
+    mode); the incremental face is streaming/novelty.py."""
     d = _spread(spark, _read(spark, sf_dir, "documents"))
-    sg = d.select(
-        "doc_id",
-        F.explode(F.array_distinct(dedup.word_shingle_hashes(F.col("text"), seed=SEED))).alias("g"),
-    )
-    return (
-        sg.withColumn("first_doc", F.min("doc_id").over(Window.partitionBy("g")))
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_shingles"),
-            F.sum((F.col("first_doc") == F.col("doc_id")).cast("int")).alias("n_novel"),
-        )
-        .select(
-            "doc_id",
-            "n_shingles",
-            "n_novel",
-            F.round(F.col("n_novel") / F.col("n_shingles"), 6).alias("novelty"),
-        )
-        .orderBy("doc_id")
-    )
+    return dedup.novelty_scores(d, "text", "doc_id", seed=SEED).orderBy("doc_id")
 
 
 def sql_novelty_scores() -> str:

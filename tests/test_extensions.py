@@ -429,3 +429,68 @@ def test_cli_ann_index_and_query_round_trip(spark, sf_dir, tmp_path, capsys):
         for r in similarity.ivf_query_index(spark, idx, q, k=3, nprobe=2).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_cli_novelty_oneshot_and_incremental(spark, tmp_path, capsys):
+    """The novelty CLI's one-shot mode matches the shared operator;
+    incremental mode routes through the streaming appender and
+    auto-advances the batch cursor."""
+    import json
+
+    from rustic_witcher_spark import cli
+    from rustic_witcher_spark.operators.dedup import novelty_scores
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon"), (1, "alpha beta gamma delta epsilon"),
+         (2, "completely different words here now")],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "docs.parquet")
+    docs.write.parquet(src)
+    out = str(tmp_path / "scores")
+    assert cli.main(["novelty", "--input", src, "--target", out]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["mode"] == "one-shot" and rep["scored_docs"] == 3
+    got = {r.doc_id: r.novelty for r in spark.read.parquet(out).collect()}
+    want = {r.doc_id: r.novelty for r in novelty_scores(docs, "text", "doc_id").collect()}
+    assert got == want and got[1] == 0.0
+
+    idx = str(tmp_path / "idx")
+    assert cli.main(["novelty", "--input", src, "--index", idx]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["mode"] == "incremental" and rep["batch"] == 0 and rep["ran"]
+    # a second run is the NEXT batch (cursor auto-advance), re-scoring
+    # the same docs against the now-populated index: nothing is novel
+    assert cli.main(["novelty", "--input", src, "--index", idx]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["batch"] == 1 and rep["ran"]
+    from pyspark.sql import functions as F
+
+    from rustic_witcher_spark.streaming.novelty import read_novelty_scores
+
+    b1 = read_novelty_scores(spark, idx).filter(F.col("batch") == 1)
+    assert all(r.n_novel == 0 for r in b1.collect())
+
+
+def test_cli_containment_dedup(spark, tmp_path, capsys):
+    """The containment CLI flags the doc-in-doc pair the operator
+    flags, through the parquet round-trip."""
+    import json
+
+    from rustic_witcher_spark import cli
+
+    a = "the quick brown fox jumps over the lazy dog by the river"
+    b = "unrelated preamble sentence first " + a + " and then a long unrelated tail of filler words continuing onward for dilution purposes"
+    docs = spark.createDataFrame(
+        [(0, a), (1, b), (2, "nothing in common with either text")],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "docs.parquet")
+    docs.write.parquet(src)
+    out = str(tmp_path / "pairs")
+    assert cli.main(["containment-dedup", "--input", src, "--target", out]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["flagged_pairs"] >= 1
+    pairs = {(r.id_a, r.id_b): r for r in spark.read.parquet(out).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)].cont_a_in_b == 1.0
+    assert not any(2 in p for p in pairs)
