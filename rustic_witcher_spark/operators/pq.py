@@ -533,6 +533,8 @@ def pq_encode_adc_topk_block(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+    probe_map: dict | None = None,
 ) -> DataFrame:
     """Encode + ADC FUSED into one kernel pass over the raw vectors —
     the one-shot search path (no materialized codes): assigns each
@@ -547,6 +549,18 @@ def pq_encode_adc_topk_block(
     list_dot_product — and np.argmin over ascending-cid columns
     reproduces the min(struct(d, cid)) tie-break. (A BLAS matmul here
     could re-associate the sum and flip a near-tie assignment.)
+
+    ``centroids`` + ``probe_map`` fuse the IVF COARSE stage into the
+    same pass (the one-shot ivfpq_topk path): each corpus row's coarse
+    cid is computed in-kernel — full-dim cosine vs the (tiny) centroid
+    table with the SAME left-assoc accumulation, argmax over
+    ascending-cid columns reproducing ivf_assign's desc-sim/asc-cid
+    tie-break — rows outside the probed-list union are dropped before
+    any ADC work, and survivors are masked per-query to ITS OWN lists.
+    This replaces three corpus-wide exchanges of the relational
+    composition (the encode groupBy, the assign window, the cid join)
+    with zero — the persisted path keeps the relational assign because
+    it pays it once at index build and gets partition pruning back.
     """
     import numpy as np
 
@@ -582,12 +596,35 @@ def pq_encode_adc_topk_block(
         np.einsum("qd,cd->qc", q_mat[:, m * d_sub : (m + 1) * d_sub], cw_m[m])
         for m in range(n_subspaces)
     ]
-    b = spark.sparkContext.broadcast((q_ids, q_norm, cids_m, cw_m, cv2_m, lut_m))
+    coarse = None
+    if centroids is not None:
+        crows = sorted(centroids.collect(), key=lambda r: int(r["cid"]))
+        co_cids = np.array([int(r["cid"]) for r in crows], dtype=np.int64)
+        co_mat = np.stack([np.asarray(r["cvec"], dtype=np.float64) for r in crows])
+        # left-assoc centroid norms in dimension order (ivf_assign's
+        # l2_norm fold sequence)
+        co_n2 = co_mat[:, 0] * co_mat[:, 0]
+        for i in range(1, co_mat.shape[1]):
+            co_n2 = co_n2 + co_mat[:, i] * co_mat[:, i]
+        co_norm = np.sqrt(co_n2)
+        # allowed[qi, col] over the ASCENDING-cid centroid columns;
+        # kept_cols = union of every query's probed lists
+        allowed = np.zeros((len(q_ids), len(co_cids)), dtype=bool)
+        col_of = {int(c): j for j, c in enumerate(co_cids)}
+        if probe_map is not None:
+            for qi, qid in enumerate(q_ids):
+                for c in probe_map.get(int(qid), ()):
+                    if c in col_of:
+                        allowed[qi, col_of[c]] = True
+        else:
+            allowed[:, :] = True
+        coarse = (co_mat, co_norm, allowed)
+    b = spark.sparkContext.broadcast((q_ids, q_norm, cids_m, cw_m, cv2_m, lut_m, coarse))
 
     def score(batches):
         import pandas as pd
 
-        q_ids, q_norm, cids_m, cw_m, cv2_m, lut_m = b.value
+        q_ids, q_norm, cids_m, cw_m, cv2_m, lut_m, coarse = b.value
         n_sub = len(cw_m)
         for pdf in batches:
             pdf = pdf[pdf[vec_col].notna()]
@@ -595,6 +632,25 @@ def pq_encode_adc_topk_block(
                 continue
             c_ids = pdf[id_col].to_numpy(dtype=np.int64)
             vecs = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            qmask = None  # [Q, B] allowed pairs (coarse probe masking)
+            if coarse is not None:
+                co_mat, co_norm, allowed = coarse
+                # in-kernel coarse assign: cosine vs centroids with the
+                # exact left-assoc fold of similarity.cosine, argmax
+                # over ascending-cid columns = desc-sim/asc-cid ties
+                ip = vecs[:, 0][:, None] * co_mat[:, 0][None, :]
+                v2 = vecs[:, 0] * vecs[:, 0]
+                for i in range(1, vecs.shape[1]):
+                    ip = ip + vecs[:, i][:, None] * co_mat[:, i][None, :]
+                    v2 = v2 + vecs[:, i] * vecs[:, i]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    csim = ip / (np.sqrt(v2)[:, None] * co_norm[None, :])
+                col = np.argmax(csim, axis=1)  # first max = smallest cid
+                keep_rows = allowed.any(axis=0)[col]
+                if not keep_rows.any():
+                    continue
+                c_ids, vecs, col = c_ids[keep_rows], vecs[keep_rows], col[keep_rows]
+                qmask = allowed[:, col]  # [Q, B]
             ip_sum = None
             n2_sum = None
             for m in range(n_sub):
@@ -615,6 +671,8 @@ def pq_encode_adc_topk_block(
                 n2_sum = part_n2 if n2_sum is None else n2_sum + part_n2
             sims = _round_half_away(ip_sum / (q_norm[:, None] * np.sqrt(n2_sum)[None, :]))
             sims = np.where((q_ids[:, None] != c_ids[None, :]) & np.isfinite(sims), sims, -np.inf)
+            if qmask is not None:
+                sims = np.where(qmask, sims, -np.inf)
             rows = []
             kk = min(k, sims.shape[1])
             for qi in range(len(q_ids)):
@@ -688,30 +746,63 @@ def ivfpq_topk(
     Both trainings are deterministic and _localize'd (lineage cut —
     otherwise every downstream job replays the Lloyd passes); the
     driver-side collects are the two tiny codebooks plus the
-    |queries| x nprobe probe assignment. The (id -> cid) attach is a
-    join against the coarse assignment; the persisted path pays it
-    once at index build, never per query.
+    |queries| x nprobe probe assignment (the QUERY side only — tiny).
+    The corpus-side coarse assign, the PQ encode, and the probe
+    restriction all run INSIDE the fused kernel's single corpus pass
+    (pq_encode_adc_topk_block's coarse stage) — the relational
+    composition paid three corpus-wide exchanges for the same answer
+    (encode groupBy + assign window + cid join; measured 4.2 s → ~2 s
+    at sf0.1). The persisted path (pq_write_index / pq_query_index)
+    keeps the relational assign: it pays it once at index BUILD and
+    buys parquet partition pruning at every query.
     """
-    from rustic_witcher_spark.operators.similarity import ivf_assign, ivf_centroids
+    from rustic_witcher_spark.operators.similarity import ivf_centroids
 
     cent = _localize(ivf_centroids(corpus, n_clusters, id_col, vec_col, seed=seed, iters=iters))
     cb = _localize(pq_codebooks(corpus, n_subspaces, n_codes, dim, id_col, vec_col, seed, iters))
-    lists = ivf_assign(corpus, cent, id_col, vec_col, nprobe=1).select(id_col, "cid")
-    codes = pq_encode(corpus, cb, n_subspaces, dim, id_col, vec_col).join(lists, id_col)
-    probes = (
-        ivf_assign(queries.filter(F.col(vec_col).isNotNull()), cent, id_col, vec_col, nprobe=nprobe)
-        .select(id_col, "cid")
-        .collect()
+    # probe assignment DRIVER-SIDE: the query set is bounded (it is
+    # collected for the LUTs anyway) and the centroids are local rows —
+    # spinning a Spark job (crossJoin + window) for |Q| rows costs a
+    # whole job floor per run. Same left-assoc cosine fold and
+    # desc-sim/asc-cid tie-break as ivf_assign / the oracle's probe CTE.
+    probe_map = _probe_assign_local(
+        queries.filter(F.col(vec_col).isNotNull()).select(id_col, vec_col).collect(),
+        cent.collect(), nprobe, id_col, vec_col,
     )
-    probe_map: dict[int, list[int]] = {}
-    for r in probes:
-        probe_map.setdefault(int(r[id_col]), []).append(int(r["cid"]))
-    probe_cids = sorted({c for cids in probe_map.values() for c in cids})
-    codes = codes.filter(F.col("cid").isin(probe_cids))
-    return pq_adc_topk_block(
-        codes, cb, queries, k, n_subspaces, dim, id_col, vec_col,
-        probe_map=probe_map, cid_col="cid",
+    return pq_encode_adc_topk_block(
+        corpus, cb, queries, k, n_subspaces, dim, id_col, vec_col,
+        centroids=cent, probe_map=probe_map,
     )
+
+
+def _probe_assign_local(qrows, crows, nprobe: int, id_col: str, vec_col: str) -> dict[int, list[int]]:
+    """Driver-side twin of ivf_assign for a COLLECTED query set:
+    cosine via the identical left-assoc fold, top-nprobe by
+    (sim desc, cid asc) — bit-for-bit the relational assignment."""
+    import numpy as np
+
+    crows = sorted(crows, key=lambda r: int(r["cid"]))
+    cids = [int(r["cid"]) for r in crows]
+    cmat = np.stack([np.asarray(r["cvec"], dtype=np.float64) for r in crows])
+    cn2 = cmat[:, 0] * cmat[:, 0]
+    for i in range(1, cmat.shape[1]):
+        cn2 = cn2 + cmat[:, i] * cmat[:, i]
+    cnorm = np.sqrt(cn2)
+    out: dict[int, list[int]] = {}
+    for r in qrows:
+        v = np.asarray(r[vec_col], dtype=np.float64)
+        ip = v[0] * cmat[:, 0]
+        v2 = v[0] * v[0]
+        for i in range(1, len(v)):
+            ip = ip + v[i] * cmat[:, i]
+            v2 = v2 + v[i] * v[i]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sim = ip / (np.sqrt(v2) * cnorm)
+        # sort by (sim desc, cid asc); NaN ranks above +inf like Spark
+        key = np.where(np.isnan(sim), np.inf, sim)
+        order = sorted(range(len(cids)), key=lambda j: (-key[j], cids[j]))[:nprobe]
+        out[int(r[id_col])] = [cids[j] for j in order]
+    return out
 
 
 def _localize(cb: DataFrame) -> DataFrame:
