@@ -59,6 +59,8 @@ def main() -> None:
     # JIT-recompile artifacts that land on whichever query is unlucky;
     # the min of two passes measures the engine, not the garbage collector
     timings: dict[str, float] = {}
+    import gc
+
     for _ in range(2):
         for name in BENCH_QUERIES:
             fn, _ = registry[name]
@@ -66,6 +68,13 @@ def main() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = round(time.perf_counter() - t0, 3)
             timings[name] = min(timings.get(name, dt), dt)
+            # drop driver-side refs NOW (outside the timed region): the
+            # materialize()-ing entries leave localCheckpoint blocks
+            # alive until the py4j refs are collected, and letting them
+            # pile up across 160 queries lands multi-second GC noise on
+            # whichever later query is unlucky (measured: two same-day
+            # pairs at 127.6 vs 138.1 s engine-side, same code)
+            gc.collect()
 
     total = round(sum(timings.values()), 3)
 
