@@ -7471,3 +7471,41 @@ ROUND9_PREFIX = [
     "text_stats", "text_langid", "text_fingerprint",
     "events_session",
 ]
+
+
+# STAGED round-10 window (NOT wired — round 10 renames this to the
+# active prefix, updates build_registry's `ordered = ...` line and the
+# rotation ledger in its docstring, and keeps
+# tests/test_entry_contract.py's composition asserts in sync).
+# Composition: the ten r06-verdict deferrals lead (the oldest verdicts
+# in the registry after the r9 window is graded — five filter
+# predicates, the q20/q21 pair, and the faker trio), then 40 of the 50
+# r07-verdict holders; the ten r07 deferrals to the r11 window are the
+# simplest, most-stable relational shapes of that cohort
+# (orders_pivot / grouping_sets_revenue / lineitem_unpivot /
+# fuzzy_part_names / source_cap / embedding_dim_stats /
+# weighted_reservoir / benford_profile / customer_revenue_standing /
+# zorder_layout — all hold randomized-fuzz or fixed-table parity and
+# none has churned since r7). Any NEW r10 entries enter this window
+# at the head, displacing r07 holders from the tail into the r11 list.
+ROUND10_PREFIX_STAGED = [
+    # r06-verdict deferrals (oldest verdicts — lead the window)
+    "filter_startswith", "filter_endswith", "filter_startsends",
+    "filter_equals", "filter_anyofint",
+    "q20_part_promotion", "q21_waiting_suppliers",
+    "faker_suite", "fake_multi_email", "fake_email_id_prefix",
+    # r07-verdict rotation (40 of 50)
+    "q12_shipping_lateness", "q2_min_cost_supplier", "q11_important_parts",
+    "q16_supplier_variety", "click_attribution", "scd2_user_history",
+    "scd2_point_in_time", "purchases_with_state_asof", "state_tier_timeline",
+    "column_profile", "ri_orphans", "events_gapfill", "events_anomaly",
+    "latency_histogram", "dup_span_fraction", "ops_healthcheck",
+    "session_transitions", "dedup_weighted", "customer_churn_sets",
+    "token_budget_selection", "events_moving_avg", "term_pmi",
+    "peak_concurrency", "quantile_sketch_events", "rolling_distinct_users",
+    "supplier_pagerank", "triangle_count", "pareto_suppliers",
+    "dsir_selection", "bpe_merge_step", "mixture_temperature",
+    "ewma_events", "source_overlap", "events_mad_outliers",
+    "interval_coverage", "funnel_3step", "hard_negatives",
+    "bm25_search", "leakage_safe_split", "source_kl_divergence",
+]
