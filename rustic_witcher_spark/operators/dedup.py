@@ -253,6 +253,11 @@ def minhash_lsh_candidates(
     band hash) and exact-dedup catches true duplicates; pair
     enumeration stays O(cap²) per bucket.
     """
+    # NULL-text rows are DROPPED: no content → no signature. Left in,
+    # every NULL doc hashes to the SAME (empty) band keys in Spark and
+    # they all pair with each other, while the DuckDB twins'
+    # unnest(NULL) removes them (r9 dirty-corpus fuzz finding).
+    df = df.filter(F.col(text_col).isNotNull())
     rows_per_band = num_perm // bands
     sig = minhash_signature(F.col(text_col), num_perm, n, seed)
     banded = df.select(
@@ -372,7 +377,13 @@ def simhash_near_duplicates(
     before the collect (no unbounded aggregation buffer), and truncation
     only bites where a band value is shared by more than ``cap`` docs —
     which for simhash means the docs are near-identical to begin with.
+
+    NULL-text rows are DROPPED: a doc with no content has no
+    fingerprint. Left in, Spark hashes them all to one value (they'd
+    pair with each other) while the DuckDB twins' unnest(NULL) silently
+    removes them — the r9 dirty-corpus fuzz caught exactly that.
     """
+    df = df.filter(F.col(text_col).isNotNull())
     h = df.select(F.col(id_col).alias("__id"), simhash64(F.col(text_col), seed).alias("__sim"))
     return hamming_near_duplicates(h, "__id", "__sim", max_hamming, max_bucket_size)
 

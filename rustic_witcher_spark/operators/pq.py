@@ -599,6 +599,9 @@ def pq_encode_adc_topk_block(
     coarse = None
     if centroids is not None:
         crows = sorted(centroids.collect(), key=lambda r: int(r["cid"]))
+        if not crows:  # empty corpus → no lists; unreachable when cb is
+            crows = None  # non-empty, but guard the stack() anyway
+    if centroids is not None and crows:
         co_cids = np.array([int(r["cid"]) for r in crows], dtype=np.int64)
         co_mat = np.stack([np.asarray(r["cvec"], dtype=np.float64) for r in crows])
         # left-assoc centroid norms in dimension order (ivf_assign's
@@ -781,6 +784,11 @@ def _probe_assign_local(qrows, crows, nprobe: int, id_col: str, vec_col: str) ->
     (sim desc, cid asc) — bit-for-bit the relational assignment."""
     import numpy as np
 
+    if not crows or not qrows:
+        # empty corpus trains no centroids (and/or no live queries):
+        # nothing to probe — the kernel's empty-codebook early return
+        # makes the whole search empty downstream
+        return {}
     crows = sorted(crows, key=lambda r: int(r["cid"]))
     cids = [int(r["cid"]) for r in crows]
     cmat = np.stack([np.asarray(r["cvec"], dtype=np.float64) for r in crows])

@@ -67,7 +67,14 @@ def brute_force_topk(
     neighbor id for determinism.
 
     Returns (query_id, neighbor_id, sim, rank); self-matches excluded.
+
+    NULL vectors are DROPPED on both sides: a row without an embedding
+    has no place in a similarity search — left in, its sim is NaN and
+    Spark's NaN-is-greatest ordering ranks it ABOVE every real
+    neighbor, silently burning top-k slots (r9 dirty-corpus fuzz).
     """
+    corpus = corpus.filter(F.col(vec_col).isNotNull())
+    queries = queries.filter(F.col(vec_col).isNotNull())
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
     scored = (
@@ -360,7 +367,13 @@ def ivf_centroids(
     cluster sizes), optionally refined by ``iters`` Lloyd steps, each a
     pure DataFrame pass: assign (k-way broadcast scoring) → mean vector
     per cluster via posexplode/groupBy/rebuild.
+
+    NULL vectors are DROPPED structurally: a NULL row selected as a
+    seed would poison a centroid, and the oracle skeletons' corpus CTE
+    excludes them before seeding — the seed sample must see the same
+    candidate set (r9 dirty-corpus fuzz).
     """
+    corpus = corpus.filter(F.col(vec_col).isNotNull())
     seeds = (
         corpus.withColumn("__r", F.md5(F.concat(F.lit(f"{seed}|ivf|"), F.col(id_col).cast("string"))))
         .orderBy("__r", id_col)
@@ -397,7 +410,14 @@ def ivf_assign(
     Centroids are tiny → broadcast; scoring is a k-way fan-out of the
     corpus scan (the standard IVF build cost), then a per-vector top-n
     window. Ties break on cid for determinism.
+
+    NULL vectors are DROPPED (the single choke point every IVF
+    consumer — ivf_topk, semdedup, the persisted index writers — goes
+    through): a NULL vector scores NaN against every centroid, and
+    Spark's NaN-is-greatest ordering would assign it a real list and
+    let it burn top-k slots downstream (r9 dirty-corpus fuzz).
     """
+    corpus = corpus.filter(F.col(vec_col).isNotNull())
     scored = corpus.crossJoin(F.broadcast(centroids)).select(
         "*", cosine(F.col(vec_col), F.col("cvec")).alias("__csim")
     )
@@ -520,7 +540,14 @@ def lsh_topk(
     pre-bucketed by signature at ingest); bucket fan-out replaces the
     corpus-wide scan per query. Recall is tunable via n_planes (fewer
     planes → bigger buckets → higher recall, more compute).
+
+    NULL vectors are DROPPED on both sides (the brute_force_topk
+    convention): left in, a NULL vector signs every plane test false,
+    lands in bucket 0 with real vectors, and emits NaN sims that rank
+    first under Spark's NaN-is-greatest ordering.
     """
+    corpus = corpus.filter(F.col(vec_col).isNotNull())
+    queries = queries.filter(F.col(vec_col).isNotNull())
     sig = lambda df, idn, vn: df.select(  # noqa: E731
         F.col(id_col).alias(idn), F.col(vec_col).alias(vn), hyperplane_signature(F.col(vec_col), dim, n_planes).alias("__sig")
     )

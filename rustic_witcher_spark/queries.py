@@ -1481,8 +1481,13 @@ def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_minhash_sig_array(num_perm: int) -> str:
-    """DuckDB twin of minhash_signature as a list-typed column."""
+def _sql_minhash_sig_array(num_perm: int, src: str = "documents") -> str:
+    """DuckDB twin of minhash_signature as a list-typed column.
+
+    ``src`` lets the PAIR twins drop NULL-text docs
+    (minhash_lsh_candidates does structurally on the Spark side — no
+    content, no signature); the per-doc signatures entry keeps every
+    row on both engines."""
     from rustic_witcher_spark.operators.dedup import _GRAM_W1, _GRAM_W2
 
     norm = _norm_sql("text")
@@ -1500,7 +1505,7 @@ def _sql_minhash_sig_array(num_perm: int) -> str:
     )
     return (
         f"SELECT doc_id, [{mins}] AS sig FROM ("
-        f"SELECT doc_id, {base} AS base_h FROM (SELECT doc_id, text, {th} AS tok_h FROM documents))"
+        f"SELECT doc_id, {base} AS base_h FROM (SELECT doc_id, text, {th} AS tok_h FROM {src}))"
     )
 
 
@@ -1509,10 +1514,10 @@ def sql_minhash_lsh_candidates(num_perm: int = 32, bands: int = 8, threshold: fl
     shingles = (
         f"SELECT doc_id, list_distinct([substring(n, i, 5) FOR i IN "
         f"generate_series(1, greatest(length(n) - 4, 1))]) AS sh "
-        f"FROM (SELECT doc_id, {_norm_sql('text')} AS n FROM documents)"
+        f"FROM (SELECT doc_id, {_norm_sql('text')} AS n FROM (SELECT * FROM documents WHERE text IS NOT NULL))"
     )
     return f"""
-WITH sig AS ({_sql_minhash_sig_array(num_perm)}),
+WITH sig AS ({_sql_minhash_sig_array(num_perm, src='(SELECT * FROM documents WHERE text IS NOT NULL)')}),
 shg AS ({shingles}),
 bands AS (
   SELECT doc_id, t.b,
@@ -1540,7 +1545,10 @@ FROM j WHERE jaccard >= {threshold}
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = _spread(spark, _read(spark, sf_dir, "documents"))
+    # text IS NOT NULL: a doc with no content has no fingerprint —
+    # the oracle's unnest(NULL) drops such rows structurally, so the
+    # Spark face must say so explicitly (dirty-corpus fuzz, r9)
+    df = _spread(spark, _read(spark, sf_dir, "documents")).filter(F.col("text").isNotNull())
     return df.select("doc_id", dedup.simhash64(F.col("text"), SEED).alias("simhash"))
 
 
@@ -1557,7 +1565,7 @@ def sql_simhash() -> str:
     total = " + ".join(bit_terms)
     return (
         f"SELECT doc_id, ({total}) AS simhash FROM "
-        f"(SELECT doc_id, unnest({toks}) AS t FROM documents) GROUP BY doc_id"
+        f"(SELECT doc_id, unnest({toks}) AS t FROM documents WHERE text IS NOT NULL) GROUP BY doc_id"
     )
 
 
@@ -1822,10 +1830,11 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_EMBEDDING_NEAR_DUPS = """
-WITH p AS (
+WITH src AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL),
+p AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim
-  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  FROM src a JOIN src b ON a.vec_id < b.vec_id
 )
 SELECT id_a, id_b, sim FROM p WHERE sim >= 0.4
 """
@@ -1838,8 +1847,9 @@ def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_KNN = """
-WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
-c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+WITH q AS MATERIALIZED (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id < 5 AND embedding IS NOT NULL),
+c AS MATERIALIZED (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings WHERE embedding IS NOT NULL),
 s AS (
   SELECT query_id, neighbor_id,
          round(list_dot_product(qv::DOUBLE[], cv::DOUBLE[]) /
@@ -1873,9 +1883,10 @@ def sql_knn_lsh(n_planes: int = 8, dim: int = 64, k: int = 5) -> str:
         plane_bits.append(f"(CASE WHEN ({terms}) > 0 THEN {1 << p}::BIGINT ELSE 0 END)")
     sig = " + ".join(plane_bits)
     return f"""
-WITH s AS (SELECT vec_id, embedding, ({sig}) AS sig FROM embeddings),
-q AS (SELECT vec_id AS query_id, embedding AS qv, sig FROM s WHERE vec_id < 5),
-c AS (SELECT vec_id AS neighbor_id, embedding AS cv, sig FROM s),
+WITH s AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL),
+sg AS (SELECT vec_id, embedding, ({sig}) AS sig FROM s),
+q AS (SELECT vec_id AS query_id, embedding AS qv, sig FROM sg WHERE vec_id < 5),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv, sig FROM sg),
 scored AS (
   SELECT query_id, neighbor_id,
          round(list_dot_product(qv::DOUBLE[], cv::DOUBLE[]) /
@@ -1915,7 +1926,8 @@ def _sql_ivf_cent1_ctes(n_clusters: int, dim: int, seed: int) -> str:
     cannot drift from each other; defines CTEs corpus/seeds/cent0/a0/
     m0/cent1 (cent1 = (cid, cvec))."""
     cos = _SQL_IVF_COS
-    return f"""corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    return f"""corpus AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
 seeds AS (
   SELECT vec_id, v, md5('{seed}|ivf|' || vec_id::VARCHAR) AS r
   FROM corpus ORDER BY r, vec_id LIMIT {n_clusters}
@@ -2018,7 +2030,8 @@ def sql_pq_ann_topk(
     )
     cos = _SQL_IVF_COS
     return f"""
-WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
+WITH corpus AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
 ms AS (SELECT unnest(range(0, {n_subspaces})) AS m),
 seeds AS (
   SELECT vec_id, v, md5('{seed}|pq|' || vec_id::VARCHAR) AS r
@@ -2196,8 +2209,13 @@ def q_embedding_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark's format_string (java.util.Formatter, HALF_UP) and DuckDB's
     printf (correctly rounded) can disagree on raw doubles near a 6-dp
     boundary, but agree when handed an already-rounded value. `+ 0.0`
-    collapses IEEE -0.0 so both engines render the same sign."""
-    e = _spread(spark, _read(spark, sf_dir, "embeddings"))
+    collapses IEEE -0.0 so both engines render the same sign.
+
+    embedding IS NOT NULL: a NULL vector has no projection — the same
+    drop every ANN kernel applies at its boundary (and DuckDB's
+    list_dot_product hard-errors on NULL lists, so the twin guards its
+    scan identically; dirty-corpus fuzz, r9)."""
+    e = _spread(spark, _read(spark, sf_dir, "embeddings")).filter(F.col("embedding").isNotNull())
     proj = similarity.random_projection(F.col("embedding"), 64, 16)
     return e.select(
         "vec_id",
@@ -2211,10 +2229,18 @@ def q_embedding_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sql_embedding_project() -> str:
+    # MATERIALIZED: DuckDB's list_inner_product validates the child
+    # validity buffer of the whole parquet chunk BEFORE the selection
+    # mask applies, so any NULL embedding row poisons its chunk even
+    # behind a WHERE/CASE/coalesce guard; the materialized CTE rewrites
+    # survivors into a clean intermediate (r9 dirty-corpus fuzz)
     return (
+        "WITH src AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings "
+        "WHERE embedding IS NOT NULL) "
         "SELECT vec_id, array_to_string(list_transform("
         f"{similarity.sql_random_projection('embedding', 64, 16)}, "
-        "x -> printf('%.6f', round(x, 6) + 0.0)), ',') AS proj FROM embeddings"
+        "x -> printf('%.6f', round(x, 6) + 0.0)), ',') AS proj "
+        "FROM src"
     )
 
 
@@ -3251,10 +3277,10 @@ def sql_lsh_calibration(num_perm: int = 32, bands: int = 8) -> str:
     whole = f"[({sql_hash64(norm, SEED, 'mh')}) % {MERSENNE_31}]"
     base = f"(CASE WHEN len(tok_h) >= 3 THEN {grams} ELSE {whole} END)"
     return f"""
-WITH sig AS ({_sql_minhash_sig_array(num_perm)}),
+WITH sig AS ({_sql_minhash_sig_array(num_perm, src='(SELECT * FROM documents WHERE text IS NOT NULL)')}),
 gh AS (
   SELECT doc_id, list_distinct(base_h) AS g FROM (
-    SELECT doc_id, {base} AS base_h FROM (SELECT doc_id, text, {th} AS tok_h FROM documents))
+    SELECT doc_id, {base} AS base_h FROM (SELECT doc_id, text, {th} AS tok_h FROM (SELECT * FROM documents WHERE text IS NOT NULL)))
 ),
 bands AS (
   SELECT doc_id, t.b,
@@ -4016,7 +4042,10 @@ def q_dedup_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     sources are mostly mirrors?). Same one-digest-shuffle shape as
     exact dedup; the per-(source, lang) rollup of raw vs effective
     counts is map-side combinable."""
-    d = _spread(spark, _read(spark, sf_dir, "documents"))
+    # text IS NOT NULL: no content -> no digest; the twin's fp JOIN
+    # drops NULL digests structurally (NULL never equi-joins), so the
+    # convention must be explicit on this face (dirty-corpus fuzz, r9)
+    d = _spread(spark, _read(spark, sf_dir, "documents")).filter(F.col("text").isNotNull())
     digests = d.select("source", "lang", F.md5(dedup.normalized_text(F.col("text"))).alias("__fp"))
     # copy counts via a window over the digest partition (the exact_dedup
     # pattern): ONE unconditional scan + one digest shuffle — the
@@ -4039,6 +4068,7 @@ def sql_dedup_weighted() -> str:
     return f"""
 WITH digests AS (
   SELECT source, lang, md5({_norm_sql('text')}) AS fp FROM documents
+  WHERE text IS NOT NULL
 ),
 owners AS (SELECT fp, count(*) AS copies FROM digests GROUP BY 1)
 SELECT d.source, d.lang, count(*) AS n_docs,
@@ -6279,9 +6309,10 @@ def q_hard_negatives_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_HARD_NEGATIVES = f"""
-WITH q AS (SELECT vec_id AS query_id, label AS query_label, embedding AS qv
-           FROM embeddings WHERE vec_id < {HARDNEG_QUERIES}),
-c AS (SELECT vec_id AS neighbor_id, label AS neighbor_label, embedding AS cv FROM embeddings),
+WITH q AS MATERIALIZED (SELECT vec_id AS query_id, label AS query_label, embedding AS qv
+           FROM embeddings WHERE vec_id < {HARDNEG_QUERIES} AND embedding IS NOT NULL),
+c AS MATERIALIZED (SELECT vec_id AS neighbor_id, label AS neighbor_label, embedding AS cv
+      FROM embeddings WHERE embedding IS NOT NULL),
 s AS (
   SELECT * FROM (
     SELECT query_id, query_label, neighbor_id, neighbor_label,
@@ -6705,16 +6736,16 @@ sym AS (
   SELECT id_b AS anchor_id, id_a AS positive_id, jaccard FROM cand
 ),
 excl AS (SELECT anchor_id, list(positive_id) AS ex FROM sym GROUP BY anchor_id),
+emb_nn AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL),
 a AS (
   SELECT anchor_id, ex, e.embedding AS qv
-  FROM excl JOIN embeddings e ON e.vec_id = excl.anchor_id
+  FROM excl JOIN emb_nn e ON e.vec_id = excl.anchor_id
 ),
 s AS (
   SELECT * FROM (
     SELECT a.anchor_id, c.vec_id AS neighbor_id, {cos} AS sim
-    FROM embeddings c, a
+    FROM emb_nn c, a
     WHERE c.vec_id <> a.anchor_id AND NOT list_contains(a.ex, c.vec_id)
-      AND c.embedding IS NOT NULL AND a.qv IS NOT NULL
   ) WHERE sim IS NOT NULL AND NOT isnan(sim)
 ),
 best AS (
@@ -6864,8 +6895,9 @@ def sql_hybrid_search_rrf() -> str:
         "sqrt(list_dot_product(cv::DOUBLE[], cv::DOUBLE[]))), 6)"
     )
     return f"""
-WITH q AS (SELECT vec_id AS anchor_id, embedding AS qv FROM embeddings WHERE vec_id < {RRF_N_ANCHORS}),
-c AS (SELECT vec_id AS doc_id, embedding AS cv FROM embeddings),
+WITH q AS MATERIALIZED (SELECT vec_id AS anchor_id, embedding AS qv FROM embeddings
+           WHERE vec_id < {RRF_N_ANCHORS} AND embedding IS NOT NULL),
+c AS MATERIALIZED (SELECT vec_id AS doc_id, embedding AS cv FROM embeddings WHERE embedding IS NOT NULL),
 ds AS (
   SELECT anchor_id, doc_id, {cos} AS sim FROM c, q WHERE anchor_id <> doc_id
 ),

@@ -91,3 +91,100 @@ def test_event_entries_oracle_parity_on_random_dirty_streams(spark, tmp_path_fac
         gs = sorted(map(tuple, g[cols].astype(str).values.tolist()))
         ws = sorted(map(tuple, w[cols].astype(str).values.tolist()))
         assert gs == ws, (name, len(gs), len(ws), gs[:5], ws[:5])
+
+
+@settings(max_examples=int(os.environ.get("R9_FUZZ_EXAMPLES", "3")), deadline=None,
+          suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture])
+@given(data=st.data())
+def test_doc_entries_oracle_parity_on_random_dirty_corpora(spark, tmp_path_factory, data):
+    """The corpus-side twin of the dirty-stream family: random corpora
+    with NULL / empty / whitespace-only text, NULL lang/source, and
+    NULL embedding rows, with ORACLE PARITY required across the
+    document/embedding cohort — pinning the engines' NULL-text
+    tokenize/shingle/group semantics against each other instead of
+    merely not crashing (the clean-corpus family deliberately draws
+    only well-formed rows)."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+
+    WORDS = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta", "dup", "spark"]
+    n = data.draw(st.integers(min_value=4, max_value=12))
+    texts = []
+    for _ in range(n):
+        kind = data.draw(st.integers(0, 9))
+        if kind == 0:
+            texts.append(None)
+        elif kind == 1:
+            texts.append(data.draw(st.sampled_from(["", " ", "   ", "\t"])))
+        elif kind == 2:
+            texts.append(data.draw(st.sampled_from(WORDS)))  # < 3 tokens
+        else:
+            texts.append(" ".join(
+                data.draw(st.sampled_from(WORDS)) for _ in range(data.draw(st.integers(2, 12)))
+            ))
+    # force a near-dup family so the pair entries have work
+    if len(texts) > 1 and texts[0]:
+        texts[1] = texts[0]
+    dim = 64
+    vecs = []
+    for _ in range(n):
+        if data.draw(st.integers(0, 9)) == 0:
+            vecs.append(None)
+        else:
+            vecs.append(
+                [1.0] + [data.draw(st.integers(-4, 4)) * 0.5 for _ in range(7)] + [0.0] * (dim - 8)
+            )
+    d = tmp_path_factory.mktemp("docdirty")
+    spark.createDataFrame(
+        [
+            (
+                i,
+                t,
+                data.draw(st.sampled_from([None, "en", "de", "fr"])),
+                data.draw(st.sampled_from([None, "src0", "src1"])),
+                len(t) if t else 0,
+            )
+            for i, t in enumerate(texts)
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    spark.createDataFrame(
+        [(i, v, i % 3) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>, label long",
+    ).write.mode("overwrite").parquet(str(d / "embeddings.parquet"))
+
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet/*.parquet')")
+
+    qs, osqls = entrymod.queries(), entrymod.oracle_sql()
+    fuzzed = [
+        "text_stats", "doc_quality", "text_langid", "dedup_exact",
+        "minhash_signatures", "minhash_lsh_candidates", "simhash",
+        "simhash_near_dups", "ngram_jaccard_adjacent", "dedup_clusters",
+        "dedup_survivors", "dedup_weighted", "chunk_dedup",
+        "dup_span_fraction", "decontaminate", "unigram_nll",
+        "corpus_report", "text_fingerprint", "tfidf_top_terms",
+        "vocab_top_terms", "term_pmi", "langid_confusion",
+        "source_overlap", "doc_length_deciles", "source_cap",
+        "leakage_safe_split", "source_kl_divergence", "dsir_selection",
+        "mixture_temperature", "quality_threshold_sweep", "pii_redact",
+        "stratified_sample", "weighted_sample", "mixture_sample",
+        "pack_sequences", "token_budget_selection", "token_count_bpe",
+        "training_shards", "weighted_reservoir", "repetition_signals",
+        "feature_hash_embed", "containment_near_dups", "novelty_scores",
+        "vocab_growth", "bm25_search", "hybrid_search_rrf", "ivfpq_ann_topk", "ann_recall_eval",
+        "knn_bruteforce", "knn_lsh", "knn_ivf", "semdedup",
+        "embedding_near_dups", "embedding_project", "embedding_dim_stats",
+        "embedding_outliers", "hard_negatives", "pq_ann_topk",
+        "dedup_incremental", "lsh_calibration", "drift_vs_reference",
+        "curation_pipeline",
+    ]
+    for name in fuzzed:
+        g = qs[name](spark, str(d)).toPandas()
+        w = con.execute(osqls[name]).fetchdf()
+        cols = sorted(g.columns)
+        gs = sorted(map(tuple, g[cols].astype(str).values.tolist()))
+        ws = sorted(map(tuple, w[cols].astype(str).values.tolist()))
+        assert gs == ws, (name, len(gs), len(ws), gs[:5], ws[:5])
