@@ -59,10 +59,18 @@ def mixture_sample(
 ) -> DataFrame:
     """Deterministic mixture sample: keeps rows so each stratum's kept
     weight approaches ``share * budget``. Strata absent from ``shares``
-    are dropped (explicit allowlist)."""
+    are dropped (explicit allowlist).
+
+    try_divide: a stratum whose available weight sums to 0 (all its
+    rows weightless) has an ill-defined keep fraction — NULL frac
+    drops its rows, exactly what DuckDB's x/0 → NULL does in the twin;
+    ANSI Spark would kill the job (dirty-corpus fuzz, r9)."""
     avail = df.groupBy(stratum_col).agg(F.sum(weight_col).alias("__avail"))
     frac = F.least(
-        F.lit(1.0), _share_expr(stratum_col, shares) * F.lit(float(budget)) / F.col("__avail")
+        F.lit(1.0),
+        F.try_divide(
+            _share_expr(stratum_col, shares) * F.lit(float(budget)), F.col("__avail")
+        ),
     )
     return (
         df.join(F.broadcast(avail), stratum_col)
@@ -85,9 +93,14 @@ def mixture_sample_relative(
     driver collect), so one config scales across corpus sizes."""
     avail = df.groupBy(stratum_col).agg(F.sum(weight_col).alias("__avail"))
     total = df.agg(F.sum(weight_col).alias("__total"))
+    # try_divide: zero-weight stratum → NULL frac → rows dropped, the
+    # DuckDB x/0 → NULL convention (see mixture_sample)
     frac = F.least(
         F.lit(1.0),
-        _share_expr(stratum_col, shares) * F.lit(float(budget_frac)) * F.col("__total") / F.col("__avail"),
+        F.try_divide(
+            _share_expr(stratum_col, shares) * F.lit(float(budget_frac)) * F.col("__total"),
+            F.col("__avail"),
+        ),
     )
     return (
         df.join(F.broadcast(avail), stratum_col)
