@@ -96,20 +96,24 @@ def main() -> None:
 
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         idx = tempfile.mkdtemp(prefix="bench_pq_idx_")
-        pq_ops.pq_write_index(
-            emb, idx, n_subspaces=16, n_codes=16, dim=64, coarse_clusters=8
-        )
-        qdf = emb.filter(F.col("vec_id") < 5)
-        for _ in range(2):
-            t0 = time.perf_counter()
-            pq_ops.pq_query_index(
-                spark, idx, qdf, k=5, nprobe=2, n_subspaces=16, dim=64
-            ).write.format("noop").mode("overwrite").save()
-            dt = round(time.perf_counter() - t0, 3)
-            extra["pq_query_index_only"] = min(
-                extra.get("pq_query_index_only", dt), dt
+        try:
+            pq_ops.pq_write_index(
+                emb, idx, n_subspaces=16, n_codes=16, dim=64, coarse_clusters=8
             )
-        shutil.rmtree(idx, ignore_errors=True)
+            qdf = emb.filter(F.col("vec_id") < 5)
+            for _ in range(2):
+                t0 = time.perf_counter()
+                pq_ops.pq_query_index(
+                    spark, idx, qdf, k=5, nprobe=2, n_subspaces=16, dim=64
+                ).write.format("noop").mode("overwrite").save()
+                dt = round(time.perf_counter() - t0, 3)
+                extra["pq_query_index_only"] = min(
+                    extra.get("pq_query_index_only", dt), dt
+                )
+        finally:
+            # also on failure: a leaked bench_pq_idx_* dir holds full
+            # PQ codes for the corpus and accumulates across runs
+            shutil.rmtree(idx, ignore_errors=True)
     except Exception as exc:  # noqa: BLE001 — the bench line must still print
         print(f"WARNING: pq_query_index_only bench face failed: {exc}", file=sys.stderr)
     # Full-precision per-query detail goes to a repo file; the stdout

@@ -701,8 +701,6 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"mode": "one-shot", "target": args.target, "scored_docs": scored}, sort_keys=True))
         return 0
     if args.command == "containment-dedup":
-        from pyspark.sql import functions as F
-
         from rustic_witcher_spark.operators.dedup import containment_near_duplicates
 
         spark = get_spark("containment-dedup")

@@ -50,7 +50,18 @@ def asof_join(
     resurrect an OLDER right row — masking instead of matching (a
     second real fuzz finding, r9: DuckDB's ASOF returned the latest
     purchase's NULL while this operator time-traveled past it).
+
+    RIGHT rows with a NULL ``on`` key are also DROPPED: the as-of
+    match is an EQUI-join on the key and NULL never equi-joins — but
+    the union+window implementation would happily group NULL keys
+    into one window partition and match a NULL-key left row to a
+    NULL-key right row (review finding, r9; verified divergent vs
+    DuckDB's native ASOF, which leaves such left rows unmatched).
+    Left rows keep the LEFT-join contract: a NULL-key left row
+    survives with a NULL match — its partition contains no right rows.
     """
+    for k in on:
+        right = right.filter(F.col(k).isNotNull())
     left = left.filter(F.col(left_ts).isNotNull())
     right = right.filter(F.col(right_ts).isNotNull())
     lcols = left.columns

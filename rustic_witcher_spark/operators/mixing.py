@@ -61,15 +61,23 @@ def mixture_sample(
     weight approaches ``share * budget``. Strata absent from ``shares``
     are dropped (explicit allowlist).
 
-    try_divide: a stratum whose available weight sums to 0 (all its
-    rows weightless) has an ill-defined keep fraction — NULL frac
-    drops its rows, exactly what DuckDB's x/0 → NULL does in the twin;
-    ANSI Spark would kill the job (dirty-corpus fuzz, r9)."""
+    coalesce(try_divide(...), 0): a stratum whose available weight
+    sums to 0 (all its rows weightless) has an ill-defined keep
+    fraction — it keeps NOTHING. The naked division killed ANSI Spark
+    jobs (dirty-corpus fuzz, r9), and a bare try_divide is NOT enough:
+    least() SKIPS NULL arguments in both engines, so NULL frac would
+    collapse to least(1.0, NULL) = 1.0 and keep EVERYTHING — including
+    zero-weight strata outside the shares allowlist (0/0 → NULL) —
+    inverting the documented semantics (review finding, r9). The twin
+    coalesces identically."""
     avail = df.groupBy(stratum_col).agg(F.sum(weight_col).alias("__avail"))
     frac = F.least(
         F.lit(1.0),
-        F.try_divide(
-            _share_expr(stratum_col, shares) * F.lit(float(budget)), F.col("__avail")
+        F.coalesce(
+            F.try_divide(
+                _share_expr(stratum_col, shares) * F.lit(float(budget)), F.col("__avail")
+            ),
+            F.lit(0.0),
         ),
     )
     return (
@@ -93,13 +101,17 @@ def mixture_sample_relative(
     driver collect), so one config scales across corpus sizes."""
     avail = df.groupBy(stratum_col).agg(F.sum(weight_col).alias("__avail"))
     total = df.agg(F.sum(weight_col).alias("__total"))
-    # try_divide: zero-weight stratum → NULL frac → rows dropped, the
-    # DuckDB x/0 → NULL convention (see mixture_sample)
+    # coalesce(try_divide, 0): zero-weight stratum keeps nothing —
+    # least() skips NULLs, so a bare NULL frac would invert to 1.0
+    # (see mixture_sample)
     frac = F.least(
         F.lit(1.0),
-        F.try_divide(
-            _share_expr(stratum_col, shares) * F.lit(float(budget_frac)) * F.col("__total"),
-            F.col("__avail"),
+        F.coalesce(
+            F.try_divide(
+                _share_expr(stratum_col, shares) * F.lit(float(budget_frac)) * F.col("__total"),
+                F.col("__avail"),
+            ),
+            F.lit(0.0),
         ),
     )
     return (
@@ -128,7 +140,7 @@ j AS (SELECT t.*, a.av, tot.total FROM {table} t
       JOIN avail a ON a.strat = t.{stratum_expr} CROSS JOIN tot)
 SELECT {select} FROM j
 WHERE {sql_uniform01(key_expr, seed, _SALT)}
-      < least(1.0, {_sql_share_case(stratum_expr, shares)} * {float(budget_frac)} * total / av)
+      < least(1.0, coalesce({_sql_share_case(stratum_expr, shares)} * {float(budget_frac)} * total / nullif(av, 0), 0.0))
 """
 
 
@@ -148,5 +160,5 @@ WITH avail AS (SELECT {stratum_expr} AS strat, sum({weight_expr}) AS av FROM {ta
 j AS (SELECT t.*, a.av FROM {table} t JOIN avail a ON a.strat = t.{stratum_expr})
 SELECT {select} FROM j
 WHERE {sql_uniform01(key_expr, seed, _SALT)}
-      < least(1.0, {_sql_share_case(stratum_expr, shares)} * {float(budget)} / av)
+      < least(1.0, coalesce({_sql_share_case(stratum_expr, shares)} * {float(budget)} / nullif(av, 0), 0.0))
 """

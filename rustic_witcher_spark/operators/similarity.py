@@ -28,7 +28,10 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    # try_divide: a zero-norm vector makes the denominator 0 — ANSI
+    # Spark would throw where DuckDB yields NULL; NULL here means "no
+    # similarity defined" and every consumer drops it before ranking
+    return F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))
 
 
 def _round_half_away(x, decimals: int = 6):
@@ -81,6 +84,10 @@ def brute_force_topk(
         c.crossJoin(F.broadcast(q))
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("sim"))
+        # zero-norm vectors: cosine is 0/0 — NaN here, NULL in the
+        # DuckDB twins; both mean "no similarity defined", so the row
+        # drops before ranking (the block kernels' keep_q discipline)
+        .filter(F.col("sim").isNotNull() & ~F.isnan(F.col("sim")))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -460,6 +467,10 @@ def ivf_topk(
         inv.join(probes.hint("broadcast"), "cid")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("sim"))
+        # zero-norm vectors: cosine is 0/0 — NaN here, NULL in the
+        # DuckDB twins; both mean "no similarity defined", so the row
+        # drops before ranking (the block kernels' keep_q discipline)
+        .filter(F.col("sim").isNotNull() & ~F.isnan(F.col("sim")))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -519,6 +530,10 @@ def ivf_query_index(
         inv.join(probes.hint("broadcast"), "cid")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("sim"))
+        # zero-norm vectors: cosine is 0/0 — NaN here, NULL in the
+        # DuckDB twins; both mean "no similarity defined", so the row
+        # drops before ranking (the block kernels' keep_q discipline)
+        .filter(F.col("sim").isNotNull() & ~F.isnan(F.col("sim")))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -557,6 +572,10 @@ def lsh_topk(
         c.join(q.hint("broadcast"), "__sig")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("sim"))
+        # zero-norm vectors: cosine is 0/0 — NaN here, NULL in the
+        # DuckDB twins; both mean "no similarity defined", so the row
+        # drops before ranking (the block kernels' keep_q discipline)
+        .filter(F.col("sim").isNotNull() & ~F.isnan(F.col("sim")))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -1857,7 +1857,8 @@ s AS (
   FROM c, q WHERE query_id <> neighbor_id
 )
 SELECT query_id, neighbor_id, rank, sim FROM (
-  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank FROM s)
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM s WHERE sim IS NOT NULL AND NOT isnan(sim))
 WHERE rank <= 5
 """
 
@@ -1894,7 +1895,8 @@ scored AS (
   FROM c JOIN q USING (sig) WHERE query_id <> neighbor_id
 )
 SELECT query_id, neighbor_id, rank, sim FROM (
-  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank FROM scored)
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored WHERE sim IS NOT NULL AND NOT isnan(sim))
 WHERE rank <= {k}
 """
 
@@ -1981,7 +1983,8 @@ s AS (
   WHERE query_id <> neighbor_id
 )
 SELECT query_id, neighbor_id, rank, sim FROM (
-  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank FROM s)
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM s WHERE sim IS NOT NULL AND NOT isnan(sim))
 WHERE rank <= {k}
 """
 
@@ -2078,7 +2081,8 @@ s AS (
   WHERE query_id <> r.vec_id
 )
 SELECT query_id, neighbor_id, rank, sim FROM (
-  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank FROM s)
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM s WHERE sim IS NOT NULL AND NOT isnan(sim))
 WHERE rank <= {k}
 """
 
@@ -2191,7 +2195,8 @@ s AS (
   WHERE query_id <> neighbor_id
 )
 SELECT query_id, neighbor_id, rank, sim FROM (
-  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank FROM s)
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM s WHERE sim IS NOT NULL AND NOT isnan(sim))
 WHERE rank <= {k}
 """
 

@@ -131,7 +131,11 @@ def read_delta_codes(
     the single choke point both paths read through keeps them
     duplicate-free for free (the media twin dedupes its appends the
     same way). The window runs over the delta only — micro-batch
-    sized, never the base index."""
+    sized, never the base index. Within a batch the tie breaks on the
+    codes' string form (then cid): orderBy(batch) alone would pick a
+    nondeterministic winner for a same-id-same-batch violation, and
+    two merges of the same delta must produce byte-identical indexes
+    (review finding, r9)."""
     from pyspark.sql import Window
 
     with_cid = os.path.isdir(f"{base_index_path}/_centroids")
@@ -141,7 +145,10 @@ def read_delta_codes(
         meta = _load_meta(delta_path)
     if not os.path.isdir(data_dir) or meta.get("indexed_rows", 0) == 0:
         return spark.createDataFrame([], schema)
-    w = Window.partitionBy(id_col).orderBy(F.col("batch").asc())
+    order = [F.col("batch").asc(), F.concat_ws(",", F.col("codes").cast("array<string>")).asc()]
+    if with_cid:
+        order.append(F.col("cid").asc())
+    w = Window.partitionBy(id_col).orderBy(*order)
     return (
         spark.read.schema(schema + ", batch long")
         .parquet(data_dir)

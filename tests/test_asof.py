@@ -91,3 +91,31 @@ def test_asof_null_ts_rows_dropped_both_sides(spark):
     )
     out = asof_join(left, right, on=["k"], left_ts="ts", right_ts="ts", value_cols=["v"]).collect()
     assert len(out) == 1 and out[0]["v_asof"] == 100.0
+
+
+def test_asof_null_join_key_left_unmatched_right_invisible(spark, tmp_path):
+    # NULL never equi-joins: a NULL-key right row is invisible even to
+    # a NULL-key left row, which survives unmatched (DuckDB's native
+    # ASOF LEFT JOIN agrees — verified in review, r9).
+    import duckdb
+
+    left = spark.createDataFrame([(None, _ts(2)), (1, _ts(2))], "k long, ts timestamp")
+    right = spark.createDataFrame(
+        [(None, _ts(1), 9.5), (1, _ts(1), 1.5)], "k long, ts timestamp, v double"
+    )
+    out = asof_join(left, right, on=["k"], left_ts="ts", right_ts="ts", value_cols=["v"])
+    got = {r["k"]: r["v_asof"] for r in out.collect()}
+    assert got == {None: None, 1: 1.5}
+    ld, rd = str(tmp_path / "l"), str(tmp_path / "r")
+    left.write.parquet(ld)
+    right.write.parquet(rd)
+    con = duckdb.connect()
+    want = {
+        k: v
+        for k, v in con.execute(
+            f"""SELECT l.k, r.v FROM read_parquet('{ld}/*.parquet') l
+                ASOF LEFT JOIN read_parquet('{rd}/*.parquet') r
+                ON l.k = r.k AND l.ts >= r.ts"""
+        ).fetchall()
+    }
+    assert got == want

@@ -327,3 +327,42 @@ def test_vocab_growth_curve_invariants(spark):
     # the repeat half adds nothing: every decile past the median is flat
     second_half = [r for r in out if r["decile"] > 5]
     assert all(r["new_types"] == 0 for r in second_half)
+
+
+def test_zero_norm_vectors_drop_from_all_similarity_faces(spark, tmp_path):
+    """A zero vector's cosine is 0/0 — NaN on the Catalyst faces, NULL
+    in the DuckDB twins; both must DROP it (as query AND candidate)
+    instead of ranking it (Spark orders NaN above every real sim;
+    DuckDB would emit NULL-sim ranks). Review finding, r9 — the dirty
+    fuzz can't draw zero-norm vectors, so this pins the class."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+
+    dim = 64
+    vecs = [[0.0] * dim] + [
+        [1.0] + [((i * 3 + j) % 7 - 3) * 0.5 for j in range(7)] + [0.0] * (dim - 8)
+        for i in range(7)
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [(i, "alpha beta gamma", "en", "s", 10) for i in range(len(vecs))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{d}/documents.parquet")
+    spark.createDataFrame(
+        [(i, v, i % 3) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>, label long",
+    ).write.parquet(f"{d}/embeddings.parquet")
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet/*.parquet')")
+    qs, osqls = entrymod.queries(), entrymod.oracle_sql()
+    for name in ["knn_bruteforce", "knn_lsh", "knn_ivf", "pq_ann_topk", "ivfpq_ann_topk"]:
+        g = qs[name](spark, d).toPandas()
+        w = con.execute(osqls[name]).fetchdf()
+        assert 0 not in set(g["query_id"]), (name, "zero-norm query ranked")
+        assert 0 not in set(g["neighbor_id"]), (name, "zero-norm candidate ranked")
+        cols = sorted(g.columns)
+        gs = sorted(map(tuple, g[cols].astype(str).values.tolist()))
+        ws = sorted(map(tuple, w[cols].astype(str).values.tolist()))
+        assert gs == ws, (name, len(gs), len(ws), gs[:3], ws[:3])

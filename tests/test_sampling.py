@@ -55,3 +55,35 @@ def test_sample_predicate_reaches_scan(spark, sf_dir):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_mixture_zero_weight_stratum_keeps_nothing(spark):
+    """A stratum whose weights sum to 0 keeps NOTHING — even when it is
+    outside the shares allowlist (0/0 would otherwise make a NULL frac
+    that least() skips, inverting to keep-everything; review finding,
+    r9). Both engines, both budget forms."""
+    import duckdb
+
+    from rustic_witcher_spark.operators import mixing
+
+    rows = [(i, "en", 10) for i in range(20)] + [(100 + i, "zz", 0) for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+    kept_abs = mixing.mixture_sample(df, "doc_id", "lang", "n_chars", {"en": 1.0, "zz": 1.0}, budget=100.0)
+    assert kept_abs.filter(F.col("lang") == "zz").count() == 0
+    assert kept_abs.filter(F.col("lang") == "en").count() > 0
+    kept_rel = mixing.mixture_sample_relative(
+        df, "doc_id", "lang", "n_chars", {"en": 1.0}, budget_frac=0.5
+    )
+    assert kept_rel.filter(F.col("lang") == "zz").count() == 0
+    # twin parity on the same frame
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="mixzero_")
+    df.write.mode("overwrite").parquet(f"{d}/t")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW t AS SELECT * FROM read_parquet('{d}/t/*.parquet')")
+    got = sorted(r[0] for r in con.execute(
+        mixing.sql_mixture_sample("doc_id", "lang", "n_chars", "t", {"en": 1.0, "zz": 1.0}, 100.0, "doc_id")
+    ).fetchall())
+    want = sorted(r["doc_id"] for r in kept_abs.collect())
+    assert got == want
