@@ -162,7 +162,9 @@ def build_parser() -> argparse.ArgumentParser:
         "--against",
         default=None,
         help="optional corpus-index parquet (id + fingerprint); flags the source batch "
-        "against it (incremental mode) instead of pairing the source with itself",
+        "against it (incremental mode) instead of pairing the source with itself. "
+        "Read with the explicit schema '<id-col> long, phash long' (like the "
+        "streaming appender writes): the id column must be a 64-bit integer",
     )
     mc = sub.add_parser(
         "media-index-compact",

@@ -738,38 +738,67 @@ def containment_near_duplicates(
     once (operators/materialize — it feeds the probe, the posting
     index, and both verify legs; Catalyst has no cross-branch subtree
     reuse, so without the cut the explode subplan runs four times —
-    the contrastive_triplets lesson). Gram frequency and per-doc
-    size/position attach as full-frame WINDOW aggregates over the two
-    partitionings the plan already shuffles on (gram, then doc) — a
-    groupBy+join-back per statistic would shuffle both join sides
-    each time (measured 11.4 s → ~4 s at sf0.1). Candidate
+    the contrastive_triplets lesson). Gram frequency attaches as a
+    two-phase ``groupBy("g").count()`` + join-back (r10, the r9
+    verdict's skew fix): WindowExec cannot partial-aggregate and AQE
+    skew handling does not apply to windows, so the previous
+    ``count().over(partitionBy(g))`` landed a boilerplate gram's
+    ENTIRE posting list on one task at web scale; the groupBy absorbs
+    hot grams map-side and the join-back on g is AQE-skew-splittable.
+    (The r9 window form won at sf0.1 only because the pre-materialize
+    join-back re-ran the explode subplan; against the materialized
+    projection the two-phase form plus the skipped no-op cap window
+    measures FASTER — 7.40 s → 5.63 s best-of-3 at sf0.1.) Per-doc
+    size/position stay WINDOW aggregates over the doc
+    partitioning — bounded by document length, not Zipfian. Candidate
     enumeration is ONE equi-join on the gram hash; the exact verify
     touches only candidate pairs (never an all-pairs overlap join).
     ``max_posting`` bounds degenerate gram posting lists (boilerplate
     grams at web scale) exactly like minhash_lsh_candidates' bucket
     cap: keep the ``max_posting`` lowest-id members per gram on BOTH
-    probe and index sides, deterministically.
+    probe and index sides, deterministically — via a SALTED two-level
+    row_number (r10): first within (g, salt % 32) partitions, then
+    over the ≤ 32·max_posting survivors per gram, so the exact
+    lowest-id cap never sorts more than 32·max_posting rows in one
+    task. ``None`` skips the cap entirely (the oracle-checked registry
+    face — no cap stages in that plan at all).
+
+    NULL-text docs are dropped ("no content → no signature", the
+    minhash/simhash convention): they used to hash to the shared
+    chr(1) NULL-marker whole-gram, making every NULL pair containment
+    1.0 — O(N²) flagged pairs on a dirty corpus (ADVICE r9).
 
     Returns (id_a, id_b, n_inter, sz_a, sz_b, cont_a_in_b, cont_b_in_a)
     with id_a < id_b for pairs with max(C(A→B), C(B→A)) ≥ 1/2.
     """
     from rustic_witcher_spark.operators.materialize import materialize
 
+    df = df.filter(F.col(text_col).isNotNull())
     sg = df.select(
         F.col(id_col).alias("__id"),
         F.explode(F.array_distinct(word_shingle_hashes(F.col(text_col), seed))).alias("g"),
     )
-    wg = Window.partitionBy("g")
     if max_posting is not None:
+        # salted two-level cap: exact lowest-id semantics with bounded
+        # task size (see docstring) — a hot gram's rows split across 32
+        # (g, salt) partitions first; only ≤ 32·max_posting survivors
+        # per gram reach the exact second-level rank
+        salts = 32
+        w1 = Window.partitionBy("g", "__salt").orderBy("__id")
+        w2 = Window.partitionBy("g").orderBy("__id")
         sg = (
-            sg.withColumn("__pn", F.row_number().over(wg.orderBy("__id")))
-            .filter(F.col("__pn") <= max_posting)
-            .drop("__pn")
+            sg.withColumn("__salt", F.pmod(F.xxhash64("__id"), F.lit(salts)))
+            .withColumn("__p1", F.row_number().over(w1))
+            .filter(F.col("__p1") <= max_posting)
+            .withColumn("__p2", F.row_number().over(w2))
+            .filter(F.col("__p2") <= max_posting)
+            .drop("__salt", "__p1", "__p2")
         )
     sg = materialize(sg)
+    freq = sg.groupBy("g").agg(F.count(F.lit(1)).alias("nf"))
     wd = Window.partitionBy("__id")
     ranked = (
-        sg.withColumn("nf", F.count(F.lit(1)).over(wg))
+        sg.join(freq, "g")
         .withColumn("sz", F.count(F.lit(1)).over(wd))
         .withColumn("pos", F.row_number().over(wd.orderBy(F.col("nf").asc(), F.col("g").asc())))
     )
@@ -818,17 +847,34 @@ def novelty_scores(df: DataFrame, text_col: str, id_col: str, seed: int = DEFAUL
     `novelty_scores` registry entry and the `novelty` CLI; the
     incremental face is streaming/novelty.py.
 
-    ONE explode, ONE gram shuffle (first-owner attaches as a
-    full-frame min() window — a groupBy+join-back would run the
-    explode subplan twice and shuffle both join sides), then a
-    map-combinable per-doc rollup.
+    ONE explode (MATERIALIZED — it feeds both the owner aggregate and
+    the join-back), then a two-phase ``groupBy("g").min`` + join-back
+    for the first owner (r10, the r9 verdict's skew fix: the previous
+    ``min().over(partitionBy(g))`` was a single-reducer-per-gram shape
+    on a Zipfian key — WindowExec cannot partial-aggregate and AQE
+    skew handling does not apply to windows; the groupBy absorbs hot
+    grams map-side and the join on g is AQE-skew-splittable; measured
+    0.91 s → 1.08 s best-of-3 at sf0.1 — inside the ≤20% budget the
+    r9 verdict set: scale safety beats a 0.17 s bench win; the
+    materialize stops the explode re-run that made the r9-measured
+    join-back lose outright), then a
+    map-combinable per-doc rollup. NULL-text docs are dropped (the
+    minhash/simhash "no content → no signature" convention — a shared
+    NULL-marker gram would make every NULL doc after the first score
+    zero novelty; ADVICE r9).
     """
-    sg = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.array_distinct(word_shingle_hashes(F.col(text_col), seed))).alias("g"),
+    from rustic_witcher_spark.operators.materialize import materialize
+
+    df = df.filter(F.col(text_col).isNotNull())
+    sg = materialize(
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.array_distinct(word_shingle_hashes(F.col(text_col), seed))).alias("g"),
+        )
     )
+    first = sg.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
     return (
-        sg.withColumn("first_doc", F.min("doc_id").over(Window.partitionBy("g")))
+        sg.join(first, "g")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),

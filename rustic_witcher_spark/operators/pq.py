@@ -648,6 +648,13 @@ def pq_encode_adc_topk_block(
                     v2 = v2 + vecs[:, i] * vecs[:, i]
                 with np.errstate(divide="ignore", invalid="ignore"):
                     csim = ip / (np.sqrt(v2)[:, None] * co_norm[None, :])
+                # a zero-norm centroid (collapsed Lloyd mean) yields a
+                # NaN column; argmax would keep it only at column 0,
+                # while the relational ivf_assign/try_divide path sorts
+                # NULL sims last — mask to -inf so both faces pick the
+                # best REAL centroid (ADVICE r9; theoretical unless a
+                # mean collapses to the exact zero vector)
+                csim = np.where(np.isnan(csim), -np.inf, csim)
                 col = np.argmax(csim, axis=1)  # first max = smallest cid
                 keep_rows = allowed.any(axis=0)[col]
                 if not keep_rows.any():

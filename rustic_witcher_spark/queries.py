@@ -2201,6 +2201,69 @@ WHERE rank <= {k}
 """
 
 
+def _pq_index_dir(sf_dir: str) -> str:
+    """Content-keyed cache dir for the persisted IVF-PQ index of one
+    corpus: absolute embeddings path + layout mtime + geometry, so a
+    rewritten corpus (test fixtures, dirty-fuzz tmp dirs) gets a fresh
+    build while repeated invocations on the static testdata reuse it."""
+    import hashlib
+    import os
+    import tempfile
+
+    p = os.path.abspath(os.path.join(sf_dir, "embeddings.parquet"))
+    try:
+        mt = str(int(os.path.getmtime(p)))
+    except OSError:
+        mt = "0"
+    key = hashlib.md5(f"{p}|{mt}|16x16x64c8n2".encode()).hexdigest()[:16]
+    return os.path.join(tempfile.gettempdir(), "rw_spark_pq_index", key)
+
+
+def q_pq_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Steady-state ANN: partition-pruned ADC query against a
+    PRE-BUILT persisted IVF-PQ index (pq.pq_write_index →
+    pq.pq_query_index, pq.py:448) — the r9 verdict's task 4: the
+    100 TB query shape ITSELF under the driver gate, where
+    `ivfpq_ann_topk` keeps grading the composed one-shot
+    train+encode+query conflation. The index (16x16 codebooks,
+    coarse=8 cid-partitioned codes) is built once per corpus into a
+    content-keyed cache dir and REUSED across invocations: steady
+    state touches only the `_codebooks` read (KBs), the |q|×nprobe
+    probe assignment (bounded collect), and the nprobe/8 of the codes
+    partitions the probe selects — partition pruning on `cid`, the
+    scan shape that holds at 100 TB (codes are 16× smaller than the
+    vectors and only probed lists' files open).
+
+    The DuckDB twin replays the full deterministic
+    train→encode→probe→ADC derivation from the base table
+    (sql_ivfpq_ann_topk's CTE chain — the persisted index is exactly
+    that pipeline's fixpoint), so parity proves the persisted path
+    computes the same answer as the from-scratch composition. The
+    bench-ratio asymmetry is therefore IN THE TWIN'S FAVOR on first
+    build and in ours at steady state — which is the honest framing:
+    bench best-of-2 reports the second (steady-state) pass."""
+    import os
+
+    idx = _pq_index_dir(sf_dir)
+    if not os.path.exists(os.path.join(idx, "codes", "_SUCCESS")):
+        emb = _read(spark, sf_dir, "embeddings")
+        pq.pq_write_index(
+            emb, idx, n_subspaces=16, n_codes=16, dim=64, coarse_clusters=8, iters=1, seed=SEED
+        )
+    queries = _read(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 5)
+    return pq.pq_query_index(
+        spark, idx, queries, k=5, nprobe=2, n_subspaces=16, dim=64
+    ).select("query_id", "neighbor_id", "rank", "sim")
+
+
+def sql_pq_index_query() -> str:
+    """Twin of the persisted-index query = the from-scratch IVF-PQ
+    derivation (see q_pq_index_query docstring for why that is the
+    right oracle: same geometry, same seed, same probe count —
+    the index is the pipeline's fixpoint)."""
+    return sql_ivfpq_ann_topk(n_clusters=8, nprobe=2, n_subspaces=16, n_codes=16, dim=64, k=5, seed=SEED)
+
+
 def q_embedding_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JL random projection 64→16: the cheap deterministic dim
     reduction applied before LSH/storage at 100 TB (pure expressions,
@@ -5833,8 +5896,11 @@ def _sql_doc_grams_sg() -> str:
         f"i -> ((tok_h[i] * {_GRAM_W1}) % {MERSENNE_31} + (tok_h[i+1] * {_GRAM_W2}) % {MERSENNE_31} + tok_h[i+2]) % {MERSENNE_31})"
     )
     whole = f"[({sql_hash64('norm', SEED, 'mh')}) % {MERSENNE_31}]"
+    # text IS NOT NULL: lockstep with the Spark operators' NULL-text
+    # drop (minhash/simhash "no content → no signature"; ADVICE r9)
     return (
-        f"th AS (SELECT doc_id, {th} AS tok_h, {norm} AS norm FROM documents),\n"
+        f"th AS (SELECT doc_id, {th} AS tok_h, {norm} AS norm FROM documents"
+        f" WHERE text IS NOT NULL),\n"
         f"sg AS (SELECT doc_id, unnest(list_distinct("
         f"CASE WHEN len(tok_h) >= 3 THEN {grams} ELSE {whole} END)) AS g FROM th)"
     )
@@ -5848,12 +5914,14 @@ def q_containment_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold. See operators/dedup.containment_near_duplicates for the
     algorithm and the integer-arithmetic threshold discipline (prefix
     length and the ≥1/2 keep test never touch floats, so the engines
-    cannot disagree at a boundary). max_posting is effectively
-    unbounded here so the oracle reproduces the exact pair set; the
+    cannot disagree at a boundary). max_posting=None: the registry
+    face is UNCAPPED so the oracle reproduces the exact pair set, and
+    (r10) None now skips the cap stages entirely instead of paying a
+    full-frame row_number against an astronomically large bound; the
     operator default caps degenerate posting lists at web scale."""
     d = _spread(spark, _read(spark, sf_dir, "documents"))
     return dedup.containment_near_duplicates(
-        d, "text", "doc_id", seed=SEED, max_posting=1 << 40
+        d, "text", "doc_id", seed=SEED, max_posting=None
     ).orderBy("id_a", "id_b")
 
 
@@ -5900,14 +5968,14 @@ def q_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     add little over the corpus already ingested before them — the
     greedy selection signal incremental curation (D4-style) ranks by,
     and the per-doc face of chunk_dedup's duplicate-chunk counts.
-    Scale shape: ONE (doc, gram) distinct projection; the first-owner
-    attach is a full-frame min() WINDOW over the gram partitioning —
-    one explode, ONE gram shuffle, then a map-combinable doc rollup.
-    (The groupBy-then-join-back form runs the explode subplan twice
-    and shuffles both join sides — Catalyst has no cross-branch
-    subtree reuse; measured 1.7 s → ~1.1 s at sf0.1.) No pair
-    enumeration anywhere. Shared with the `novelty` CLI (one-shot
-    mode); the incremental face is streaming/novelty.py."""
+    Scale shape (r10): ONE materialized (doc, gram) distinct
+    projection, first-owner via two-phase groupBy(g).min + join-back
+    (partial aggregation absorbs Zipfian hot grams map-side; the r9
+    min-over-window form was single-reducer-per-gram — see
+    operators/dedup.novelty_scores), then a map-combinable doc
+    rollup. No pair enumeration anywhere. Shared with the `novelty`
+    CLI (one-shot mode); the incremental face is
+    streaming/novelty.py."""
     d = _spread(spark, _read(spark, sf_dir, "documents"))
     return dedup.novelty_scores(d, "text", "doc_id", seed=SEED).orderBy("doc_id")
 
@@ -5920,6 +5988,63 @@ SELECT s.doc_id, count(*) AS n_shingles,
        sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)::BIGINT AS n_novel,
        round(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) / count(*), 6) AS novelty
 FROM sg s JOIN first f USING (g)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_novelty_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental novelty — the r9 streaming module under the driver
+    gate (r9 verdict task 6): the corpus splits into a standing corpus
+    (doc_id % 10 < 8, the `dedup_incremental` split convention) and a
+    new batch (doc_id % 10 >= 8); both route through the REAL
+    streaming scoring path (`streaming.novelty.novelty_append_batch` —
+    explode → LEFT-join the persisted gram-first-owner index → score →
+    append) as micro-batches 0 and 1 against a fresh index dir, and
+    the entry returns batch 1's persisted scores. A batch doc's gram
+    is novel iff no standing-corpus doc owns it AND the doc is the
+    batch's first owner — processing-order semantics, the honest
+    streaming meaning of "novel" (streaming/novelty.py:27-32).
+
+    The index dir is a FRESH mkdtemp per invocation (the replay cursor
+    would skip batch ids 0/1 as already-processed in a reused dir);
+    the previous invocation's dir is wiped first so repeated bench
+    passes don't accumulate. Scale shape per micro-batch: O(batch
+    grams + gram-keyed index join) — never a corpus re-scan
+    (novelty.py:14-17); the returned frame is a parquet read of the
+    scores partition."""
+    import os
+    import shutil
+    import tempfile
+
+    from rustic_witcher_spark.streaming.novelty import novelty_append_batch
+
+    d = _spread(spark, _read(spark, sf_dir, "documents"))
+    parent = os.path.join(tempfile.gettempdir(), "rw_spark_novelty_inc")
+    shutil.rmtree(parent, ignore_errors=True)
+    os.makedirs(parent, exist_ok=True)
+    idx = tempfile.mkdtemp(dir=parent)
+    novelty_append_batch(d.filter((F.col("doc_id") % 10) < 8), 0, idx, text_col="text", id_col="doc_id", seed=SEED)
+    novelty_append_batch(d.filter((F.col("doc_id") % 10) >= 8), 1, idx, text_col="text", id_col="doc_id", seed=SEED)
+    return (
+        spark.read.schema("doc_id long, n_shingles long, n_novel long, novelty double")
+        .parquet(os.path.join(idx, "scores", "batch=1"))
+        .orderBy("doc_id")
+    )
+
+
+def sql_novelty_incremental() -> str:
+    """Twin of the streaming scoring path at the two-batch cut: a
+    batch gram is novel iff absent from the standing corpus's gram set
+    AND first-owned (min doc_id) within the batch."""
+    return f"""
+WITH {_sql_doc_grams_sg()},
+idx AS (SELECT DISTINCT g FROM sg WHERE doc_id % 10 < 8),
+newb AS (SELECT doc_id, g FROM sg WHERE doc_id % 10 >= 8),
+firstb AS (SELECT g, min(doc_id) AS first_doc FROM newb GROUP BY 1)
+SELECT n.doc_id, count(*) AS n_shingles,
+       sum(CASE WHEN i.g IS NULL AND f.first_doc = n.doc_id THEN 1 ELSE 0 END)::BIGINT AS n_novel,
+       round(sum(CASE WHEN i.g IS NULL AND f.first_doc = n.doc_id THEN 1 ELSE 0 END) / count(*), 6) AS novelty
+FROM newb n JOIN firstb f USING (g) LEFT JOIN idx i USING (g)
 GROUP BY 1 ORDER BY 1
 """
 
@@ -7187,9 +7312,23 @@ def build_registry() -> dict[str, tuple[QueryFn, str | None]]:
     r06 holders = exactly 50; the ten deferrals (five filter
     predicates + q20_part_promotion + q21_waiting_suppliers + the
     faker trio) spill to the r10 window.
+    CORRECTNESS_r09 came back 49/50: the five r9 additions, the
+    r8-late cohort except feature_hash_embed, and all 39 rotated r06
+    holders are green with r9 verdicts; feature_hash_embed ERRed in
+    the driver canonicalizer (array<double> output — fixed this round
+    by the string-serialization convention). ROUND10_PREFIX = the two
+    r10 additions (pq_index_query + novelty_incremental — new entries
+    always enter the current window) + feature_hash_embed (the only
+    never-driver-verified entry, leading the rotation to prove the
+    fix) + the ten r06-verdict deferrals + 37 of the 50 r07 holders;
+    the 13 r07 deferrals to r11 are the ten long-staged stable shapes
+    plus the three tail slots the r10 additions displaced (full list
+    at ROUND11_PREFIX_STAGED).
     The full local gate (`scripts/compare_oracle.py`) runs ALL
     entries every round, and is order- AND dtype-faithful to the
-    driver hash (round-7 rewrite after q12 shipped red twice).
+    driver hash (round-7 rewrite after q12 shipped red twice; round-10
+    addition: list-typed result columns now REJECTED outright — the
+    feature_hash_embed lesson).
     """
     reg: dict[str, tuple[QueryFn, str | None]] = {}
     # --- (1) reference-parity: filter operator family (F1–F7) ---
@@ -7384,9 +7523,12 @@ def build_registry() -> dict[str, tuple[QueryFn, str | None]]:
             "contrastive_triplets": (q_contrastive_triplets, sql_contrastive_triplets()),
             "embedding_outliers": (q_embedding_outliers, sql_embedding_outliers()),
             "feature_hash_embed": (q_feature_hash_embed, sql_feature_hash_embed()),
+            # --- round-10 additions (enter the r10 window immediately) ---
+            "pq_index_query": (q_pq_index_query, sql_pq_index_query()),
+            "novelty_incremental": (q_novelty_incremental, sql_novelty_incremental()),
         }
     )
-    ordered = {name: reg.pop(name) for name in ROUND9_PREFIX}
+    ordered = {name: reg.pop(name) for name in ROUND10_PREFIX}
     ordered.update(reg)
     return ordered
 
@@ -7540,28 +7682,34 @@ ROUND9_PREFIX = [
 ]
 
 
-# STAGED round-10 window (NOT wired — round 10 renames this to the
-# active prefix, updates build_registry's `ordered = ...` line and the
-# rotation ledger in its docstring, and keeps
-# tests/test_entry_contract.py's composition asserts in sync).
-# Composition: the ten r06-verdict deferrals lead (the oldest verdicts
-# in the registry after the r9 window is graded — five filter
-# predicates, the q20/q21 pair, and the faker trio), then 40 of the 50
-# r07-verdict holders; the ten r07 deferrals to the r11 window are the
-# simplest, most-stable relational shapes of that cohort
-# (orders_pivot / grouping_sets_revenue / lineitem_unpivot /
-# fuzzy_part_names / source_cap / embedding_dim_stats /
-# weighted_reservoir / benford_profile / customer_revenue_standing /
-# zorder_layout — all hold randomized-fuzz or fixed-table parity and
-# none has churned since r7). Any NEW r10 entries enter this window
-# at the head, displacing r07 holders from the tail into the r11 list.
-ROUND10_PREFIX_STAGED = [
-    # r06-verdict deferrals (oldest verdicts — lead the window)
+# ACTIVE round-10 window (wired into build_registry this round).
+# Composition per the r9 verdict's tasks 1/3: the two r10 additions
+# lead (new entries always enter the CURRENT window), then
+# feature_hash_embed — the registry's only never-driver-verified entry
+# (r9 red on the array serialization, fixed this round — leads the
+# rotation cohort to prove the fix), then the ten r06-verdict
+# deferrals (five filter predicates, the q20/q21 pair, the faker trio
+# — the oldest verdicts in the registry), then 37 of the 50
+# r07-verdict holders. The THIRTEEN r07 deferrals to the r11 window
+# are the ten long-staged stable relational shapes (orders_pivot /
+# grouping_sets_revenue / lineitem_unpivot / fuzzy_part_names /
+# source_cap / embedding_dim_stats / weighted_reservoir /
+# benford_profile / customer_revenue_standing / zorder_layout) plus
+# the three tail slots the r10 additions displaced (bm25_search /
+# leakage_safe_split / source_kl_divergence) — all hold
+# randomized-fuzz or fixed-table parity and none has churned since
+# r7.
+ROUND10_PREFIX = [
+    # new in round 10 (enter the current window immediately)
+    "pq_index_query", "novelty_incremental",
+    # never driver-verified: r9 red, serialization fixed this round
+    "feature_hash_embed",
+    # r06-verdict deferrals (oldest verdicts — lead the rotation)
     "filter_startswith", "filter_endswith", "filter_startsends",
     "filter_equals", "filter_anyofint",
     "q20_part_promotion", "q21_waiting_suppliers",
     "faker_suite", "fake_multi_email", "fake_email_id_prefix",
-    # r07-verdict rotation (40 of 50)
+    # r07-verdict rotation (37 of 50)
     "q12_shipping_lateness", "q2_min_cost_supplier", "q11_important_parts",
     "q16_supplier_variety", "click_attribution", "scd2_user_history",
     "scd2_point_in_time", "purchases_with_state_asof", "state_tier_timeline",
@@ -7574,5 +7722,36 @@ ROUND10_PREFIX_STAGED = [
     "dsir_selection", "bpe_merge_step", "mixture_temperature",
     "ewma_events", "source_overlap", "events_mad_outliers",
     "interval_coverage", "funnel_3step", "hard_negatives",
-    "bm25_search", "leakage_safe_split", "source_kl_divergence",
+]
+
+
+# STAGED round-11 window (NOT wired — round 11 renames this to the
+# active prefix, updates build_registry's `ordered = ...` line and the
+# rotation ledger, and keeps tests/test_entry_contract.py in sync).
+# Composition: the 13 r07-verdict deferrals lead (the oldest verdicts
+# after the r10 window is graded), then 37 of the r08-verdict holders
+# (ROUND8_PREFIX order, skipping its 3 r8-new heads which also hold
+# r8 verdicts but are newer). Any NEW r11 entries enter at the head,
+# displacing r08 holders from the tail into the r12 list.
+ROUND11_PREFIX_STAGED = [
+    # r07-verdict deferrals (oldest verdicts — lead the window)
+    "orders_pivot", "grouping_sets_revenue", "lineitem_unpivot",
+    "fuzzy_part_names", "source_cap", "embedding_dim_stats",
+    "weighted_reservoir", "benford_profile", "customer_revenue_standing",
+    "zorder_layout", "bm25_search", "leakage_safe_split",
+    "source_kl_divergence",
+    # r08-verdict rotation (37 of 47)
+    "drift_vs_reference", "media_near_dups", "bpe_merge_chain",
+    "q17_small_quantity_revenue", "q19_disjunctive_revenue", "q22_idle_customers",
+    "q8_market_share", "q9_profit_by_nation",
+    "q1_pricing_summary", "q3_top_revenue", "q5_nation_revenue",
+    "q13_order_distribution", "q4_priority_returns", "q18_large_orders",
+    "q7_nation_volume", "q6_forecast_revenue", "q10_returned_items",
+    "q14_promo_revenue", "q15_top_supplier",
+    "skew_salted_stats", "doc_length_deciles", "value_percentiles",
+    "token_count_bpe", "vocab_top_terms", "langid_confusion",
+    "tfidf_top_terms", "doc_quality", "pii_redact",
+    "rollup_revenue", "distinct_parts_per_supplier", "top_customers_per_nation",
+    "asof_last_purchase", "events_in_campaign_windows", "events_json_extract",
+    "events_rollup_cascade", "events_tumbling", "events_sliding",
 ]

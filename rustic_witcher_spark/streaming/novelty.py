@@ -64,6 +64,9 @@ def novelty_append_batch(
     if batch_id <= meta.get("last_batch_id", -1):
         return False
     spark = batch_df.sparkSession
+    # NULL-text drop in lockstep with the batch face (ADVICE r9):
+    # stream ≡ batch must hold on dirty corpora too
+    batch_df = batch_df.filter(F.col(text_col).isNotNull())
     sg = batch_df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(word_shingle_hashes(F.col(text_col), seed))).alias("g"),

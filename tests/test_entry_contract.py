@@ -69,8 +69,8 @@ def test_every_oracle_sql_parses_in_duckdb():
     assert not bad, "oracle SQL failed to plan:\n" + "\n".join(bad)
 
 
-# Enforce the round-9 rotation: the driver's correctness gate grades a
-# 50-entry PREFIX, and the prefix is an explicit list (ROUND9_PREFIX)
+# Enforce the round-10 rotation: the driver's correctness gate grades a
+# 50-entry PREFIX, and the prefix is an explicit list (ROUND10_PREFIX)
 # leading with never/stale-verified entries so consecutive rounds'
 # CORRECTNESS files jointly cover the whole inventory. This test pins
 # the prefix so an accidental reorder (the round-3 failure mode) fails
@@ -79,17 +79,23 @@ def test_every_oracle_sql_parses_in_duckdb():
 
 def test_registry_prefix_matches_rotation_plan():
     import __spark_entry__ as entrymod
-    from rustic_witcher_spark.queries import ROUND9_PREFIX
+    from rustic_witcher_spark.queries import ROUND10_PREFIX, ROUND11_PREFIX_STAGED
 
     names = list(entrymod.queries())
-    assert len(ROUND9_PREFIX) == 50
-    assert names[: len(ROUND9_PREFIX)] == ROUND9_PREFIX, (
-        "registry prefix diverged from ROUND9_PREFIX — the driver gate "
+    assert len(ROUND10_PREFIX) == 50
+    assert names[: len(ROUND10_PREFIX)] == ROUND10_PREFIX, (
+        "registry prefix diverged from ROUND10_PREFIX — the driver gate "
         "grades a 50-entry prefix; see build_registry() docstring"
     )
     assert len(names) == len(set(names))
-    # r9 window composition: new-in-r9 entries + the six r8-late
-    # never-driver-verified entries + r06-verdict holders — nothing else
-    assert "pq_ann_topk" in ROUND9_PREFIX[:11]
-    assert "feature_hash_embed" in ROUND9_PREFIX[:11]
-    assert "containment_near_dups" in ROUND9_PREFIX[:5]
+    # r10 window composition: the two r10 additions lead, then the
+    # registry's only never-driver-verified entry (the r9 red, fixed),
+    # then the ten r06-verdict deferrals, then 37 r07 holders
+    assert ROUND10_PREFIX[:3] == ["pq_index_query", "novelty_incremental", "feature_hash_embed"]
+    assert "filter_startswith" in ROUND10_PREFIX[3:13]
+    assert "faker_suite" in ROUND10_PREFIX[3:13]
+    # the staged r11 window is consistent: 50 entries, all in the
+    # registry, none overlapping the r10 window (rotation, not repeat)
+    assert len(ROUND11_PREFIX_STAGED) == 50
+    assert set(ROUND11_PREFIX_STAGED) <= set(names)
+    assert not set(ROUND11_PREFIX_STAGED) & set(ROUND10_PREFIX)

@@ -52,6 +52,9 @@ ARROW_OK = {
     # interpreted aggregate folds per doc — hashing stays Catalyst-side,
     # HOF twin pinned output-identical)
     "feature_hash_embed",
+    # r10: steady-state persisted-index ANN query (same ADC block
+    # kernel as pq_ann_topk, over cid-partition-pruned codes)
+    "pq_index_query",
 }
 
 

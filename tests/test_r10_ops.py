@@ -52,6 +52,34 @@ def test_gate_accepts_scalar_frames():
     assert container_cols(pdf) == []
 
 
+def test_containment_salted_cap_keeps_exact_lowest_ids(spark):
+    """The r10 salted two-level posting cap must keep EXACTLY the
+    ``max_posting`` lowest-id members per gram — identical semantics to
+    the r9 single-window form, just with bounded task size. Pin by
+    comparing capped vs uncapped output on a corpus with one
+    boilerplate gram owned by many docs."""
+    from rustic_witcher_spark.operators import dedup
+
+    # 40 docs all sharing one boilerplate sentence (one hot gram set),
+    # plus per-doc unique content so docs aren't wholesale identical
+    rows = [(i, f"common boilerplate legal terms apply here uniq{i} tail{i * 7}") for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = dedup.containment_near_duplicates(docs, "text", "doc_id", max_posting=5)
+    # every surviving doc id in capped pairs must be among the 5
+    # lowest ids (the hot grams' posting lists keep ids 0..4)
+    ids = {r["id_a"] for r in capped.collect()} | {r["id_b"] for r in capped.select("id_b").collect()}
+    assert ids and ids <= set(range(5)), ids
+    # and the capped pair set over the low-id docs matches the uncapped
+    # operator restricted to those docs (lowest-id cap ≡ subset filter
+    # when every gram's owners are id-ordered the same way)
+    low = dedup.containment_near_duplicates(
+        docs.filter("doc_id < 5"), "text", "doc_id", max_posting=None
+    )
+    a = sorted((r["id_a"], r["id_b"], r["n_inter"]) for r in capped.collect())
+    b = sorted((r["id_a"], r["id_b"], r["n_inter"]) for r in low.collect())
+    assert a == b
+
+
 def test_registry_returns_no_container_columns(spark):
     """Structural sweep: EVERY registry entry's result schema must be
     canonicalizable by the driver — no ArrayType / MapType / StructType
