@@ -1920,26 +1920,30 @@ _SQL_IVF_COS = (
 )
 
 
-def _sql_ivf_cent1_ctes(n_clusters: int, dim: int, seed: int) -> str:
+def _sql_ivf_cent1_ctes(n_clusters: int, dim: int, seed: int, train_pred: str = "TRUE") -> str:
     """Shared CTE skeleton replaying ``similarity.ivf_centroids``
     (iters=1): md5-seeded centroid sample + one Lloyd step
     (nearest-centroid assignment → per-position mean → list rebuild).
     Embedded by BOTH sql_knn_ivf and sql_semdedup so the two oracles
     cannot drift from each other; defines CTEs corpus/seeds/cent0/a0/
-    m0/cent1 (cent1 = (cid, cvec))."""
+    m0/cent1 (cent1 = (cid, cvec)). ``train_pred`` (r10) restricts the
+    TRAINING corpus (seed sample + Lloyd assignment) without touching
+    downstream consumers — the ann_incremental twin trains on the base
+    split while assigning/scoring the full corpus, exactly like the
+    streaming appender's frozen-codebook contract."""
     cos = _SQL_IVF_COS
     return f"""corpus AS MATERIALIZED (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
 seeds AS (
   SELECT vec_id, v, md5('{seed}|ivf|' || vec_id::VARCHAR) AS r
-  FROM corpus ORDER BY r, vec_id LIMIT {n_clusters}
+  FROM corpus WHERE {train_pred} ORDER BY r, vec_id LIMIT {n_clusters}
 ),
 cent0 AS (SELECT row_number() OVER (ORDER BY r, vec_id) AS cid, v AS cvec FROM seeds),
 a0 AS (
   SELECT c.vec_id, c.v, k.cid,
          row_number() OVER (PARTITION BY c.vec_id
                             ORDER BY {cos.format(a='c.v', b='k.cvec')} DESC, k.cid ASC) AS rn
-  FROM corpus c CROSS JOIN cent0 k
+  FROM corpus c CROSS JOIN cent0 k WHERE {train_pred}
 ),
 m0 AS (SELECT cid, v FROM a0 WHERE rn = 1),
 cent1 AS (
@@ -2101,7 +2105,18 @@ def q_ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     `_sql_ivf_cent1_ctes` skeleton + the `sql_pq_ann_topk` train/
     encode/reconstruct CTEs, prefixed) and joins candidates through
     the probed lists — so this entry can only be green if both parent
-    derivations AND their composition agree."""
+    derivations AND their composition agree.
+
+    Bench conflation (r9 verdict, documented per its task 4): this
+    TIMED entry re-trains the coarse centroids AND the PQ codebooks
+    per run — two extra corpus reads the DuckDB twin amortizes more
+    cheaply in-process, which is why it sits ~2.4× its twin at sf0.1.
+    The 100 TB answer is the persisted-index steady state, and as of
+    r10 that shape is itself a driver-graded entry with its own twin:
+    `pq_index_query` (build once, then codebook-read + bounded probe
+    collect + cid-partition-pruned ADC). This entry stays as the
+    train+encode+query composition gate; `pq_index_query` is the
+    query-cost gate."""
     emb = _read(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return pq.ivfpq_topk(
@@ -2262,6 +2277,146 @@ def sql_pq_index_query() -> str:
     right oracle: same geometry, same seed, same probe count —
     the index is the pipeline's fixpoint)."""
     return sql_ivfpq_ann_topk(n_clusters=8, nprobe=2, n_subspaces=16, n_codes=16, dim=64, k=5, seed=SEED)
+
+
+def q_ann_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming ANN appender under the driver gate (the last
+    pytest-only streaming index module — media/novelty/drift all hold
+    or held driver faces): a base index is built over the standing
+    corpus (vec_id % 10 < 8, the `dedup_incremental` split), the new
+    batch (vec_id % 10 >= 8) routes through the REAL micro-batch path
+    (`streaming.ann_stream.ann_index_append_batch`: encode against the
+    FROZEN base codebook + coarse-assign against the frozen centroids,
+    land in the delta's own batch partition with the replay cursor),
+    and the graded query is `query_with_delta` — base ∪ delta through
+    ONE probe assignment and ONE ADC kernel pass.
+
+    The frozen-codebook contract is exactly what the twin replays:
+    train (IVF seeds+Lloyd AND PQ seeds+Lloyd) on the BASE SPLIT ONLY,
+    then encode/assign/score the FULL corpus — so a green verdict pins
+    that chunked streaming answers byte-identically to a batch
+    re-index under the same frozen codebook (the module's design
+    claim, ann_stream.py:24-28). Base index reuses the content-keyed
+    cache (the `pq_index_query` pattern); the delta dir is FRESH per
+    invocation — a reused dir's replay cursor would skip batch 0."""
+    import os
+    import shutil
+    import tempfile
+
+    from rustic_witcher_spark.streaming.ann_stream import ann_index_append_batch, query_with_delta
+
+    emb = _read(spark, sf_dir, "embeddings")
+    idx = _pq_index_dir(sf_dir) + "_base8"
+    if not os.path.exists(os.path.join(idx, "codes", "_SUCCESS")):
+        pq.pq_write_index(
+            emb.filter((F.col("vec_id") % 10) < 8), idx,
+            n_subspaces=16, n_codes=16, dim=64, coarse_clusters=8, iters=1, seed=SEED,
+        )
+    _, m, _ = pq.codebook_geometry(spark, idx)
+    if m == 0:  # all-NULL / empty base split: no codebook, no index — the
+        # twin's empty pseeds chain returns zero rows identically
+        return spark.createDataFrame([], "query_id long, neighbor_id long, rank int, sim double")
+    parent = os.path.join(tempfile.gettempdir(), "rw_spark_ann_inc")
+    shutil.rmtree(parent, ignore_errors=True)
+    os.makedirs(parent, exist_ok=True)
+    delta = tempfile.mkdtemp(dir=parent)
+    ann_index_append_batch(emb.filter((F.col("vec_id") % 10) >= 8), 0, idx, delta)
+    queries = emb.filter(F.col("vec_id") < 5)
+    return query_with_delta(spark, idx, delta, queries, k=5, nprobe=2).select(
+        "query_id", "neighbor_id", "rank", "sim"
+    )
+
+
+def sql_ann_incremental(
+    n_clusters: int = 8,
+    nprobe: int = 2,
+    n_subspaces: int = 16,
+    n_codes: int = 16,
+    dim: int = 64,
+    k: int = 5,
+    seed: int = 42,
+) -> str:
+    """Twin of base-index + streamed delta + query_with_delta: the
+    sql_ivfpq_ann_topk derivation with BOTH quantizers trained on the
+    base split only (train_pred on the IVF skeleton; pseeds/pa0
+    filtered for PQ) while pa1 encode, inv assignment, probes and ADC
+    scoring run over the full corpus — the frozen-codebook semantics
+    of the appender."""
+    d_sub = dim // n_subspaces
+    base = "vec_id % 10 < 8"
+    sqd = (
+        "(list_dot_product({a}, {a}) - 2.0 * list_dot_product({a}, {b})"
+        " + list_dot_product({b}, {b}))"
+    )
+    cos = _SQL_IVF_COS
+    return f"""
+WITH {_sql_ivf_cent1_ctes(n_clusters, dim, seed, train_pred=base)},
+pcorpus AS (SELECT vec_id, v FROM corpus WHERE v IS NOT NULL),
+ms AS (SELECT unnest(range(0, {n_subspaces})) AS m),
+pseeds AS (
+  SELECT vec_id, v, md5('{seed}|pq|' || vec_id::VARCHAR) AS r
+  FROM pcorpus WHERE {base} ORDER BY r, vec_id LIMIT {n_codes}
+),
+pcb0 AS (
+  SELECT ms.m, s.cid, list_slice(s.v, ms.m * {d_sub} + 1, ms.m * {d_sub} + {d_sub}) AS cvec
+  FROM (SELECT row_number() OVER (ORDER BY r, vec_id) AS cid, v FROM pseeds) s CROSS JOIN ms
+),
+psub AS (
+  SELECT c.vec_id, ms.m, list_slice(c.v, ms.m * {d_sub} + 1, ms.m * {d_sub} + {d_sub}) AS sv
+  FROM pcorpus c CROSS JOIN ms
+),
+pa0 AS (
+  SELECT vec_id, m, sv, cid,
+         row_number() OVER (PARTITION BY vec_id, m
+                            ORDER BY {sqd.format(a='sv', b='cvec')} ASC, cid ASC) AS rn
+  FROM psub JOIN pcb0 USING (m) WHERE {base}
+),
+pw0 AS (SELECT vec_id, m, sv, cid FROM pa0 WHERE rn = 1),
+pcb1 AS (
+  SELECT m, cid, list(mv ORDER BY pos) AS cvec FROM (
+    SELECT m, cid, pos, avg(sv[pos]) AS mv
+    FROM pw0 CROSS JOIN (SELECT unnest(range(1, {d_sub + 1})) AS pos)
+    GROUP BY m, cid, pos
+  ) GROUP BY m, cid
+),
+pa1 AS (
+  SELECT vec_id, m, cid,
+         row_number() OVER (PARTITION BY vec_id, m
+                            ORDER BY {sqd.format(a='sv', b='cvec')} ASC, cid ASC) AS rn
+  FROM psub JOIN pcb1 USING (m)
+),
+recon AS (
+  SELECT c.vec_id, flatten(list(b.cvec ORDER BY c.m)) AS rv
+  FROM (SELECT vec_id, m, cid FROM pa1 WHERE rn = 1) c
+  JOIN pcb1 b USING (m, cid)
+  GROUP BY c.vec_id
+),
+inv AS (
+  SELECT cid, vec_id AS neighbor_id FROM (
+    SELECT c.vec_id, k.cid,
+           row_number() OVER (PARTITION BY c.vec_id
+                              ORDER BY {cos.format(a='c.v', b='k.cvec')} DESC, k.cid ASC) AS rn
+    FROM corpus c CROSS JOIN cent1 k)
+  WHERE rn = 1
+),
+probes AS (
+  SELECT cid, vec_id AS query_id, v AS qv FROM (
+    SELECT q.vec_id, q.v, k.cid,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {cos.format(a='q.v', b='k.cvec')} DESC, k.cid ASC) AS rn
+    FROM (SELECT vec_id, v FROM corpus WHERE vec_id < 5) q CROSS JOIN cent1 k)
+  WHERE rn <= {nprobe}
+),
+s AS (
+  SELECT query_id, neighbor_id, round({cos.format(a='qv', b='r.rv')}, 6) AS sim
+  FROM probes JOIN inv USING (cid) JOIN recon r ON r.vec_id = inv.neighbor_id
+  WHERE query_id <> neighbor_id
+)
+SELECT query_id, neighbor_id, rank, sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM s WHERE sim IS NOT NULL AND NOT isnan(sim))
+WHERE rank <= {k}
+"""
 
 
 def q_embedding_project(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2690,6 +2845,68 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b, bit_count(xor(a.ph, b.ph))::INT AS ha
 FROM h a JOIN h b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.ph, b.ph)) <= {MEDIA_DUP_MAXH}
 ORDER BY id_a, id_b
+"""
+
+
+def q_media_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nightly media ingest under the gate: the new batch
+    (doc_id % 10 >= 8 — the `dedup_incremental` split convention) is
+    flagged exact/near-dup against the standing corpus through
+    `dedup.incremental_hamming_flags` — the batch-vs-index path the
+    `media-dedup --against` CLI and `streaming/media_dedup.py`
+    appender run per micro-batch, which until r10 held only pytest
+    pins. Per batch row: exact_dup = an identical 63-bit dHash exists
+    in the corpus, near_dup = a corpus hash within MEDIA_DUP_MAXH bits
+    (band join generates candidates — lossless by pigeonhole — the
+    xor bit_count confirms); NULL-media rows flag (False, False).
+
+    Scale shape: the corpus side reduces to DISTINCT (band, hash)
+    index rows (exactly the persisted fingerprint index), the join
+    shuffles band keys only, and media bytes never cross the wire.
+    The DuckDB twin replays the byte-path dHash and brute-forces the
+    batch×corpus confirm — the cross join this plan exists to avoid."""
+    m = _media_with_twins(spark, sf_dir)
+    hashed = multimodal.attach_perceptual_hash(m, "media")
+    return dedup.incremental_hamming_flags(
+        hashed, "doc_id", "phash", (F.col("doc_id") % 10) >= 8, max_hamming=MEDIA_DUP_MAXH
+    ).orderBy("doc_id")
+
+
+def sql_media_incremental() -> str:
+    magic_case = (
+        "CASE doc_id % 4 "
+        + " ".join(f"WHEN {k} THEN '{_MAGIC[k].lower()}'" for k in (0, 1, 2))
+        + f" ELSE '{_MAGIC[3].lower()}' END"
+    )
+    return f"""
+WITH off AS (SELECT (((coalesce(max(doc_id), 0) + 4) // 4) * 4)::BIGINT AS m FROM documents),
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + off.m AS doc_id,
+         upper(substr(text, 1, 1)) || substr(text, 2) AS text
+  FROM documents, off WHERE doc_id % {MEDIA_DUP_STRIDE} = 0
+),
+b AS (SELECT doc_id, {magic_case} || lower(hex(encode(text))) AS hx,
+             4 + octet_length(encode(text)) AS n FROM corpus),
+by AS (SELECT doc_id, n, unnest(range(n)) AS i, hx FROM b),
+bv AS (SELECT doc_id, ('0x' || substr(hx, 2 * i::INT + 1, 2))::BIGINT AS v,
+              (i * 64) // n AS seg FROM by),
+segs AS (SELECT doc_id, seg, sum(v)::BIGINT AS s, count(*)::BIGINT AS c FROM bv GROUP BY 1, 2),
+bits AS (SELECT a.doc_id, a.seg AS j,
+                CASE WHEN a.s * b.c > b.s * a.c THEN 1 ELSE 0 END AS bit
+         FROM segs a JOIN segs b ON a.doc_id = b.doc_id AND b.seg = a.seg + 1),
+h AS (SELECT b.doc_id,
+             CASE WHEN b.hx IS NULL THEN NULL
+                  ELSE coalesce(sum(bit * (1::BIGINT << j::INT)), 0) END::BIGINT AS ph
+      FROM b LEFT JOIN bits ON b.doc_id = bits.doc_id GROUP BY b.doc_id, b.hx),
+newb AS (SELECT doc_id, ph FROM h WHERE doc_id % 10 >= 8),
+idx AS (SELECT DISTINCT ph FROM h WHERE doc_id % 10 < 8 AND ph IS NOT NULL)
+SELECT n.doc_id,
+       coalesce(bool_or(n.ph IS NOT NULL AND n.ph = i.ph), FALSE) AS exact_dup,
+       coalesce(bool_or(n.ph IS NOT NULL AND bit_count(xor(n.ph, i.ph)) <= {MEDIA_DUP_MAXH}), FALSE) AS near_dup
+FROM newb n LEFT JOIN idx i ON TRUE
+GROUP BY 1 ORDER BY 1
 """
 
 
@@ -4701,6 +4918,82 @@ WITH ex AS (
 SELECT dim, count(*) AS n, round(avg(v), 6) AS mean_v, round(var_pop(v), 6) AS var_v,
        round(min(v), 6) AS min_v, round(max(v), 6) AS max_v
 FROM ex GROUP BY dim ORDER BY dim
+"""
+
+
+def q_embedding_int8_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension symmetric int8 quantization calibration — the
+    decision table for storing embeddings at 1/4 width (the storage
+    face of the PQ compression theme: int8 is the cheap first rung
+    before codebook quantization, and the per-dim absmax scales +
+    reconstruction error are exactly what you audit before flipping a
+    100 TB corpus to int8). Per dim: absmax scale, quantized
+    ``clamp(floor(v/scale*127 + 0.5), ±127)`` (floor(+0.5) instead of
+    round: floor is bit-identical across engines while round-half-up
+    vs half-away could split on a dyadic boundary), reconstruction
+    MSE in integer nano-units (the kl_nanonats convention) and max
+    abs error, plus the saturation count.
+
+    Scale shape: the 64 absmax scales are ONE bounded driver collect
+    (64 doubles — the vocab_growth/embedding_outliers budget class)
+    embedded as an array literal, so quantization+error is a pure
+    projection over the posexplode and the ONLY shuffle is 64-key
+    partial-aggregated stat tuples; the corpus crosses the wire
+    never. (The join-back form would shuffle the n×64 explode against
+    the 64 scales — a broadcast join but still a second full
+    aggregation pass.)"""
+    e = _spread(spark, _read(spark, sf_dir, "embeddings")).filter(F.col("embedding").isNotNull())
+    ex = e.select(F.posexplode("embedding").alias("dim", "v")).withColumn(
+        "v", F.col("v").cast("double")
+    )
+    out_schema = (
+        "dim int, n bigint, scale double, mse_nano bigint, max_abs_err double, n_sat bigint"
+    )
+    srows = ex.groupBy("dim").agg(F.max(F.abs("v")).alias("s")).collect()
+    if not srows:  # empty / all-NULL corpus: nothing to calibrate
+        return spark.createDataFrame([], out_schema)
+    smap = {int(r["dim"]): float(r["s"]) for r in srows}
+    arr = F.array(*[F.lit(smap.get(i, 0.0)) for i in range(max(smap) + 1)])
+    scale = F.element_at(arr, F.col("dim") + 1)
+    qv = F.when(scale == 0.0, F.lit(0).cast("long")).otherwise(
+        F.least(F.greatest(F.floor(F.col("v") / scale * 127 + 0.5), F.lit(-127)), F.lit(127))
+    )
+    err = F.col("v") - F.col("qv") * F.col("scale") / 127
+    return (
+        ex.withColumn("scale", scale)
+        .withColumn("qv", qv)
+        .withColumn("err", err)
+        .groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("scale"), 6).alias("scale"),
+            F.round(F.avg(F.col("err") * F.col("err")) * 1e9).cast("bigint").alias("mse_nano"),
+            F.round(F.max(F.abs("err")), 6).alias("max_abs_err"),
+            F.sum((F.abs("qv") == 127).cast("int")).alias("n_sat"),
+        )
+        .orderBy("dim")
+    )
+
+
+SQL_EMBEDDING_INT8_QUANT = """
+WITH ex AS (
+  SELECT i - 1 AS dim, embedding[i]::DOUBLE AS v
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS r(i)
+  WHERE embedding IS NOT NULL
+),
+sc AS (SELECT dim, max(abs(v)) AS scale FROM ex GROUP BY 1),
+qz AS (
+  SELECT e.dim, e.v, s.scale,
+         CASE WHEN s.scale = 0 THEN 0
+              ELSE least(greatest(floor(e.v / s.scale * 127 + 0.5), -127), 127) END AS qv
+  FROM ex e JOIN sc s USING (dim)
+),
+er AS (SELECT dim, scale, qv, v - qv * scale / 127 AS err FROM qz)
+SELECT dim, count(*) AS n, round(min(scale), 6) AS scale,
+       round(avg(err * err) * 1e9)::BIGINT AS mse_nano,
+       round(max(abs(err)), 6) AS max_abs_err,
+       sum(CASE WHEN abs(qv) = 127 THEN 1 ELSE 0 END)::BIGINT AS n_sat
+FROM er GROUP BY 1 ORDER BY 1
 """
 
 
@@ -7316,14 +7609,15 @@ def build_registry() -> dict[str, tuple[QueryFn, str | None]]:
     r8-late cohort except feature_hash_embed, and all 39 rotated r06
     holders are green with r9 verdicts; feature_hash_embed ERRed in
     the driver canonicalizer (array<double> output — fixed this round
-    by the string-serialization convention). ROUND10_PREFIX = the two
-    r10 additions (pq_index_query + novelty_incremental — new entries
-    always enter the current window) + feature_hash_embed (the only
-    never-driver-verified entry, leading the rotation to prove the
-    fix) + the ten r06-verdict deferrals + 37 of the 50 r07 holders;
-    the 13 r07 deferrals to r11 are the ten long-staged stable shapes
-    plus the three tail slots the r10 additions displaced (full list
-    at ROUND11_PREFIX_STAGED).
+    by the string-serialization convention). ROUND10_PREFIX = the five
+    r10 additions (pq_index_query + novelty_incremental +
+    embedding_int8_quant + ann_incremental + media_incremental — new
+    entries always enter the current window) + feature_hash_embed
+    (the only never-driver-verified entry, leading the rotation to
+    prove the fix) + the ten r06-verdict deferrals + 34 of the 50 r07
+    holders; the 16 r07 deferrals to r11 are the ten long-staged
+    stable shapes plus the six tail slots the r10 additions displaced
+    (full list at ROUND11_PREFIX_STAGED).
     The full local gate (`scripts/compare_oracle.py`) runs ALL
     entries every round, and is order- AND dtype-faithful to the
     driver hash (round-7 rewrite after q12 shipped red twice; round-10
@@ -7526,6 +7820,9 @@ def build_registry() -> dict[str, tuple[QueryFn, str | None]]:
             # --- round-10 additions (enter the r10 window immediately) ---
             "pq_index_query": (q_pq_index_query, sql_pq_index_query()),
             "novelty_incremental": (q_novelty_incremental, sql_novelty_incremental()),
+            "embedding_int8_quant": (q_embedding_int8_quant, SQL_EMBEDDING_INT8_QUANT),
+            "ann_incremental": (q_ann_incremental, sql_ann_incremental(seed=SEED)),
+            "media_incremental": (q_media_incremental, sql_media_incremental()),
         }
     )
     ordered = {name: reg.pop(name) for name in ROUND10_PREFIX}
@@ -7683,25 +7980,26 @@ ROUND9_PREFIX = [
 
 
 # ACTIVE round-10 window (wired into build_registry this round).
-# Composition per the r9 verdict's tasks 1/3: the two r10 additions
+# Composition per the r9 verdict's tasks 1/3: the five r10 additions
 # lead (new entries always enter the CURRENT window), then
 # feature_hash_embed — the registry's only never-driver-verified entry
 # (r9 red on the array serialization, fixed this round — leads the
 # rotation cohort to prove the fix), then the ten r06-verdict
 # deferrals (five filter predicates, the q20/q21 pair, the faker trio
-# — the oldest verdicts in the registry), then 37 of the 50
-# r07-verdict holders. The THIRTEEN r07 deferrals to the r11 window
+# — the oldest verdicts in the registry), then 34 of the 50
+# r07-verdict holders. The SIXTEEN r07 deferrals to the r11 window
 # are the ten long-staged stable relational shapes (orders_pivot /
 # grouping_sets_revenue / lineitem_unpivot / fuzzy_part_names /
 # source_cap / embedding_dim_stats / weighted_reservoir /
 # benford_profile / customer_revenue_standing / zorder_layout) plus
-# the three tail slots the r10 additions displaced (bm25_search /
-# leakage_safe_split / source_kl_divergence) — all hold
-# randomized-fuzz or fixed-table parity and none has churned since
-# r7.
+# the six tail slots the r10 additions displaced (bm25_search /
+# leakage_safe_split / source_kl_divergence / funnel_3step /
+# hard_negatives / interval_coverage) — all hold randomized-fuzz or
+# fixed-table parity and none has churned since r7.
 ROUND10_PREFIX = [
     # new in round 10 (enter the current window immediately)
     "pq_index_query", "novelty_incremental",
+    "embedding_int8_quant", "ann_incremental", "media_incremental",
     # never driver-verified: r9 red, serialization fixed this round
     "feature_hash_embed",
     # r06-verdict deferrals (oldest verdicts — lead the rotation)
@@ -7721,15 +8019,14 @@ ROUND10_PREFIX = [
     "supplier_pagerank", "triangle_count", "pareto_suppliers",
     "dsir_selection", "bpe_merge_step", "mixture_temperature",
     "ewma_events", "source_overlap", "events_mad_outliers",
-    "interval_coverage", "funnel_3step", "hard_negatives",
 ]
 
 
 # STAGED round-11 window (NOT wired — round 11 renames this to the
 # active prefix, updates build_registry's `ordered = ...` line and the
 # rotation ledger, and keeps tests/test_entry_contract.py in sync).
-# Composition: the 13 r07-verdict deferrals lead (the oldest verdicts
-# after the r10 window is graded), then 37 of the r08-verdict holders
+# Composition: the 16 r07-verdict deferrals lead (the oldest verdicts
+# after the r10 window is graded), then 34 of the r08-verdict holders
 # (ROUND8_PREFIX order, skipping its 3 r8-new heads which also hold
 # r8 verdicts but are newer). Any NEW r11 entries enter at the head,
 # displacing r08 holders from the tail into the r12 list.
@@ -7739,8 +8036,9 @@ ROUND11_PREFIX_STAGED = [
     "fuzzy_part_names", "source_cap", "embedding_dim_stats",
     "weighted_reservoir", "benford_profile", "customer_revenue_standing",
     "zorder_layout", "bm25_search", "leakage_safe_split",
-    "source_kl_divergence",
-    # r08-verdict rotation (37 of 47)
+    "source_kl_divergence", "funnel_3step", "hard_negatives",
+    "interval_coverage",
+    # r08-verdict rotation (34 of 47)
     "drift_vs_reference", "media_near_dups", "bpe_merge_chain",
     "q17_small_quantity_revenue", "q19_disjunctive_revenue", "q22_idle_customers",
     "q8_market_share", "q9_profit_by_nation",
@@ -7753,5 +8051,4 @@ ROUND11_PREFIX_STAGED = [
     "tfidf_top_terms", "doc_quality", "pii_redact",
     "rollup_revenue", "distinct_parts_per_supplier", "top_customers_per_nation",
     "asof_last_purchase", "events_in_campaign_windows", "events_json_extract",
-    "events_rollup_cascade", "events_tumbling", "events_sliding",
 ]

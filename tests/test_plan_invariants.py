@@ -55,6 +55,12 @@ ARROW_OK = {
     # r10: steady-state persisted-index ANN query (same ADC block
     # kernel as pq_ann_topk, over cid-partition-pruned codes)
     "pq_index_query",
+    # r10: streaming-appender query face (base ∪ delta through the
+    # same ADC block kernel)
+    "ann_incremental",
+    # r10: batch-vs-index media flags (same perceptual-hash kernel as
+    # media_near_dups)
+    "media_incremental",
 }
 
 

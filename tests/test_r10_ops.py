@@ -80,6 +80,139 @@ def test_containment_salted_cap_keeps_exact_lowest_ids(spark):
     assert a == b
 
 
+def test_pq_index_query_reuses_cached_index(spark):
+    """The steady-state contract: the second invocation must NOT
+    rebuild the persisted index (the whole point of the entry is
+    grading the query shape, not the build). Pin via the codes
+    directory's _SUCCESS mtime across two calls, and result equality
+    with the composed one-shot face (same geometry/seed/probes)."""
+    import os
+
+    from rustic_witcher_spark.queries import _pq_index_dir, q_ivfpq_ann_topk, q_pq_index_query
+
+    sf = "/root/testdata/sf0.001"
+    a = q_pq_index_query(spark, sf).collect()
+    marker = os.path.join(_pq_index_dir(sf), "codes", "_SUCCESS")
+    mt1 = os.path.getmtime(marker)
+    b = q_pq_index_query(spark, sf).collect()
+    assert os.path.getmtime(marker) == mt1, "index rebuilt on second call"
+    key = lambda rows: sorted((r["query_id"], r["neighbor_id"], r["rank"], r["sim"]) for r in rows)
+    assert key(a) == key(b)
+    # persisted-index path ≡ the composed in-memory ivfpq face
+    c = q_ivfpq_ann_topk(spark, sf).collect()
+    assert key(a) == key(c)
+
+
+def test_novelty_incremental_routes_through_streaming_index(spark):
+    """Meaning pin: a batch doc whose grams all exist in the standing
+    corpus scores novelty 0; a batch doc with entirely fresh content
+    scores 1; ties within the batch go to the lower doc_id (the
+    processing-order/first-owner semantic of streaming/novelty.py)."""
+    import tempfile
+
+    from rustic_witcher_spark.queries import q_novelty_incremental
+
+    rows = [
+        # standing corpus: doc_id % 10 < 8
+        (0, "alpha beta gamma delta epsilon"),
+        (1, "zeta eta theta iota kappa"),
+        # batch: doc_id % 10 >= 8
+        (8, "alpha beta gamma delta epsilon"),          # all seen -> 0
+        (18, "fresh words never appear before now ok"), # all new -> 1
+        (28, "fresh words never appear before now ok"), # dup of 18 -> 0
+    ]
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode("overwrite").parquet(
+        d + "/documents.parquet"
+    )
+    out = {r["doc_id"]: r["novelty"] for r in q_novelty_incremental(spark, d).collect()}
+    assert out[8] == 0.0
+    assert out[18] == 1.0
+    assert out[28] == 0.0
+
+
+def test_embedding_int8_quant_semantics(spark, tmp_path):
+    """Calibration meaning pins: scale = per-dim absmax; the absmax
+    element always saturates (floor(127 + 0.5) = 127, counted in
+    n_sat); an all-zero dimension yields scale 0 / zero error / zero
+    saturation instead of a division blow-up; reconstruction error is
+    bounded by scale/254 + epsilon (symmetric int8 step/2)."""
+    from rustic_witcher_spark.queries import q_embedding_int8_quant
+
+    rows = [
+        (0, [2.0, 0.0, -4.0, 0.5]),
+        (1, [-1.0, 0.0, 2.0, 0.25]),
+        (2, [0.5, 0.0, 1.0, -0.125]),
+    ]
+    d = tmp_path / "int8"
+    spark.createDataFrame(rows, "vec_id long, embedding array<double>").write.mode(
+        "overwrite"
+    ).parquet(str(d / "embeddings.parquet"))
+    out = {r["dim"]: r for r in q_embedding_int8_quant(spark, str(d)).collect()}
+    assert set(out) == {0, 1, 2, 3}
+    assert out[0]["scale"] == 2.0 and out[2]["scale"] == 4.0 and out[3]["scale"] == 0.5
+    assert out[1]["scale"] == 0.0 and out[1]["mse_nano"] == 0 and out[1]["n_sat"] == 0
+    for dim in (0, 2, 3):
+        assert out[dim]["n_sat"] >= 1, dim  # the absmax element saturates
+        # 5e-7 slack: max_abs_err is reported rounded to 6 dp
+        assert out[dim]["max_abs_err"] <= out[dim]["scale"] / 254 + 5e-7
+
+
+def test_ann_incremental_finds_delta_vectors(spark, tmp_path):
+    """The appender contract end-to-end: a vector that arrives in the
+    DELTA batch (vec_id % 10 >= 8) must be retrievable by a query —
+    encoded against the frozen base codebook and unioned into the
+    pruned scan. Build a corpus where the delta holds the query's
+    exact duplicate; it must rank first."""
+    import numpy as np
+
+    from rustic_witcher_spark.queries import q_ann_incremental
+
+    rng = np.random.RandomState(7)
+    vecs = {i: (rng.rand(64) * 2 - 1).tolist() for i in range(20)}
+    vecs[18] = vecs[0]  # delta member (18 % 10 >= 8) duplicates query 0
+    d = tmp_path / "anninc"
+    spark.createDataFrame(
+        [(i, v, 0) for i, v in vecs.items()], "vec_id long, embedding array<double>, label int"
+    ).write.mode("overwrite").parquet(str(d / "embeddings.parquet"))
+    out = q_ann_incremental(spark, str(d)).collect()
+    top0 = {r["rank"]: r["neighbor_id"] for r in out if r["query_id"] == 0}
+    assert top0, "query 0 returned no neighbors"
+    assert top0[1] == 18, top0  # the delta-resident duplicate wins rank 1
+
+
+def test_media_incremental_flags_batch_against_corpus_only(spark, tmp_path):
+    """Batch-vs-index meaning pins: a batch doc whose media bytes
+    duplicate a CORPUS doc flags (exact, near); a batch doc duplicating
+    only ANOTHER BATCH doc flags (False, False) — the incremental path
+    never bands the batch against itself; unique content flags clean;
+    NULL text (NULL fingerprint) flags clean."""
+    from rustic_witcher_spark.queries import q_media_incremental
+
+    rows = [
+        # corpus (doc_id % 10 < 8); texts long enough that the toy
+        # dHash can't collide across different content (short strings
+        # populate few of the 64 segments and DO collide)
+        (2, "shared corpus content here with some longer distinctive words"),
+        (3, "other corpus content entirely different phrasing and length!!"),
+        # batch (doc_id % 10 >= 8)
+        (18, "shared corpus content here with some longer distinctive words"),  # 18%4 == 2%4 → identical bytes
+        (9, "batch only duplicate text that matches nothing in the corpus side at all"),
+        (29, "batch only duplicate text that matches nothing in the corpus side at all"),  # 29%4 == 9%4
+        (8, None),
+    ]
+    d = tmp_path / "mediainc"
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode("overwrite").parquet(
+        str(d / "documents.parquet")
+    )
+    out = {r["doc_id"]: (r["exact_dup"], r["near_dup"]) for r in q_media_incremental(spark, str(d)).collect()}
+    assert out[18] == (True, True)
+    assert out[8] == (False, False)
+    # 9 and 29 share identical media bytes but both live in the batch:
+    # the incremental path never bands the batch against itself
+    assert out[9] == (False, False) and out[29] == (False, False)
+
+
 def test_registry_returns_no_container_columns(spark):
     """Structural sweep: EVERY registry entry's result schema must be
     canonicalizable by the driver — no ArrayType / MapType / StructType

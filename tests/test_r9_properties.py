@@ -174,9 +174,11 @@ def test_doc_entries_oracle_parity_on_random_dirty_corpora(spark, tmp_path_facto
         "pack_sequences", "token_budget_selection", "token_count_bpe",
         "training_shards", "weighted_reservoir", "repetition_signals",
         "feature_hash_embed", "containment_near_dups", "novelty_scores",
-        # r10 additions: incremental novelty (streaming path) + the
-        # persisted-index steady-state ANN face
+        # r10 additions: incremental novelty + incremental ANN (the
+        # streaming paths), the persisted-index steady-state ANN face,
+        # and int8 calibration
         "novelty_incremental", "pq_index_query",
+        "ann_incremental", "embedding_int8_quant", "media_incremental",
         "vocab_growth", "bm25_search", "hybrid_search_rrf", "ivfpq_ann_topk", "ann_recall_eval",
         "knn_bruteforce", "knn_lsh", "knn_ivf", "semdedup",
         "embedding_near_dups", "embedding_project", "embedding_dim_stats",
