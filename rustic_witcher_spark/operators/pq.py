@@ -375,6 +375,177 @@ def pq_adc_topk_block(
     return per_batch.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def pq_residual_adc_topk_block(
+    corpus_codes: DataFrame,
+    codebooks: DataFrame,
+    centroid_rows: list,
+    queries: DataFrame,
+    k: int = 5,
+    n_subspaces: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_map: dict | None = None,
+    cid_col: str = "cid",
+) -> DataFrame:
+    """ADC over RESIDUAL codes (v̂ = c_cid + recon(codes)): the scoring
+    face of ``pq_write_index(residual=True)``. Everything the score
+    needs beyond the plain ADC tables is per-(cid, m, code) and tiny:
+
+        dot(q, v̂)  = t_ip[q, cid]  + Σ_m lut[q, m, code_m]
+        |v̂|²       = co_n2[cid]   + 2·Σ_m cross[cid, m, code_m]
+                                   + Σ_m n2[m, code_m]
+
+    t_ip (|Q| × lists), cross (lists × m × codes — e.g. 8×16×16
+    doubles), and co_n2 are precomputed driver-side from the collected
+    centroids+codebook and broadcast with the LUT; the kernel adds two
+    fancy-index gathers to the plain ADC sum. Expansion vs the twin's
+    single dot over the reconstructed vector differs only in float
+    grouping — absorbed by the 6-dp half-away rounding, the same
+    contract the raw ADC faces have held since r8. Candidate rows MUST
+    carry ``cid_col`` (a residual code is meaningless without its
+    centroid)."""
+    import numpy as np
+
+    spark = corpus_codes.sparkSession
+    out_ddl = "query_id long, neighbor_id long, sim double"
+    cb = _collect_codebooks(codebooks)
+    qpdf = queries.filter(F.col(vec_col).isNotNull()).select(id_col, vec_col).toPandas()
+    if qpdf.empty or not cb or not centroid_rows:
+        return spark.createDataFrame([], out_ddl + ", rank int")
+    d_sub = dim // n_subspaces
+    max_code = max(c for _, c in cb)
+    n2 = np.full((n_subspaces, max_code + 1), np.nan)
+    cw = np.full((n_subspaces, max_code + 1, d_sub), np.nan)
+    for (m, cid), v in cb.items():
+        cw[m, cid] = v
+        n2[m, cid] = float(np.dot(v, v))
+    crows = sorted(centroid_rows, key=lambda r: int(r["cid"]))
+    max_ccid = max(int(r["cid"]) for r in crows)
+    co = np.full((max_ccid + 1, dim), np.nan)
+    for r in crows:
+        co[int(r["cid"])] = np.asarray(r["cvec"], dtype=np.float64)
+    present = ~np.isnan(co[:, 0])
+    co_n2 = np.einsum("cd,cd->c", np.nan_to_num(co), np.nan_to_num(co))
+    co_n2 = np.where(present, co_n2, np.nan)  # absent cids stay NaN
+    # cross[cid, m, code] = dot(centroid subvector m, codeword)
+    co_sub = np.nan_to_num(co).reshape(max_ccid + 1, n_subspaces, d_sub)
+    cross = np.einsum("cmd,mkd->cmk", co_sub, np.nan_to_num(cw))
+    q_ids = qpdf[id_col].to_numpy(dtype=np.int64)
+    q_mat = np.stack([np.asarray(v, dtype=np.float64) for v in qpdf[vec_col]])
+    q_norm = np.linalg.norm(q_mat, axis=1)
+    keep_q = np.isfinite(q_norm) & (q_norm > 0.0)
+    q_ids, q_mat, q_norm = q_ids[keep_q], q_mat[keep_q], q_norm[keep_q]
+    if not len(q_ids):
+        return spark.createDataFrame([], out_ddl + ", rank int")
+    lut = np.einsum("qmd,mcd->qmc", q_mat.reshape(len(q_ids), n_subspaces, d_sub), cw)
+    t_ip = q_mat @ np.nan_to_num(co).T  # [Q, lists]
+    allowed = None
+    if probe_map is not None:
+        n_lists = 1 + max([max_ccid] + [c for cids in probe_map.values() for c in cids])
+        allowed = np.zeros((len(q_ids), n_lists), dtype=bool)
+        for qi, qid in enumerate(q_ids):
+            for c in probe_map.get(int(qid), ()):
+                allowed[qi, c] = True
+    b = spark.sparkContext.broadcast((q_ids, q_norm, lut, n2, t_ip, co_n2, cross, allowed))
+
+    def score(batches):
+        import pandas as pd
+
+        q_ids, q_norm, lut, n2, t_ip, co_n2, cross, allowed = b.value
+        m_idx = np.arange(lut.shape[1])
+        for pdf in batches:
+            pdf = pdf[pdf["codes"].notna() & pdf[cid_col].notna()]
+            if pdf.empty:
+                continue
+            c_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            codes = np.stack([np.asarray(c, dtype=np.int64) for c in pdf["codes"]])
+            bc = pdf[cid_col].to_numpy(dtype=np.int64)
+            ip = t_ip[:, bc] + lut[:, m_idx, codes].sum(axis=2)  # [Q, B]
+            n2tot = (
+                co_n2[bc]
+                + 2.0 * cross[bc[:, None], m_idx[None, :], codes].sum(axis=1)
+                + n2[m_idx, codes].sum(axis=1)
+            )  # [B]
+            sims = _round_half_away(ip / (q_norm[:, None] * np.sqrt(n2tot)[None, :]))
+            sims = np.where((q_ids[:, None] != c_ids[None, :]) & np.isfinite(sims), sims, -np.inf)
+            if allowed is not None:
+                in_range = bc < allowed.shape[1]
+                mask = np.zeros((len(q_ids), len(bc)), dtype=bool)
+                mask[:, in_range] = allowed[:, bc[in_range]]
+                sims = np.where(mask, sims, -np.inf)
+            rows = []
+            kk = min(k, sims.shape[1])
+            for qi in range(len(q_ids)):
+                row = sims[qi]
+                order = np.lexsort((c_ids, -row))[:kk]
+                for ci in order:
+                    if np.isfinite(row[ci]):
+                        rows.append((q_ids[qi], c_ids[ci], row[ci]))
+            if rows:
+                yield pd.DataFrame(rows, columns=["query_id", "neighbor_id", "sim"])
+
+    per_batch = corpus_codes.select(id_col, "codes", cid_col).mapInPandas(score, out_ddl)
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return per_batch.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+INDEX_META_NAME = "_index_meta.json"
+
+
+def _write_index_meta(path: str, meta: dict) -> None:
+    import json
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    tmp = os.path.join(path, INDEX_META_NAME + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, os.path.join(path, INDEX_META_NAME))
+
+
+def read_index_meta(path: str) -> dict:
+    """Index-level metadata ({} for pre-r10 indexes — absence means a
+    plain raw-vector quantization, so old layouts keep working)."""
+    import json
+    import os
+
+    p = os.path.join(path, INDEX_META_NAME)
+    if not os.path.exists(p):
+        return {}
+    with open(p) as fh:
+        return json.load(fh)
+
+
+def index_is_residual(path: str) -> bool:
+    return bool(read_index_meta(path).get("residual"))
+
+
+def residual_frame(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cid, rv): each vector's nearest coarse centroid and the
+    RESIDUAL v − c — what residual IVF-PQ quantizes instead of v
+    (Jégou et al. 2011 §III-A: residual energy ≪ vector energy inside
+    a list, so the same code budget spends on a much smaller cube).
+    The subtraction is ELEMENTWISE (zip_with) — no accumulation, so
+    the DuckDB twin's list_transform(i -> v[i] − c[i]) is bit-exact.
+    NULL vectors drop at the ivf_assign choke point (r9 convention)."""
+    from rustic_witcher_spark.operators.similarity import ivf_assign
+
+    assign = ivf_assign(corpus, centroids, id_col, vec_col, nprobe=1).select(id_col, "cid")
+    cvt = centroids.select("cid", "cvec")
+    return (
+        corpus.select(id_col, F.col(vec_col).cast("array<double>").alias("__v"))
+        .join(assign, id_col)
+        .join(F.broadcast(cvt), "cid")
+        .select(id_col, "cid", F.zip_with("__v", "cvec", lambda a, b: a - b).alias("rv"))
+    )
+
+
 def pq_write_index(
     corpus: DataFrame,
     path: str,
@@ -386,6 +557,7 @@ def pq_write_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = DEFAULT_SEED,
+    residual: bool = False,
 ) -> None:
     """Materialize a PQ (or IVF-PQ) index.
 
@@ -400,11 +572,36 @@ def pq_write_index(
     rules (overwrite per run; no partial-write window beyond parquet's
     own _temporary rename).
 
-    This variant quantizes raw vectors, not IVF residuals — simpler,
-    deterministic, and the oracle-checked contract; residual encoding
-    is a recall refinement, not a semantic change, documented here so
-    a future round can add it without breaking layout.
+    ``residual=False`` quantizes raw vectors — the simplest contract.
+    ``residual=True`` (r10, requires ``coarse_clusters > 0``) trains
+    the codebooks on IVF RESIDUALS (v − nearest coarse centroid) and
+    stores residual codes: inside one list the residual energy is far
+    smaller than the vector energy, so the same code budget yields a
+    finer grid (Jégou et al. 2011) — measurably better recall on
+    clustered data (tests/test_r10_ops.py pins it). Layout is
+    identical plus an ``_index_meta.json`` {"residual": true} marker;
+    readers without the marker treat the index as raw (pre-r10
+    layouts keep working).
     """
+    spark = corpus.sparkSession
+    if residual:
+        if coarse_clusters <= 0:
+            raise ValueError("residual=True requires coarse_clusters > 0")
+        from rustic_witcher_spark.operators.similarity import ivf_centroids
+
+        cent = ivf_centroids(corpus, coarse_clusters, id_col, vec_col, seed=seed, iters=iters)
+        cent.write.mode("overwrite").parquet(f"{path}/_centroids")
+        cent = spark.read.schema("cid int, cvec array<double>").parquet(f"{path}/_centroids")
+        res = residual_frame(corpus, cent, id_col, vec_col)
+        cb = pq_codebooks(res, n_subspaces, n_codes, dim, id_col, "rv", seed, iters)
+        cb.write.mode("overwrite").parquet(f"{path}/_codebooks")
+        cb = spark.read.schema(CODEBOOK_SCHEMA).parquet(f"{path}/_codebooks")
+        codes = pq_encode(res, cb, n_subspaces, dim, id_col, "rv")
+        codes.join(res.select(id_col, "cid"), id_col).write.mode("overwrite").partitionBy(
+            "cid"
+        ).parquet(f"{path}/codes")
+        _write_index_meta(path, {"residual": True})
+        return
     cb = pq_codebooks(corpus, n_subspaces, n_codes, dim, id_col, vec_col, seed, iters)
     cb.write.mode("overwrite").parquet(f"{path}/_codebooks")
     # encode against the WRITTEN codebook (parquet round-trips doubles
@@ -421,6 +618,7 @@ def pq_write_index(
         codes.join(lists, id_col).write.mode("overwrite").partitionBy("cid").parquet(f"{path}/codes")
     else:
         codes.write.mode("overwrite").parquet(f"{path}/codes")
+    _write_index_meta(path, {"residual": False})
 
 
 def codebook_df(spark, path: str) -> DataFrame:
@@ -519,6 +717,13 @@ def pq_query_index(
         if cid_col:
             extra = extra.filter(F.col(cid_col).isin(probe_cids))
         codes = codes.select(*extra.columns).unionByName(extra)
+    if index_is_residual(path):
+        # residual index (always IVF — write enforces coarse_clusters>0):
+        # score codes + centroid through the residual ADC kernel
+        return pq_residual_adc_topk_block(
+            codes, cb, cent.collect(), queries, k, n_subspaces, dim,
+            id_col, vec_col, probe_map=probe_map, cid_col=cid_col,
+        )
     return pq_adc_topk_block(
         codes, cb, queries, k, n_subspaces, dim, id_col, vec_col, probe_map=probe_map, cid_col=cid_col
     )

@@ -2279,6 +2279,133 @@ def sql_pq_index_query() -> str:
     return sql_ivfpq_ann_topk(n_clusters=8, nprobe=2, n_subspaces=16, n_codes=16, dim=64, k=5, seed=SEED)
 
 
+def q_pq_residual_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVF-PQ (Jégou et al. 2011 §III-A) under the gate: the
+    codebooks quantize v − c_cid (the residual to the assigned coarse
+    centroid) instead of v — inside one inverted list the residual
+    energy is far smaller than the vector energy, so the same 16×16
+    code budget spends on a much finer grid (recall improvement pinned
+    on clustered data in test_r10_ops). Index layout and cache policy
+    are `pq_index_query`'s with `residual=True` (an `_index_meta.json`
+    marker switches the query path to the residual ADC kernel:
+    dot(q,v̂) and |v̂|² decompose into the plain LUT sums plus tiny
+    per-(cid, m, code) centroid tables — pq.pq_residual_adc_topk_block).
+    The twin replays the full residual derivation from the base table:
+    assign → subtract → train-on-residuals → encode → reconstruct
+    v̂ = c + recon → probe → cosine."""
+    import os
+
+    idx = _pq_index_dir(sf_dir) + "_res"
+    if not pq.index_is_residual(idx):  # meta is written LAST -> complete build marker
+        emb = _read(spark, sf_dir, "embeddings")
+        pq.pq_write_index(
+            emb, idx, n_subspaces=16, n_codes=16, dim=64,
+            coarse_clusters=8, iters=1, seed=SEED, residual=True,
+        )
+    queries = _read(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 5)
+    return pq.pq_query_index(
+        spark, idx, queries, k=5, nprobe=2, n_subspaces=16, dim=64
+    ).select("query_id", "neighbor_id", "rank", "sim")
+
+
+def sql_pq_residual_query(
+    n_clusters: int = 8,
+    nprobe: int = 2,
+    n_subspaces: int = 16,
+    n_codes: int = 16,
+    dim: int = 64,
+    k: int = 5,
+    seed: int = 42,
+) -> str:
+    """Twin of the residual index query: the ivfpq derivation with a
+    residual hop — rass (nprobe=1 coarse assign), rres (elementwise
+    v − c), PQ train/encode over rres, v̂ = c + reconstructed residual,
+    then the shared probe/score/rank tail over v̂."""
+    d_sub = dim // n_subspaces
+    sqd = (
+        "(list_dot_product({a}, {a}) - 2.0 * list_dot_product({a}, {b})"
+        " + list_dot_product({b}, {b}))"
+    )
+    cos = _SQL_IVF_COS
+    return f"""
+WITH {_sql_ivf_cent1_ctes(n_clusters, dim, seed)},
+rass AS (
+  SELECT vec_id, cid FROM (
+    SELECT c.vec_id, k.cid,
+           row_number() OVER (PARTITION BY c.vec_id
+                              ORDER BY {cos.format(a='c.v', b='k.cvec')} DESC, k.cid ASC) AS rn
+    FROM corpus c CROSS JOIN cent1 k)
+  WHERE rn = 1
+),
+rres AS (
+  SELECT r.vec_id, r.cid,
+         list_transform(generate_series(1, {dim}), i -> c.v[i] - k.cvec[i]) AS rv
+  FROM rass r JOIN corpus c USING (vec_id) JOIN cent1 k USING (cid)
+),
+ms AS (SELECT unnest(range(0, {n_subspaces})) AS m),
+pseeds AS (
+  SELECT vec_id, rv, md5('{seed}|pq|' || vec_id::VARCHAR) AS r
+  FROM rres ORDER BY r, vec_id LIMIT {n_codes}
+),
+pcb0 AS (
+  SELECT ms.m, s.cid, list_slice(s.rv, ms.m * {d_sub} + 1, ms.m * {d_sub} + {d_sub}) AS cvec
+  FROM (SELECT row_number() OVER (ORDER BY r, vec_id) AS cid, rv FROM pseeds) s CROSS JOIN ms
+),
+psub AS (
+  SELECT c.vec_id, ms.m, list_slice(c.rv, ms.m * {d_sub} + 1, ms.m * {d_sub} + {d_sub}) AS sv
+  FROM rres c CROSS JOIN ms
+),
+pa0 AS (
+  SELECT vec_id, m, sv, cid,
+         row_number() OVER (PARTITION BY vec_id, m
+                            ORDER BY {sqd.format(a='sv', b='cvec')} ASC, cid ASC) AS rn
+  FROM psub JOIN pcb0 USING (m)
+),
+pw0 AS (SELECT vec_id, m, sv, cid FROM pa0 WHERE rn = 1),
+pcb1 AS (
+  SELECT m, cid, list(mv ORDER BY pos) AS cvec FROM (
+    SELECT m, cid, pos, avg(sv[pos]) AS mv
+    FROM pw0 CROSS JOIN (SELECT unnest(range(1, {d_sub + 1})) AS pos)
+    GROUP BY m, cid, pos
+  ) GROUP BY m, cid
+),
+pa1 AS (
+  SELECT vec_id, m, cid,
+         row_number() OVER (PARTITION BY vec_id, m
+                            ORDER BY {sqd.format(a='sv', b='cvec')} ASC, cid ASC) AS rn
+  FROM psub JOIN pcb1 USING (m)
+),
+reconr AS (
+  SELECT c.vec_id, flatten(list(b.cvec ORDER BY c.m)) AS rr
+  FROM (SELECT vec_id, m, cid FROM pa1 WHERE rn = 1) c
+  JOIN pcb1 b USING (m, cid)
+  GROUP BY c.vec_id
+),
+vhat AS (
+  SELECT r.vec_id, list_transform(generate_series(1, {dim}), i -> k.cvec[i] + rec.rr[i]) AS rv
+  FROM rass r JOIN cent1 k USING (cid) JOIN reconr rec USING (vec_id)
+),
+inv AS (SELECT cid, vec_id AS neighbor_id FROM rass),
+probes AS (
+  SELECT cid, vec_id AS query_id, v AS qv FROM (
+    SELECT q.vec_id, q.v, k.cid,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {cos.format(a='q.v', b='k.cvec')} DESC, k.cid ASC) AS rn
+    FROM (SELECT vec_id, v FROM corpus WHERE vec_id < 5) q CROSS JOIN cent1 k)
+  WHERE rn <= {nprobe}
+),
+s AS (
+  SELECT query_id, neighbor_id, round({cos.format(a='qv', b='h.rv')}, 6) AS sim
+  FROM probes JOIN inv USING (cid) JOIN vhat h ON h.vec_id = inv.neighbor_id
+  WHERE query_id <> neighbor_id
+)
+SELECT query_id, neighbor_id, rank, sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM s WHERE sim IS NOT NULL AND NOT isnan(sim))
+WHERE rank <= {k}
+"""
+
+
 def q_ann_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The streaming ANN appender under the driver gate (the last
     pytest-only streaming index module — media/novelty/drift all hold
@@ -7609,15 +7736,15 @@ def build_registry() -> dict[str, tuple[QueryFn, str | None]]:
     r8-late cohort except feature_hash_embed, and all 39 rotated r06
     holders are green with r9 verdicts; feature_hash_embed ERRed in
     the driver canonicalizer (array<double> output — fixed this round
-    by the string-serialization convention). ROUND10_PREFIX = the five
+    by the string-serialization convention). ROUND10_PREFIX = the six
     r10 additions (pq_index_query + novelty_incremental +
-    embedding_int8_quant + ann_incremental + media_incremental — new
-    entries always enter the current window) + feature_hash_embed
-    (the only never-driver-verified entry, leading the rotation to
-    prove the fix) + the ten r06-verdict deferrals + 34 of the 50 r07
-    holders; the 16 r07 deferrals to r11 are the ten long-staged
-    stable shapes plus the six tail slots the r10 additions displaced
-    (full list at ROUND11_PREFIX_STAGED).
+    embedding_int8_quant + ann_incremental + media_incremental +
+    pq_residual_query — new entries always enter the current window)
+    + feature_hash_embed (the only never-driver-verified entry,
+    leading the rotation to prove the fix) + the ten r06-verdict
+    deferrals + 33 of the 50 r07 holders; the 17 r07 deferrals to r11
+    are the ten long-staged stable shapes plus the seven tail slots
+    the r10 additions displaced (full list at ROUND11_PREFIX_STAGED).
     The full local gate (`scripts/compare_oracle.py`) runs ALL
     entries every round, and is order- AND dtype-faithful to the
     driver hash (round-7 rewrite after q12 shipped red twice; round-10
@@ -7823,6 +7950,7 @@ def build_registry() -> dict[str, tuple[QueryFn, str | None]]:
             "embedding_int8_quant": (q_embedding_int8_quant, SQL_EMBEDDING_INT8_QUANT),
             "ann_incremental": (q_ann_incremental, sql_ann_incremental(seed=SEED)),
             "media_incremental": (q_media_incremental, sql_media_incremental()),
+            "pq_residual_query": (q_pq_residual_query, sql_pq_residual_query(seed=SEED)),
         }
     )
     ordered = {name: reg.pop(name) for name in ROUND10_PREFIX}
@@ -7980,26 +8108,28 @@ ROUND9_PREFIX = [
 
 
 # ACTIVE round-10 window (wired into build_registry this round).
-# Composition per the r9 verdict's tasks 1/3: the five r10 additions
+# Composition per the r9 verdict's tasks 1/3: the six r10 additions
 # lead (new entries always enter the CURRENT window), then
 # feature_hash_embed — the registry's only never-driver-verified entry
 # (r9 red on the array serialization, fixed this round — leads the
 # rotation cohort to prove the fix), then the ten r06-verdict
 # deferrals (five filter predicates, the q20/q21 pair, the faker trio
-# — the oldest verdicts in the registry), then 34 of the 50
-# r07-verdict holders. The SIXTEEN r07 deferrals to the r11 window
+# — the oldest verdicts in the registry), then 33 of the 50
+# r07-verdict holders. The SEVENTEEN r07 deferrals to the r11 window
 # are the ten long-staged stable relational shapes (orders_pivot /
 # grouping_sets_revenue / lineitem_unpivot / fuzzy_part_names /
 # source_cap / embedding_dim_stats / weighted_reservoir /
 # benford_profile / customer_revenue_standing / zorder_layout) plus
-# the six tail slots the r10 additions displaced (bm25_search /
+# the seven tail slots the r10 additions displaced (bm25_search /
 # leakage_safe_split / source_kl_divergence / funnel_3step /
-# hard_negatives / interval_coverage) — all hold randomized-fuzz or
-# fixed-table parity and none has churned since r7.
+# hard_negatives / interval_coverage / events_mad_outliers) — all
+# hold randomized-fuzz or fixed-table parity and none has churned
+# since r7.
 ROUND10_PREFIX = [
     # new in round 10 (enter the current window immediately)
     "pq_index_query", "novelty_incremental",
     "embedding_int8_quant", "ann_incremental", "media_incremental",
+    "pq_residual_query",
     # never driver-verified: r9 red, serialization fixed this round
     "feature_hash_embed",
     # r06-verdict deferrals (oldest verdicts — lead the rotation)
@@ -8018,15 +8148,15 @@ ROUND10_PREFIX = [
     "peak_concurrency", "quantile_sketch_events", "rolling_distinct_users",
     "supplier_pagerank", "triangle_count", "pareto_suppliers",
     "dsir_selection", "bpe_merge_step", "mixture_temperature",
-    "ewma_events", "source_overlap", "events_mad_outliers",
+    "ewma_events", "source_overlap",
 ]
 
 
 # STAGED round-11 window (NOT wired — round 11 renames this to the
 # active prefix, updates build_registry's `ordered = ...` line and the
 # rotation ledger, and keeps tests/test_entry_contract.py in sync).
-# Composition: the 16 r07-verdict deferrals lead (the oldest verdicts
-# after the r10 window is graded), then 34 of the r08-verdict holders
+# Composition: the 17 r07-verdict deferrals lead (the oldest verdicts
+# after the r10 window is graded), then 33 of the r08-verdict holders
 # (ROUND8_PREFIX order, skipping its 3 r8-new heads which also hold
 # r8 verdicts but are newer). Any NEW r11 entries enter at the head,
 # displacing r08 holders from the tail into the r12 list.
@@ -8037,8 +8167,8 @@ ROUND11_PREFIX_STAGED = [
     "weighted_reservoir", "benford_profile", "customer_revenue_standing",
     "zorder_layout", "bm25_search", "leakage_safe_split",
     "source_kl_divergence", "funnel_3step", "hard_negatives",
-    "interval_coverage",
-    # r08-verdict rotation (34 of 47)
+    "interval_coverage", "events_mad_outliers",
+    # r08-verdict rotation (33 of 47)
     "drift_vs_reference", "media_near_dups", "bpe_merge_chain",
     "q17_small_quantity_revenue", "q19_disjunctive_revenue", "q22_idle_customers",
     "q8_market_share", "q9_profit_by_nation",
@@ -8050,5 +8180,5 @@ ROUND11_PREFIX_STAGED = [
     "token_count_bpe", "vocab_top_terms", "langid_confusion",
     "tfidf_top_terms", "doc_quality", "pii_redact",
     "rollup_revenue", "distinct_parts_per_supplier", "top_customers_per_nation",
-    "asof_last_purchase", "events_in_campaign_windows", "events_json_extract",
+    "asof_last_purchase", "events_in_campaign_windows",
 ]

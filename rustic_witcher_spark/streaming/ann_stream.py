@@ -79,16 +79,28 @@ def ann_index_append_batch(
             f"base index at {base_index_path!r} has an empty codebook — "
             "build it with pq_write_index over a non-empty corpus first"
         )
-    codes = pq.pq_encode(batch_df, cb, n_subspaces, dim, id_col, vec_col)
     with_cid = os.path.isdir(f"{base_index_path}/_centroids")
-    if with_cid:
-        from rustic_witcher_spark.operators.similarity import ivf_assign
+    if pq.index_is_residual(base_index_path):
+        # residual base index: a code is meaningless without its
+        # centroid — encode the batch's RESIDUALS against the frozen
+        # codebook (same frame the index build quantized)
+        cent = spark.read.schema("cid int, cvec array<double>").parquet(
+            f"{base_index_path}/_centroids"
+        )
+        res = pq.residual_frame(batch_df, cent, id_col, vec_col)
+        codes = pq.pq_encode(res, cb, n_subspaces, dim, id_col, "rv").join(
+            res.select(id_col, "cid"), id_col
+        )
+    else:
+        codes = pq.pq_encode(batch_df, cb, n_subspaces, dim, id_col, vec_col)
+        if with_cid:
+            from rustic_witcher_spark.operators.similarity import ivf_assign
 
-        cent = spark.read.parquet(f"{base_index_path}/_centroids")
-        lists = ivf_assign(
-            batch_df.filter(F.col(vec_col).isNotNull()), cent, id_col, vec_col, nprobe=1
-        ).select(id_col, "cid")
-        codes = codes.join(lists, id_col)
+            cent = spark.read.parquet(f"{base_index_path}/_centroids")
+            lists = ivf_assign(
+                batch_df.filter(F.col(vec_col).isNotNull()), cent, id_col, vec_col, nprobe=1
+            ).select(id_col, "cid")
+            codes = codes.join(lists, id_col)
     batch_dir = os.path.join(delta_path, "data", f"batch={batch_id}")
     codes.write.mode("overwrite").parquet(batch_dir)
     appended = (

@@ -88,15 +88,16 @@ def test_registry_prefix_matches_rotation_plan():
         "grades a 50-entry prefix; see build_registry() docstring"
     )
     assert len(names) == len(set(names))
-    # r10 window composition: the five r10 additions lead, then the
+    # r10 window composition: the six r10 additions lead, then the
     # registry's only never-driver-verified entry (the r9 red, fixed),
-    # then the ten r06-verdict deferrals, then 34 r07 holders
-    assert ROUND10_PREFIX[:6] == [
+    # then the ten r06-verdict deferrals, then 33 r07 holders
+    assert ROUND10_PREFIX[:7] == [
         "pq_index_query", "novelty_incremental", "embedding_int8_quant",
-        "ann_incremental", "media_incremental", "feature_hash_embed",
+        "ann_incremental", "media_incremental", "pq_residual_query",
+        "feature_hash_embed",
     ]
-    assert "filter_startswith" in ROUND10_PREFIX[6:16]
-    assert "faker_suite" in ROUND10_PREFIX[6:16]
+    assert "filter_startswith" in ROUND10_PREFIX[7:17]
+    assert "faker_suite" in ROUND10_PREFIX[7:17]
     # the staged r11 window is consistent: 50 entries, all in the
     # registry, none overlapping the r10 window (rotation, not repeat)
     assert len(ROUND11_PREFIX_STAGED) == 50

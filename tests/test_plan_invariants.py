@@ -61,6 +61,9 @@ ARROW_OK = {
     # r10: batch-vs-index media flags (same perceptual-hash kernel as
     # media_near_dups)
     "media_incremental",
+    # r10: residual-ADC scoring kernel over the persisted residual
+    # index (pq.pq_residual_adc_topk_block)
+    "pq_residual_query",
 }
 
 

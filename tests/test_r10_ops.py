@@ -213,6 +213,94 @@ def test_media_incremental_flags_batch_against_corpus_only(spark, tmp_path):
     assert out[9] == (False, False) and out[29] == (False, False)
 
 
+def _clustered_corpus(spark, tmp_path, n_clusters=4, per=10, dim=64, noise=0.2):
+    """Tightly clustered vectors — the regime where residual
+    quantization pays: within a list the residual energy is tiny."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    centers = rng.rand(n_clusters, dim) * 2 - 1
+    rows = []
+    vid = 0
+    for c in range(n_clusters):
+        for _ in range(per):
+            v = centers[c] + rng.randn(dim) * noise
+            rows.append((vid, v.tolist(), c))
+            vid += 1
+    d = tmp_path / "resclu"
+    spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int").write.mode(
+        "overwrite"
+    ).parquet(str(d / "embeddings.parquet"))
+    return str(d)
+
+
+def test_residual_index_beats_raw_on_clustered_data(spark, tmp_path):
+    """The reason residual IVF-PQ exists: same code budget, finer grid
+    inside each list. On a clustered corpus, recall@5 vs brute force
+    must be at least as good as the raw-vector index — and strictly
+    better somewhere (the two indexes must not silently be the same
+    path)."""
+    from pyspark.sql import functions as F
+
+    from rustic_witcher_spark.operators import pq
+    from rustic_witcher_spark.operators.similarity import brute_force_topk
+
+    sf = _clustered_corpus(spark, tmp_path)
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").cache()
+    queries = emb.filter(F.col("vec_id") % 17 == 0)
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, queries, k=3).collect()
+    }
+    got = {}
+    for mode, residual in (("raw", False), ("res", True)):
+        idx = str(tmp_path / f"idx_{mode}")
+        pq.pq_write_index(
+            emb, idx, n_subspaces=16, n_codes=32, dim=64,
+            coarse_clusters=4, iters=1, residual=residual,
+        )
+        assert pq.index_is_residual(idx) is residual
+        hits = pq.pq_query_index(spark, idx, queries, k=3, nprobe=4, n_subspaces=16, dim=64)
+        got[mode] = {(r["query_id"], r["neighbor_id"]) for r in hits.collect()}
+    recall_raw = len(got["raw"] & truth) / len(truth)
+    recall_res = len(got["res"] & truth) / len(truth)
+    # measured on this fixed corpus: raw 0.889, residual 1.0 — the
+    # residual grid resolves within-cluster ordering raw codes blur
+    assert recall_res > recall_raw, (recall_res, recall_raw)
+    assert recall_res >= 0.95, recall_res
+
+
+def test_ann_appender_encodes_residuals_against_residual_base(spark, tmp_path):
+    """Streaming composition: appending to a RESIDUAL base index must
+    residual-encode the delta (a raw encode against residual codebooks
+    would silently garbage the scores). A delta twin of a base vector
+    must come back as its rank-1 neighbor through query_with_delta."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from rustic_witcher_spark.operators import pq
+    from rustic_witcher_spark.streaming.ann_stream import ann_index_append_batch, query_with_delta
+
+    sf = _clustered_corpus(spark, tmp_path)
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") < 100)
+    idx = str(tmp_path / "resbase")
+    pq.pq_write_index(
+        base, idx, n_subspaces=16, n_codes=16, dim=64, coarse_clusters=4, iters=1, residual=True
+    )
+    # delta: one exact twin of vec 3 under a fresh id
+    twin = emb.filter(F.col("vec_id") == 3).select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding"
+    )
+    delta = str(tmp_path / "resdelta")
+    assert ann_index_append_batch(twin, 0, idx, delta)
+    q = emb.filter(F.col("vec_id") == 3)
+    out = query_with_delta(spark, idx, delta, q, k=3, nprobe=4).collect()
+    ranks = {r["rank"]: r["neighbor_id"] for r in out}
+    assert ranks[1] == 1003, ranks  # the residual-encoded delta twin wins
+
+
 def test_registry_returns_no_container_columns(spark):
     """Structural sweep: EVERY registry entry's result schema must be
     canonicalizable by the driver — no ArrayType / MapType / StructType

@@ -177,7 +177,7 @@ def test_doc_entries_oracle_parity_on_random_dirty_corpora(spark, tmp_path_facto
         # r10 additions: incremental novelty + incremental ANN (the
         # streaming paths), the persisted-index steady-state ANN face,
         # and int8 calibration
-        "novelty_incremental", "pq_index_query",
+        "novelty_incremental", "pq_index_query", "pq_residual_query",
         "ann_incremental", "embedding_int8_quant", "media_incremental",
         "vocab_growth", "bm25_search", "hybrid_search_rrf", "ivfpq_ann_topk", "ann_recall_eval",
         "knn_bruteforce", "knn_lsh", "knn_ivf", "semdedup",
