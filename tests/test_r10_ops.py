@@ -319,3 +319,37 @@ def test_registry_returns_no_container_columns(spark):
             if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType)):
                 bad.append((name, f.name, f.dataType.simpleString()))
     assert not bad, f"non-canonicalizable result columns: {bad}"
+
+def test_cli_ann_index_residual_round_trip(spark, tmp_path, capsys):
+    """ann-index --residual writes the marker; ann-query auto-detects
+    the mode and matches pq_query_index run directly; --residual
+    without PQ mode is a usage error."""
+    from rustic_witcher_spark import cli
+    from rustic_witcher_spark.operators import pq
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    src = str(tmp_path / "emb.parquet")
+    emb.write.parquet(src)
+    idx = str(tmp_path / "idx")
+    assert cli.main([
+        "ann-index", "--source", src, "--target", idx, "--n-clusters", "8",
+        "--pq-subspaces", "16", "--pq-codes", "16", "--residual",
+    ]) == 0
+    capsys.readouterr()
+    assert pq.index_is_residual(idx)
+    qsrc = str(tmp_path / "q.parquet")
+    q = emb.limit(3)
+    q.write.parquet(qsrc)
+    out = str(tmp_path / "hits")
+    assert cli.main([
+        "ann-query", "--index", idx, "--queries", qsrc, "--target", out,
+        "--k", "3", "--nprobe", "2",
+    ]) == 0
+    capsys.readouterr()
+    got = {(r.query_id, r.neighbor_id, r.rank) for r in spark.read.parquet(out).collect()}
+    want = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in pq.pq_query_index(spark, idx, q, k=3, nprobe=2).collect()
+    }
+    assert got == want and got
+    assert cli.main(["ann-index", "--source", src, "--target", idx + "2", "--residual"]) == 2
