@@ -748,7 +748,11 @@ def containment_near_duplicates(
     (The r9 window form won at sf0.1 only because the pre-materialize
     join-back re-ran the explode subplan; against the materialized
     projection the two-phase form plus the skipped no-op cap window
-    measures FASTER — 7.40 s → 5.63 s best-of-3 at sf0.1.) Per-doc
+    measures FASTER in a dedicated session — 7.40 s → 5.0-5.6 s
+    best-of-3 at sf0.1. In the 166-query shared-JVM bench this entry
+    bands 5.0-7.6 s run-to-run — the localCheckpoint + burst-shuffle
+    profile the r9 verdict already documented as banding-prone; the
+    dedicated-session pair is the like-for-like comparison.) Per-doc
     size/position stay WINDOW aggregates over the doc
     partitioning — bounded by document length, not Zipfian. Candidate
     enumeration is ONE equi-join on the gram hash; the exact verify
