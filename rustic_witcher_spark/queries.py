@@ -4459,11 +4459,18 @@ def q_dedup_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     # convention must be explicit on this face (dirty-corpus fuzz, r9)
     d = _spread(spark, _read(spark, sf_dir, "documents")).filter(F.col("text").isNotNull())
     digests = d.select("source", "lang", F.md5(dedup.normalized_text(F.col("text"))).alias("__fp"))
-    # copy counts via a window over the digest partition (the exact_dedup
-    # pattern): ONE unconditional scan + one digest shuffle — the
-    # groupBy-and-rejoin alternative only scans once if ReuseExchange fires
+    # copy counts as a two-phase groupBy + join-back (r10, the
+    # containment/novelty skew fix): the previous count() window over
+    # partitionBy(__fp) put a hot digest's ENTIRE copy set on one task
+    # (an empty/boilerplate doc duplicated 10⁸ times at web scale) —
+    # WindowExec can't partial-aggregate and AQE skew split doesn't
+    # apply to windows. The groupBy absorbs hot digests map-side.
+    # Recomputing the one-md5-per-doc projection for the join-back is
+    # cheaper than pinning it (measured sf0.1 best-of-3, same session:
+    # window 1.9 s, two-phase +localCheckpoint 2.1 s, recompute 0.8 s).
+    owners = digests.groupBy("__fp").agg(F.count(F.lit(1)).alias("__copies"))
     return (
-        digests.withColumn("__copies", F.count(F.lit(1)).over(Window.partitionBy("__fp")))
+        digests.join(owners, "__fp")
         .groupBy("source", "lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -4642,15 +4649,25 @@ def q_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction of its distinct sliding 12-word grams that occur in at
     least one other document. Catches dups that straddle chunk
     boundaries. Pipeline: one rolling-hash projection per doc
-    (decontam.word_ngram_hashes — one md5 per token), explode, ONE
-    gram-hash shuffle where a count(*) window marks shared grams (no
-    self-join, no pair explosion), then a map-side-combinable per-doc
-    rollup. Cost at 100 TB: two shuffles (gram, doc), both linear in
-    gram count."""
+    (decontam.word_ngram_hashes — one md5 per token), explode, attach
+    owner counts as a two-phase ``groupBy("g").count()`` + join-back
+    (r10, the same skew fix as containment/novelty: the previous
+    ``count().over(partitionBy(g))`` was a single-reducer-per-gram
+    WindowExec — no partial aggregation, no AQE skew split — so a
+    boilerplate gram owned by 10⁸ docs landed its whole posting list
+    on one task; the groupBy absorbs hot grams map-side and the
+    join-back on g is AQE-skew-splittable), then a map-side-combinable
+    per-doc rollup. The gram projection is deliberately NOT
+    materialized: re-running the explode for the second consumer is
+    one md5 per token, cheaper than checkpointing the exploded rows
+    (measured sf0.1 best-of-3, same session: window 2.1 s, two-phase
+    +localCheckpoint 3.0 s, two-phase recompute 1.8 s). Cost at
+    100 TB: two shuffles (gram, doc), both linear in gram count."""
     d = _spread(spark, _read(spark, sf_dir, "documents"))
     grams = decontam.word_ngram_hashes(F.col("text"), _SPAN_N)
     g = d.select("doc_id", F.explode(grams).alias("g"))
-    counted = g.withColumn("n_owners", F.count(F.lit(1)).over(Window.partitionBy("g")))
+    owners = g.groupBy("g").agg(F.count(F.lit(1)).alias("n_owners"))
+    counted = g.join(owners, "g")
     per_doc = counted.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_grams"),
         F.sum(F.when(F.col("n_owners") >= 2, 1).otherwise(0)).alias("n_dup_grams"),
