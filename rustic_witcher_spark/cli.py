@@ -214,6 +214,21 @@ def build_parser() -> argparse.ArgumentParser:
         help="streaming-appender delta dir to union into the search "
         "(PQ indexes only; see streaming/ann_stream.py)",
     )
+    aq.add_argument(
+        "--rerank",
+        default=None,
+        metavar="VECTORS",
+        help="raw-vector parquet to exact-rerank against (PQ indexes only): "
+        "take a --shortlist-k ADC shortlist from the codes, re-score only "
+        "those rows with the exact cosine, keep --k — quantization decides "
+        "what is LOOKED AT, never the final ordering",
+    )
+    aq.add_argument(
+        "--shortlist-k",
+        type=int,
+        default=16,
+        help="ADC shortlist size per query when --rerank is given (default 16)",
+    )
     bt = sub.add_parser(
         "bpe-train",
         help="learn a BPE merge list over a document corpus (one token-stream shuffle, "
@@ -644,10 +659,20 @@ def main(argv: list[str] | None = None) -> int:
         q = spark.read.parquet(args.queries)
         if os.path.isdir(os.path.join(args.index, "_codebooks")):
             if args.delta:
+                if args.rerank:
+                    raise SystemExit("--rerank cannot be combined with --delta")
                 from rustic_witcher_spark.streaming.ann_stream import query_with_delta
 
                 out = query_with_delta(
                     spark, args.index, args.delta, q, k=args.k, nprobe=args.nprobe,
+                    id_col=args.id_col, vec_col=args.vec_col,
+                )
+            elif args.rerank:
+                from rustic_witcher_spark.operators.pq import pq_query_index_rerank
+
+                out = pq_query_index_rerank(
+                    spark, args.index, q, spark.read.parquet(args.rerank),
+                    k=args.k, shortlist_k=args.shortlist_k, nprobe=args.nprobe,
                     id_col=args.id_col, vec_col=args.vec_col,
                 )
             else:
@@ -660,6 +685,8 @@ def main(argv: list[str] | None = None) -> int:
         else:
             if args.delta:
                 raise SystemExit("--delta requires a PQ index (codebooks not found)")
+            if args.rerank:
+                raise SystemExit("--rerank requires a PQ index (the flat IVF path is already exact)")
             from rustic_witcher_spark.operators.similarity import ivf_query_index
 
             out = ivf_query_index(

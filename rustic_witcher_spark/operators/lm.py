@@ -140,3 +140,101 @@ SELECT ex.id AS {id_expr}, count(*) AS n_chunks,
 FROM ex JOIN owners USING (chunk)
 GROUP BY 1
 """
+
+
+# --------------------------------------------------- interpolated bigram LM
+#
+# One rung up the CCNet quality-filter ladder from the unigram score:
+# per-document cross-entropy under a Jelinek-Mercer interpolated bigram
+# model estimated from the corpus itself,
+#
+#     p(w | v) = lam * c(v,w)/c(v,·) + (1 - lam) * c(w)/N
+#
+# (c(v,·) = count of v as a bigram LEFT context, so the conditional
+# rows sum to 1). Captures word-ORDER typicality the unigram model is
+# blind to: scrambled or templated text shares the unigram profile of
+# normal prose but pays a large bigram penalty.
+#
+# Scale shape: three map-side-combinable groupBys (bigram, context,
+# unigram) and three equi-joins back onto the exploded bigram stream —
+# every key is a token or token pair (Zipfian, AQE-skew-splittable
+# joins; NO window over a token key). At web scale, truncate each
+# count table to top-V with an OOV mass exactly like the unigram
+# docstring describes — the joins then broadcast.
+
+
+def bigram_logprob_score(
+    df: DataFrame, text_col: str, id_col: str, lam: float = 0.7
+) -> DataFrame:
+    """Per-document interpolated-bigram cross-entropy:
+    (id_col, n_bigrams, nll), nll rounded to 4 dp. Documents with
+    fewer than two tokens (or NULL text) have no bigrams and drop out,
+    matching the SQL twin's inner joins."""
+
+    def bigrams_of(toks: Column) -> Column:
+        nb = F.size(toks) - 1
+        pairs = F.transform(
+            F.sequence(F.lit(1), nb),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("v"),
+                F.element_at(toks, i + 1).alias("w"),
+            ),
+        )
+        return F.when(nb >= 1, pairs).otherwise(
+            F.array().cast("array<struct<v:string,w:string>>")
+        )
+
+    # let-bind the token array (the chunk_dup_stats idiom) so the
+    # normalization+split runs once per doc, not once per bigram
+    pairs = F.element_at(
+        F.transform(F.array(F.split(normalized_text(F.col(text_col)), " ")), bigrams_of), 1
+    )
+    big = df.select(F.col(id_col), F.explode(pairs).alias("__p")).select(
+        F.col(id_col), F.col("__p.v").alias("__v"), F.col("__p.w").alias("__w")
+    )
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(normalized_text(F.col(text_col)), " ")).alias("__t")
+    )
+    cb = big.groupBy("__v", "__w").agg(F.count("*").alias("__cb"))
+    cv = big.groupBy("__v").agg(F.count("*").alias("__cv"))
+    cu = toks.groupBy("__t").agg(F.count("*").alias("__cu"))
+    total = toks.agg(F.count("*").alias("__n"))
+    p = (
+        F.lit(lam) * (F.col("__cb").cast("double") / F.col("__cv"))
+        + F.lit(1.0 - lam) * (F.col("__cu").cast("double") / F.col("__n"))
+    )
+    return (
+        big.join(cb, ["__v", "__w"])
+        .join(cv, "__v")
+        .join(cu, F.col("__w") == F.col("__t"))
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(-F.log(p)), 4).alias("nll"),
+        )
+    )
+
+
+def sql_bigram_logprob_score(
+    text_norm_expr: str, id_expr: str, table: str, lam: float = 0.7
+) -> str:
+    """DuckDB twin of ``bigram_logprob_score`` — identical expression
+    tree (lam * (cb/cv) + (1-lam) * (cu/n), then ln/avg/round) so the
+    scores agree bit-for-bit before 4-dp rounding."""
+    return f"""
+WITH tk AS (SELECT {id_expr} AS id, string_split({text_norm_expr}, ' ') AS ts FROM {table}),
+big AS (
+  SELECT id, ts[i] AS v, ts[i + 1] AS w
+  FROM tk, unnest(range(1, len(ts))) AS r(i)
+),
+toks AS (SELECT id, unnest(ts) AS t FROM tk),
+cb AS (SELECT v, w, count(*) AS cb FROM big GROUP BY 1, 2),
+cv AS (SELECT v, count(*) AS cv FROM big GROUP BY 1),
+cu AS (SELECT t, count(*) AS cu FROM toks GROUP BY 1),
+tot AS (SELECT count(*) AS n FROM toks)
+SELECT big.id AS {id_expr}, count(*) AS n_bigrams,
+       round(avg(-ln({lam} * (cb.cb::DOUBLE / cv.cv) + {1.0 - lam} * (cu.cu::DOUBLE / tot.n))), 4) AS nll
+FROM big JOIN cb USING (v, w) JOIN cv USING (v) JOIN cu ON big.w = cu.t CROSS JOIN tot
+GROUP BY 1
+"""

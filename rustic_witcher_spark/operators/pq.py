@@ -1033,3 +1033,63 @@ def _localize(cb: DataFrame) -> DataFrame:
     if not rows:
         return cb
     return cb.sparkSession.createDataFrame(rows, schema=cb.schema)
+
+
+def pq_query_index_rerank(
+    spark,
+    path: str,
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    shortlist_k: int = 16,
+    nprobe: int = 2,
+    n_subspaces: int | None = None,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    extra_codes: list[DataFrame] | None = None,
+) -> DataFrame:
+    """Two-stage production ANN: ADC shortlist + exact re-rank.
+
+    Stage 1 queries the persisted index (``pq_query_index``) for
+    ``shortlist_k`` approximate candidates per query — the codes-only
+    scan, 16-64x smaller than the raw vectors. Stage 2 re-scores ONLY
+    the shortlist against the raw vectors with the exact cosine and
+    keeps the top ``k``. This is the standard deployed ANN shape
+    (FAISS's IndexIVFPQ + refine, the "shortlist then re-rank" in
+    every production retrieval stack): ADC quantization error decides
+    which ~3k candidates you look at, never the final ordering.
+
+    100 TB shape: the shortlist is |q| x shortlist_k ids — KBs — so it
+    BROADCASTS into the raw-vector scan as a hash semi-join; the
+    corpus is never shuffled and only shortlist rows survive the scan
+    (with column stats / bucketing on ``id_col``, only their files
+    open). The re-rank itself is |q| x shortlist_k exact cosines —
+    Catalyst fold expressions, no Python stage beyond stage 1's ADC
+    kernel.
+
+    NULL / zero-norm vectors follow brute_force_topk's convention:
+    no embedding -> no similarity -> dropped before ranking.
+    """
+    shortlist = pq_query_index(
+        spark, path, queries, k=shortlist_k, nprobe=nprobe,
+        n_subspaces=n_subspaces, dim=dim, id_col=id_col, vec_col=vec_col,
+        extra_codes=extra_codes,
+    ).select("query_id", "neighbor_id")
+    cand = corpus.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    ).join(F.broadcast(shortlist), "neighbor_id")
+    q = queries.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    scored = (
+        cand.join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("sim"),
+        )
+        .filter(F.col("sim").isNotNull() & ~F.isnan(F.col("sim")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

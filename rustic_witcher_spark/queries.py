@@ -1684,6 +1684,88 @@ def sql_vocab_top_terms() -> str:
     )
 
 
+_ZIPF_TOP = 100
+
+
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus health statistic every tokenizer/sampling decision leans
+    on: the Zipf exponent — an OLS fit of ln(frequency) on ln(rank)
+    over the top-100 terms, with R² as the fit quality (natural text
+    sits near slope −1; templated/generated corpora flatten, spam
+    steepens). Plan: one map-side-combinable term count, a
+    TakeOrderedAndProject top-100 (per-partition top-k then merge — no
+    global sort), rank + the five OLS moment sums over exactly 100
+    rows, closed-form slope/intercept/R². try_divide guards the
+    degenerate fits a dirty corpus can produce (single-term vocabulary
+    → zero x-variance; uniform counts → zero y-variance), matching the
+    twin's nullif."""
+    d = _spread(spark, _read(spark, sf_dir, "documents"))
+    top = (
+        d.select(F.explode(text.tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("term").asc())
+        .limit(_ZIPF_TOP)
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("term").asc())
+    xy = top.withColumn("r", F.row_number().over(w)).select(
+        F.log(F.col("r").cast("double")).alias("x"),
+        F.log(F.col("n").cast("double")).alias("y"),
+    )
+    m = xy.agg(
+        F.count("*").cast("double").alias("cnt"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    slope = F.try_divide(
+        F.col("cnt") * F.col("sxy") - F.col("sx") * F.col("sy"),
+        F.col("cnt") * F.col("sxx") - F.col("sx") * F.col("sx"),
+    )
+    r2 = F.try_divide(
+        (F.col("cnt") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        * (F.col("cnt") * F.col("sxy") - F.col("sx") * F.col("sy")),
+        (F.col("cnt") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("cnt") * F.col("syy") - F.col("sy") * F.col("sy")),
+    )
+    return m.select(
+        F.col("cnt").cast("long").alias("n_terms"),
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("cnt"), 6).alias("intercept"),
+        F.round(r2, 6).alias("r2"),
+    )
+
+
+def sql_zipf_fit(top: int = _ZIPF_TOP) -> str:
+    """DuckDB twin of ``q_zipf_fit`` — the identical moment sums and
+    closed forms (nullif where Spark try_divides)."""
+    return f"""
+WITH tc AS (
+  SELECT term, count(*) AS n
+  FROM (SELECT unnest({_toks_sql('text')}) AS term FROM documents)
+  GROUP BY term ORDER BY n DESC, term ASC LIMIT {top}
+),
+xy AS (
+  SELECT ln(row_number() OVER (ORDER BY n DESC, term ASC)::DOUBLE) AS x,
+         ln(n::DOUBLE) AS y
+  FROM tc
+),
+m AS (
+  SELECT count(*)::DOUBLE AS cnt, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+  FROM xy
+)
+SELECT cnt::BIGINT AS n_terms,
+       round((cnt * sxy - sx * sy) / nullif(cnt * sxx - sx * sx, 0), 6) AS slope,
+       round((sy - ((cnt * sxy - sx * sy) / nullif(cnt * sxx - sx * sx, 0)) * sx) / cnt, 6) AS intercept,
+       round(((cnt * sxy - sx * sy) * (cnt * sxy - sx * sy)) /
+             nullif((cnt * sxx - sx * sx) * (cnt * syy - sy * sy), 0), 6) AS r2
+FROM m
+"""
+
+
 def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID quality audit: predicted (marker heuristic) vs the
     corpus's labeled lang — the confusion matrix a curation pipeline
@@ -2402,6 +2484,74 @@ s AS (
 SELECT query_id, neighbor_id, rank, sim FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
   FROM s WHERE sim IS NOT NULL AND NOT isnan(sim))
+WHERE rank <= {k}
+"""
+
+
+_RERANK_SHORTLIST_K = 16
+
+
+def q_pq_rerank_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shortlist-then-re-rank ANN under the gate — the standard
+    deployed two-stage shape (FAISS IndexIVFPQ + refine): the persisted
+    raw IVF-PQ index (pq_index_query's cached build) produces a
+    ``shortlist_k=16`` ADC shortlist per query from the codes-only
+    scan, then ONLY those raw vectors are re-scored with the exact
+    cosine and the top-5 kept (pq.pq_query_index_rerank). Quantization
+    error decides which candidates are LOOKED AT, never the final
+    ordering — the recall/precision split that makes PQ usable in
+    production.
+
+    100 TB shape: stage 1 is the partition-pruned codes scan
+    (pq_index_query's plan); stage 2 broadcasts the KB-sized shortlist
+    into the raw-vector scan as a hash semi-join — the corpus is never
+    shuffled, and the exact cosines are |q|·k' Catalyst fold
+    expressions. The twin wraps the full from-scratch IVF-PQ
+    derivation (sql_ivfpq_ann_topk at k'=16 — the persisted index's
+    fixpoint, same argument as pq_index_query) and re-ranks the
+    shortlist with SQL_KNN's rounded-cosine convention."""
+    import os
+
+    idx = _pq_index_dir(sf_dir)
+    if not os.path.exists(os.path.join(idx, "codes", "_SUCCESS")):
+        emb = _read(spark, sf_dir, "embeddings")
+        pq.pq_write_index(
+            emb, idx, n_subspaces=16, n_codes=16, dim=64, coarse_clusters=8, iters=1, seed=SEED
+        )
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return pq.pq_query_index_rerank(
+        spark, idx, queries, emb, k=5, shortlist_k=_RERANK_SHORTLIST_K,
+        nprobe=2, n_subspaces=16, dim=64,
+    ).select("query_id", "neighbor_id", "rank", "sim")
+
+
+def sql_pq_rerank_query(k: int = 5, shortlist_k: int = _RERANK_SHORTLIST_K) -> str:
+    """Twin of the two-stage query: the full ivfpq derivation at
+    k=shortlist_k as the shortlist, then an exact-cosine re-rank over
+    the shortlist ids only (the same rounded-cosine convention as
+    SQL_KNN, so stage-2 scores match Spark's fold bit-for-bit)."""
+    cos = _SQL_IVF_COS
+    inner = sql_ivfpq_ann_topk(
+        n_clusters=8, nprobe=2, n_subspaces=16, n_codes=16, dim=64, k=shortlist_k, seed=SEED
+    )
+    # rcorpus MUST be MATERIALIZED (the SQL_KNN convention): DuckDB's
+    # list_inner_product validates the ENTIRE scan chunk including rows
+    # a WHERE selection already filtered, so an inlined
+    # embedding-IS-NOT-NULL CTE still throws "can not contain NULL
+    # values" on a corpus with whole-NULL embeddings; materialization
+    # compacts the chunk first (found by the r10 dirty-corpus fuzz).
+    return f"""
+WITH shortlist AS MATERIALIZED (SELECT query_id, neighbor_id FROM ({inner}) t),
+rcorpus AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
+rq AS (SELECT vec_id AS query_id, v AS qv FROM rcorpus WHERE vec_id < 5),
+rs AS (
+  SELECT sl.query_id, sl.neighbor_id, round({cos.format(a='rq.qv', b='c.v')}, 6) AS sim
+  FROM shortlist sl JOIN rcorpus c ON c.vec_id = sl.neighbor_id JOIN rq USING (query_id)
+)
+SELECT query_id, neighbor_id, rank, sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM rs WHERE sim IS NOT NULL AND NOT isnan(sim))
 WHERE rank <= {k}
 """
 
@@ -3372,6 +3522,24 @@ def q_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def sql_unigram_nll() -> str:
     return lm.sql_unigram_logprob_score(_norm_sql("text"), "doc_id", "documents")
+
+
+def q_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One rung up the quality-filter ladder from unigram_nll:
+    per-document cross-entropy under a Jelinek-Mercer interpolated
+    bigram model (λ=0.7) estimated from the corpus itself — word-ORDER
+    typicality, which the unigram score is blind to (scrambled or
+    templated text shares the unigram profile of normal prose but pays
+    a large bigram penalty). Three map-side-combinable count groupBys
+    (bigram, left-context, unigram) + three AQE-splittable equi-joins
+    back onto the exploded bigram stream; no window over a token key
+    (see lm.bigram_logprob_score for the 100 TB top-V/OOV variant)."""
+    d = _spread(spark, _read(spark, sf_dir, "documents"))
+    return lm.bigram_logprob_score(d, "text", "doc_id")
+
+
+def sql_bigram_nll() -> str:
+    return lm.sql_bigram_logprob_score(_norm_sql("text"), "doc_id", "documents")
 
 
 def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7762,14 +7930,15 @@ def build_registry() -> dict[str, tuple[QueryFn, str | None]]:
     r8-late cohort except feature_hash_embed, and all 39 rotated r06
     holders are green with r9 verdicts; feature_hash_embed ERRed in
     the driver canonicalizer (array<double> output — fixed this round
-    by the string-serialization convention). ROUND10_PREFIX = the six
+    by the string-serialization convention). ROUND10_PREFIX = the nine
     r10 additions (pq_index_query + novelty_incremental +
     embedding_int8_quant + ann_incremental + media_incremental +
-    pq_residual_query — new entries always enter the current window)
+    pq_residual_query + pq_rerank_query + bigram_nll + zipf_fit — new
+    entries always enter the current window)
     + feature_hash_embed (the only never-driver-verified entry,
     leading the rotation to prove the fix) + the ten r06-verdict
-    deferrals + 33 of the 50 r07 holders; the 17 r07 deferrals to r11
-    are the ten long-staged stable shapes plus the seven tail slots
+    deferrals + 30 of the 50 r07 holders; the 20 r07 deferrals to r11
+    are the ten long-staged stable shapes plus the ten tail slots
     the r10 additions displaced (full list at ROUND11_PREFIX_STAGED).
     The full local gate (`scripts/compare_oracle.py`) runs ALL
     entries every round, and is order- AND dtype-faithful to the
@@ -7977,6 +8146,9 @@ def build_registry() -> dict[str, tuple[QueryFn, str | None]]:
             "ann_incremental": (q_ann_incremental, sql_ann_incremental(seed=SEED)),
             "media_incremental": (q_media_incremental, sql_media_incremental()),
             "pq_residual_query": (q_pq_residual_query, sql_pq_residual_query(seed=SEED)),
+            "pq_rerank_query": (q_pq_rerank_query, sql_pq_rerank_query()),
+            "bigram_nll": (q_bigram_nll, sql_bigram_nll()),
+            "zipf_fit": (q_zipf_fit, sql_zipf_fit()),
         }
     )
     ordered = {name: reg.pop(name) for name in ROUND10_PREFIX}
@@ -8155,7 +8327,7 @@ ROUND10_PREFIX = [
     # new in round 10 (enter the current window immediately)
     "pq_index_query", "novelty_incremental",
     "embedding_int8_quant", "ann_incremental", "media_incremental",
-    "pq_residual_query",
+    "pq_residual_query", "pq_rerank_query", "bigram_nll", "zipf_fit",
     # never driver-verified: r9 red, serialization fixed this round
     "feature_hash_embed",
     # r06-verdict deferrals (oldest verdicts — lead the rotation)
@@ -8173,8 +8345,7 @@ ROUND10_PREFIX = [
     "token_budget_selection", "events_moving_avg", "term_pmi",
     "peak_concurrency", "quantile_sketch_events", "rolling_distinct_users",
     "supplier_pagerank", "triangle_count", "pareto_suppliers",
-    "dsir_selection", "bpe_merge_step", "mixture_temperature",
-    "ewma_events", "source_overlap",
+    "dsir_selection", "bpe_merge_step",
 ]
 
 
@@ -8187,13 +8358,16 @@ ROUND10_PREFIX = [
 # r8 verdicts but are newer). Any NEW r11 entries enter at the head,
 # displacing r08 holders from the tail into the r12 list.
 ROUND11_PREFIX_STAGED = [
-    # r07-verdict deferrals (oldest verdicts — lead the window)
+    # r07-verdict deferrals (oldest verdicts — lead the window; the
+    # last three are the r10-window tail slots the three late-r10
+    # additions displaced)
     "orders_pivot", "grouping_sets_revenue", "lineitem_unpivot",
     "fuzzy_part_names", "source_cap", "embedding_dim_stats",
     "weighted_reservoir", "benford_profile", "customer_revenue_standing",
     "zorder_layout", "bm25_search", "leakage_safe_split",
     "source_kl_divergence", "funnel_3step", "hard_negatives",
     "interval_coverage", "events_mad_outliers",
+    "mixture_temperature", "ewma_events", "source_overlap",
     # r08-verdict rotation (33 of 47)
     "drift_vs_reference", "media_near_dups", "bpe_merge_chain",
     "q17_small_quantity_revenue", "q19_disjunctive_revenue", "q22_idle_customers",
@@ -8205,6 +8379,8 @@ ROUND11_PREFIX_STAGED = [
     "skew_salted_stats", "doc_length_deciles", "value_percentiles",
     "token_count_bpe", "vocab_top_terms", "langid_confusion",
     "tfidf_top_terms", "doc_quality", "pii_redact",
-    "rollup_revenue", "distinct_parts_per_supplier", "top_customers_per_nation",
-    "asof_last_purchase", "events_in_campaign_windows",
+    "rollup_revenue", "distinct_parts_per_supplier",
+    # (top_customers_per_nation, asof_last_purchase,
+    # events_in_campaign_windows spill to the r12 window — displaced
+    # by the three r07 holders the late-r10 additions pushed out)
 ]

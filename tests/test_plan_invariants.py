@@ -64,6 +64,9 @@ ARROW_OK = {
     # r10: residual-ADC scoring kernel over the persisted residual
     # index (pq.pq_residual_adc_topk_block)
     "pq_residual_query",
+    # r10: shortlist stage of the two-stage query is pq_index_query's
+    # ADC kernel; the exact re-rank itself is pure Catalyst
+    "pq_rerank_query",
 }
 
 

@@ -353,3 +353,169 @@ def test_cli_ann_index_residual_round_trip(spark, tmp_path, capsys):
     }
     assert got == want and got
     assert cli.main(["ann-index", "--source", src, "--target", idx + "2", "--residual"]) == 2
+
+
+# ---------------------------------------------------------------------------
+# late r10: two-stage rerank ANN, interpolated bigram NLL, Zipf fit
+# ---------------------------------------------------------------------------
+
+
+def test_rerank_scores_are_exact_cosines(spark, tmp_path):
+    """The two-stage query's final sims must be EXACT cosines of the
+    raw vectors (quantization decides the shortlist, never the
+    ordering): every (query, neighbor, sim) it returns must appear
+    with the identical sim in the brute-force exact scorer."""
+    from rustic_witcher_spark.operators import pq
+    from rustic_witcher_spark.operators.similarity import brute_force_topk
+
+    rng = np.random.default_rng(7)
+    rows = [(i, [float(x) for x in rng.normal(size=64)]) for i in range(80)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    idx = str(tmp_path / "idx")
+    pq.pq_write_index(emb, idx, n_subspaces=16, n_codes=16, dim=64,
+                      coarse_clusters=4, iters=1, seed=42)
+    queries = emb.filter("vec_id < 3")
+    got = pq.pq_query_index_rerank(
+        spark, idx, queries, emb, k=5, shortlist_k=16, nprobe=2,
+        n_subspaces=16, dim=64,
+    ).collect()
+    assert got, "rerank returned nothing"
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["sim"]
+        for r in brute_force_topk(emb, queries, k=80).collect()
+    }
+    for r in got:
+        assert exact[(r["query_id"], r["neighbor_id"])] == r["sim"]
+    # per query: ranked strictly by exact sim desc (id asc on ties)
+    by_q = {}
+    for r in sorted(got, key=lambda r: (r["query_id"], r["rank"])):
+        by_q.setdefault(r["query_id"], []).append((r["sim"], r["neighbor_id"]))
+    for sims in by_q.values():
+        assert sims == sorted(sims, key=lambda t: (-t[0], t[1]))
+
+
+def test_rerank_fixes_adc_order_inversions(spark, tmp_path):
+    """On a clustered corpus the ADC ordering inverts some near-tie
+    pairs that the exact re-rank must restore: rerank top-1 == exact
+    top-1 for every query whose true top-1 survives into the
+    shortlist (with shortlist_k = corpus size it always does)."""
+    from rustic_witcher_spark.operators import pq
+    from rustic_witcher_spark.operators.similarity import brute_force_topk
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(4, 64)) * 3
+    rows = []
+    for i in range(60):
+        c = centers[i % 4] + rng.normal(size=64) * 0.05
+        rows.append((i, [float(x) for x in c]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    idx = str(tmp_path / "idx")
+    pq.pq_write_index(emb, idx, n_subspaces=16, n_codes=16, dim=64,
+                      coarse_clusters=4, iters=1, seed=42)
+    queries = emb.filter("vec_id < 4")
+    got = pq.pq_query_index_rerank(
+        spark, idx, queries, emb, k=1, shortlist_k=60, nprobe=4,
+        n_subspaces=16, dim=64,
+    ).collect()
+    want = {r["query_id"]: r["neighbor_id"]
+            for r in brute_force_topk(emb, queries, k=1).collect()}
+    assert {r["query_id"]: r["neighbor_id"] for r in got} == want
+
+
+def test_bigram_nll_penalizes_unusual_word_order(spark):
+    """Docs built from the corpus's dominant bigram score LOWER than a
+    doc of the same tokens in reversed (corpus-rare) order — the
+    word-order signal the unigram score cannot see."""
+    from rustic_witcher_spark.operators.lm import bigram_logprob_score
+
+    rows = [(i, "alpha beta gamma") for i in range(9)]
+    rows.append((9, "gamma beta alpha"))  # same unigrams, reversed order
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["nll"] for r in bigram_logprob_score(d, "text", "doc_id").collect()}
+    assert got[9] > got[0], got
+
+
+def test_bigram_nll_drops_sub_bigram_docs(spark):
+    from rustic_witcher_spark.operators.lm import bigram_logprob_score
+
+    d = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "alpha"), (2, None), (3, "")],
+        "doc_id long, text string",
+    )
+    got = bigram_logprob_score(d, "text", "doc_id").collect()
+    assert [r["doc_id"] for r in got] == [0]
+    assert got[0]["n_bigrams"] == 1
+
+
+def test_zipf_fit_recovers_exponent(spark, tmp_path):
+    """A corpus whose term counts follow c_r = round(2000 / r) must fit
+    slope ~ -1 with near-perfect R**2."""
+    import __spark_entry__ as entrymod
+
+    words = [f"w{r:03d}" for r in range(1, 41)]
+    toks = []
+    for r, wd in enumerate(words, start=1):
+        toks.extend([wd] * round(2000 / r))
+    rng = np.random.default_rng(3)
+    rng.shuffle(toks)
+    docs, step = [], 50
+    for i in range(0, len(toks), step):
+        docs.append((i // step, " ".join(toks[i : i + step]), "en", "s0", 1))
+    d = tmp_path / "zipf"
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(d / "documents.parquet"))
+    row = entrymod.queries()["zipf_fit"](spark, str(d)).collect()[0]
+    assert row["n_terms"] == 40
+    assert abs(row["slope"] - (-1.0)) < 0.02, row
+    assert row["r2"] > 0.999, row
+
+
+def test_cli_ann_query_rerank_round_trip(spark, tmp_path, capsys):
+    """ann-query --rerank matches pq_query_index_rerank run directly;
+    --rerank with --delta or on a flat IVF index is a usage error."""
+    from rustic_witcher_spark import cli
+    from rustic_witcher_spark.operators import pq
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    src = str(tmp_path / "emb.parquet")
+    emb.write.parquet(src)
+    idx = str(tmp_path / "idx")
+    assert cli.main([
+        "ann-index", "--source", src, "--target", idx, "--n-clusters", "8",
+        "--pq-subspaces", "16", "--pq-codes", "16",
+    ]) == 0
+    capsys.readouterr()
+    qsrc = str(tmp_path / "q.parquet")
+    q = emb.limit(3)
+    q.write.parquet(qsrc)
+    out = str(tmp_path / "hits")
+    assert cli.main([
+        "ann-query", "--index", idx, "--queries", qsrc, "--target", out,
+        "--k", "3", "--nprobe", "2", "--rerank", src, "--shortlist-k", "12",
+    ]) == 0
+    capsys.readouterr()
+    got = {
+        (r.query_id, r.neighbor_id, r.rank, r.sim)
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r.query_id, r.neighbor_id, r.rank, r.sim)
+        for r in pq.pq_query_index_rerank(
+            spark, idx, q, emb, k=3, shortlist_k=12, nprobe=2
+        ).collect()
+    }
+    assert got == want and got
+    with pytest.raises(SystemExit):
+        cli.main([
+            "ann-query", "--index", idx, "--queries", qsrc, "--target", out,
+            "--rerank", src, "--delta", str(tmp_path / "nodelta"),
+        ])
+    flat = str(tmp_path / "flat")
+    assert cli.main(["ann-index", "--source", src, "--target", flat, "--n-clusters", "8"]) == 0
+    capsys.readouterr()
+    with pytest.raises(SystemExit):
+        cli.main([
+            "ann-query", "--index", flat, "--queries", qsrc, "--target", out,
+            "--rerank", src,
+        ])

@@ -86,7 +86,13 @@ def test_event_entries_oracle_parity_on_random_dirty_streams(spark, tmp_path_fac
     ]
     for name in fuzzed:
         g = qs[name](spark, str(d)).toPandas()
-        w = con.execute(osqls[name]).fetchdf()
+        try:
+            w = con.execute(osqls[name]).fetchdf()
+        except Exception as ex:  # name the culprit — a bare engine error hides it
+            import os as _os, shutil as _sh, time as _t
+            if _os.environ.get("R9_FUZZ_DUMP"):
+                _sh.copytree(str(d), _os.environ["R9_FUZZ_DUMP"] + f"_{_t.monotonic_ns()}")
+            raise AssertionError(f"{name}: oracle raised {ex}") from ex
         cols = sorted(g.columns)
         gs = sorted(map(tuple, g[cols].astype(str).values.tolist()))
         ws = sorted(map(tuple, w[cols].astype(str).values.tolist()))
@@ -179,6 +185,10 @@ def test_doc_entries_oracle_parity_on_random_dirty_corpora(spark, tmp_path_facto
         # and int8 calibration
         "novelty_incremental", "pq_index_query", "pq_residual_query",
         "ann_incremental", "embedding_int8_quant", "media_incremental",
+        # late r10: two-stage rerank ANN, interpolated bigram NLL, Zipf
+        # OLS fit (degenerate-fit guards: single-term / uniform-count
+        # vocabularies draw here with real probability)
+        "pq_rerank_query", "bigram_nll", "zipf_fit",
         "vocab_growth", "bm25_search", "hybrid_search_rrf", "ivfpq_ann_topk", "ann_recall_eval",
         "knn_bruteforce", "knn_lsh", "knn_ivf", "semdedup",
         "embedding_near_dups", "embedding_project", "embedding_dim_stats",
@@ -188,7 +198,13 @@ def test_doc_entries_oracle_parity_on_random_dirty_corpora(spark, tmp_path_facto
     ]
     for name in fuzzed:
         g = qs[name](spark, str(d)).toPandas()
-        w = con.execute(osqls[name]).fetchdf()
+        try:
+            w = con.execute(osqls[name]).fetchdf()
+        except Exception as ex:  # name the culprit — a bare engine error hides it
+            import os as _os, shutil as _sh, time as _t
+            if _os.environ.get("R9_FUZZ_DUMP"):
+                _sh.copytree(str(d), _os.environ["R9_FUZZ_DUMP"] + f"_{_t.monotonic_ns()}")
+            raise AssertionError(f"{name}: oracle raised {ex}") from ex
         cols = sorted(g.columns)
         gs = sorted(map(tuple, g[cols].astype(str).values.tolist()))
         ws = sorted(map(tuple, w[cols].astype(str).values.tolist()))
