@@ -116,6 +116,121 @@ FROM agg
 """
 
 
+def hll_pairwise_set_ops(
+    df: DataFrame, key_col: str, group_col: str, seed: int = DEFAULT_SEED
+) -> DataFrame:
+    """HLL set ALGEBRA — the reason sketches beat exact distinct at
+    100 TB is not the single count but the mergeability: register-wise
+    max of two groups' registers IS the sketch of their union, so
+    audience overlap between every pair of groups costs two
+    register-table joins over <= M_REG rows per group — never a
+    raw-key shuffle, never an exact distinct self-join.
+
+    Returns one row per unordered group pair (group_a < group_b):
+    (group_a, group_b, est_a, est_b, est_union, est_inter, jaccard)
+    with est_inter = est_a + est_b - est_union (inclusion-exclusion;
+    can be slightly negative at sketch error, reported raw) and
+    jaccard = max(est_inter, 0) / est_union, both over the 4-dp
+    rounded estimates so the DuckDB twin replays them bit-for-bit.
+
+    NULL group keys are dropped (no group -> no audience), matching
+    the twin's equi-joins and < comparison which drop NULLs
+    structurally.
+
+    Scale shape: the register build is the same bounded-state
+    aggregation as ``approx_distinct``; the pair fan-out joins the
+    TINY distinct-group table with the register table (broadcast), and
+    the union merge is a map-side-combinable max over
+    (pair, register) — state is |pairs| x M_REG rows total.
+    """
+    df = df.filter(F.col(group_col).isNotNull())
+    regs = hll_registers(df, key_col, [group_col], seed)
+    types = regs.select(F.col(group_col).alias("ga")).distinct()
+    pairs = types.crossJoin(F.broadcast(types.select(F.col("ga").alias("gb")))).filter(
+        F.col("ga") < F.col("gb")
+    )
+    ra = regs.select(F.col(group_col).alias("ga"), "__j", "__m")
+    rb = regs.select(F.col(group_col).alias("gb"), "__j", "__m")
+    ureg = (
+        pairs.join(ra, "ga")
+        .select("ga", "gb", "__j", "__m")
+        .unionByName(pairs.join(rb, "gb").select("ga", "gb", "__j", "__m"))
+        .groupBy("ga", "gb", "__j")
+        .agg(F.max("__m").alias("__m"))
+    )
+    uest = hll_estimate(ureg, ["ga", "gb"]).withColumnRenamed("hll_est", "est_union")
+    singles = hll_estimate(regs, [group_col])
+    inter = F.round(F.col("est_a") + F.col("est_b") - F.col("est_union"), 4)
+    return (
+        uest.join(
+            singles.select(F.col(group_col).alias("ga"), F.col("hll_est").alias("est_a")), "ga"
+        )
+        .join(
+            singles.select(F.col(group_col).alias("gb"), F.col("hll_est").alias("est_b")), "gb"
+        )
+        .select(
+            F.col("ga").alias("group_a"),
+            F.col("gb").alias("group_b"),
+            "est_a",
+            "est_b",
+            "est_union",
+            inter.alias("est_inter"),
+            F.round(F.greatest(inter, F.lit(0.0)) / F.col("est_union"), 4).alias("jaccard"),
+        )
+    )
+
+
+def sql_hll_pairwise_set_ops(
+    key_expr: str, group_expr: str, table: str, seed: int = DEFAULT_SEED
+) -> str:
+    """DuckDB twin of ``hll_pairwise_set_ops``: identical registers,
+    identical small-range-corrected estimator applied to the single
+    and the register-max-merged union sketches."""
+    m = M_REG
+    h = sql_hash64(key_expr, seed, _SALT)
+    est = (
+        f"round(CASE WHEN ({_ALPHA_64 * m * m} / (s + ({m} - present))) <= {2.5 * m}"
+        f"             AND ({m} - present) > 0"
+        f"            THEN {m} * ln({m} / ({m} - present))"
+        f"            ELSE {_ALPHA_64 * m * m} / (s + ({m} - present)) END, 4)"
+    )
+    return f"""
+WITH hh AS (SELECT {group_expr} AS grp, {h} AS h FROM {table} WHERE {group_expr} IS NOT NULL),
+r AS (SELECT grp, h % {m} AS j, h // {m} AS w FROM hh),
+rho AS (SELECT grp, j,
+               CASE WHEN w = 0 THEN {_MAX_RHO}
+                    ELSE round(log2(w & (-w)))::INT + 1 END AS rho
+        FROM r),
+regs AS (SELECT grp, j, max(rho) AS mj FROM rho GROUP BY grp, j),
+singles AS (
+  SELECT grp, {est} AS hll_est
+  FROM (SELECT grp, sum(pow(2.0, -mj)) AS s, count(*) AS present FROM regs GROUP BY grp)
+),
+pairs AS (
+  SELECT a.grp AS ga, b.grp AS gb
+  FROM (SELECT DISTINCT grp FROM regs) a, (SELECT DISTINCT grp FROM regs) b
+  WHERE a.grp < b.grp
+),
+ureg AS (
+  SELECT ga, gb, j, max(mj) AS mj FROM (
+    SELECT p.ga, p.gb, r1.j, r1.mj FROM pairs p JOIN regs r1 ON r1.grp = p.ga
+    UNION ALL
+    SELECT p.ga, p.gb, r2.j, r2.mj FROM pairs p JOIN regs r2 ON r2.grp = p.gb
+  ) GROUP BY ga, gb, j
+),
+uest AS (
+  SELECT ga, gb, {est} AS est_union
+  FROM (SELECT ga, gb, sum(pow(2.0, -mj)) AS s, count(*) AS present
+        FROM ureg GROUP BY ga, gb)
+)
+SELECT u.ga AS group_a, u.gb AS group_b,
+       sa.hll_est AS est_a, sb.hll_est AS est_b, u.est_union,
+       round(sa.hll_est + sb.hll_est - u.est_union, 4) AS est_inter,
+       round(greatest(round(sa.hll_est + sb.hll_est - u.est_union, 4), 0.0) / u.est_union, 4) AS jaccard
+FROM uest u JOIN singles sa ON sa.grp = u.ga JOIN singles sb ON sb.grp = u.gb
+"""
+
+
 # ----------------------------------------------------------------- count-min
 #
 # Count-min sketch (Cormode & Muthukrishnan): d independent hash rows of

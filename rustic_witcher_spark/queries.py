@@ -3428,6 +3428,25 @@ def q_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.join(est, "event_type").select("event_type", "n_exact", "hll_est")
 
 
+def q_hll_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch set ALGEBRA — the audience-overlap report (|A|, |B|,
+    |A∪B|, |A∩B|, Jaccard per event-type pair) computed entirely from
+    HLL registers: register-wise max of two sketches IS the union
+    sketch, and intersection follows by inclusion-exclusion. This is
+    the mergeability that makes sketches the 100 TB answer — overlap
+    of two billion-user audiences costs two joins over ≤64-row
+    register tables, never an exact distinct self-join of raw keys
+    (sketches.hll_pairwise_set_ops)."""
+    ev = read_events(spark, sf_dir)
+    return sketches.hll_pairwise_set_ops(ev, "user_id", "event_type", seed=SEED).orderBy(
+        "group_a", "group_b"
+    )
+
+
+def sql_hll_set_ops() -> str:
+    return sketches.sql_hll_pairwise_set_ops("user_id", "event_type", "events", seed=SEED)
+
+
 def sql_hll_users() -> str:
     est = sketches.sql_approx_distinct("user_id", "event_type", "events", SEED)
     return f"""
@@ -7930,15 +7949,15 @@ def build_registry() -> dict[str, tuple[QueryFn, str | None]]:
     r8-late cohort except feature_hash_embed, and all 39 rotated r06
     holders are green with r9 verdicts; feature_hash_embed ERRed in
     the driver canonicalizer (array<double> output — fixed this round
-    by the string-serialization convention). ROUND10_PREFIX = the nine
+    by the string-serialization convention). ROUND10_PREFIX = the ten
     r10 additions (pq_index_query + novelty_incremental +
     embedding_int8_quant + ann_incremental + media_incremental +
-    pq_residual_query + pq_rerank_query + bigram_nll + zipf_fit — new
-    entries always enter the current window)
+    pq_residual_query + pq_rerank_query + bigram_nll + zipf_fit +
+    hll_set_ops — new entries always enter the current window)
     + feature_hash_embed (the only never-driver-verified entry,
     leading the rotation to prove the fix) + the ten r06-verdict
-    deferrals + 30 of the 50 r07 holders; the 20 r07 deferrals to r11
-    are the ten long-staged stable shapes plus the ten tail slots
+    deferrals + 29 of the 50 r07 holders; the 21 r07 deferrals to r11
+    are the ten long-staged stable shapes plus the eleven tail slots
     the r10 additions displaced (full list at ROUND11_PREFIX_STAGED).
     The full local gate (`scripts/compare_oracle.py`) runs ALL
     entries every round, and is order- AND dtype-faithful to the
@@ -8149,6 +8168,7 @@ def build_registry() -> dict[str, tuple[QueryFn, str | None]]:
             "pq_rerank_query": (q_pq_rerank_query, sql_pq_rerank_query()),
             "bigram_nll": (q_bigram_nll, sql_bigram_nll()),
             "zipf_fit": (q_zipf_fit, sql_zipf_fit()),
+            "hll_set_ops": (q_hll_set_ops, sql_hll_set_ops()),
         }
     )
     ordered = {name: reg.pop(name) for name in ROUND10_PREFIX}
@@ -8328,6 +8348,7 @@ ROUND10_PREFIX = [
     "pq_index_query", "novelty_incremental",
     "embedding_int8_quant", "ann_incremental", "media_incremental",
     "pq_residual_query", "pq_rerank_query", "bigram_nll", "zipf_fit",
+    "hll_set_ops",
     # never driver-verified: r9 red, serialization fixed this round
     "feature_hash_embed",
     # r06-verdict deferrals (oldest verdicts — lead the rotation)
@@ -8345,7 +8366,7 @@ ROUND10_PREFIX = [
     "token_budget_selection", "events_moving_avg", "term_pmi",
     "peak_concurrency", "quantile_sketch_events", "rolling_distinct_users",
     "supplier_pagerank", "triangle_count", "pareto_suppliers",
-    "dsir_selection", "bpe_merge_step",
+    "dsir_selection",
 ]
 
 
@@ -8368,6 +8389,7 @@ ROUND11_PREFIX_STAGED = [
     "source_kl_divergence", "funnel_3step", "hard_negatives",
     "interval_coverage", "events_mad_outliers",
     "mixture_temperature", "ewma_events", "source_overlap",
+    "bpe_merge_step",
     # r08-verdict rotation (33 of 47)
     "drift_vs_reference", "media_near_dups", "bpe_merge_chain",
     "q17_small_quantity_revenue", "q19_disjunctive_revenue", "q22_idle_customers",
@@ -8379,8 +8401,9 @@ ROUND11_PREFIX_STAGED = [
     "skew_salted_stats", "doc_length_deciles", "value_percentiles",
     "token_count_bpe", "vocab_top_terms", "langid_confusion",
     "tfidf_top_terms", "doc_quality", "pii_redact",
-    "rollup_revenue", "distinct_parts_per_supplier",
-    # (top_customers_per_nation, asof_last_purchase,
-    # events_in_campaign_windows spill to the r12 window — displaced
-    # by the three r07 holders the late-r10 additions pushed out)
+    "rollup_revenue",
+    # (distinct_parts_per_supplier, top_customers_per_nation,
+    # asof_last_purchase, events_in_campaign_windows spill to the r12
+    # window — displaced by the four r07 holders the late-r10
+    # additions pushed out)
 ]

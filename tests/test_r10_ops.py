@@ -519,3 +519,41 @@ def test_cli_ann_query_rerank_round_trip(spark, tmp_path, capsys):
             "ann-query", "--index", flat, "--queries", qsrc, "--target", out,
             "--rerank", src,
         ])
+
+
+def test_hll_set_ops_merge_is_union_sketch(spark):
+    """The algebra pin: the register-max merge of two groups' sketches
+    must EQUAL the sketch of the concatenated key set (mergeability is
+    the whole claim), and the estimates must be set-consistent:
+    est_union >= each single, est_inter <= each single + error=0 here
+    because disjoint/overlapping structure is exact at this size."""
+    from rustic_witcher_spark.operators import sketches
+
+    rows = (
+        [(i, "a") for i in range(1, 31)]            # users 1..30 in a
+        + [(i, "b") for i in range(21, 51)]          # users 21..50 in b (overlap 10)
+    )
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    out = sketches.hll_pairwise_set_ops(df, "user_id", "event_type", seed=42).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["group_a"] == "a" and r["group_b"] == "b"
+    # merged-register estimate == direct sketch of the union key set
+    both = spark.createDataFrame(
+        [(i, "u") for i in range(1, 51)], "user_id long, event_type string"
+    )
+    direct = sketches.approx_distinct(both, "user_id", ["event_type"], seed=42).collect()[0]
+    assert r["est_union"] == direct["hll_est"]
+    assert r["est_union"] >= max(r["est_a"], r["est_b"])
+    assert round(r["est_a"] + r["est_b"] - r["est_union"], 4) == r["est_inter"]
+    assert 0.0 <= r["jaccard"] <= 1.0
+
+
+def test_hll_set_ops_drops_null_groups(spark):
+    from rustic_witcher_spark.operators import sketches
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, None), (4, "b")], "user_id long, event_type string"
+    )
+    out = sketches.hll_pairwise_set_ops(df, "user_id", "event_type", seed=42).collect()
+    assert {(r["group_a"], r["group_b"]) for r in out} == {("a", "b")}

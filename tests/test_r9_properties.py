@@ -78,7 +78,7 @@ def test_event_entries_oracle_parity_on_random_dirty_streams(spark, tmp_path_fac
         "events_session", "cohort_retention", "events_gapfill",
         "events_anomaly", "latency_histogram", "quantile_sketch_events",
         "session_transitions", "rolling_distinct_users", "events_moving_avg",
-        "asof_last_purchase", "hll_users", "heavy_hitters",
+        "asof_last_purchase", "hll_users", "hll_set_ops", "heavy_hitters",
         "events_json_extract", "ewma_events", "sanitize_null_bytes",
         "cdc_upsert", "click_attribution", "events_in_campaign_windows",
         "events_rollup_cascade", "purchases_with_state_asof",
