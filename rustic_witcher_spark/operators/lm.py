@@ -26,7 +26,7 @@ it to the last bit before 4-dp rounding.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from rustic_witcher_spark.operators.dedup import normalized_text
@@ -233,6 +233,105 @@ cb AS (SELECT v, w, count(*) AS cb FROM big GROUP BY 1, 2),
 cv AS (SELECT v, count(*) AS cv FROM big GROUP BY 1),
 cu AS (SELECT t, count(*) AS cu FROM toks GROUP BY 1),
 tot AS (SELECT count(*) AS n FROM toks)
+SELECT big.id AS {id_expr}, count(*) AS n_bigrams,
+       round(avg(-ln({lam} * (cb.cb::DOUBLE / cv.cv) + {1.0 - lam} * (cu.cu::DOUBLE / tot.n))), 4) AS nll
+FROM big JOIN cb USING (v, w) JOIN cv USING (v) JOIN cu ON big.w = cu.t CROSS JOIN tot
+GROUP BY 1
+"""
+
+
+OOV = chr(26)  # SUB control char: cannot collide with normalized tokens
+
+
+def bigram_logprob_score_topv(
+    df: DataFrame, text_col: str, id_col: str, top_v: int, lam: float = 0.7
+) -> DataFrame:
+    """The web-scale variant of ``bigram_logprob_score``: every token
+    outside the corpus's ``top_v`` most frequent (count desc, token asc
+    — deterministic) collapses to a single OOV symbol BEFORE bigram
+    construction, exactly the CCNet truncation. All three count tables
+    are then bounded by (V+1) — broadcastable at any corpus size — and
+    the conditional mass of the long tail pools into the OOV row
+    instead of fragmenting into singleton bigrams.
+
+    Plan shape: posexplode keeps token order; the top-V membership
+    attaches via a BROADCAST left join (V rows); bigrams form with ONE
+    lead() window partitioned by document (bounded by document length
+    — the acceptable window class, not a Zipfian key); the three count
+    groupBys stay map-side combinable. With ``top_v`` >= the true
+    vocabulary size this is pinned output-identical to the exact face.
+
+    Returns (id_col, n_bigrams, nll) like the exact face.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(normalized_text(F.col(text_col)), " ")).alias("__pos", "__t"),
+    )
+    top = (
+        toks.groupBy("__t")
+        .agg(F.count("*").alias("__c"))
+        .orderBy(F.col("__c").desc(), F.col("__t").asc())
+        .limit(top_v)
+        .select("__t", F.lit(1).alias("__keep"))
+    )
+    mapped = toks.join(F.broadcast(top), "__t", "left").select(
+        F.col(id_col),
+        "__pos",
+        F.when(F.col("__keep").isNotNull(), F.col("__t")).otherwise(F.lit(OOV)).alias("__t"),
+    )
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    big = (
+        mapped.withColumn("__w", F.lead("__t").over(w))
+        .filter(F.col("__w").isNotNull())
+        .select(F.col(id_col), F.col("__t").alias("__v"), "__w")
+    )
+    cb = big.groupBy("__v", "__w").agg(F.count("*").alias("__cb"))
+    cv = big.groupBy("__v").agg(F.count("*").alias("__cv"))
+    cu = mapped.groupBy("__t").agg(F.count("*").alias("__cu"))
+    total = mapped.agg(F.count("*").alias("__n"))
+    p = (
+        F.lit(lam) * (F.col("__cb").cast("double") / F.col("__cv"))
+        + F.lit(1.0 - lam) * (F.col("__cu").cast("double") / F.col("__n"))
+    )
+    return (
+        big.join(cb, ["__v", "__w"])
+        .join(cv, "__v")
+        .join(cu, F.col("__w") == F.col("__t"))
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(-F.log(p)), 4).alias("nll"),
+        )
+    )
+
+
+def sql_bigram_logprob_score_topv(
+    text_norm_expr: str, id_expr: str, table: str, top_v: int, lam: float = 0.7
+) -> str:
+    """DuckDB twin of ``bigram_logprob_score_topv`` — same top-V
+    truncation (count desc, token asc), same OOV pooling, same
+    interpolated expression tree."""
+    return f"""
+WITH tk AS (SELECT {id_expr} AS id, string_split({text_norm_expr}, ' ') AS ts FROM {table}),
+tp AS (SELECT id, i AS pos, ts[i] AS t FROM tk, unnest(range(1, len(ts) + 1)) AS r(i)),
+top AS (
+  SELECT t FROM (SELECT t, count(*) AS c FROM tp GROUP BY 1)
+  ORDER BY c DESC, t ASC LIMIT {top_v}
+),
+mp AS (
+  SELECT tp.id, tp.pos,
+         CASE WHEN top.t IS NULL THEN chr(26) ELSE tp.t END AS t
+  FROM tp LEFT JOIN top ON tp.t = top.t
+),
+big AS (
+  SELECT id, t AS v, lead(t) OVER (PARTITION BY id ORDER BY pos) AS w FROM mp
+  QUALIFY w IS NOT NULL
+),
+cb AS (SELECT v, w, count(*) AS cb FROM big GROUP BY 1, 2),
+cv AS (SELECT v, count(*) AS cv FROM big GROUP BY 1),
+cu AS (SELECT t, count(*) AS cu FROM mp GROUP BY 1),
+tot AS (SELECT count(*) AS n FROM mp)
 SELECT big.id AS {id_expr}, count(*) AS n_bigrams,
        round(avg(-ln({lam} * (cb.cb::DOUBLE / cv.cv) + {1.0 - lam} * (cu.cu::DOUBLE / tot.n))), 4) AS nll
 FROM big JOIN cb USING (v, w) JOIN cv USING (v) JOIN cu ON big.w = cu.t CROSS JOIN tot

@@ -3561,6 +3561,29 @@ def sql_bigram_nll() -> str:
     return lm.sql_bigram_logprob_score(_norm_sql("text"), "doc_id", "documents")
 
 
+_BIGRAM_TOP_V = 8
+
+
+def q_bigram_nll_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WEB-SCALE face of bigram_nll under the gate: the top-V/OOV
+    truncation (here V=8, small enough that the synthetic corpus's
+    tail actually pools) that bounds all three count tables at (V+1)
+    rows — broadcastable at any corpus size, the published CCNet
+    recipe. Grading it separately pins the truncation machinery
+    itself: deterministic top-V selection (count desc, token asc),
+    OOV pooling before bigram construction, one document-bounded
+    lead() window (lm.bigram_logprob_score_topv; pinned ≡ the exact
+    face when V ≥ vocabulary in test_r10_ops)."""
+    d = _spread(spark, _read(spark, sf_dir, "documents"))
+    return lm.bigram_logprob_score_topv(d, "text", "doc_id", top_v=_BIGRAM_TOP_V)
+
+
+def sql_bigram_nll_oov() -> str:
+    return lm.sql_bigram_logprob_score_topv(
+        _norm_sql("text"), "doc_id", "documents", top_v=_BIGRAM_TOP_V
+    )
+
+
 def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style sub-document dedup signal: per document, how many of
     its 10-token chunks also occur in another document. One explode +
@@ -7949,15 +7972,16 @@ def build_registry() -> dict[str, tuple[QueryFn, str | None]]:
     r8-late cohort except feature_hash_embed, and all 39 rotated r06
     holders are green with r9 verdicts; feature_hash_embed ERRed in
     the driver canonicalizer (array<double> output — fixed this round
-    by the string-serialization convention). ROUND10_PREFIX = the ten
-    r10 additions (pq_index_query + novelty_incremental +
+    by the string-serialization convention). ROUND10_PREFIX = the
+    eleven r10 additions (pq_index_query + novelty_incremental +
     embedding_int8_quant + ann_incremental + media_incremental +
     pq_residual_query + pq_rerank_query + bigram_nll + zipf_fit +
-    hll_set_ops — new entries always enter the current window)
+    hll_set_ops + bigram_nll_oov — new entries always enter the
+    current window)
     + feature_hash_embed (the only never-driver-verified entry,
     leading the rotation to prove the fix) + the ten r06-verdict
-    deferrals + 29 of the 50 r07 holders; the 21 r07 deferrals to r11
-    are the ten long-staged stable shapes plus the eleven tail slots
+    deferrals + 28 of the 50 r07 holders; the 22 r07 deferrals to r11
+    are the ten long-staged stable shapes plus the twelve tail slots
     the r10 additions displaced (full list at ROUND11_PREFIX_STAGED).
     The full local gate (`scripts/compare_oracle.py`) runs ALL
     entries every round, and is order- AND dtype-faithful to the
@@ -8169,6 +8193,7 @@ def build_registry() -> dict[str, tuple[QueryFn, str | None]]:
             "bigram_nll": (q_bigram_nll, sql_bigram_nll()),
             "zipf_fit": (q_zipf_fit, sql_zipf_fit()),
             "hll_set_ops": (q_hll_set_ops, sql_hll_set_ops()),
+            "bigram_nll_oov": (q_bigram_nll_oov, sql_bigram_nll_oov()),
         }
     )
     ordered = {name: reg.pop(name) for name in ROUND10_PREFIX}
@@ -8348,7 +8373,7 @@ ROUND10_PREFIX = [
     "pq_index_query", "novelty_incremental",
     "embedding_int8_quant", "ann_incremental", "media_incremental",
     "pq_residual_query", "pq_rerank_query", "bigram_nll", "zipf_fit",
-    "hll_set_ops",
+    "hll_set_ops", "bigram_nll_oov",
     # never driver-verified: r9 red, serialization fixed this round
     "feature_hash_embed",
     # r06-verdict deferrals (oldest verdicts — lead the rotation)
@@ -8366,7 +8391,6 @@ ROUND10_PREFIX = [
     "token_budget_selection", "events_moving_avg", "term_pmi",
     "peak_concurrency", "quantile_sketch_events", "rolling_distinct_users",
     "supplier_pagerank", "triangle_count", "pareto_suppliers",
-    "dsir_selection",
 ]
 
 
@@ -8389,7 +8413,7 @@ ROUND11_PREFIX_STAGED = [
     "source_kl_divergence", "funnel_3step", "hard_negatives",
     "interval_coverage", "events_mad_outliers",
     "mixture_temperature", "ewma_events", "source_overlap",
-    "bpe_merge_step",
+    "bpe_merge_step", "dsir_selection",
     # r08-verdict rotation (33 of 47)
     "drift_vs_reference", "media_near_dups", "bpe_merge_chain",
     "q17_small_quantity_revenue", "q19_disjunctive_revenue", "q22_idle_customers",
@@ -8401,9 +8425,8 @@ ROUND11_PREFIX_STAGED = [
     "skew_salted_stats", "doc_length_deciles", "value_percentiles",
     "token_count_bpe", "vocab_top_terms", "langid_confusion",
     "tfidf_top_terms", "doc_quality", "pii_redact",
-    "rollup_revenue",
-    # (distinct_parts_per_supplier, top_customers_per_nation,
-    # asof_last_purchase, events_in_campaign_windows spill to the r12
-    # window — displaced by the four r07 holders the late-r10
-    # additions pushed out)
+    # (rollup_revenue, distinct_parts_per_supplier,
+    # top_customers_per_nation, asof_last_purchase,
+    # events_in_campaign_windows spill to the r12 window — displaced
+    # by the five r07 holders the late-r10 additions pushed out)
 ]

@@ -557,3 +557,36 @@ def test_hll_set_ops_drops_null_groups(spark):
     )
     out = sketches.hll_pairwise_set_ops(df, "user_id", "event_type", seed=42).collect()
     assert {(r["group_a"], r["group_b"]) for r in out} == {("a", "b")}
+
+
+def test_bigram_topv_equals_exact_when_v_covers_vocab(spark):
+    """With top_v >= the true vocabulary size nothing maps to OOV, so
+    the truncated face must be output-identical to the exact face."""
+    from rustic_witcher_spark.operators.lm import bigram_logprob_score, bigram_logprob_score_topv
+
+    rows = [
+        (0, "alpha beta gamma"), (1, "beta gamma alpha beta"),
+        (2, "gamma gamma alpha"), (3, "alpha beta"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = sorted(map(tuple, bigram_logprob_score(d, "text", "doc_id").collect()))
+    trunc = sorted(map(tuple, bigram_logprob_score_topv(d, "text", "doc_id", top_v=10).collect()))
+    assert exact == trunc
+
+
+def test_bigram_topv_pools_tail_into_oov(spark):
+    """With top_v=1 every non-dominant token pools into OOV: two docs
+    whose tails differ only in WHICH rare tokens they use must score
+    identically (the pooled model cannot tell them apart)."""
+    from rustic_witcher_spark.operators.lm import bigram_logprob_score_topv
+
+    rows = [
+        (0, "the rare1 the rare2 the"),
+        (1, "the rare3 the rare4 the"),
+        (2, "the the the the the"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["nll"] for r in
+           bigram_logprob_score_topv(d, "text", "doc_id", top_v=1).collect()}
+    assert got[0] == got[1]
+    assert got[2] != got[0]
