@@ -125,6 +125,25 @@ def build_parser() -> argparse.ArgumentParser:
         default=None,
         help="dead-letter parquet path for malformed JSONL lines (jsonl format only)",
     )
+    ls = sub.add_parser(
+        "lm-score",
+        help="per-document LM quality scores from the corpus's own statistics: "
+        "unigram cross-entropy, plus interpolated bigram cross-entropy with --bigram "
+        "(optionally top-V/OOV-truncated via --top-v for web-scale vocabularies)",
+    )
+    ls.add_argument("--input", required=True, help="documents parquet path")
+    ls.add_argument("--target", required=True, help="output parquet for per-doc scores")
+    ls.add_argument("--id-col", default="doc_id")
+    ls.add_argument("--text-col", default="text")
+    ls.add_argument("--bigram", action="store_true", help="also score under the interpolated bigram model")
+    ls.add_argument("--lam", type=float, default=0.7, help="bigram interpolation weight (default 0.7)")
+    ls.add_argument(
+        "--top-v",
+        type=int,
+        default=None,
+        help="bigram mode: collapse tokens outside the top-V to one OOV symbol "
+        "(bounds the count tables at V+1 rows; the CCNet truncation)",
+    )
     sp = sub.add_parser(
         "split",
         help="materialize a leakage-safe train/val/test split: split = hash(group column), "
@@ -453,6 +472,49 @@ def main(argv: list[str] | None = None) -> int:
             .collect()
         }
         print(json.dumps({"splits": counts, "group_col": args.group_col, "target": args.target}, sort_keys=True))
+        return 0
+    if args.command == "lm-score":
+        from pyspark.sql import functions as F
+
+        from rustic_witcher_spark.operators.lm import (
+            bigram_logprob_score,
+            bigram_logprob_score_topv,
+            unigram_logprob_score,
+        )
+
+        spark = get_spark("lm-score")
+        docs = spark.read.parquet(args.input)
+        uni = unigram_logprob_score(docs, args.text_col, args.id_col).select(
+            args.id_col, "n_tokens", F.col("nll").alias("unigram_nll")
+        )
+        out = uni
+        if args.bigram:
+            if args.top_v is not None:
+                bi = bigram_logprob_score_topv(
+                    docs, args.text_col, args.id_col, top_v=args.top_v, lam=args.lam
+                )
+            else:
+                bi = bigram_logprob_score(docs, args.text_col, args.id_col, lam=args.lam)
+            # left join: sub-bigram docs keep their unigram score with
+            # a NULL bigram column instead of dropping from the report
+            out = uni.join(
+                bi.select(args.id_col, "n_bigrams", F.col("nll").alias("bigram_nll")),
+                args.id_col,
+                "left",
+            )
+        out.write.mode("overwrite").parquet(args.target)
+        result = spark.read.parquet(args.target)
+        print(
+            json.dumps(
+                {
+                    "target": args.target,
+                    "docs_scored": result.count(),
+                    "bigram": bool(args.bigram),
+                    "top_v": args.top_v,
+                },
+                sort_keys=True,
+            )
+        )
         return 0
     if args.command == "drift":
         from pyspark.sql import functions as F

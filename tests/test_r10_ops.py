@@ -590,3 +590,36 @@ def test_bigram_topv_pools_tail_into_oov(spark):
            bigram_logprob_score_topv(d, "text", "doc_id", top_v=1).collect()}
     assert got[0] == got[1]
     assert got[2] != got[0]
+
+
+def test_cli_lm_score_round_trip(spark, tmp_path, capsys):
+    """lm-score writes per-doc unigram (+ bigram) scores matching the
+    library operators; sub-bigram docs keep a NULL bigram_nll instead
+    of dropping from the report."""
+    from rustic_witcher_spark import cli
+    from rustic_witcher_spark.operators.lm import bigram_logprob_score, unigram_logprob_score
+
+    rows = [(0, "alpha beta gamma"), (1, "beta gamma alpha"), (2, "alpha"), (3, None)]
+    src = str(tmp_path / "docs.parquet")
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    docs.write.parquet(src)
+    out = str(tmp_path / "scores")
+    assert cli.main([
+        "lm-score", "--input", src, "--target", out, "--bigram",
+    ]) == 0
+    capsys.readouterr()
+    got = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    uni = {r["doc_id"]: r["nll"] for r in unigram_logprob_score(docs, "text", "doc_id").collect()}
+    bi = {r["doc_id"]: r["nll"] for r in bigram_logprob_score(docs, "text", "doc_id").collect()}
+    assert set(got) == set(uni)  # NULL-text doc 3 has no tokens -> absent both
+    for i, r in got.items():
+        assert r["unigram_nll"] == uni[i]
+        assert r["bigram_nll"] == bi.get(i)  # doc 2: one token -> NULL bigram
+    assert got[2]["bigram_nll"] is None
+    # top-v path smoke: runs and scores the same doc set
+    out2 = str(tmp_path / "scores2")
+    assert cli.main([
+        "lm-score", "--input", src, "--target", out2, "--bigram", "--top-v", "2",
+    ]) == 0
+    capsys.readouterr()
+    assert {r["doc_id"] for r in spark.read.parquet(out2).collect()} == set(uni)
