@@ -3457,6 +3457,68 @@ FROM ex JOIN est ON est.grp = ex.event_type
 """
 
 
+_SEMANTIC_DECONTAM_TAU = 0.4
+
+
+def q_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC decontamination — the embedding-space complement of the
+    n-gram `decontaminate` entry (paraphrased or lightly-rewritten eval
+    leakage shares no 3-gram but sits close in embedding space): flag
+    every training vector whose cosine against ANY held-out eval vector
+    (vec_id % 97 == 0, the decontaminate split) reaches τ=0.4, with the
+    hit count and the max similarity. Output (vec_id, n_eval_hits,
+    max_sim) per flagged training doc.
+
+    100 TB shape: the eval set is always tiny relative to training
+    data, so the eval embeddings BROADCAST and the train side is ONE
+    scan with a per-row comparison against the broadcast block — no
+    shuffle of the corpus, and the per-train rollup is map-side
+    combinable. NULL embeddings drop on both sides (no vector → no
+    similarity, the brute_force_topk convention); zero-norm cosines
+    are NaN/NULL and drop before the threshold."""
+    from rustic_witcher_spark.operators.similarity import cosine
+
+    emb = _read(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    ev = emb.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("__eid"), F.col("embedding").alias("__ev")
+    )
+    tr = emb.filter(F.col("vec_id") % 97 != 0).select("vec_id", F.col("embedding").alias("__tv"))
+    scored = (
+        tr.crossJoin(F.broadcast(ev))
+        .select("vec_id", "__eid", F.round(cosine(F.col("__tv"), F.col("__ev")), 6).alias("__sim"))
+        .filter(F.col("__sim").isNotNull() & ~F.isnan(F.col("__sim")))
+        .filter(F.col("__sim") >= _SEMANTIC_DECONTAM_TAU)
+    )
+    return (
+        scored.groupBy("vec_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_eval_hits"),
+            F.max("__sim").alias("max_sim"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def sql_semantic_decontam(tau: float = _SEMANTIC_DECONTAM_TAU) -> str:
+    """DuckDB twin: same split predicates, SQL_KNN's rounded-cosine
+    convention (MATERIALIZED src — the chunk-validation lesson), same
+    threshold/rollup."""
+    cos = _SQL_IVF_COS
+    return f"""
+WITH src AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
+ev AS (SELECT vec_id AS eid, v AS evec FROM src WHERE vec_id % 97 = 0),
+tr AS (SELECT vec_id, v AS tvec FROM src WHERE vec_id % 97 <> 0),
+s AS (
+  SELECT tr.vec_id, ev.eid, round({cos.format(a='tr.tvec', b='ev.evec')}, 6) AS sim
+  FROM tr, ev
+)
+SELECT vec_id, count(*) AS n_eval_hits, max(sim) AS max_sim
+FROM s WHERE sim IS NOT NULL AND NOT isnan(sim) AND sim >= {tau}
+GROUP BY vec_id
+"""
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: docs with doc_id % 97 == 0 play the
     held-out eval set; every training doc sharing >= 1 word 3-gram with
@@ -7973,16 +8035,16 @@ def build_registry() -> dict[str, tuple[QueryFn, str | None]]:
     holders are green with r9 verdicts; feature_hash_embed ERRed in
     the driver canonicalizer (array<double> output — fixed this round
     by the string-serialization convention). ROUND10_PREFIX = the
-    eleven r10 additions (pq_index_query + novelty_incremental +
+    twelve r10 additions (pq_index_query + novelty_incremental +
     embedding_int8_quant + ann_incremental + media_incremental +
     pq_residual_query + pq_rerank_query + bigram_nll + zipf_fit +
-    hll_set_ops + bigram_nll_oov — new entries always enter the
-    current window)
+    hll_set_ops + bigram_nll_oov + semantic_decontam — new entries
+    always enter the current window)
     + feature_hash_embed (the only never-driver-verified entry,
     leading the rotation to prove the fix) + the ten r06-verdict
-    deferrals + 28 of the 50 r07 holders; the 22 r07 deferrals to r11
-    are the ten long-staged stable shapes plus the twelve tail slots
-    the r10 additions displaced (full list at ROUND11_PREFIX_STAGED).
+    deferrals + 27 of the 50 r07 holders; the 23 r07 deferrals to r11
+    are the ten long-staged stable shapes plus the thirteen tail
+    slots the r10 additions displaced (list at ROUND11_PREFIX_STAGED).
     The full local gate (`scripts/compare_oracle.py`) runs ALL
     entries every round, and is order- AND dtype-faithful to the
     driver hash (round-7 rewrite after q12 shipped red twice; round-10
@@ -8194,6 +8256,7 @@ def build_registry() -> dict[str, tuple[QueryFn, str | None]]:
             "zipf_fit": (q_zipf_fit, sql_zipf_fit()),
             "hll_set_ops": (q_hll_set_ops, sql_hll_set_ops()),
             "bigram_nll_oov": (q_bigram_nll_oov, sql_bigram_nll_oov()),
+            "semantic_decontam": (q_semantic_decontam, sql_semantic_decontam()),
         }
     )
     ordered = {name: reg.pop(name) for name in ROUND10_PREFIX}
@@ -8373,7 +8436,7 @@ ROUND10_PREFIX = [
     "pq_index_query", "novelty_incremental",
     "embedding_int8_quant", "ann_incremental", "media_incremental",
     "pq_residual_query", "pq_rerank_query", "bigram_nll", "zipf_fit",
-    "hll_set_ops", "bigram_nll_oov",
+    "hll_set_ops", "bigram_nll_oov", "semantic_decontam",
     # never driver-verified: r9 red, serialization fixed this round
     "feature_hash_embed",
     # r06-verdict deferrals (oldest verdicts — lead the rotation)
@@ -8390,7 +8453,7 @@ ROUND10_PREFIX = [
     "session_transitions", "dedup_weighted", "customer_churn_sets",
     "token_budget_selection", "events_moving_avg", "term_pmi",
     "peak_concurrency", "quantile_sketch_events", "rolling_distinct_users",
-    "supplier_pagerank", "triangle_count", "pareto_suppliers",
+    "supplier_pagerank", "triangle_count",
 ]
 
 
@@ -8413,7 +8476,7 @@ ROUND11_PREFIX_STAGED = [
     "source_kl_divergence", "funnel_3step", "hard_negatives",
     "interval_coverage", "events_mad_outliers",
     "mixture_temperature", "ewma_events", "source_overlap",
-    "bpe_merge_step", "dsir_selection",
+    "bpe_merge_step", "dsir_selection", "pareto_suppliers",
     # r08-verdict rotation (33 of 47)
     "drift_vs_reference", "media_near_dups", "bpe_merge_chain",
     "q17_small_quantity_revenue", "q19_disjunctive_revenue", "q22_idle_customers",
@@ -8424,9 +8487,9 @@ ROUND11_PREFIX_STAGED = [
     "q14_promo_revenue", "q15_top_supplier",
     "skew_salted_stats", "doc_length_deciles", "value_percentiles",
     "token_count_bpe", "vocab_top_terms", "langid_confusion",
-    "tfidf_top_terms", "doc_quality", "pii_redact",
-    # (rollup_revenue, distinct_parts_per_supplier,
+    "tfidf_top_terms", "doc_quality",
+    # (pii_redact, rollup_revenue, distinct_parts_per_supplier,
     # top_customers_per_nation, asof_last_purchase,
     # events_in_campaign_windows spill to the r12 window — displaced
-    # by the five r07 holders the late-r10 additions pushed out)
+    # by the six r07 holders the late-r10 additions pushed out)
 ]

@@ -88,18 +88,18 @@ def test_registry_prefix_matches_rotation_plan():
         "grades a 50-entry prefix; see build_registry() docstring"
     )
     assert len(names) == len(set(names))
-    # r10 window composition: the eleven r10 additions lead, then the
+    # r10 window composition: the twelve r10 additions lead, then the
     # registry's only never-driver-verified entry (the r9 red, fixed),
-    # then the ten r06-verdict deferrals, then 28 r07 holders
-    assert ROUND10_PREFIX[:12] == [
+    # then the ten r06-verdict deferrals, then 27 r07 holders
+    assert ROUND10_PREFIX[:13] == [
         "pq_index_query", "novelty_incremental", "embedding_int8_quant",
         "ann_incremental", "media_incremental", "pq_residual_query",
         "pq_rerank_query", "bigram_nll", "zipf_fit", "hll_set_ops",
-        "bigram_nll_oov",
+        "bigram_nll_oov", "semantic_decontam",
         "feature_hash_embed",
     ]
-    assert "filter_startswith" in ROUND10_PREFIX[12:22]
-    assert "faker_suite" in ROUND10_PREFIX[12:22]
+    assert "filter_startswith" in ROUND10_PREFIX[13:23]
+    assert "faker_suite" in ROUND10_PREFIX[13:23]
     # the staged r11 window is consistent: 50 entries, all in the
     # registry, none overlapping the r10 window (rotation, not repeat)
     assert len(ROUND11_PREFIX_STAGED) == 50

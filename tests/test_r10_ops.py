@@ -623,3 +623,33 @@ def test_cli_lm_score_round_trip(spark, tmp_path, capsys):
     ]) == 0
     capsys.readouterr()
     assert {r["doc_id"] for r in spark.read.parquet(out2).collect()} == set(uni)
+
+
+def test_semantic_decontam_flags_cross_set_only(spark, tmp_path):
+    """Meaning pins: a training vector identical to an eval vector is
+    flagged with max_sim 1.0; train-train duplicates are NOT flagged
+    (the comparison is strictly cross-set); eval vectors never appear
+    in the output."""
+    import __spark_entry__ as entrymod
+
+    def unit(i):
+        v = [0.0] * 64
+        v[i % 32] = 1.0
+        return v
+
+    rows = [
+        (0, unit(0), 0),      # eval (0 % 97 == 0)
+        (97, unit(0), 0),     # eval dup of itself? no: 97 % 97 == 0 -> eval too
+        (1, unit(0), 0),      # train, identical to eval 0 -> flagged, sim 1.0
+        (2, unit(1), 0),      # train, orthogonal to eval -> not flagged
+        (3, unit(1), 0),      # train dup of train 2 -> still not flagged
+    ]
+    d = tmp_path / "sd"
+    spark.createDataFrame(rows, "vec_id long, embedding array<double>, label long").write.parquet(
+        str(d / "embeddings.parquet")
+    )
+    out = {r["vec_id"]: r for r in
+           entrymod.queries()["semantic_decontam"](spark, str(d)).collect()}
+    assert 1 in out and out[1]["max_sim"] == 1.0 and out[1]["n_eval_hits"] == 2
+    assert 2 not in out and 3 not in out
+    assert 0 not in out and 97 not in out
