@@ -474,6 +474,8 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"splits": counts, "group_col": args.group_col, "target": args.target}, sort_keys=True))
         return 0
     if args.command == "lm-score":
+        if args.top_v is not None and not args.bigram:
+            raise SystemExit("--top-v only applies to the bigram model; add --bigram")
         from pyspark.sql import functions as F
 
         from rustic_witcher_spark.operators.lm import (

@@ -240,7 +240,13 @@ GROUP BY 1
 """
 
 
-OOV = chr(26)  # SUB control char: cannot collide with normalized tokens
+# OOV symbol: the SUB control char. normalized_text only lowercases and
+# collapses whitespace, so a literal \x1a CAN survive as a token — the
+# truncated face therefore (a) excludes it from the top-V candidate set
+# and (b) thereby always maps it to OOV, making "SUB tokens pool with
+# the tail" a DEFINED behavior on both engines rather than a silent
+# stats merge when \x1a would have made top-V.
+OOV = chr(26)
 
 
 def bigram_logprob_score_topv(
@@ -268,7 +274,8 @@ def bigram_logprob_score_topv(
         F.posexplode(F.split(normalized_text(F.col(text_col)), " ")).alias("__pos", "__t"),
     )
     top = (
-        toks.groupBy("__t")
+        toks.filter(F.col("__t") != OOV)  # see OOV note: SUB never wins a slot
+        .groupBy("__t")
         .agg(F.count("*").alias("__c"))
         .orderBy(F.col("__c").desc(), F.col("__t").asc())
         .limit(top_v)
@@ -316,7 +323,7 @@ def sql_bigram_logprob_score_topv(
 WITH tk AS (SELECT {id_expr} AS id, string_split({text_norm_expr}, ' ') AS ts FROM {table}),
 tp AS (SELECT id, i AS pos, ts[i] AS t FROM tk, unnest(range(1, len(ts) + 1)) AS r(i)),
 top AS (
-  SELECT t FROM (SELECT t, count(*) AS c FROM tp GROUP BY 1)
+  SELECT t FROM (SELECT t, count(*) AS c FROM tp WHERE t <> chr(26) GROUP BY 1)
   ORDER BY c DESC, t ASC LIMIT {top_v}
 ),
 mp AS (

@@ -1070,7 +1070,12 @@ def pq_query_index_rerank(
 
     NULL / zero-norm vectors follow brute_force_topk's convention:
     no embedding -> no similarity -> dropped before ranking.
+
+    ``k`` must not exceed ``shortlist_k`` — a larger k would silently
+    truncate to the shortlist and LOOK like a complete top-k.
     """
+    if k > shortlist_k:
+        raise ValueError(f"k={k} exceeds shortlist_k={shortlist_k}: the re-rank can only return shortlist rows")
     shortlist = pq_query_index(
         spark, path, queries, k=shortlist_k, nprobe=nprobe,
         n_subspaces=n_subspaces, dim=dim, id_col=id_col, vec_col=vec_col,

@@ -94,24 +94,39 @@ def approx_distinct(
     return hll_estimate(hll_registers(df, key_col, group_cols, seed), group_cols)
 
 
-def sql_approx_distinct(key_expr: str, group_expr: str, table: str, seed: int = DEFAULT_SEED) -> str:
-    """DuckDB twin: identical registers, ranks, and estimator."""
+def _sql_hll_regs_ctes(key_expr: str, group_expr: str, table: str, seed: int, where: str = "TRUE") -> str:
+    """The hh/r/rho/regs CTE chain — the ONE rendering of the register
+    construction, embedded by both sql_approx_distinct and
+    sql_hll_pairwise_set_ops so the sketches cannot drift."""
     m = M_REG
     h = sql_hash64(key_expr, seed, _SALT)
-    return f"""
-WITH hh AS (SELECT {group_expr} AS grp, {h} AS h FROM {table}),
+    return f"""hh AS (SELECT {group_expr} AS grp, {h} AS h FROM {table} WHERE {where}),
 r AS (SELECT grp, h % {m} AS j, h // {m} AS w FROM hh),
 rho AS (SELECT grp, j,
                CASE WHEN w = 0 THEN {_MAX_RHO}
                     ELSE round(log2(w & (-w)))::INT + 1 END AS rho
         FROM r),
-regs AS (SELECT grp, j, max(rho) AS mj FROM rho GROUP BY grp, j),
+regs AS (SELECT grp, j, max(rho) AS mj FROM rho GROUP BY grp, j)"""
+
+
+def _sql_hll_est_expr() -> str:
+    """The small-range-corrected estimator over columns (s, present) —
+    the ONE rendering, shared by every HLL oracle."""
+    m = M_REG
+    return (
+        f"round(CASE WHEN ({_ALPHA_64 * m * m} / (s + ({m} - present))) <= {2.5 * m}"
+        f"             AND ({m} - present) > 0"
+        f"            THEN {m} * ln({m} / ({m} - present))"
+        f"            ELSE {_ALPHA_64 * m * m} / (s + ({m} - present)) END, 4)"
+    )
+
+
+def sql_approx_distinct(key_expr: str, group_expr: str, table: str, seed: int = DEFAULT_SEED) -> str:
+    """DuckDB twin: identical registers, ranks, and estimator."""
+    return f"""
+WITH {_sql_hll_regs_ctes(key_expr, group_expr, table, seed)},
 agg AS (SELECT grp, sum(pow(2.0, -mj)) AS s, count(*) AS present FROM regs GROUP BY grp)
-SELECT grp,
-       round(CASE WHEN ({_ALPHA_64 * m * m} / (s + ({m} - present))) <= {2.5 * m}
-                   AND ({m} - present) > 0
-                  THEN {m} * ln({m} / ({m} - present))
-                  ELSE {_ALPHA_64 * m * m} / (s + ({m} - present)) END, 4) AS hll_est
+SELECT grp, {_sql_hll_est_expr()} AS hll_est
 FROM agg
 """
 
@@ -130,8 +145,12 @@ def hll_pairwise_set_ops(
     (group_a, group_b, est_a, est_b, est_union, est_inter, jaccard)
     with est_inter = est_a + est_b - est_union (inclusion-exclusion;
     can be slightly negative at sketch error, reported raw) and
-    jaccard = max(est_inter, 0) / est_union, both over the 4-dp
-    rounded estimates so the DuckDB twin replays them bit-for-bit.
+    jaccard = clamp(est_inter, 0, est_union) / est_union, over the
+    4-dp rounded estimates so the DuckDB twin replays them
+    bit-for-bit. The upper clamp matters because the small-range
+    correction can make est_union locally non-monotone vs the single
+    estimates — without it a near-identical pair could report a
+    Jaccard above 1.
 
     NULL group keys are dropped (no group -> no audience), matching
     the twin's equi-joins and < comparison which drop NULLs
@@ -175,7 +194,9 @@ def hll_pairwise_set_ops(
             "est_b",
             "est_union",
             inter.alias("est_inter"),
-            F.round(F.greatest(inter, F.lit(0.0)) / F.col("est_union"), 4).alias("jaccard"),
+            F.round(
+                F.least(F.greatest(inter, F.lit(0.0)) / F.col("est_union"), F.lit(1.0)), 4
+            ).alias("jaccard"),
         )
     )
 
@@ -183,25 +204,14 @@ def hll_pairwise_set_ops(
 def sql_hll_pairwise_set_ops(
     key_expr: str, group_expr: str, table: str, seed: int = DEFAULT_SEED
 ) -> str:
-    """DuckDB twin of ``hll_pairwise_set_ops``: identical registers,
-    identical small-range-corrected estimator applied to the single
-    and the register-max-merged union sketches."""
-    m = M_REG
-    h = sql_hash64(key_expr, seed, _SALT)
-    est = (
-        f"round(CASE WHEN ({_ALPHA_64 * m * m} / (s + ({m} - present))) <= {2.5 * m}"
-        f"             AND ({m} - present) > 0"
-        f"            THEN {m} * ln({m} / ({m} - present))"
-        f"            ELSE {_ALPHA_64 * m * m} / (s + ({m} - present)) END, 4)"
-    )
+    """DuckDB twin of ``hll_pairwise_set_ops``: the SHARED register
+    chain and estimator (``_sql_hll_regs_ctes`` / ``_sql_hll_est_expr``
+    — the same renderings sql_approx_distinct embeds, so hll_users and
+    hll_set_ops cannot drift), applied to the single and the
+    register-max-merged union sketches."""
+    est = _sql_hll_est_expr()
     return f"""
-WITH hh AS (SELECT {group_expr} AS grp, {h} AS h FROM {table} WHERE {group_expr} IS NOT NULL),
-r AS (SELECT grp, h % {m} AS j, h // {m} AS w FROM hh),
-rho AS (SELECT grp, j,
-               CASE WHEN w = 0 THEN {_MAX_RHO}
-                    ELSE round(log2(w & (-w)))::INT + 1 END AS rho
-        FROM r),
-regs AS (SELECT grp, j, max(rho) AS mj FROM rho GROUP BY grp, j),
+WITH {_sql_hll_regs_ctes(key_expr, group_expr, table, seed, where=f"{group_expr} IS NOT NULL")},
 singles AS (
   SELECT grp, {est} AS hll_est
   FROM (SELECT grp, sum(pow(2.0, -mj)) AS s, count(*) AS present FROM regs GROUP BY grp)
@@ -226,7 +236,7 @@ uest AS (
 SELECT u.ga AS group_a, u.gb AS group_b,
        sa.hll_est AS est_a, sb.hll_est AS est_b, u.est_union,
        round(sa.hll_est + sb.hll_est - u.est_union, 4) AS est_inter,
-       round(greatest(round(sa.hll_est + sb.hll_est - u.est_union, 4), 0.0) / u.est_union, 4) AS jaccard
+       round(least(greatest(round(sa.hll_est + sb.hll_est - u.est_union, 4), 0.0) / u.est_union, 1.0), 4) AS jaccard
 FROM uest u JOIN singles sa ON sa.grp = u.ga JOIN singles sb ON sb.grp = u.gb
 """
 

@@ -8467,8 +8467,8 @@ ROUND10_PREFIX = [
 # displacing r08 holders from the tail into the r12 list.
 ROUND11_PREFIX_STAGED = [
     # r07-verdict deferrals (oldest verdicts — lead the window; the
-    # last three are the r10-window tail slots the three late-r10
-    # additions displaced)
+    # ten long-staged shapes first, then the six r10-window tail
+    # slots the late-r10 additions displaced)
     "orders_pivot", "grouping_sets_revenue", "lineitem_unpivot",
     "fuzzy_part_names", "source_cap", "embedding_dim_stats",
     "weighted_reservoir", "benford_profile", "customer_revenue_standing",

@@ -653,3 +653,40 @@ def test_semantic_decontam_flags_cross_set_only(spark, tmp_path):
     assert 1 in out and out[1]["max_sim"] == 1.0 and out[1]["n_eval_hits"] == 2
     assert 2 not in out and 3 not in out
     assert 0 not in out and 97 not in out
+
+
+def test_rerank_rejects_k_above_shortlist(spark, tmp_path):
+    from rustic_witcher_spark.operators import pq
+
+    emb = spark.createDataFrame(
+        [(i, [float(i)] * 64) for i in range(20)], "vec_id long, embedding array<double>"
+    )
+    idx = str(tmp_path / "idx")
+    pq.pq_write_index(emb, idx, n_subspaces=16, n_codes=8, dim=64, coarse_clusters=2, iters=1, seed=42)
+    with pytest.raises(ValueError, match="shortlist"):
+        pq.pq_query_index_rerank(spark, idx, emb.limit(2), emb, k=20, shortlist_k=16)
+
+
+def test_cli_lm_score_rejects_topv_without_bigram(tmp_path):
+    from rustic_witcher_spark import cli
+
+    with pytest.raises(SystemExit):
+        cli.main(["lm-score", "--input", "x", "--target", "y", "--top-v", "10"])
+
+
+def test_bigram_topv_sub_token_never_wins_a_slot(spark):
+    """A literal \\x1a token must pool into OOV (defined behavior), not
+    claim a top-V slot and inherit the tail's statistics."""
+    from rustic_witcher_spark.operators.lm import OOV, bigram_logprob_score_topv
+
+    sub = OOV
+    rows = [
+        (0, f"{sub} alpha {sub} alpha {sub}"),   # SUB is the most frequent raw token
+        (1, "rare1 alpha rare2 alpha rare3"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["nll"] for r in
+           bigram_logprob_score_topv(d, "text", "doc_id", top_v=1).collect()}
+    # with SUB excluded, 'alpha' holds the only slot in BOTH docs and
+    # doc 0's SUBs pool with doc 1's rare tokens -> identical scores
+    assert got[0] == got[1]

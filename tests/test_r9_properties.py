@@ -19,6 +19,21 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 
+def _oracle_or_dump(con, osqls, name, d):
+    """Run one oracle; on engine error, name the culprit and (when
+    R9_FUZZ_DUMP is set) copy the failing corpus/stream dir aside for
+    offline replay — shared by both fuzz families."""
+    import shutil
+    import time
+
+    try:
+        return con.execute(osqls[name]).fetchdf()
+    except Exception as ex:
+        if os.environ.get("R9_FUZZ_DUMP"):
+            shutil.copytree(str(d), os.environ["R9_FUZZ_DUMP"] + f"_{time.monotonic_ns()}")
+        raise AssertionError(f"{name}: oracle raised {ex}") from ex
+
+
 # R9_FUZZ_EXAMPLES: CI default is 4 (each example re-derives the whole
 # 32-entry cohort, ~20 s); soak runs crank it to dig for rarer NULL
 # interactions without editing the file.
@@ -86,13 +101,7 @@ def test_event_entries_oracle_parity_on_random_dirty_streams(spark, tmp_path_fac
     ]
     for name in fuzzed:
         g = qs[name](spark, str(d)).toPandas()
-        try:
-            w = con.execute(osqls[name]).fetchdf()
-        except Exception as ex:  # name the culprit — a bare engine error hides it
-            import os as _os, shutil as _sh, time as _t
-            if _os.environ.get("R9_FUZZ_DUMP"):
-                _sh.copytree(str(d), _os.environ["R9_FUZZ_DUMP"] + f"_{_t.monotonic_ns()}")
-            raise AssertionError(f"{name}: oracle raised {ex}") from ex
+        w = _oracle_or_dump(con, osqls, name, d)
         cols = sorted(g.columns)
         gs = sorted(map(tuple, g[cols].astype(str).values.tolist()))
         ws = sorted(map(tuple, w[cols].astype(str).values.tolist()))
@@ -199,13 +208,7 @@ def test_doc_entries_oracle_parity_on_random_dirty_corpora(spark, tmp_path_facto
     ]
     for name in fuzzed:
         g = qs[name](spark, str(d)).toPandas()
-        try:
-            w = con.execute(osqls[name]).fetchdf()
-        except Exception as ex:  # name the culprit — a bare engine error hides it
-            import os as _os, shutil as _sh, time as _t
-            if _os.environ.get("R9_FUZZ_DUMP"):
-                _sh.copytree(str(d), _os.environ["R9_FUZZ_DUMP"] + f"_{_t.monotonic_ns()}")
-            raise AssertionError(f"{name}: oracle raised {ex}") from ex
+        w = _oracle_or_dump(con, osqls, name, d)
         cols = sorted(g.columns)
         gs = sorted(map(tuple, g[cols].astype(str).values.tolist()))
         ws = sorted(map(tuple, w[cols].astype(str).values.tolist()))
