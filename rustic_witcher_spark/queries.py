@@ -8044,7 +8044,16 @@ def build_registry() -> dict[str, tuple[QueryFn, str | None]]:
     leading the rotation to prove the fix) + the ten r06-verdict
     deferrals + 27 of the 50 r07 holders; the 23 r07 deferrals to r11
     are the ten long-staged stable shapes plus the thirteen tail
-    slots the r10 additions displaced (list at ROUND11_PREFIX_STAGED).
+    slots the r10 additions displaced.
+    CORRECTNESS_r10 came back 50/50 — the whole ledger now holds
+    post-rewrite verdicts (after r10: 50×r10, 49×r9, 50×r8, 23×r7).
+    ROUND11_PREFIX = the r11 additions (new entries always enter the
+    current window) + the 23 r07-aged holders (the oldest verdicts —
+    lead the rotation) + r08 holders up to 50, taken in ROUND8_PREFIX
+    order; each r11 addition displaces one r08 holder from the tail
+    into ROUND12_PREFIX_STAGED. After r11 the oldest verdict anywhere
+    is r8 (the 23 + displaced remainder listed in
+    ROUND12_PREFIX_STAGED, which refills with the oldest r09 holders).
     The full local gate (`scripts/compare_oracle.py`) runs ALL
     entries every round, and is order- AND dtype-faithful to the
     driver hash (round-7 rewrite after q12 shipped red twice; round-10
@@ -8259,7 +8268,7 @@ def build_registry() -> dict[str, tuple[QueryFn, str | None]]:
             "semantic_decontam": (q_semantic_decontam, sql_semantic_decontam()),
         }
     )
-    ordered = {name: reg.pop(name) for name in ROUND10_PREFIX}
+    ordered = {name: reg.pop(name) for name in ROUND11_PREFIX}
     ordered.update(reg)
     return ordered
 
@@ -8457,15 +8466,14 @@ ROUND10_PREFIX = [
 ]
 
 
-# STAGED round-11 window (NOT wired — round 11 renames this to the
-# active prefix, updates build_registry's `ordered = ...` line and the
-# rotation ledger, and keeps tests/test_entry_contract.py in sync).
-# Composition: the 17 r07-verdict deferrals lead (the oldest verdicts
-# after the r10 window is graded), then 33 of the r08-verdict holders
-# (ROUND8_PREFIX order, skipping its 3 r8-new heads which also hold
-# r8 verdicts but are newer). Any NEW r11 entries enter at the head,
-# displacing r08 holders from the tail into the r12 list.
-ROUND11_PREFIX_STAGED = [
+# ACTIVE round-11 window (wired into build_registry this round,
+# executing the rotation exactly as staged in r10 — the r10 verdict's
+# task 1). Composition: the 23 r07-verdict holders lead (the oldest
+# verdicts after the r10 window was graded 50/50 green), then
+# r08-verdict holders in ROUND8_PREFIX order. NEW r11 entries enter at
+# the head as they land, each displacing one r08 holder from the tail
+# into ROUND12_PREFIX_STAGED.
+ROUND11_PREFIX = [
     # r07-verdict deferrals (oldest verdicts — lead the window; the
     # ten long-staged shapes first, then the six r10-window tail
     # slots the late-r10 additions displaced)
@@ -8488,8 +8496,38 @@ ROUND11_PREFIX_STAGED = [
     "skew_salted_stats", "doc_length_deciles", "value_percentiles",
     "token_count_bpe", "vocab_top_terms", "langid_confusion",
     "tfidf_top_terms", "doc_quality",
-    # (pii_redact, rollup_revenue, distinct_parts_per_supplier,
-    # top_customers_per_nation, asof_last_purchase,
-    # events_in_campaign_windows spill to the r12 window — displaced
-    # by the six r07 holders the late-r10 additions pushed out)
+]
+
+
+# STAGED round-12 window (NOT wired — round 12 renames this to the
+# active prefix, updates build_registry's `ordered = ...` line and the
+# rotation ledger, and keeps tests/test_entry_contract.py in sync).
+# Composition: the r08-verdict holders the r11 window could not fit
+# lead (the oldest verdicts once r11 is graded; ROUND8_PREFIX order),
+# then the oldest r09-verdict holders (ROUND9_PREFIX order) fill to
+# 50. Any NEW r12 entries enter at the head, displacing r09 holders
+# from the tail into the r13 list. Entries displaced from ROUND11's
+# tail by late-r11 additions stay r8-aged and must PREPEND to this
+# list's r8 cohort.
+ROUND12_PREFIX_STAGED = [
+    # r08-verdict holders (oldest after r11 — lead the window)
+    "pii_redact", "rollup_revenue", "distinct_parts_per_supplier",
+    "top_customers_per_nation", "asof_last_purchase",
+    "events_in_campaign_windows", "events_json_extract",
+    "events_rollup_cascade", "events_tumbling", "events_sliding",
+    "funnel_click_purchase", "cohort_retention", "user_dwell_stats",
+    "filter_contains", "anonymize_customer", "cdc_upsert",
+    "minhash_lsh_candidates", "dedup_survivors", "dedup_incremental",
+    "lsh_calibration", "quality_threshold_sweep", "ann_recall_eval",
+    "frame_sample",
+    # r09-verdict rotation (27 of 49, ROUND9_PREFIX order)
+    "ivfpq_ann_topk", "bpe_vocab_trained", "containment_near_dups",
+    "novelty_scores", "vocab_growth", "pq_ann_topk",
+    "repetition_signals", "hybrid_search_rrf", "contrastive_triplets",
+    "embedding_outliers", "filter_anyofstring", "anonymize_supplier",
+    "anonymize_orders", "sanitize_null_bytes", "keep_num_of_records",
+    "agg_max_pk", "validation_check", "datadiff_check", "dedup_exact",
+    "minhash_signatures", "simhash", "simhash_near_dups",
+    "dedup_clusters", "ngram_jaccard_adjacent", "knn_bruteforce",
+    "knn_lsh", "knn_ivf",
 ]

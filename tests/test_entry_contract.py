@@ -69,8 +69,8 @@ def test_every_oracle_sql_parses_in_duckdb():
     assert not bad, "oracle SQL failed to plan:\n" + "\n".join(bad)
 
 
-# Enforce the round-10 rotation: the driver's correctness gate grades a
-# 50-entry PREFIX, and the prefix is an explicit list (ROUND10_PREFIX)
+# Enforce the round-11 rotation: the driver's correctness gate grades a
+# 50-entry PREFIX, and the prefix is an explicit list (ROUND11_PREFIX)
 # leading with never/stale-verified entries so consecutive rounds'
 # CORRECTNESS files jointly cover the whole inventory. This test pins
 # the prefix so an accidental reorder (the round-3 failure mode) fails
@@ -79,29 +79,38 @@ def test_every_oracle_sql_parses_in_duckdb():
 
 def test_registry_prefix_matches_rotation_plan():
     import __spark_entry__ as entrymod
-    from rustic_witcher_spark.queries import ROUND10_PREFIX, ROUND11_PREFIX_STAGED
+    from rustic_witcher_spark.queries import (
+        ROUND10_PREFIX,
+        ROUND11_PREFIX,
+        ROUND12_PREFIX_STAGED,
+    )
 
     names = list(entrymod.queries())
-    assert len(ROUND10_PREFIX) == 50
-    assert names[: len(ROUND10_PREFIX)] == ROUND10_PREFIX, (
-        "registry prefix diverged from ROUND10_PREFIX — the driver gate "
+    assert len(ROUND11_PREFIX) == 50
+    assert names[: len(ROUND11_PREFIX)] == ROUND11_PREFIX, (
+        "registry prefix diverged from ROUND11_PREFIX — the driver gate "
         "grades a 50-entry prefix; see build_registry() docstring"
     )
     assert len(names) == len(set(names))
-    # r10 window composition: the twelve r10 additions lead, then the
-    # registry's only never-driver-verified entry (the r9 red, fixed),
-    # then the ten r06-verdict deferrals, then 27 r07 holders
-    assert ROUND10_PREFIX[:13] == [
-        "pq_index_query", "novelty_incremental", "embedding_int8_quant",
-        "ann_incremental", "media_incremental", "pq_residual_query",
-        "pq_rerank_query", "bigram_nll", "zipf_fit", "hll_set_ops",
-        "bigram_nll_oov", "semantic_decontam",
-        "feature_hash_embed",
-    ]
-    assert "filter_startswith" in ROUND10_PREFIX[13:23]
-    assert "faker_suite" in ROUND10_PREFIX[13:23]
-    # the staged r11 window is consistent: 50 entries, all in the
-    # registry, none overlapping the r10 window (rotation, not repeat)
-    assert len(ROUND11_PREFIX_STAGED) == 50
-    assert set(ROUND11_PREFIX_STAGED) <= set(names)
-    assert not set(ROUND11_PREFIX_STAGED) & set(ROUND10_PREFIX)
+    # r11 window composition: new r11 entries (if any) lead, then the
+    # 23 r07-verdict holders (oldest verdicts), then r08 holders; the
+    # 23 r07-aged names must ALL be in the window (the rotation's whole
+    # point — after r11 the oldest verdict anywhere is r8)
+    r07_aged = {
+        "orders_pivot", "grouping_sets_revenue", "lineitem_unpivot",
+        "fuzzy_part_names", "source_cap", "embedding_dim_stats",
+        "weighted_reservoir", "benford_profile",
+        "customer_revenue_standing", "zorder_layout", "bm25_search",
+        "leakage_safe_split", "source_kl_divergence", "funnel_3step",
+        "hard_negatives", "interval_coverage", "events_mad_outliers",
+        "mixture_temperature", "ewma_events", "source_overlap",
+        "bpe_merge_step", "dsir_selection", "pareto_suppliers",
+    }
+    assert r07_aged <= set(ROUND11_PREFIX)
+    # rotation, not repeat: no overlap with the r10 window
+    assert not set(ROUND11_PREFIX) & set(ROUND10_PREFIX)
+    # the staged r12 window is consistent: 50 entries, all in the
+    # registry, none overlapping the r11 window
+    assert len(ROUND12_PREFIX_STAGED) == 50
+    assert set(ROUND12_PREFIX_STAGED) <= set(names)
+    assert not set(ROUND12_PREFIX_STAGED) & set(ROUND11_PREFIX)
