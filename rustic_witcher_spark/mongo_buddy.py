@@ -139,8 +139,8 @@ def export_data(
     mongo_uri: str,
     database_name: str,
     s3_path: str,
-    run,
-    upload,
+    run=None,
+    upload=None,
     cleanup=None,
     work_dir: str = "/tmp/mongo-dump",
 ) -> None:
@@ -148,10 +148,13 @@ def export_data(
     validate the URI's trailing db name, mongodump, zstd-tar, upload to
     S3 (multipart decided by ``multipart_part_size``), clean up.
 
-    ``run(cmd: list[str])`` executes a subprocess; ``upload(bucket,
-    key, file)`` ships the archive; ``cleanup(path)`` removes local
-    artifacts. All injected — the container has no mongo tooling.
+    ``run(cmd: list[str], check_for_error=False)`` executes a
+    subprocess (defaults to ``shell.execute_cmd``, the O10 executor —
+    requires the mongo tooling on PATH); ``upload(bucket, key, file)``
+    ships the archive; ``cleanup(path)`` removes local artifacts.
     """
+    if run is None:
+        from rustic_witcher_spark.shell import execute_cmd as run
     # the URI's trailing path segment, minus any ?options suffix —
     # 'mongodb+srv://u:p@c/db?retryWrites=true' names database 'db'
     uri_db = mongo_uri.rsplit("/", 1)[-1].split("?", 1)[0]
@@ -173,15 +176,24 @@ def import_data(
     mongo_uri: str,
     database_name: str,
     s3_path: str,
-    run,
-    download,
+    run=None,
+    download=None,
     cleanup=None,
     work_dir: str = "/tmp/mongo-dump",
 ) -> None:
     """The importer's full sequence (ref: mongo_data_importer.rs:39-68):
     refuse production URIs, download the archive, untar, mongorestore,
-    remove the archive."""
+    remove the archive.
+
+    ``run`` defaults to ``shell.execute_cmd``; the mongorestore step
+    passes ``check_for_error=True`` — mongorestore reports
+    per-collection failures as "error" lines on stdout while still
+    exiting 0, and the reference fails the import on any such line
+    (mongo_data_importer.rs:194 → shell_command_executor.rs:47-56)."""
     import os
+
+    if run is None:
+        from rustic_witcher_spark.shell import execute_cmd as run
 
     guard_not_production(mongo_uri)
     extract_dir = f"{work_dir}/{database_name}"
@@ -193,6 +205,6 @@ def import_data(
     archive = f"{work_dir}/{key.rsplit('/', 1)[-1]}"
     download(bucket, key, archive)
     run(untar_command(archive, extract_dir))
-    run(mongorestore_command(mongo_uri, extract_dir))
+    run(mongorestore_command(mongo_uri, extract_dir), check_for_error=True)
     if cleanup:
         cleanup(archive)

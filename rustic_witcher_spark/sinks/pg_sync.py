@@ -59,7 +59,8 @@ class PgSyncHooks:
     - ``query(sql)``: catalog reads (owned-sequences lookup); returns
       rows of tuples.
     - ``run_command(argv)``: subprocess execution for the pg_dump /
-      pg_restore schema copy (O1/O3).
+      pg_restore schema copy (O1/O3); ``prepare_target`` falls back to
+      ``shell.execute_cmd`` (the O10 executor) when unset.
     """
 
     execute: Callable[[str], None]
@@ -104,12 +105,19 @@ def prepare_target(
     dump_file: str = "/tmp/schema.dump",
 ) -> None:
     """O1–O4 (target_db_preparator.rs:57-226): drop schema, recreate it
-    from the source's schema-only pg_dump when URLs + a run_command
-    hook are provided, extensions, import role."""
+    from the source's schema-only pg_dump when URLs are provided,
+    extensions, import role. ``hooks.run_command`` overrides the
+    executor; the default is ``shell.execute_cmd`` (O10 — the
+    reference runs pg_dump/pg_restore without the stdout error-line
+    scan, target_db_preparator.rs:46,128, so neither call sets
+    ``check_for_error``)."""
+    from rustic_witcher_spark.shell import execute_cmd
+
     hooks.execute(drop_schema_sql(schema))
-    if source_url and target_url and hooks.run_command:
-        hooks.run_command(pg_dump_command(source_url, schema, dump_file))
-        hooks.run_command(pg_restore_command(target_url, dump_file))
+    if source_url and target_url:
+        run_command = hooks.run_command or execute_cmd
+        run_command(pg_dump_command(source_url, schema, dump_file))
+        run_command(pg_restore_command(target_url, dump_file))
     for s in create_extensions_sql(list(extensions)):
         hooks.execute(s)
     if import_role:

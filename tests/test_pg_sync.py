@@ -174,3 +174,21 @@ def test_cdc_files_without_pk_raise(spark, dms_table):
         )
     # the LOAD insert may have happened, but no CDC statement ran
     assert not rec.statements
+
+
+def test_prepare_target_defaults_to_o10_executor(monkeypatch):
+    """With URLs but NO run_command hook, prepare_target shells out via
+    shell.execute_cmd (the O10 executor) — the default wiring the r10
+    verdict's task 4 asked for."""
+    from rustic_witcher_spark import shell
+    from rustic_witcher_spark.sinks.pg_sync import prepare_target
+
+    rec = Recorder()
+    cmds: list[list[str]] = []
+    monkeypatch.setattr(shell, "execute_cmd", lambda cmd, check_for_error=False: cmds.append(cmd))
+    hooks = PgSyncHooks(execute=rec.execute, write_dataframe=rec.write_dataframe)
+    prepare_target(
+        hooks, "public",
+        source_url="postgres://u@src/shop", target_url="postgres://u@tgt/shop",
+    )
+    assert [c[0] for c in cmds] == ["pg_dump", "pg_restore"]

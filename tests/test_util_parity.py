@@ -183,15 +183,17 @@ def test_mongo_import_sequence_and_prod_guard():
     calls = []
     mb.import_data(
         "mongodb://u:p@staging-host/appdb", "appdb", "s3://bkt/dumps/appdb.tar.zst",
-        run=lambda cmd: calls.append(cmd[0]),
+        run=lambda cmd, check_for_error=False: calls.append((cmd[0], check_for_error)),
         download=lambda b, k, f: calls.append(("dl", b, k, f)),
         cleanup=lambda p: calls.append(("rm", p)),
         work_dir="/tmp/md",
     )
+    # mongorestore (and only it) runs under the O10 stdout error-line
+    # scan — the reference's one check_for_error=Some(true) call site
     assert calls == [
         ("dl", "bkt", "dumps/appdb.tar.zst", "/tmp/md/appdb.tar.zst"),
-        "tar",
-        "mongorestore",
+        ("tar", False),
+        ("mongorestore", True),
         ("rm", "/tmp/md/appdb.tar.zst"),
     ]
     with pytest.raises(mb.ProductionGuardError):
