@@ -504,13 +504,18 @@ def main(argv: list[str] | None = None) -> int:
                 args.id_col,
                 "left",
             )
-        out.write.mode("overwrite").parquet(args.target)
-        result = spark.read.parquet(args.target)
+        # docs_scored rides the write job as an observed metric — no
+        # re-read of the freshly written parquet, no second pass over
+        # the scoring plan (ADVICE r10)
+        from pyspark.sql import Observation
+
+        obs = Observation("lm_score_rows")
+        out.observe(obs, F.count(F.lit(1)).alias("n")).write.mode("overwrite").parquet(args.target)
         print(
             json.dumps(
                 {
                     "target": args.target,
-                    "docs_scored": result.count(),
+                    "docs_scored": obs.get["n"],
                     "bigram": bool(args.bigram),
                     "top_v": args.top_v,
                 },
@@ -719,6 +724,11 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"index": args.index, "delta": args.delta, **rep}, sort_keys=True))
         return 0
     if args.command == "ann-query":
+        if args.rerank and args.k > args.shortlist_k:
+            raise SystemExit(
+                f"--k ({args.k}) cannot exceed --shortlist-k ({args.shortlist_k}): "
+                "the re-rank stage only re-scores the shortlist"
+            )
         spark = get_spark("ann-query")
         q = spark.read.parquet(args.queries)
         if os.path.isdir(os.path.join(args.index, "_codebooks")):

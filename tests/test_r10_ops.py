@@ -519,6 +519,14 @@ def test_cli_ann_query_rerank_round_trip(spark, tmp_path, capsys):
             "ann-query", "--index", flat, "--queries", qsrc, "--target", out,
             "--rerank", src,
         ])
+    # k > shortlist-k is a usage error (ADVICE r10): the re-rank stage
+    # can only return what the shortlist contains — clean SystemExit,
+    # not a traceback from pq_query_index_rerank
+    with pytest.raises(SystemExit, match="cannot exceed --shortlist-k"):
+        cli.main([
+            "ann-query", "--index", idx, "--queries", qsrc, "--target", out,
+            "--k", "20", "--rerank", src, "--shortlist-k", "12",
+        ])
 
 
 def test_hll_set_ops_merge_is_union_sketch(spark):
