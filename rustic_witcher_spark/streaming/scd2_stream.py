@@ -70,10 +70,20 @@ def scd2_merge(
     # strategy left to AQE: normal CDC batches broadcast themselves via
     # the size threshold; a replay/backfill batch with millions of
     # distinct keys must NOT be force-broadcast (driver collect x2) —
-    # AQE picks shuffle-hash on the key instead
+    # AQE picks shuffle-hash on the key instead.
+    # NULL-SAFE key match: the interval builder's window partitions
+    # NULL keys together (one real group, same as SQL PARTITION BY), so
+    # the split must treat them the same — a plain equi-join never
+    # matches NULL, which left a NULL-key history permanently
+    # "untouched" while the batch rebuilt a second, disconnected one
+    # (two open versions per NULL key; dirty-stream fuzz finding, r11)
     batch_keys = batch.select(*key_cols).distinct()
-    touched = history.join(batch_keys, list(key_cols), "left_semi")
-    untouched = history.join(batch_keys, list(key_cols), "left_anti")
+    null_safe = [history[c].eqNullSafe(batch_keys[c]) for c in key_cols]
+    on = null_safe[0]
+    for cond in null_safe[1:]:
+        on = on & cond
+    touched = history.join(batch_keys, on, "left_semi")
+    untouched = history.join(batch_keys, on, "left_anti")
 
     # history rows -> weighted pseudo-events at their change points;
     # real batch events carry weight 1. Pseudo-events reuse the run's

@@ -1,0 +1,126 @@
+"""Round-11 additions: the streaming CDC/SCD2 apply paths under the
+driver gate (cdc_incremental / scd2_incremental) and the null-safe
+key-split regression the dirty-stream fuzz surfaced when scd2's
+foreachBatch merge first ran against NULL partition keys."""
+
+from __future__ import annotations
+
+import datetime
+import tempfile
+
+import pytest
+
+
+def _write_events(spark, rows, d):
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.mode("overwrite").parquet(d + "/events.parquet")
+
+
+def test_cdc_incremental_delete_then_reinsert(spark):
+    """Semantics pin for the three-batch replay: an updated key carries
+    value+1000; a deleted key (%17, not %34) is gone; a %34 key is
+    deleted in batch 1 then RE-INSERTED in batch 2 with value+5000 —
+    the shape a tombstone-wins-forever apply gets wrong."""
+    from rustic_witcher_spark.queries import q_cdc_incremental
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [(i, t0, 1, "click", float(i), None) for i in (3, 10, 17, 34)]
+    d = tempfile.mkdtemp()
+    _write_events(spark, rows, d)
+    out = {r["event_id"]: r["value"] for r in q_cdc_incremental(spark, d).collect()}
+    assert out[3] == 3.0          # untouched
+    assert out[10] == 1010.0      # updated
+    assert 17 not in out          # deleted, never reinserted
+    assert out[34] == 5034.0      # deleted then reinserted from base value
+
+
+def test_cdc_incremental_routes_through_snapshot_merger(spark, monkeypatch):
+    """The entry must exercise the REAL foreachBatch merge path, not a
+    batch shortcut: count the merger invocations."""
+    from rustic_witcher_spark.streaming import cdc_stream
+    from rustic_witcher_spark.queries import q_cdc_incremental
+
+    calls = []
+    orig = cdc_stream.parquet_snapshot_merger
+
+    def spy(spark_, path, pk):
+        inner = orig(spark_, path, pk)
+
+        def merge(batch_df, batch_id):
+            calls.append(batch_id)
+            return inner(batch_df, batch_id)
+
+        return merge
+
+    monkeypatch.setattr(cdc_stream, "parquet_snapshot_merger", spy)
+    d = tempfile.mkdtemp()
+    _write_events(spark, [(1, datetime.datetime(2024, 1, 1), 1, "click", 1.0, None)], d)
+    q_cdc_incremental(spark, d).collect()
+    assert calls == [0, 1, 2]
+
+
+def test_scd2_incremental_merges_across_the_cut(spark):
+    """A key whose state runs span the median-ts cut must come back as
+    ONE coherent history: the open version from batch 0 closes at the
+    batch-1 change, exactly as the all-at-once batch build would."""
+    from rustic_witcher_spark.queries import q_scd2_incremental
+    from rustic_witcher_spark.queries import q_scd2_user_history
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, t0 + datetime.timedelta(hours=h), 7, state, 1.0, None)
+        for h, state in [(0, "a"), (1, "a"), (2, "b"), (3, "b"), (4, "a")]
+    ]
+    # unique event ids
+    rows = [(i,) + r[1:] for i, r in enumerate(rows)]
+    d = tempfile.mkdtemp()
+    _write_events(spark, rows, d)
+    inc = [tuple(r) for r in q_scd2_incremental(spark, d).collect()]
+    bat = [tuple(r) for r in q_scd2_user_history(spark, d).collect()]
+    assert inc == bat
+    # and the history is structurally sane: 3 runs (a, b, a), one open
+    assert len(inc) == 3
+    assert [r[1] for r in inc] == ["a", "b", "a"]
+    assert [r[4] for r in inc] == [False, False, True]
+    assert [r[5] for r in inc] == [2, 2, 1]  # n_changes survives the feedback
+
+
+def test_scd2_merge_null_key_is_one_group(spark):
+    """Regression (r11 dirty-stream fuzz): NULL keys are ONE real group
+    to the interval builder's window, so the incremental split must
+    match them null-safely — a plain equi-join left the NULL-key
+    history permanently untouched and rebuilt a second, disconnected
+    one (two open versions per NULL key)."""
+    from pyspark.sql import functions as F
+
+    from rustic_witcher_spark.operators.scd2 import scd2_intervals
+    from rustic_witcher_spark.streaming.scd2_stream import scd2_merge
+
+    t0 = datetime.datetime(2024, 1, 1)
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    all_rows = [
+        (1, t0, None, "a"),
+        (2, t0 + datetime.timedelta(hours=1), None, "b"),
+        (3, t0 + datetime.timedelta(hours=2), None, "b"),
+        (4, t0 + datetime.timedelta(hours=3), None, "c"),
+    ]
+    batch0 = spark.createDataFrame(all_rows[:2], schema)
+    batch1 = spark.createDataFrame(all_rows[2:], schema)
+    hist0 = scd2_intervals(
+        batch0, ["user_id"], ["event_type"], "ts",
+        tiebreak_cols=["event_id"], keep_tiebreak=True,
+    )
+    merged = scd2_merge(hist0, batch1, ["user_id"], ["event_type"], "ts", ["event_id"])
+    want = scd2_intervals(
+        spark.createDataFrame(all_rows, schema),
+        ["user_id"], ["event_type"], "ts",
+        tiebreak_cols=["event_id"], keep_tiebreak=True,
+    )
+    cols = ["user_id", "event_type", "valid_from", "valid_to", "is_current", "n_changes"]
+    got = sorted(map(tuple, merged.select(*cols).collect()))
+    exp = sorted(map(tuple, want.select(*cols).collect()))
+    assert got == exp
+    # exactly one open version for the NULL key
+    assert sum(1 for r in got if r[4]) == 1

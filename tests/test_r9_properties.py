@@ -98,6 +98,11 @@ def test_event_entries_oracle_parity_on_random_dirty_streams(spark, tmp_path_fac
         "cdc_upsert", "click_attribution", "events_in_campaign_windows",
         "events_rollup_cascade", "purchases_with_state_asof",
         "scd2_point_in_time", "scd2_user_history", "state_tier_timeline",
+        # r11 additions: the streaming CDC/SCD2 apply paths — dirty
+        # streams must hold through the foreachBatch merge machinery
+        # (NULL pk rows surviving the anti-join, NULL ts dropping from
+        # both batch filters)
+        "cdc_incremental", "scd2_incremental",
     ]
     for name in fuzzed:
         g = qs[name](spark, str(d)).toPandas()
