@@ -6268,12 +6268,13 @@ def q_bpe_vocab_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "rnd int, pair string, n long")
 
 
-def sql_bpe_vocab_trained(n_merges: int = BPE_TRAIN_MERGES) -> str:
-    """Unrolled DuckDB twin of ``bpe.bpe_train(n_merges)``: the
-    sentinel symbol form (' w\x01 o\x01 …' via chr(1)), per-round
-    adjacent-symbol-pair counts / argmax / whole-pair replace, chained
-    n_merges times; the final select keeps only the prefix of rounds
-    whose winners all had n >= 2 (the trainer's early-stop rule)."""
+def _bpe_train_ctes(n_merges: int) -> list[str]:
+    """The unrolled DuckDB training recurrence — sentinel symbol form
+    (' w\x01 o\x01 …' via chr(1)), per-round adjacent-symbol-pair
+    counts / argmax / whole-pair replace, chained n_merges times into
+    a ``rounds`` CTE — shared by sql_bpe_vocab_trained (emits the
+    winner trace) and sql_bpe_encode (replays the winners over the
+    corpus)."""
     parts = [f"""words AS (
   SELECT w, count(*) AS wc FROM (
     SELECT replace(t, chr(1), '') AS w
@@ -6301,11 +6302,105 @@ s{i} AS (
         f"SELECT {i} AS rnd, pair, n FROM w{i}" for i in range(1, n_merges + 1)
     )
     parts.append(f"rounds AS ({unions})")
+    return parts
+
+
+def sql_bpe_vocab_trained(n_merges: int = BPE_TRAIN_MERGES) -> str:
+    """Unrolled DuckDB twin of ``bpe.bpe_train(n_merges)``; the final
+    select keeps only the prefix of rounds whose winners all had
+    n >= 2 (the trainer's early-stop rule)."""
+    parts = _bpe_train_ctes(n_merges)
     return f"""
 WITH {','.join(parts)}
 SELECT rnd, pair, n FROM rounds r
 WHERE NOT EXISTS (SELECT 1 FROM rounds p WHERE p.rnd <= r.rnd AND p.n < 2)
 ORDER BY rnd
+"""
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE train→APPLY under the driver gate (r10 verdict task 6 — the
+    tokenize-the-whole-corpus pass a real pipeline runs after
+    training, completing train→apply the way pq went
+    build-index→query-index): train 6 merges with the real trainer
+    (`operators.bpe.bpe_train`), segment every document with the real
+    inference rule (`bpe_apply` — merges replayed in training order as
+    one generated projection: no UDF, no join, no shuffle), and emit
+    per-doc token count, type count, and an md5 digest of the
+    space-joined token sequence — the digest pins the exact
+    segmentation (token ORDER included) without returning a container
+    column the driver's canonicalizer can't hash.
+
+    Scale shape: training is the one corpus-touching shuffle +
+    |vocab|-sized rounds (bpe.py module doc); the apply pass is a
+    scan-speed Catalyst projection over the corpus — at 100 TB this is
+    the shape you want: the expensive recurrence runs over the
+    (tiny) vocabulary, the big table is touched once to train and once
+    to encode.
+
+    The twin replays the identical 6 training rounds (shared CTE
+    builder) and applies each round's winner to every token, gated by
+    the cumulative n>=2 early-stop rule — a stopped round's pair
+    coalesces to a chr(1)chr(1) search pattern, which cannot occur in
+    sentinel form (every sentinel is followed by a space or the end),
+    making it a no-op replace on both engines."""
+    from rustic_witcher_spark.operators import bpe
+
+    d = _spread(spark, _read(spark, sf_dir, "documents"))
+    merges, _ = bpe.bpe_train(d, n_merges=BPE_TRAIN_MERGES)
+    enc = bpe.bpe_apply(d.filter(F.col("text").isNotNull()), "text", merges)
+    return enc.select(
+        "doc_id",
+        F.size("bpe_tokens").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("bpe_tokens")).cast("long").alias("n_types"),
+        F.md5(F.concat_ws(" ", "bpe_tokens")).alias("seq_digest"),
+    ).orderBy("doc_id")
+
+
+def sql_bpe_encode(n_merges: int = BPE_TRAIN_MERGES) -> str:
+    """Twin of ``bpe_train + bpe_apply``: the shared training CTEs
+    produce the per-round winners; ``eff_i`` NULLs a winner out when
+    the cumulative early-stop rule excludes its round; the apply chain
+    replays the effective merges per cleaned token (short words pass
+    through as single tokens, mirroring bpe_apply's min_len rule).
+    The digest coalesces array_to_string to '': DuckDB renders an
+    empty token list as NULL where Spark's concat_ws gives '' — the
+    zero-token doc must hash md5('') on both engines (dirty-corpus
+    fuzz finding, r11)."""
+    parts = _bpe_train_ctes(n_merges)
+    for i in range(1, n_merges + 1):
+        parts.append(
+            f"eff{i} AS (SELECT CASE WHEN (SELECT count(*) FROM rounds p WHERE p.rnd <= {i}) = {i} "
+            f"AND (SELECT min(n) FROM rounds p WHERE p.rnd <= {i}) >= 2 "
+            f"THEN (SELECT pair FROM w{i}) END AS pair)"
+        )
+    mrg_cols = ", ".join(f"eff{i}.pair AS p{i}" for i in range(1, n_merges + 1))
+    mrg_from = ", ".join(f"eff{i}" for i in range(1, n_merges + 1))
+    parts.append(f"mrg AS (SELECT {mrg_cols} FROM {mrg_from})")
+    seg = "regexp_replace(w, '(.)', ' \\1' || chr(1), 'g')"
+    for i in range(1, n_merges + 1):
+        pat = (
+            f"coalesce(' ' || split_part(p{i}, ' ', 1) || chr(1) || "
+            f"' ' || split_part(p{i}, ' ', 2) || chr(1), chr(1) || chr(1))"
+        )
+        rep = f"coalesce(' ' || replace(p{i}, ' ', '') || chr(1), '')"
+        seg = f"replace({seg}, {pat}, {rep})"
+    parts.append(f"""docs_toks AS (
+  SELECT doc_id,
+         list_filter(list_transform({_toks_sql("text")}, t -> replace(t, chr(1), '')), w -> length(w) > 0) AS ws
+  FROM documents WHERE text IS NOT NULL
+),
+enc AS (
+  SELECT doc_id,
+         flatten(list_transform(ws, w -> CASE WHEN length(w) < 2 THEN [w]
+           ELSE string_split(substr(replace({seg}, chr(1), ''), 2), ' ') END)) AS bpe
+  FROM docs_toks, mrg
+)""")
+    return f"""
+WITH {','.join(parts)}
+SELECT doc_id, len(bpe)::BIGINT AS n_tokens, len(list_distinct(bpe))::BIGINT AS n_types,
+       md5(coalesce(array_to_string(bpe, ' '), '')) AS seq_digest
+FROM enc ORDER BY doc_id
 """
 
 
@@ -6722,14 +6817,19 @@ def q_novelty_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     (novelty.py:14-17); the returned frame is a parquet read of the
     scores partition.
 
-    Bench note: ~2.7 s at sf0.1 vs a ~0.5 s SQL twin — the gap is the
-    REAL streaming machinery this entry exists to grade (two complete
-    micro-batch cycles: crash-safe partitioned writes, read-back
-    counts, replay-cursor metadata — a dozen small jobs whose cost is
-    per-BATCH, not per-row). At production batch sizes the fixed
-    per-batch overhead amortizes to noise; the per-row work is the
-    same one-explode/one-join plan the `novelty_scores` entry times
-    at parity."""
+    Bench note: ~3.1 s at sf0.1 vs a ~0.5 s SQL twin — the gap is the
+    REAL streaming machinery this entry exists to grade, itemized in
+    BASELINE.md §novelty_incremental after the r11 rework (r10 verdict
+    task 3): per batch, one shingle-explode projection (persisted —
+    both write jobs consume it), one gram-shuffle aggregate + index
+    join feeding the index append, one doc-shuffle aggregate feeding
+    the score write (its novel counts come from the KB-scale
+    read-back of the just-written fresh partition, NOT a second index
+    join), and two parquet commits + replay-cursor metadata; the old
+    read-back count() job now rides the append as an observed metric.
+    Two cycles of that ≈ 2× the one-job batch face (`novelty_scores`),
+    which is the irreducible shape of two sequential micro-batches. At
+    production batch sizes the per-batch floor amortizes to noise."""
     import os
     import shutil
     import tempfile
@@ -8415,6 +8515,8 @@ def build_registry() -> dict[str, tuple[QueryFn, str | None]]:
             # --- round 11: streaming CDC/SCD2 apply paths under the gate ---
             "cdc_incremental": (q_cdc_incremental, sql_cdc_incremental()),
             "scd2_incremental": (q_scd2_incremental, SQL_SCD2_HISTORY),
+            # --- round 11: BPE train→apply corpus encode ---
+            "bpe_encode": (q_bpe_encode, sql_bpe_encode()),
         }
     )
     ordered = {name: reg.pop(name) for name in ROUND11_PREFIX}
@@ -8624,8 +8726,9 @@ ROUND10_PREFIX = [
 # into ROUND12_PREFIX_STAGED.
 ROUND11_PREFIX = [
     # new in round 11 (enter the current window immediately): the
-    # streaming CDC/SCD2 apply paths under the gate
-    "cdc_incremental", "scd2_incremental",
+    # streaming CDC/SCD2 apply paths under the gate + the BPE corpus
+    # encode completing train→apply
+    "cdc_incremental", "scd2_incremental", "bpe_encode",
     # r07-verdict deferrals (oldest verdicts — lead the rotation; the
     # ten long-staged shapes first, then the six r10-window tail
     # slots the late-r10 additions displaced)
@@ -8646,9 +8749,10 @@ ROUND11_PREFIX = [
     "q7_nation_volume", "q6_forecast_revenue", "q10_returned_items",
     "q14_promo_revenue", "q15_top_supplier",
     "skew_salted_stats", "doc_length_deciles", "value_percentiles",
-    "token_count_bpe", "vocab_top_terms", "langid_confusion",
-    # (tfidf_top_terms, doc_quality displaced into the r12 window by
-    # the two r11 additions — they stay r8-aged and lead it)
+    "token_count_bpe", "vocab_top_terms",
+    # (langid_confusion, tfidf_top_terms, doc_quality displaced into
+    # the r12 window by the three r11 additions — they stay r8-aged
+    # and lead it)
 ]
 
 
@@ -8663,9 +8767,10 @@ ROUND11_PREFIX = [
 # tail by late-r11 additions stay r8-aged and must PREPEND to this
 # list's r8 cohort.
 ROUND12_PREFIX_STAGED = [
-    # r08-verdict holders (oldest after r11 — lead the window; the two
-    # entries the r11 additions displaced from ROUND11's tail first)
-    "tfidf_top_terms", "doc_quality",
+    # r08-verdict holders (oldest after r11 — lead the window; the
+    # three entries the r11 additions displaced from ROUND11's tail
+    # first)
+    "langid_confusion", "tfidf_top_terms", "doc_quality",
     "pii_redact", "rollup_revenue", "distinct_parts_per_supplier",
     "top_customers_per_nation", "asof_last_purchase",
     "events_in_campaign_windows", "events_json_extract",
@@ -8683,5 +8788,5 @@ ROUND12_PREFIX_STAGED = [
     "anonymize_orders", "sanitize_null_bytes", "keep_num_of_records",
     "agg_max_pk", "validation_check", "datadiff_check", "dedup_exact",
     "minhash_signatures", "simhash", "simhash_near_dups",
-    "dedup_clusters", "ngram_jaccard_adjacent", "knn_bruteforce",
+    "dedup_clusters", "ngram_jaccard_adjacent",
 ]

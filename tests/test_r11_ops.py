@@ -124,3 +124,29 @@ def test_scd2_merge_null_key_is_one_group(spark):
     assert got == exp
     # exactly one open version for the NULL key
     assert sum(1 for r in got if r[4]) == 1
+
+
+def test_bpe_encode_applies_trained_merges(spark):
+    """Meaning pin for train→apply: a corpus dominated by one repeated
+    word must end with that word segmented as ONE token (6 merges
+    cover its 4 chars), and the digest must pin token ORDER — two docs
+    with the same multiset but different order hash differently."""
+    import tempfile
+
+    from rustic_witcher_spark.queries import q_bpe_encode
+
+    rows = [
+        (1, "abcd abcd abcd abcd abcd abcd abcd abcd"),
+        (2, "abcd xy"),
+        (3, "xy abcd"),
+    ]
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(d + "/documents.parquet")
+    out = {r["doc_id"]: r for r in q_bpe_encode(spark, d).collect()}
+    # doc 1: 8 copies of the fully merged word -> 8 tokens, 1 type
+    assert out[1]["n_tokens"] == 8 and out[1]["n_types"] == 1
+    # docs 2/3: same token multiset, different order -> different digest
+    assert out[2]["n_tokens"] == out[3]["n_tokens"] == 2
+    assert out[2]["seq_digest"] != out[3]["seq_digest"]

@@ -204,6 +204,10 @@ def test_doc_entries_oracle_parity_on_random_dirty_corpora(spark, tmp_path_facto
         # vocabularies draw here with real probability)
         "pq_rerank_query", "bigram_nll", "zipf_fit", "bigram_nll_oov",
         "semantic_decontam",
+        # r11: BPE corpus encode — random tiny corpora draw the
+        # early-stop rule (n<2 winners) with real probability, pinning
+        # the effective-merge gating on both engines
+        "bpe_encode",
         "vocab_growth", "bm25_search", "hybrid_search_rrf", "ivfpq_ann_topk", "ann_recall_eval",
         "knn_bruteforce", "knn_lsh", "knn_ivf", "semdedup",
         "embedding_near_dups", "embedding_project", "embedding_dim_stats",
