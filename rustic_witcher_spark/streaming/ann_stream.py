@@ -34,7 +34,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from rustic_witcher_spark.operators import pq
@@ -102,10 +102,12 @@ def ann_index_append_batch(
             ).select(id_col, "cid")
             codes = codes.join(lists, id_col)
     batch_dir = os.path.join(delta_path, "data", f"batch={batch_id}")
-    codes.write.mode("overwrite").parquet(batch_dir)
-    appended = (
-        spark.read.schema(_delta_schema(id_col, with_cid)).parquet(batch_dir).count()
-    )
+    # appended-row count rides the write job as an observed metric —
+    # the read-back count() was a whole extra job per micro-batch
+    # (novelty r11 rework, applied family-wide)
+    obs = Observation(f"ann_append_{batch_id}")
+    codes.observe(obs, F.count(F.lit(1)).alias("n")).write.mode("overwrite").parquet(batch_dir)
+    appended = int(obs.get["n"])
     meta["last_batch_id"] = batch_id
     meta["indexed_rows"] = meta.get("indexed_rows", 0) + appended
     _store_meta(delta_path, meta)

@@ -31,7 +31,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -109,8 +109,12 @@ def media_index_append_batch(
             .drop("__rn")
         )
         batch_dir = os.path.join(data_dir, f"batch={batch_id}")
-        fresh.write.mode("overwrite").parquet(batch_dir)
-        appended = spark.read.schema(hashed.schema).parquet(batch_dir).count()
+        # appended-row count rides the write job as an observed metric —
+        # the read-back count() was a whole extra job per micro-batch
+        # (novelty r11 rework, applied family-wide)
+        obs = Observation(f"media_append_{batch_id}")
+        fresh.observe(obs, F.count(F.lit(1)).alias("n")).write.mode("overwrite").parquet(batch_dir)
+        appended = int(obs.get["n"])
     finally:
         hashed.unpersist()
     meta["last_batch_id"] = batch_id
