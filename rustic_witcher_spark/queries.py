@@ -7013,6 +7013,182 @@ def q_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ordered_stream_source(spark: SparkSession, parts: list[DataFrame], work: str) -> str:
+    """Materialize DataFrames as a file-source streaming dir whose
+    batch ORDER is deterministic: one parquet file per part, ascending
+    names AND ascending mtimes (FileStreamSource takes the oldest
+    timestamp first, ties broken by path — both keys agree here), so a
+    ``maxFilesPerTrigger=1`` reader replays the parts as ordered
+    micro-batches. Returns the source dir."""
+    import glob as globmod
+    import os
+    import shutil
+
+    src = os.path.join(work, "stream_src")
+    os.makedirs(src, exist_ok=True)
+    for i, part in enumerate(parts):
+        staged = os.path.join(work, f"stage{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(staged)
+        pf = globmod.glob(os.path.join(staged, "part-*.parquet"))[0]
+        dst = os.path.join(src, f"{i:05d}.parquet")
+        shutil.copyfile(pf, dst)
+        base = 1_000_000_000 + i * 1000
+        os.utime(dst, (base, base))
+    return src
+
+
+QUOTA_INC_CAP = 3
+
+
+def q_quota_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-key quota admission under the driver gate — the
+    first of the custom-STATEFUL modules graded end-to-end: an actual
+    Structured Streaming query (file source split at the median
+    event_id into two ordered micro-batches via _ordered_stream_source,
+    availableNow trigger, memory sink) running the REAL
+    `streaming.quota.streaming_quota_filter` applyInPandasWithState
+    operator — admit the first QUOTA_INC_CAP events per user across
+    the whole stream, one long of state per key.
+
+    Determinism: admission order is (arrival batch, event_id within
+    batch); batches are cut and ordered BY event_id, so admission ==
+    global event_id order and the twin is the batch row_number form —
+    exactly the module's stream ≡ batch contract
+    (streaming/quota.py:7-11). NULL-key rows drop on both sides (the
+    registry's NULL-join-key convention: a quota keyed on an absent
+    user is meaningless). The median cut is ONE bounded driver double.
+
+    Scale: state is |keys| longs regardless of stream length;
+    saturated keys do constant work per batch. The returned frame is a
+    memory-sink scan — the Python state stage runs inside the entry,
+    the graded plan is the sink read."""
+    import os
+    import shutil
+    import tempfile
+
+    from rustic_witcher_spark.streaming.quota import streaming_quota_filter
+
+    ev = read_events(spark, sf_dir).select("event_id", "user_id").filter(
+        F.col("user_id").isNotNull() & F.col("event_id").isNotNull()
+    )
+    cut = ev.selectExpr("percentile(event_id, 0.5) AS c").first()["c"]
+    parent = os.path.join(tempfile.gettempdir(), "rw_spark_quota_inc")
+    shutil.rmtree(parent, ignore_errors=True)
+    os.makedirs(parent, exist_ok=True)
+    work = tempfile.mkdtemp(dir=parent)
+    src = _ordered_stream_source(
+        spark,
+        [ev.filter(F.col("event_id") <= F.lit(cut)), ev.filter(F.col("event_id") > F.lit(cut))],
+        work,
+    )
+    stream = (
+        spark.readStream.schema("event_id long, user_id long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    qname = "rw_quota_inc_result"
+    spark.catalog.dropTempView(qname)  # stale sink table from a previous invocation
+    q = (
+        streaming_quota_filter(stream, quota=QUOTA_INC_CAP)
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname).orderBy("user_id", "admit_rank")
+
+
+def sql_quota_incremental() -> str:
+    """Twin of the two-batch stream at an event_id-ordered cut:
+    admission == global event_id order == the batch row_number form."""
+    return f"""
+SELECT user_id, event_id, admit_rank FROM (
+  SELECT user_id, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS admit_rank
+  FROM events WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+) WHERE admit_rank <= {QUOTA_INC_CAP}
+ORDER BY user_id, admit_rank
+"""
+
+
+def q_stateful_totals_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful running aggregate under the driver gate: the
+    REAL `streaming.stateful.running_user_totals`
+    applyInPandasWithState operator over the same two ordered
+    micro-batches as quota_incremental (update-mode memory sink). The
+    sink accumulates every per-batch update; the FINAL state per user
+    is the update with the largest n_events (n strictly increases per
+    emitted update), selected with max_by — and must equal the batch
+    groupBy over the whole log, the operator's running ≡ final
+    contract. NULL-key rows drop on both sides; NULL values count as
+    0 in the total (the state fn's fillna), and the 4-dp round keeps
+    the float sum exact across summation orders (values are k/100 —
+    accumulated error ≪ 5e-5).
+
+    Scale: state is two scalars per key; each micro-batch's work is the
+    batch. The graded plan is the memory-sink scan + a keys-sized
+    aggregate."""
+    import os
+    import shutil
+    import tempfile
+
+    from rustic_witcher_spark.streaming.stateful import running_user_totals
+
+    ev = read_events(spark, sf_dir).select("event_id", "user_id", "value").filter(
+        F.col("user_id").isNotNull() & F.col("event_id").isNotNull()
+    )
+    cut = ev.selectExpr("percentile(event_id, 0.5) AS c").first()["c"]
+    parent = os.path.join(tempfile.gettempdir(), "rw_spark_totals_inc")
+    shutil.rmtree(parent, ignore_errors=True)
+    os.makedirs(parent, exist_ok=True)
+    work = tempfile.mkdtemp(dir=parent)
+    src = _ordered_stream_source(
+        spark,
+        [ev.filter(F.col("event_id") <= F.lit(cut)), ev.filter(F.col("event_id") > F.lit(cut))],
+        work,
+    )
+    stream = (
+        spark.readStream.schema("event_id long, user_id long, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    qname = "rw_totals_inc_result"
+    spark.catalog.dropTempView(qname)  # stale sink table from a previous invocation
+    q = (
+        running_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(qname)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("total_value", "n_events").alias("total_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def sql_stateful_totals_incremental() -> str:
+    """Twin: the final running state per key == the whole-log batch
+    aggregate (the operator's running ≡ final contract)."""
+    return """
+SELECT user_id, count(*)::BIGINT AS n_events,
+       round(sum(coalesce(value, 0)), 4) AS total_value
+FROM events WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+GROUP BY user_id ORDER BY user_id
+"""
+
+
 def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary-growth (Heaps' law) curve: cumulative distinct token
     types vs cumulative token volume over the corpus in ingestion order
@@ -8517,6 +8693,12 @@ def build_registry() -> dict[str, tuple[QueryFn, str | None]]:
             "scd2_incremental": (q_scd2_incremental, SQL_SCD2_HISTORY),
             # --- round 11: BPE train→apply corpus encode ---
             "bpe_encode": (q_bpe_encode, sql_bpe_encode()),
+            # --- round 11: custom stateful streaming operators under the gate ---
+            "quota_incremental": (q_quota_incremental, sql_quota_incremental()),
+            "stateful_totals_incremental": (
+                q_stateful_totals_incremental,
+                sql_stateful_totals_incremental(),
+            ),
         }
     )
     ordered = {name: reg.pop(name) for name in ROUND11_PREFIX}
@@ -8726,9 +8908,11 @@ ROUND10_PREFIX = [
 # into ROUND12_PREFIX_STAGED.
 ROUND11_PREFIX = [
     # new in round 11 (enter the current window immediately): the
-    # streaming CDC/SCD2 apply paths under the gate + the BPE corpus
-    # encode completing train→apply
+    # streaming CDC/SCD2 apply paths under the gate, the BPE corpus
+    # encode completing train→apply, and the custom-stateful streaming
+    # operators (applyInPandasWithState) graded end-to-end
     "cdc_incremental", "scd2_incremental", "bpe_encode",
+    "quota_incremental", "stateful_totals_incremental",
     # r07-verdict deferrals (oldest verdicts — lead the rotation; the
     # ten long-staged shapes first, then the six r10-window tail
     # slots the late-r10 additions displaced)
@@ -8749,10 +8933,9 @@ ROUND11_PREFIX = [
     "q7_nation_volume", "q6_forecast_revenue", "q10_returned_items",
     "q14_promo_revenue", "q15_top_supplier",
     "skew_salted_stats", "doc_length_deciles", "value_percentiles",
-    "token_count_bpe", "vocab_top_terms",
-    # (langid_confusion, tfidf_top_terms, doc_quality displaced into
-    # the r12 window by the three r11 additions — they stay r8-aged
-    # and lead it)
+    # (token_count_bpe, vocab_top_terms, langid_confusion,
+    # tfidf_top_terms, doc_quality displaced into the r12 window by
+    # the five r11 additions — they stay r8-aged and lead it)
 ]
 
 
@@ -8768,9 +8951,10 @@ ROUND11_PREFIX = [
 # list's r8 cohort.
 ROUND12_PREFIX_STAGED = [
     # r08-verdict holders (oldest after r11 — lead the window; the
-    # three entries the r11 additions displaced from ROUND11's tail
+    # five entries the r11 additions displaced from ROUND11's tail
     # first)
-    "langid_confusion", "tfidf_top_terms", "doc_quality",
+    "token_count_bpe", "vocab_top_terms", "langid_confusion",
+    "tfidf_top_terms", "doc_quality",
     "pii_redact", "rollup_revenue", "distinct_parts_per_supplier",
     "top_customers_per_nation", "asof_last_purchase",
     "events_in_campaign_windows", "events_json_extract",
@@ -8788,5 +8972,4 @@ ROUND12_PREFIX_STAGED = [
     "anonymize_orders", "sanitize_null_bytes", "keep_num_of_records",
     "agg_max_pk", "validation_check", "datadiff_check", "dedup_exact",
     "minhash_signatures", "simhash", "simhash_near_dups",
-    "dedup_clusters", "ngram_jaccard_adjacent",
 ]

@@ -150,3 +150,41 @@ def test_bpe_encode_applies_trained_merges(spark):
     # docs 2/3: same token multiset, different order -> different digest
     assert out[2]["n_tokens"] == out[3]["n_tokens"] == 2
     assert out[2]["seq_digest"] != out[3]["seq_digest"]
+
+
+def test_quota_incremental_saturates_across_batches(spark):
+    """Cross-batch state pin: a user with more than QUOTA_INC_CAP
+    events split across the two micro-batches admits exactly the CAP
+    lowest event_ids with contiguous ranks — later batches see the
+    carried n_admitted, not a fresh counter."""
+    from rustic_witcher_spark.queries import QUOTA_INC_CAP, q_quota_incremental
+
+    t0 = datetime.datetime(2024, 1, 1)
+    # user 1: five events (ids 1,2,3,10,11 — the median cut puts 1-3 in
+    # batch 0, 10-11 in batch 1); user 2: one event
+    rows = [(i, t0, 1, "click", 1.0, None) for i in (1, 2, 3, 10, 11)]
+    rows.append((4, t0, 2, "view", 1.0, None))
+    d = tempfile.mkdtemp()
+    _write_events(spark, rows, d)
+    got = [(r["user_id"], r["event_id"], r["admit_rank"]) for r in q_quota_incremental(spark, d).collect()]
+    assert QUOTA_INC_CAP == 3
+    assert got == [(1, 1, 1), (1, 2, 2), (1, 3, 3), (2, 4, 1)]
+
+
+def test_stateful_totals_final_state_equals_batch_aggregate(spark):
+    """running ≡ final pin: the last update per key (max n_events) must
+    equal the whole-log groupBy — state carried across micro-batches,
+    NULL values counted as 0."""
+    from rustic_witcher_spark.queries import q_stateful_totals_incremental
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 1, "click", 1.5, None),
+        (2, t0, 1, "view", None, None),     # NULL value -> 0
+        (10, t0, 1, "click", 2.25, None),   # lands in batch 1
+        (3, t0, 2, "view", 4.0, None),
+    ]
+    d = tempfile.mkdtemp()
+    _write_events(spark, rows, d)
+    got = {r["user_id"]: (r["n_events"], r["total_value"]) for r in q_stateful_totals_incremental(spark, d).collect()}
+    assert got == {1: (3, 3.75), 2: (1, 4.0)}

@@ -101,8 +101,11 @@ def test_event_entries_oracle_parity_on_random_dirty_streams(spark, tmp_path_fac
         # r11 additions: the streaming CDC/SCD2 apply paths — dirty
         # streams must hold through the foreachBatch merge machinery
         # (NULL pk rows surviving the anti-join, NULL ts dropping from
-        # both batch filters)
+        # both batch filters) — and the custom-stateful operators
+        # (applyInPandasWithState over real micro-batches; NULL keys
+        # drop both sides, NULL values count as 0 in totals)
         "cdc_incremental", "scd2_incremental",
+        "quota_incremental", "stateful_totals_incremental",
     ]
     for name in fuzzed:
         g = qs[name](spark, str(d)).toPandas()
