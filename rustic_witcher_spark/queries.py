@@ -7189,6 +7189,79 @@ GROUP BY user_id ORDER BY user_id
 """
 
 
+def q_dedup_exact_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup under the driver gate: the REAL
+    `streaming.dedup.streaming_exact_dedup` (dropDuplicates on the
+    md5-of-normalized-text digest over an actual Structured Streaming
+    query) applied to the corpus as two ordered micro-batches (the
+    dedup_incremental standing/batch split, doc_id % 10, replayed via
+    _ordered_stream_source + availableNow + memory sink).
+
+    Output is digest-LEVEL on purpose: within a micro-batch,
+    dropDuplicates keeps an arbitrary row per digest, so row-level
+    output would be nondeterministic — but every within-batch
+    candidate shares the digest AND the batch tag, so (digest,
+    first_part) is exact: a digest's surviving row always comes from
+    the first batch that contained it (first-seen-wins across
+    batches, the module's whole claim). The twin groups by the same
+    md5 digest and takes min(part). NULL-text docs keep their NULL
+    digest as one group on both engines.
+
+    Scale: the dedup state is one entry per distinct digest —
+    unbounded on a forever-stream, which is why the module's
+    production form takes a watermark (dropDuplicatesWithinWatermark,
+    streaming/dedup.py:27-41); the gate grades the exact finite-backfill
+    form. The graded plan is the memory-sink scan + a projection."""
+    import os
+    import shutil
+    import tempfile
+
+    from rustic_witcher_spark.operators.dedup import normalized_text
+    from rustic_witcher_spark.streaming.dedup import streaming_exact_dedup
+
+    d = _read(spark, sf_dir, "documents")
+    p0 = d.filter((F.col("doc_id") % 10) < 8).select("text", F.lit(0).alias("part"))
+    p1 = d.filter((F.col("doc_id") % 10) >= 8).select("text", F.lit(1).alias("part"))
+    parent = os.path.join(tempfile.gettempdir(), "rw_spark_dedup_inc_stream")
+    shutil.rmtree(parent, ignore_errors=True)
+    os.makedirs(parent, exist_ok=True)
+    work = tempfile.mkdtemp(dir=parent)
+    src = _ordered_stream_source(spark, [p0, p1], work)
+    stream = (
+        spark.readStream.schema("text string, part int")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    qname = "rw_dedup_inc_stream_result"
+    spark.catalog.dropTempView(qname)  # stale sink table from a previous invocation
+    q = (
+        streaming_exact_dedup(stream, text_col="text")
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(qname)
+        .select(F.md5(normalized_text(F.col("text"))).alias("digest"), F.col("part").alias("first_part"))
+        .orderBy("digest", "first_part")
+    )
+
+
+def sql_dedup_exact_incremental() -> str:
+    """Twin of the two-batch stream: a digest's survivor comes from the
+    first batch containing it (first-seen-wins)."""
+    return f"""
+SELECT md5({_norm_sql("text")}) AS digest,
+       min(CASE WHEN doc_id % 10 < 8 THEN 0 ELSE 1 END) AS first_part
+FROM documents
+GROUP BY 1 ORDER BY digest, first_part
+"""
+
+
 def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary-growth (Heaps' law) curve: cumulative distinct token
     types vs cumulative token volume over the corpus in ingestion order
@@ -8699,6 +8772,10 @@ def build_registry() -> dict[str, tuple[QueryFn, str | None]]:
                 q_stateful_totals_incremental,
                 sql_stateful_totals_incremental(),
             ),
+            "dedup_exact_incremental": (
+                q_dedup_exact_incremental,
+                sql_dedup_exact_incremental(),
+            ),
         }
     )
     ordered = {name: reg.pop(name) for name in ROUND11_PREFIX}
@@ -8913,6 +8990,7 @@ ROUND11_PREFIX = [
     # operators (applyInPandasWithState) graded end-to-end
     "cdc_incremental", "scd2_incremental", "bpe_encode",
     "quota_incremental", "stateful_totals_incremental",
+    "dedup_exact_incremental",
     # r07-verdict deferrals (oldest verdicts — lead the rotation; the
     # ten long-staged shapes first, then the six r10-window tail
     # slots the late-r10 additions displaced)
@@ -8932,10 +9010,11 @@ ROUND11_PREFIX = [
     "q13_order_distribution", "q4_priority_returns", "q18_large_orders",
     "q7_nation_volume", "q6_forecast_revenue", "q10_returned_items",
     "q14_promo_revenue", "q15_top_supplier",
-    "skew_salted_stats", "doc_length_deciles", "value_percentiles",
-    # (token_count_bpe, vocab_top_terms, langid_confusion,
-    # tfidf_top_terms, doc_quality displaced into the r12 window by
-    # the five r11 additions — they stay r8-aged and lead it)
+    "skew_salted_stats", "doc_length_deciles",
+    # (value_percentiles, token_count_bpe, vocab_top_terms,
+    # langid_confusion, tfidf_top_terms, doc_quality displaced into
+    # the r12 window by the six r11 additions — they stay r8-aged and
+    # lead it)
 ]
 
 
@@ -8951,10 +9030,10 @@ ROUND11_PREFIX = [
 # list's r8 cohort.
 ROUND12_PREFIX_STAGED = [
     # r08-verdict holders (oldest after r11 — lead the window; the
-    # five entries the r11 additions displaced from ROUND11's tail
+    # six entries the r11 additions displaced from ROUND11's tail
     # first)
-    "token_count_bpe", "vocab_top_terms", "langid_confusion",
-    "tfidf_top_terms", "doc_quality",
+    "value_percentiles", "token_count_bpe", "vocab_top_terms",
+    "langid_confusion", "tfidf_top_terms", "doc_quality",
     "pii_redact", "rollup_revenue", "distinct_parts_per_supplier",
     "top_customers_per_nation", "asof_last_purchase",
     "events_in_campaign_windows", "events_json_extract",
@@ -8971,5 +9050,5 @@ ROUND12_PREFIX_STAGED = [
     "embedding_outliers", "filter_anyofstring", "anonymize_supplier",
     "anonymize_orders", "sanitize_null_bytes", "keep_num_of_records",
     "agg_max_pk", "validation_check", "datadiff_check", "dedup_exact",
-    "minhash_signatures", "simhash", "simhash_near_dups",
+    "minhash_signatures", "simhash",
 ]

@@ -188,3 +188,36 @@ def test_stateful_totals_final_state_equals_batch_aggregate(spark):
     _write_events(spark, rows, d)
     got = {r["user_id"]: (r["n_events"], r["total_value"]) for r in q_stateful_totals_incremental(spark, d).collect()}
     assert got == {1: (3, 3.75), 2: (1, 4.0)}
+
+
+def test_dedup_exact_incremental_first_seen_wins(spark):
+    """Cross-batch first-seen pin: content present in both batches
+    attributes to batch 0; batch-1-only content to batch 1; a
+    within-batch dup collapses to one digest row."""
+    import tempfile as _tf
+
+    from rustic_witcher_spark.queries import q_dedup_exact_incremental
+
+    rows = [
+        (0, "shared content"),       # batch 0 (doc_id % 10 < 8)
+        (1, "shared  CONTENT "),     # batch 0, same digest (normalization)
+        (2, "standing only"),
+        (8, "shared content"),       # batch 1 dup of batch 0 -> must NOT re-emit
+        (18, "fresh in batch one"),
+    ]
+    d = _tf.mkdtemp()
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode("overwrite").parquet(
+        d + "/documents.parquet"
+    )
+    got = {r["digest"]: r["first_part"] for r in q_dedup_exact_incremental(spark, d).collect()}
+    assert len(got) == 3  # shared, standing-only, fresh
+    from rustic_witcher_spark.operators.dedup import normalized_text
+    from pyspark.sql import functions as F
+
+    dig = {
+        t: spark.range(1).select(F.md5(normalized_text(F.lit(t))).alias("d")).first()["d"]
+        for t in ["shared content", "standing only", "fresh in batch one"]
+    }
+    assert got[dig["shared content"]] == 0
+    assert got[dig["standing only"]] == 0
+    assert got[dig["fresh in batch one"]] == 1
