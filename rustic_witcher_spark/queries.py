@@ -7013,24 +7013,34 @@ def q_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ordered_stream_source(spark: SparkSession, parts: list[DataFrame], work: str) -> str:
+def _ordered_stream_source(
+    spark: SparkSession, parts: list[DataFrame], work: str, fmt: str = "parquet"
+) -> str:
     """Materialize DataFrames as a file-source streaming dir whose
-    batch ORDER is deterministic: one parquet file per part, ascending
-    names AND ascending mtimes (FileStreamSource takes the oldest
-    timestamp first, ties broken by path — both keys agree here), so a
+    batch ORDER is deterministic: one file per part, ascending names
+    AND ascending mtimes (FileStreamSource takes the oldest timestamp
+    first, ties broken by path — both keys agree here), so a
     ``maxFilesPerTrigger=1`` reader replays the parts as ordered
-    micro-batches. Returns the source dir."""
+    micro-batches. ``fmt="text"`` writes line files (the part must be
+    a single string column) for JSONL/CSV sources. Returns the source
+    dir."""
     import glob as globmod
     import os
     import shutil
 
     src = os.path.join(work, "stream_src")
     os.makedirs(src, exist_ok=True)
+    ext = {"parquet": "parquet", "text": "jsonl"}[fmt]
     for i, part in enumerate(parts):
         staged = os.path.join(work, f"stage{i}")
-        part.coalesce(1).write.mode("overwrite").parquet(staged)
-        pf = globmod.glob(os.path.join(staged, "part-*.parquet"))[0]
-        dst = os.path.join(src, f"{i:05d}.parquet")
+        writer = part.coalesce(1).write.mode("overwrite")
+        if fmt == "text":
+            writer.text(staged)
+            pf = globmod.glob(os.path.join(staged, "part-*.txt"))[0]
+        else:
+            writer.parquet(staged)
+            pf = globmod.glob(os.path.join(staged, "part-*.parquet"))[0]
+        dst = os.path.join(src, f"{i:05d}.{ext}")
         shutil.copyfile(pf, dst)
         base = 1_000_000_000 + i * 1000
         os.utime(dst, (base, base))
@@ -7259,6 +7269,89 @@ SELECT md5({_norm_sql("text")}) AS digest,
        min(CASE WHEN doc_id % 10 < 8 THEN 0 ELSE 1 END) AS first_part
 FROM documents
 GROUP BY 1 ORDER BY digest, first_part
+"""
+
+
+def q_ingest_health_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest-health monitor under the driver gate: the REAL
+    `streaming.ingest_health` pair (read_jsonl_stream → ingest_health)
+    over a continuously-landing JSONL corpus — the malformed-line-rate
+    watch every streaming text-ingest pipeline runs. The corpus is
+    serialized to JSON lines (to_json — escaping makes one line per
+    doc regardless of control chars in text), every doc_id%7==0 line
+    deterministically corrupted (truncated mid-object — guaranteed
+    parse failure in PERMISSIVE mode), split into two ordered files,
+    and streamed with maxFilesPerTrigger=1 into the complete-mode
+    four-counter aggregate; the memory sink's final row is the graded
+    result.
+
+    The counters are GLOBAL mergeable counts, so unlike the
+    quota/totals entries the result is batch-ORDER-invariant — the
+    strongest form of the module's constant-state claim (state is four
+    longs regardless of stream length). fully_parsed counts rows where
+    every real field is non-null, so docs with NULL text/lang/source
+    are clean-but-partial — the gap between parsed_key_rows and
+    fully_parsed_rows is the partially-coerced signal the module's
+    docstring names. The twin computes all four counts from the
+    source table arithmetically (to_json omits null fields; a clean
+    line's parse nullness equals the table's)."""
+    import os
+    import shutil
+    import tempfile
+
+    from rustic_witcher_spark.streaming.ingest_health import ingest_health, read_jsonl_stream
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text", "lang", "source", "n_chars")
+    payload = F.to_json(F.struct("doc_id", "text", "lang", "source", "n_chars"))
+    line = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(F.lit('{"doc_id": '), F.col("doc_id").cast("string"), F.lit(", broken")),
+    ).otherwise(payload)
+    lines = d.select(line.alias("value"))
+    parent = os.path.join(tempfile.gettempdir(), "rw_spark_ingest_inc")
+    shutil.rmtree(parent, ignore_errors=True)
+    os.makedirs(parent, exist_ok=True)
+    work = tempfile.mkdtemp(dir=parent)
+    src = _ordered_stream_source(
+        spark,
+        [lines.filter((F.col("doc_id") % 10) < 8), lines.filter((F.col("doc_id") % 10) >= 8)],
+        work,
+        fmt="text",
+    )
+    stream = read_jsonl_stream(
+        spark,
+        src,
+        "doc_id long, text string, lang string, source string, n_chars long",
+        max_files_per_trigger=1,
+    )
+    qname = "rw_ingest_inc_result"
+    spark.catalog.dropTempView(qname)  # stale sink table from a previous invocation
+    q = (
+        ingest_health(stream)
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname).select(
+        "clean_rows", "corrupt_rows", "parsed_key_rows", "fully_parsed_rows"
+    )
+
+
+def sql_ingest_health_incremental() -> str:
+    """Twin: the four counters from source-table arithmetic — a line is
+    corrupt iff doc_id%7==0; a clean line's field nullness equals the
+    table's (to_json omits null fields, PERMISSIVE re-nulls them)."""
+    return """
+SELECT sum(CASE WHEN doc_id % 7 <> 0 THEN 1 ELSE 0 END)::BIGINT AS clean_rows,
+       sum(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END)::BIGINT AS corrupt_rows,
+       sum(CASE WHEN doc_id % 7 <> 0 THEN 1 ELSE 0 END)::BIGINT AS parsed_key_rows,
+       sum(CASE WHEN doc_id % 7 <> 0 AND text IS NOT NULL AND lang IS NOT NULL
+                 AND source IS NOT NULL AND n_chars IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS fully_parsed_rows
+FROM documents
 """
 
 
@@ -8776,6 +8869,10 @@ def build_registry() -> dict[str, tuple[QueryFn, str | None]]:
                 q_dedup_exact_incremental,
                 sql_dedup_exact_incremental(),
             ),
+            "ingest_health_incremental": (
+                q_ingest_health_incremental,
+                sql_ingest_health_incremental(),
+            ),
         }
     )
     ordered = {name: reg.pop(name) for name in ROUND11_PREFIX}
@@ -8990,7 +9087,7 @@ ROUND11_PREFIX = [
     # operators (applyInPandasWithState) graded end-to-end
     "cdc_incremental", "scd2_incremental", "bpe_encode",
     "quota_incremental", "stateful_totals_incremental",
-    "dedup_exact_incremental",
+    "dedup_exact_incremental", "ingest_health_incremental",
     # r07-verdict deferrals (oldest verdicts — lead the rotation; the
     # ten long-staged shapes first, then the six r10-window tail
     # slots the late-r10 additions displaced)
@@ -9010,11 +9107,11 @@ ROUND11_PREFIX = [
     "q13_order_distribution", "q4_priority_returns", "q18_large_orders",
     "q7_nation_volume", "q6_forecast_revenue", "q10_returned_items",
     "q14_promo_revenue", "q15_top_supplier",
-    "skew_salted_stats", "doc_length_deciles",
-    # (value_percentiles, token_count_bpe, vocab_top_terms,
-    # langid_confusion, tfidf_top_terms, doc_quality displaced into
-    # the r12 window by the six r11 additions — they stay r8-aged and
-    # lead it)
+    "skew_salted_stats",
+    # (doc_length_deciles, value_percentiles, token_count_bpe,
+    # vocab_top_terms, langid_confusion, tfidf_top_terms, doc_quality
+    # displaced into the r12 window by the seven r11 additions — they
+    # stay r8-aged and lead it)
 ]
 
 
@@ -9030,10 +9127,11 @@ ROUND11_PREFIX = [
 # list's r8 cohort.
 ROUND12_PREFIX_STAGED = [
     # r08-verdict holders (oldest after r11 — lead the window; the
-    # six entries the r11 additions displaced from ROUND11's tail
+    # seven entries the r11 additions displaced from ROUND11's tail
     # first)
-    "value_percentiles", "token_count_bpe", "vocab_top_terms",
-    "langid_confusion", "tfidf_top_terms", "doc_quality",
+    "doc_length_deciles", "value_percentiles", "token_count_bpe",
+    "vocab_top_terms", "langid_confusion", "tfidf_top_terms",
+    "doc_quality",
     "pii_redact", "rollup_revenue", "distinct_parts_per_supplier",
     "top_customers_per_nation", "asof_last_purchase",
     "events_in_campaign_windows", "events_json_extract",
@@ -9050,5 +9148,5 @@ ROUND12_PREFIX_STAGED = [
     "embedding_outliers", "filter_anyofstring", "anonymize_supplier",
     "anonymize_orders", "sanitize_null_bytes", "keep_num_of_records",
     "agg_max_pk", "validation_check", "datadiff_check", "dedup_exact",
-    "minhash_signatures", "simhash",
+    "minhash_signatures",
 ]

@@ -23,15 +23,21 @@ from pyspark.sql import functions as F
 from rustic_witcher_spark.sources.text_formats import CORRUPT_COL, _with_corrupt
 
 
-def read_jsonl_stream(spark: SparkSession, path: str, schema: str) -> DataFrame:
+def read_jsonl_stream(
+    spark: SparkSession, path: str, schema: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """Streaming JSONL source with the quarantine column attached.
-    Schema required — there is no inference pass on a stream at all."""
-    return (
+    Schema required — there is no inference pass on a stream at all.
+    ``max_files_per_trigger`` bounds each micro-batch (and makes a
+    replayed file drop deterministic batch-by-batch)."""
+    reader = (
         spark.readStream.schema(_with_corrupt(schema))
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", CORRUPT_COL)
-        .json(path)
     )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.json(path)
 
 
 def ingest_health(stream_with_quarantine: DataFrame, key_col: str | None = None) -> DataFrame:

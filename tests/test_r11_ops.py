@@ -221,3 +221,26 @@ def test_dedup_exact_incremental_first_seen_wins(spark):
     assert got[dig["shared content"]] == 0
     assert got[dig["standing only"]] == 0
     assert got[dig["fresh in batch one"]] == 1
+
+
+def test_ingest_health_incremental_counts_partial_rows(spark):
+    """Counter-meaning pin: corrupt lines (doc_id%7==0) count corrupt;
+    clean lines with NULL fields are clean + key-parsed but NOT
+    fully-parsed — the partially-coerced gap the module reports."""
+    import tempfile as _tf
+
+    from rustic_witcher_spark.queries import q_ingest_health_incremental
+
+    rows = [
+        (0, "text a", "en", "s", 6),    # corrupted (0 % 7 == 0)
+        (1, "text b", "en", "s", 6),    # clean + full
+        (2, None, "en", "s", 0),        # clean, partial (NULL text)
+        (8, "text c", None, "s", 6),    # clean, partial (NULL lang), batch 1
+        (14, "x", "en", "s", 1),        # corrupted (14 % 7 == 0), batch 1
+    ]
+    d = _tf.mkdtemp()
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(d + "/documents.parquet")
+    r = q_ingest_health_incremental(spark, d).first()
+    assert (r["clean_rows"], r["corrupt_rows"], r["parsed_key_rows"], r["fully_parsed_rows"]) == (3, 2, 3, 1)
