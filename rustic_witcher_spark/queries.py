@@ -7355,6 +7355,66 @@ FROM documents
 """
 
 
+def q_shard_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming shard appender under the driver gate — the last index
+    module that held only pytest pins: two corpus micro-batches (the
+    standing/batch split) routed through the REAL
+    `streaming.shard_stream.shard_append_batch` (the callable
+    `write_shards_stream` registers) into a fresh `shard=N/` layout,
+    then audited with the batch sink's own
+    `sinks.shards.verify_training_shards` (digest recompute over the
+    re-read — the entry RAISES on any mismatch, so a green verdict
+    covers the append AND the audit), and the merged manifest is the
+    graded result: (shard, n_rows, digest).
+
+    Determinism is algebraic, not ordering-based: shard assignment is
+    a pure row hash and the manifest digest is a per-shard modular SUM
+    of 60-bit row hashes (commutative merge), so ANY batch cut —
+    indeed any ORDER — yields the same manifest, which is the module's
+    whole 100 TB claim (O(|shards|) driver arithmetic per micro-batch,
+    never a corpus re-scan). The twin recomputes the same hash64
+    expressions and modular sums straight off the table."""
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    from rustic_witcher_spark.sinks.shards import MANIFEST_NAME, verify_training_shards
+    from rustic_witcher_spark.streaming.shard_stream import shard_append_batch
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    parent = os.path.join(tempfile.gettempdir(), "rw_spark_shard_inc")
+    shutil.rmtree(parent, ignore_errors=True)
+    os.makedirs(parent, exist_ok=True)
+    path = os.path.join(tempfile.mkdtemp(dir=parent), "shards")
+    shard_append_batch(d.filter((F.col("doc_id") % 10) < 8), 0, "doc_id", 8, path, seed=SEED)
+    shard_append_batch(d.filter((F.col("doc_id") % 10) >= 8), 1, "doc_id", 8, path, seed=SEED)
+    problems = verify_training_shards(spark, path)
+    if problems:
+        raise AssertionError(f"shard audit failed after streaming appends: {problems}")
+    with open(os.path.join(path, MANIFEST_NAME)) as fh:
+        manifest = json.load(fh)
+    rows = [
+        (int(k), int(v["n_rows"]), int(v["digest"]))
+        for k, v in manifest["shards"].items()
+    ]
+    return spark.createDataFrame(rows, "shard long, n_rows long, digest long").orderBy("shard")
+
+
+def sql_shard_incremental() -> str:
+    """Twin: the manifest is pure hash arithmetic over the table —
+    per-shard row counts and the M61 modular sum of row digests."""
+    m61 = (1 << 61) - 1
+    shard = f"({sql_hash64('doc_id', SEED, 'shard')}) % 8"
+    dig = f"({sql_hash64('doc_id', SEED, 'shard-digest')}) % {m61}"
+    return f"""
+SELECT shard, count(*)::BIGINT AS n_rows,
+       (sum(h::HUGEINT) % {m61})::BIGINT AS digest
+FROM (SELECT {shard} AS shard, {dig} AS h FROM documents)
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary-growth (Heaps' law) curve: cumulative distinct token
     types vs cumulative token volume over the corpus in ingestion order
@@ -8873,6 +8933,7 @@ def build_registry() -> dict[str, tuple[QueryFn, str | None]]:
                 q_ingest_health_incremental,
                 sql_ingest_health_incremental(),
             ),
+            "shard_incremental": (q_shard_incremental, sql_shard_incremental()),
         }
     )
     ordered = {name: reg.pop(name) for name in ROUND11_PREFIX}
@@ -9088,6 +9149,7 @@ ROUND11_PREFIX = [
     "cdc_incremental", "scd2_incremental", "bpe_encode",
     "quota_incremental", "stateful_totals_incremental",
     "dedup_exact_incremental", "ingest_health_incremental",
+    "shard_incremental",
     # r07-verdict deferrals (oldest verdicts — lead the rotation; the
     # ten long-staged shapes first, then the six r10-window tail
     # slots the late-r10 additions displaced)
@@ -9107,11 +9169,10 @@ ROUND11_PREFIX = [
     "q13_order_distribution", "q4_priority_returns", "q18_large_orders",
     "q7_nation_volume", "q6_forecast_revenue", "q10_returned_items",
     "q14_promo_revenue", "q15_top_supplier",
-    "skew_salted_stats",
-    # (doc_length_deciles, value_percentiles, token_count_bpe,
-    # vocab_top_terms, langid_confusion, tfidf_top_terms, doc_quality
-    # displaced into the r12 window by the seven r11 additions — they
-    # stay r8-aged and lead it)
+    # (skew_salted_stats, doc_length_deciles, value_percentiles,
+    # token_count_bpe, vocab_top_terms, langid_confusion,
+    # tfidf_top_terms, doc_quality displaced into the r12 window by
+    # the eight r11 additions — they stay r8-aged and lead it)
 ]
 
 
@@ -9127,11 +9188,11 @@ ROUND11_PREFIX = [
 # list's r8 cohort.
 ROUND12_PREFIX_STAGED = [
     # r08-verdict holders (oldest after r11 — lead the window; the
-    # seven entries the r11 additions displaced from ROUND11's tail
+    # eight entries the r11 additions displaced from ROUND11's tail
     # first)
-    "doc_length_deciles", "value_percentiles", "token_count_bpe",
-    "vocab_top_terms", "langid_confusion", "tfidf_top_terms",
-    "doc_quality",
+    "skew_salted_stats", "doc_length_deciles", "value_percentiles",
+    "token_count_bpe", "vocab_top_terms", "langid_confusion",
+    "tfidf_top_terms", "doc_quality",
     "pii_redact", "rollup_revenue", "distinct_parts_per_supplier",
     "top_customers_per_nation", "asof_last_purchase",
     "events_in_campaign_windows", "events_json_extract",
@@ -9148,5 +9209,4 @@ ROUND12_PREFIX_STAGED = [
     "embedding_outliers", "filter_anyofstring", "anonymize_supplier",
     "anonymize_orders", "sanitize_null_bytes", "keep_num_of_records",
     "agg_max_pk", "validation_check", "datadiff_check", "dedup_exact",
-    "minhash_signatures",
 ]

@@ -244,3 +244,62 @@ def test_ingest_health_incremental_counts_partial_rows(spark):
     ).write.mode("overwrite").parquet(d + "/documents.parquet")
     r = q_ingest_health_incremental(spark, d).first()
     assert (r["clean_rows"], r["corrupt_rows"], r["parsed_key_rows"], r["fully_parsed_rows"]) == (3, 2, 3, 1)
+
+
+def test_shard_incremental_order_invariant_and_audited(spark, monkeypatch):
+    """The manifest merge is algebraic: swapping the batch order yields
+    the identical manifest; and the entry must RAISE when the audit
+    reports a corrupted shard (the verify hook is load-bearing, not
+    decorative)."""
+    import json
+    import os
+    import tempfile as _tf
+
+    from rustic_witcher_spark.queries import SEED, q_shard_incremental
+    from rustic_witcher_spark.streaming.shard_stream import shard_append_batch
+    from rustic_witcher_spark.sinks.shards import MANIFEST_NAME
+
+    rows = [(i, f"doc {i}") for i in range(25)]
+    d = _tf.mkdtemp()
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode("overwrite").parquet(
+        d + "/documents.parquet"
+    )
+    base = {(r["shard"], r["n_rows"], r["digest"]) for r in q_shard_incremental(spark, d).collect()}
+
+    # swapped-order manual replay produces the same manifest
+    df = spark.read.parquet(d + "/documents.parquet")
+    from pyspark.sql import functions as F
+
+    path = _tf.mkdtemp() + "/shards"
+    shard_append_batch(df.filter((F.col("doc_id") % 10) >= 8), 0, "doc_id", 8, path, seed=SEED)
+    shard_append_batch(df.filter((F.col("doc_id") % 10) < 8), 1, "doc_id", 8, path, seed=SEED)
+    with open(os.path.join(path, MANIFEST_NAME)) as fh:
+        m = json.load(fh)
+    swapped = {(int(k), v["n_rows"], v["digest"]) for k, v in m["shards"].items()}
+    assert swapped == base
+
+    # a corrupted manifest digest must make the entry raise via verify
+    from rustic_witcher_spark.streaming import shard_stream
+
+    orig = shard_stream.shard_append_batch
+
+    def corrupting(batch_df, batch_id, id_col, n_shards, p, seed=42):
+        out = orig(batch_df, batch_id, id_col, n_shards, p, seed=seed)
+        if batch_id == 1:
+            with open(os.path.join(p, MANIFEST_NAME)) as fh:
+                man = json.load(fh)
+            k = next(iter(man["shards"]))
+            man["shards"][k]["digest"] = (man["shards"][k]["digest"] + 1) % ((1 << 61) - 1)
+            with open(os.path.join(p, MANIFEST_NAME), "w") as fh:
+                json.dump(man, fh)
+        return out
+
+    import rustic_witcher_spark.queries as qmod
+
+    monkeypatch.setattr(shard_stream, "shard_append_batch", corrupting)
+    # queries.py imports the function inside the entry body, so the
+    # module-attr patch is what it resolves
+    import pytest as _pytest
+
+    with _pytest.raises(AssertionError, match="shard audit failed"):
+        q_shard_incremental(spark, d)

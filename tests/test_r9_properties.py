@@ -211,6 +211,7 @@ def test_doc_entries_oracle_parity_on_random_dirty_corpora(spark, tmp_path_facto
         # early-stop rule (n<2 winners) with real probability, pinning
         # the effective-merge gating on both engines
         "bpe_encode", "dedup_exact_incremental", "ingest_health_incremental",
+        "shard_incremental",
         "vocab_growth", "bm25_search", "hybrid_search_rrf", "ivfpq_ann_topk", "ann_recall_eval",
         "knn_bruteforce", "knn_lsh", "knn_ivf", "semdedup",
         "embedding_near_dups", "embedding_project", "embedding_dim_stats",
