@@ -184,10 +184,14 @@ def main() -> None:
         print(f"WARNING: pq_query_index_only bench face failed: {exc}", file=sys.stderr)
 
     # Dedicated re-times for the slowest entries (module docstring):
-    # fresh JVM each, best-of-3 — the measured banding envelope.
+    # fresh JVM each, best-of-3 — the measured banding envelope. The
+    # suite JVM stops FIRST: a resident 32g heap measurably inflates
+    # the children (r11: pagerank children read 14.6-20.9 s beside the
+    # live parent vs 6.6-10.4 s standalone).
     dedicated: dict[str, dict] = {}
     if dedicated_n > 0:
         slowest = sorted(timings, key=timings.get, reverse=True)[:dedicated_n]
+        spark.stop()
         dedicated = run_dedicated(slowest)
     # Full-precision per-query detail goes to a repo file; the stdout
     # line is budget-fitted (see _fit_line) because the driver captures

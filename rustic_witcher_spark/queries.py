@@ -8695,13 +8695,18 @@ def build_registry() -> dict[str, tuple[QueryFn, str | None]]:
     slots the r10 additions displaced.
     CORRECTNESS_r10 came back 50/50 — the whole ledger now holds
     post-rewrite verdicts (after r10: 50×r10, 49×r9, 50×r8, 23×r7).
-    ROUND11_PREFIX = the r11 additions (new entries always enter the
-    current window) + the 23 r07-aged holders (the oldest verdicts —
-    lead the rotation) + r08 holders up to 50, taken in ROUND8_PREFIX
-    order; each r11 addition displaces one r08 holder from the tail
-    into ROUND12_PREFIX_STAGED. After r11 the oldest verdict anywhere
-    is r8 (the 23 + displaced remainder listed in
-    ROUND12_PREFIX_STAGED, which refills with the oldest r09 holders).
+    ROUND11_PREFIX = the eight r11 additions (cdc_incremental /
+    scd2_incremental / bpe_encode / quota_incremental /
+    stateful_totals_incremental / dedup_exact_incremental /
+    ingest_health_incremental / shard_incremental — new entries always
+    enter the current window; with these, EVERY streaming module holds
+    a driver-graded face) + the 23 r07-aged holders (the oldest
+    verdicts — lead the rotation) + r08 holders up to 50, taken in
+    ROUND8_PREFIX order; each r11 addition displaced one r08 holder
+    from the tail into ROUND12_PREFIX_STAGED. After r11 the oldest
+    verdict anywhere is r8 (the displaced entries + the 23-entry
+    remainder listed in ROUND12_PREFIX_STAGED, which refills with the
+    oldest r09 holders).
     The full local gate (`scripts/compare_oracle.py`) runs ALL
     entries every round, and is order- AND dtype-faithful to the
     driver hash (round-7 rewrite after q12 shipped red twice; round-10
