@@ -7050,6 +7050,31 @@ def _ordered_stream_source(
 QUOTA_INC_CAP = 3
 
 
+class _pinned_shuffle_partitions:
+    """Pin spark.sql.shuffle.partitions around a streaming query.
+
+    Stateful streaming sizes its STATE STORE by this conf (one state
+    partition per shuffle partition, fixed for the checkpoint's life)
+    and AQE does not coalesce stateful streams — so under the driver's
+    vanilla session (default 200) the gate entries paid 200 state
+    tasks per micro-batch for KB-scale state: measured 12-22 s for
+    quota_incremental at 200 vs ~3 s at 8-32. Fresh checkpoints per
+    invocation make the pin safe; the conf is restored on exit
+    (runtime confs bind at action time, and the streaming query has
+    terminated by then)."""
+
+    def __init__(self, spark: SparkSession, n: int = 8):
+        self.spark, self.n = spark, n
+
+    def __enter__(self):
+        self.old = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
+        return False
+
+
 def q_quota_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming per-key quota admission under the driver gate — the
     first of the custom-STATEFUL modules graded end-to-end: an actual
@@ -7098,16 +7123,17 @@ def q_quota_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qname = "rw_quota_inc_result"
     spark.catalog.dropTempView(qname)  # stale sink table from a previous invocation
-    q = (
-        streaming_quota_filter(stream, quota=QUOTA_INC_CAP)
-        .writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("append")
-        .option("checkpointLocation", os.path.join(work, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _pinned_shuffle_partitions(spark):
+        q = (
+            streaming_quota_filter(stream, quota=QUOTA_INC_CAP)
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(qname).orderBy("user_id", "admit_rank")
 
 
@@ -7167,16 +7193,17 @@ def q_stateful_totals_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     qname = "rw_totals_inc_result"
     spark.catalog.dropTempView(qname)  # stale sink table from a previous invocation
-    q = (
-        running_user_totals(stream)
-        .writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("update")
-        .option("checkpointLocation", os.path.join(work, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _pinned_shuffle_partitions(spark):
+        q = (
+            running_user_totals(stream)
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         spark.table(qname)
         .groupBy("user_id")
@@ -7244,16 +7271,17 @@ def q_dedup_exact_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qname = "rw_dedup_inc_stream_result"
     spark.catalog.dropTempView(qname)  # stale sink table from a previous invocation
-    q = (
-        streaming_exact_dedup(stream, text_col="text")
-        .writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("append")
-        .option("checkpointLocation", os.path.join(work, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _pinned_shuffle_partitions(spark):
+        q = (
+            streaming_exact_dedup(stream, text_col="text")
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         spark.table(qname)
         .select(F.md5(normalized_text(F.col("text"))).alias("digest"), F.col("part").alias("first_part"))
