@@ -4646,6 +4646,15 @@ def q_latency_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     this exact code, so batch and stream cannot drift."""
     ev = read_events(spark, sf_dir)
     h = windows.value_histogram(ev, "value", keys=["event_type"])
+    return _histogram_finalize(h)
+
+
+def _histogram_finalize(h: DataFrame) -> DataFrame:
+    """Shared finalization over a (event_type, bucket, n) count table —
+    the batch entry and the streaming-gate entry (histogram_incremental,
+    whose count table is a complete-mode state-store snapshot) both run
+    THIS code, so the two faces cannot drift. The windows run over
+    ~#types x #buckets rows, never the data."""
     wt = Window.partitionBy("event_type")
     wc = Window.partitionBy("event_type").orderBy("bucket")
     return (
@@ -7443,6 +7452,266 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+_HOUR_US = 3_600_000_000
+
+
+def q_attribution_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The watermarked STREAM-STREAM interval join under the driver
+    gate — the last streaming behavior class (join state + watermark
+    eviction) without an end-to-end verdict. Runs the REAL
+    `streaming.joins.attribution_join` (leftOuter: matched pairs AND
+    the exactly-once late emission of never-converted clicks) as an
+    actual Structured Streaming query: clicks and purchases land as
+    two file-source streams of ordered micro-batches
+    (_ordered_stream_source, maxFilesPerTrigger=1, availableNow,
+    append-mode memory sink).
+
+    Batch plan: b0/b1 split both sides at the GLOBAL median event
+    time, so no row is ever late against the min-of-sources watermark
+    (b1 rows all exceed b0's max-minus-delay). b2/b3 are sentinel
+    batches (user_id = -1, event time max+4h then max+5h): b2 drives
+    the watermark past every click's interval end, and b3 exists
+    because eviction applies the watermark computed AFTER the previous
+    batch — unmatched clicks surface as NULL-padded rows during b3.
+    Sentinels themselves stay in state (their own eviction horizon is
+    never reached) and are filtered from the result; real user_ids are
+    non-negative. Determinism: inner matches are emitted exactly once
+    as found; unmatched clicks exactly once on eviction — the output
+    SET equals the batch left-outer interval join regardless of the
+    cut (the module's stream ≡ batch contract, fuzz-pinned).
+
+    Scale: join state per key is bounded by (watermark delay + join
+    interval) x arrival rate — independent of stream lifetime; the
+    join is a hash join on user_id with the time bound as a residual
+    condition. The two driver scalars (median + max event time) are
+    ONE bounded aggregate row."""
+    import os
+    import shutil
+    import tempfile
+
+    from rustic_witcher_spark.streaming.joins import attribution_join
+
+    ev = read_events(spark, sf_dir).filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    cp = ev.filter(F.col("event_type").isin("click", "purchase"))
+    b = cp.agg(
+        F.expr("percentile(unix_micros(ts), 0.5)").alias("cut"),
+        F.max(F.unix_micros(F.col("ts"))).alias("mx"),
+    ).first()
+    cut = b["cut"] if b["cut"] is not None else 0.0
+    mx = b["mx"] if b["mx"] is not None else 0
+    s1, s2 = mx + 4 * _HOUR_US, mx + 5 * _HOUR_US
+
+    def _sentinel(us: int, ts_name: str) -> DataFrame:
+        return spark.range(1).select(
+            F.lit(-1).cast("long").alias("user_id"),
+            F.timestamp_micros(F.lit(int(us))).alias(ts_name),
+        )
+
+    def _parts(side: DataFrame, ts_name: str) -> list[DataFrame]:
+        t = F.unix_micros(F.col(ts_name))
+        return [
+            side.filter(t <= F.lit(cut)),
+            side.filter(t > F.lit(cut)),
+            _sentinel(s1, ts_name),
+            _sentinel(s2, ts_name),
+        ]
+
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("purchase_ts")
+    )
+    parent = os.path.join(tempfile.gettempdir(), "rw_spark_attrib_inc")
+    shutil.rmtree(parent, ignore_errors=True)
+    os.makedirs(parent, exist_ok=True)
+    work = tempfile.mkdtemp(dir=parent)
+    csrc = _ordered_stream_source(spark, _parts(c, "click_ts"), os.path.join(work, "c"))
+    psrc = _ordered_stream_source(spark, _parts(p, "purchase_ts"), os.path.join(work, "p"))
+    cs = (
+        spark.readStream.schema("user_id long, click_ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(csrc)
+    )
+    ps = (
+        spark.readStream.schema("user_id long, purchase_ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(psrc)
+    )
+    qname = "rw_attrib_inc_result"
+    spark.catalog.dropTempView(qname)  # stale sink table from a previous invocation
+    with _pinned_shuffle_partitions(spark):
+        q = (
+            attribution_join(cs, ps, within="1 hour", watermark_delay="2 hours", how="leftOuter")
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return (
+        spark.table(qname)
+        .filter(F.col("user_id") >= 0)
+        .select(
+            "user_id",
+            _fmt(F.col("click_ts")).alias("click_at"),
+            _fmt(F.col("purchase_ts")).alias("purchase_at"),
+            "lag_seconds",
+        )
+        .orderBy(
+            F.col("user_id").asc(),
+            F.col("click_at").asc(),
+            F.col("purchase_at").asc_nulls_last(),
+        )
+    )
+
+
+def sql_attribution_incremental() -> str:
+    """Twin: the batch left-outer interval join — every (click,
+    purchase) pair within 1h, plus never-converted clicks NULL-padded
+    (the watermark-evicted late emissions). DuckDB ASC defaults to
+    NULLS LAST, matching the Spark side's asc_nulls_last pin."""
+    return """
+SELECT c.user_id,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_at,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_at,
+       floor(epoch(p.ts))::BIGINT - floor(epoch(c.ts))::BIGINT AS lag_seconds
+FROM (SELECT user_id, ts FROM events
+      WHERE event_type = 'click' AND ts IS NOT NULL AND user_id IS NOT NULL) c
+LEFT JOIN (SELECT user_id, ts FROM events
+           WHERE event_type = 'purchase' AND ts IS NOT NULL AND user_id IS NOT NULL) p
+  ON p.user_id = c.user_id
+ AND p.ts >= c.ts
+ AND p.ts <= c.ts + INTERVAL 1 HOUR
+ORDER BY 1, 2, 3
+"""
+
+
+def q_drift_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The drift monitor's complete-mode stateful aggregation under the
+    driver gate: `streaming.drift.term_counts` runs as an actual
+    Structured Streaming query (the live corpus as two ordered
+    micro-batches, complete-mode memory sink = the state table), and
+    the batch-side `kl_vs_reference` finalizer — the exact function the
+    batch entry uses — reads that state to produce the KL row. This is
+    `start_drift_monitor`'s production shape (streaming/drift.py:97)
+    driven to completion, putting the module's one stateful aggregation
+    itself (per-term counts merged by addition across batches) under
+    the oracle gate; drift_vs_reference graded only the finalizer over
+    a batch-computed count table.
+
+    Determinism: counts are additive and the final state is
+    batch-ORDER-invariant, so the twin is the batch KL entry verbatim.
+    The doc_id median cut is ONE bounded driver double; NULL doc_ids
+    route to b0 via coalesce so the split is a partition.
+
+    Scale: state is O(|vocab|) longs regardless of stream length; the
+    finalizer joins a broadcast top-K reference against the
+    vocabulary-sized state table."""
+    import os
+    import shutil
+    import tempfile
+
+    d = _read(spark, sf_dir, "documents")
+    ref = (
+        drift.term_counts(d.filter(F.col("source") == DRIFT_REF_SOURCE))
+        .orderBy(F.desc("n"), F.asc("term"))
+        .limit(DRIFT_REF_VOCAB)
+    )
+    live = d.filter(F.col("source") != DRIFT_REF_SOURCE)
+    cut = live.agg(F.expr("percentile(doc_id, 0.5)").alias("c")).first()["c"]
+    cut = cut if cut is not None else 0.0
+    key = F.coalesce(F.col("doc_id"), F.lit(-1))
+    parent = os.path.join(tempfile.gettempdir(), "rw_spark_drift_inc")
+    shutil.rmtree(parent, ignore_errors=True)
+    os.makedirs(parent, exist_ok=True)
+    work = tempfile.mkdtemp(dir=parent)
+    src = _ordered_stream_source(
+        spark,
+        [
+            live.filter(key <= F.lit(cut)).select("text"),
+            live.filter(key > F.lit(cut)).select("text"),
+        ],
+        work,
+    )
+    stream = (
+        spark.readStream.schema("text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    qname = "rw_drift_inc_state"
+    spark.catalog.dropTempView(qname)  # stale sink table from a previous invocation
+    with _pinned_shuffle_partitions(spark):
+        q = (
+            drift.term_counts(stream)
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return drift.kl_vs_reference(spark.table(qname), ref)
+
+
+def q_histogram_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mergeable-histogram stream under the driver gate:
+    `streaming.windows.value_histogram` — the module's whole claim is
+    that its fixed integer log2 buckets make the counts ALGEBRAICALLY
+    mergeable across micro-batches — runs as an actual complete-mode
+    Structured Streaming aggregation over two ordered micro-batches of
+    the events table, and the shared `_histogram_finalize` (the exact
+    code the batch latency_histogram entry runs) turns the final state
+    table into the share/CDF result. Twin: the batch histogram SQL
+    verbatim — additive counts make the final state equal the batch
+    aggregate whatever the cut (fuzz-pinned).
+
+    Scale: state is #types x #buckets longs; the finalizer windows run
+    over that tiny table, never the data."""
+    import os
+    import shutil
+    import tempfile
+
+    ev = read_events(spark, sf_dir).select("event_id", "event_type", "value")
+    key = F.coalesce(F.col("event_id"), F.lit(-1))
+    parent = os.path.join(tempfile.gettempdir(), "rw_spark_hist_inc")
+    shutil.rmtree(parent, ignore_errors=True)
+    os.makedirs(parent, exist_ok=True)
+    work = tempfile.mkdtemp(dir=parent)
+    src = _ordered_stream_source(
+        spark,
+        [
+            ev.filter(key % 2 == 0).select("event_type", "value"),
+            ev.filter(key % 2 != 0).select("event_type", "value"),
+        ],
+        work,
+    )
+    stream = (
+        spark.readStream.schema("event_type string, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    qname = "rw_hist_inc_state"
+    spark.catalog.dropTempView(qname)  # stale sink table from a previous invocation
+    with _pinned_shuffle_partitions(spark):
+        q = (
+            windows.value_histogram(stream, "value", keys=["event_type"])
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return _histogram_finalize(spark.table(qname))
+
+
 def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary-growth (Heaps' law) curve: cumulative distinct token
     types vs cumulative token volume over the corpus in ingestion order
@@ -8733,8 +9002,18 @@ def build_registry() -> dict[str, tuple[QueryFn, str | None]]:
     ROUND8_PREFIX order; each r11 addition displaced one r08 holder
     from the tail into ROUND12_PREFIX_STAGED. After r11 the oldest
     verdict anywhere is r8 (the displaced entries + the 23-entry
-    remainder listed in ROUND12_PREFIX_STAGED, which refills with the
+    remainder listed in the r12 staging, which refills with the
     oldest r09 holders).
+    CORRECTNESS_r11 came back 50/50. ROUND12_PREFIX = the three r12
+    additions (attribution_incremental / drift_incremental /
+    histogram_incremental — the last ungraded streaming behavior
+    classes: stream-stream join state/eviction and the complete-mode
+    stateful aggregations) + the r11 staging's 47 oldest holders (31
+    r08-aged, then r09 holders in ROUND9_PREFIX order); the three
+    additions displaced validation_check / datadiff_check /
+    dedup_exact into ROUND13_PREFIX_STAGED, which they lead (r9-aged),
+    followed by the remaining r09 holders and the oldest r10 holders.
+    After r12 the oldest verdict anywhere is r9.
     The full local gate (`scripts/compare_oracle.py`) runs ALL
     entries every round, and is order- AND dtype-faithful to the
     driver hash (round-7 rewrite after q12 shipped red twice; round-10
@@ -8967,9 +9246,18 @@ def build_registry() -> dict[str, tuple[QueryFn, str | None]]:
                 sql_ingest_health_incremental(),
             ),
             "shard_incremental": (q_shard_incremental, sql_shard_incremental()),
+            # --- round 12: the last ungraded streaming behavior classes ---
+            "attribution_incremental": (
+                q_attribution_incremental,
+                sql_attribution_incremental(),
+            ),
+            # twin of the streaming complete-mode state + shared finalizer
+            # IS the batch entry's SQL — additive state makes them equal
+            "drift_incremental": (q_drift_incremental, sql_drift_vs_reference()),
+            "histogram_incremental": (q_histogram_incremental, SQL_LATENCY_HISTOGRAM),
         }
     )
-    ordered = {name: reg.pop(name) for name in ROUND11_PREFIX}
+    ordered = {name: reg.pop(name) for name in ROUND12_PREFIX}
     ordered.update(reg)
     return ordered
 
@@ -9209,18 +9497,20 @@ ROUND11_PREFIX = [
 ]
 
 
-# STAGED round-12 window (NOT wired — round 12 renames this to the
-# active prefix, updates build_registry's `ordered = ...` line and the
-# rotation ledger, and keeps tests/test_entry_contract.py in sync).
-# Composition: the r08-verdict holders the r11 window could not fit
-# lead (the oldest verdicts once r11 is graded; ROUND8_PREFIX order),
-# then the oldest r09-verdict holders (ROUND9_PREFIX order) fill to
-# 50. Any NEW r12 entries enter at the head, displacing r09 holders
-# from the tail into the r13 list. Entries displaced from ROUND11's
-# tail by late-r11 additions stay r8-aged and must PREPEND to this
-# list's r8 cohort.
-ROUND12_PREFIX_STAGED = [
-    # r08-verdict holders (oldest after r11 — lead the window; the
+# ACTIVE round-12 window (wired into build_registry this round,
+# executing the rotation exactly as staged in r11 — the r11 verdict's
+# task 1 — plus the three r12 additions at the head, each displacing
+# one r09 holder from the tail into ROUND13_PREFIX_STAGED per the
+# staging rule). Composition: 3 new + the 31 r08-verdict holders the
+# r11 window could not fit + 16 of the oldest r09 holders.
+ROUND12_PREFIX = [
+    # new in round 12 (enter the current window immediately): the last
+    # ungraded streaming behavior classes — the watermarked
+    # stream-stream join with left-outer eviction, and the two
+    # complete-mode stateful aggregations (drift term counts, the
+    # mergeable histogram) run as REAL streaming queries
+    "attribution_incremental", "drift_incremental", "histogram_incremental",
+    # r08-verdict holders (oldest after r11 — lead the rotation; the
     # eight entries the r11 additions displaced from ROUND11's tail
     # first)
     "skew_salted_stats", "doc_length_deciles", "value_percentiles",
@@ -9235,11 +9525,44 @@ ROUND12_PREFIX_STAGED = [
     "minhash_lsh_candidates", "dedup_survivors", "dedup_incremental",
     "lsh_calibration", "quality_threshold_sweep", "ann_recall_eval",
     "frame_sample",
-    # r09-verdict rotation (27 of 49, ROUND9_PREFIX order)
+    # r09-verdict rotation (24 of 49, ROUND9_PREFIX order; the three
+    # r12 additions displaced validation_check / datadiff_check /
+    # dedup_exact into the r13 list, where they stay r9-aged and lead)
     "ivfpq_ann_topk", "bpe_vocab_trained", "containment_near_dups",
     "novelty_scores", "vocab_growth", "pq_ann_topk",
     "repetition_signals", "hybrid_search_rrf", "contrastive_triplets",
     "embedding_outliers", "filter_anyofstring", "anonymize_supplier",
     "anonymize_orders", "sanitize_null_bytes", "keep_num_of_records",
-    "agg_max_pk", "validation_check", "datadiff_check", "dedup_exact",
+    "agg_max_pk",
+]
+
+
+# STAGED round-13 window (NOT wired — round 13 renames this to the
+# active prefix, updates build_registry's `ordered = ...` line and the
+# rotation ledger, and keeps tests/test_entry_contract.py in sync).
+# Composition: the 33 remaining r09-verdict holders lead (the oldest
+# verdicts once r12 is graded; ROUND9_PREFIX order, the three entries
+# the r12 additions displaced first), then the oldest r10-verdict
+# holders (ROUND10_PREFIX order) fill to 50. Any NEW r13 entries enter
+# at the head, displacing r10 holders from the tail into the r14 list.
+ROUND13_PREFIX_STAGED = [
+    # r09-verdict holders (oldest after r12; the three r12-displaced
+    # entries lead, then the rest in ROUND9_PREFIX order)
+    "validation_check", "datadiff_check", "dedup_exact",
+    "minhash_signatures", "simhash", "simhash_near_dups",
+    "dedup_clusters", "ngram_jaccard_adjacent", "knn_bruteforce",
+    "knn_lsh", "knn_ivf", "embedding_near_dups", "embedding_project",
+    "semdedup", "stratified_sample", "weighted_sample",
+    "mixture_sample", "pack_sequences", "training_shards",
+    "hll_users", "heavy_hitters", "bloom_probe", "decontaminate",
+    "unigram_nll", "chunk_dedup", "curation_pipeline",
+    "corpus_report", "media_metadata", "multimodal_features",
+    "text_stats", "text_langid", "text_fingerprint", "events_session",
+    # r10-verdict rotation (17 of 50, ROUND10_PREFIX order)
+    "pq_index_query", "novelty_incremental", "embedding_int8_quant",
+    "ann_incremental", "media_incremental", "pq_residual_query",
+    "pq_rerank_query", "bigram_nll", "zipf_fit", "hll_set_ops",
+    "bigram_nll_oov", "semantic_decontam", "feature_hash_embed",
+    "filter_startswith", "filter_endswith", "filter_startsends",
+    "filter_equals",
 ]

@@ -69,8 +69,8 @@ def test_every_oracle_sql_parses_in_duckdb():
     assert not bad, "oracle SQL failed to plan:\n" + "\n".join(bad)
 
 
-# Enforce the round-11 rotation: the driver's correctness gate grades a
-# 50-entry PREFIX, and the prefix is an explicit list (ROUND11_PREFIX)
+# Enforce the round-12 rotation: the driver's correctness gate grades a
+# 50-entry PREFIX, and the prefix is an explicit list (ROUND12_PREFIX)
 # leading with never/stale-verified entries so consecutive rounds'
 # CORRECTNESS files jointly cover the whole inventory. This test pins
 # the prefix so an accidental reorder (the round-3 failure mode) fails
@@ -80,37 +80,39 @@ def test_every_oracle_sql_parses_in_duckdb():
 def test_registry_prefix_matches_rotation_plan():
     import __spark_entry__ as entrymod
     from rustic_witcher_spark.queries import (
-        ROUND10_PREFIX,
         ROUND11_PREFIX,
-        ROUND12_PREFIX_STAGED,
+        ROUND12_PREFIX,
+        ROUND13_PREFIX_STAGED,
     )
 
     names = list(entrymod.queries())
-    assert len(ROUND11_PREFIX) == 50
-    assert names[: len(ROUND11_PREFIX)] == ROUND11_PREFIX, (
-        "registry prefix diverged from ROUND11_PREFIX — the driver gate "
+    assert len(ROUND12_PREFIX) == 50
+    assert names[: len(ROUND12_PREFIX)] == ROUND12_PREFIX, (
+        "registry prefix diverged from ROUND12_PREFIX — the driver gate "
         "grades a 50-entry prefix; see build_registry() docstring"
     )
     assert len(names) == len(set(names))
-    # r11 window composition: new r11 entries (if any) lead, then the
-    # 23 r07-verdict holders (oldest verdicts), then r08 holders; the
-    # 23 r07-aged names must ALL be in the window (the rotation's whole
-    # point — after r11 the oldest verdict anywhere is r8)
-    r07_aged = {
-        "orders_pivot", "grouping_sets_revenue", "lineitem_unpivot",
-        "fuzzy_part_names", "source_cap", "embedding_dim_stats",
-        "weighted_reservoir", "benford_profile",
-        "customer_revenue_standing", "zorder_layout", "bm25_search",
-        "leakage_safe_split", "source_kl_divergence", "funnel_3step",
-        "hard_negatives", "interval_coverage", "events_mad_outliers",
-        "mixture_temperature", "ewma_events", "source_overlap",
-        "bpe_merge_step", "dsir_selection", "pareto_suppliers",
+    # r12 window composition: the three r12 additions lead, then the
+    # eight r08-aged entries the r11 additions displaced — the oldest
+    # verdicts after r11 — which must ALL be in the window (the
+    # rotation's whole point: after r12 the oldest verdict is r9)
+    assert ROUND12_PREFIX[:3] == [
+        "attribution_incremental", "drift_incremental", "histogram_incremental",
+    ]
+    r08_aged_displaced = {
+        "skew_salted_stats", "doc_length_deciles", "value_percentiles",
+        "token_count_bpe", "vocab_top_terms", "langid_confusion",
+        "tfidf_top_terms", "doc_quality",
     }
-    assert r07_aged <= set(ROUND11_PREFIX)
-    # rotation, not repeat: no overlap with the r10 window
-    assert not set(ROUND11_PREFIX) & set(ROUND10_PREFIX)
-    # the staged r12 window is consistent: 50 entries, all in the
-    # registry, none overlapping the r11 window
-    assert len(ROUND12_PREFIX_STAGED) == 50
-    assert set(ROUND12_PREFIX_STAGED) <= set(names)
-    assert not set(ROUND12_PREFIX_STAGED) & set(ROUND11_PREFIX)
+    assert r08_aged_displaced <= set(ROUND12_PREFIX)
+    # rotation, not repeat: no overlap with the r11 window
+    assert not set(ROUND12_PREFIX) & set(ROUND11_PREFIX)
+    # the staged r13 window is consistent: 50 entries, all in the
+    # registry, none overlapping the r12 window, led by the three
+    # entries the r12 additions displaced (they stay r9-aged)
+    assert len(ROUND13_PREFIX_STAGED) == 50
+    assert set(ROUND13_PREFIX_STAGED) <= set(names)
+    assert not set(ROUND13_PREFIX_STAGED) & set(ROUND12_PREFIX)
+    assert ROUND13_PREFIX_STAGED[:3] == [
+        "validation_check", "datadiff_check", "dedup_exact",
+    ]
