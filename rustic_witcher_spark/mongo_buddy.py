@@ -126,6 +126,13 @@ def s3_upload_hook(client):
     return lambda bucket, key, path: upload_archive(client, bucket, key, path)
 
 
+def s3_download_hook(client):
+    """Adapter binding a boto3 client to ``import_data``'s
+    ``download(bucket, key, file)`` hook (managed streamed download —
+    the importer's archive fetch, ref: mongo_data_importer.rs:148-176)."""
+    return lambda bucket, key, path: client.download_file(bucket, key, path)
+
+
 def split_s3_path(s3_path: str) -> tuple[str, str]:
     """``s3://bucket/some/key`` → (bucket, key)
     (ref: mongo_data_exporter.rs:55-68)."""
@@ -155,6 +162,12 @@ def export_data(
     """
     if run is None:
         from rustic_witcher_spark.shell import execute_cmd as run
+    if upload is None:
+        # env-contract client: S3_VPC_ENDPOINT / S3_BUCKET_REGION
+        # honored (ref: rustic-s3-config/src/lib.rs:8-34)
+        from rustic_witcher_spark.s3config import create_s3_client
+
+        upload = s3_upload_hook(create_s3_client())
     # the URI's trailing path segment, minus any ?options suffix —
     # 'mongodb+srv://u:p@c/db?retryWrites=true' names database 'db'
     uri_db = mongo_uri.rsplit("/", 1)[-1].split("?", 1)[0]
@@ -194,6 +207,12 @@ def import_data(
 
     if run is None:
         from rustic_witcher_spark.shell import execute_cmd as run
+    if download is None:
+        # env-contract client: S3_VPC_ENDPOINT / S3_BUCKET_REGION
+        # honored (ref: rustic-s3-config/src/lib.rs:8-34)
+        from rustic_witcher_spark.s3config import create_s3_client
+
+        download = s3_download_hook(create_s3_client())
 
     guard_not_production(mongo_uri)
     extract_dir = f"{work_dir}/{database_name}"

@@ -18,9 +18,13 @@ except ImportError:  # pragma: no cover
 
 
 def copy_object(source_bucket: str, key: str, dest_bucket: str, dest_key: str | None = None) -> None:
+    from rustic_witcher_spark.s3config import create_s3_client
+
     if not HAS_BOTO3:
         raise RuntimeError("boto3 not available in this environment")
-    s3 = boto3.client("s3")
+    # env-contract client: S3_VPC_ENDPOINT / S3_BUCKET_REGION honored
+    # (ref: rustic-s3-config/src/lib.rs:8-34)
+    s3 = create_s3_client(boto3)
     s3.copy_object(
         Bucket=dest_bucket,
         Key=dest_key or key,

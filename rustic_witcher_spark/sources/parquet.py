@@ -74,11 +74,11 @@ def _list_s3_parquet(table_dir: str, s3_client=None) -> list[str]:
     imported lazily (not baked into this environment — import-gated).
     """
     if s3_client is None:
-        try:
-            import boto3  # noqa: PLC0415
-        except ImportError as e:  # pragma: no cover - boto3 not in test env
-            raise RuntimeError("s3:// listing requires boto3 or an injected s3_client") from e
-        s3_client = boto3.client("s3")
+        # env-contract client: S3_VPC_ENDPOINT / S3_BUCKET_REGION honored
+        # (ref: rustic-s3-config/src/lib.rs:8-34)
+        from rustic_witcher_spark.s3config import create_s3_client  # noqa: PLC0415
+
+        s3_client = create_s3_client()
     bucket, _, prefix = table_dir.removeprefix("s3://").partition("/")
     # bucket-root listing: an empty prefix must stay empty — "/" matches no keys
     prefix = prefix.rstrip("/") + "/" if prefix else ""
