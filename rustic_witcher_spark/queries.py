@@ -7718,6 +7718,149 @@ def q_histogram_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _histogram_finalize(spark.table(qname))
 
 
+K_ANON_K = 10  # the audit threshold: every QI group must hold ≥ K records
+
+
+def q_k_anonymity_lattice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit across the generalization
+    lattice — the VERIFICATION face of the reference's anonymization
+    domain (the reference ships anonymized tables,
+    anonymization_dataframe_operator.rs; this entry is the audit a
+    privacy review runs on the output: does any quasi-identifier
+    combination isolate fewer than K people?).
+
+    One ROLLUP pass computes the whole generalization hierarchy —
+    level 0 = (nation, segment, acctbal-bucket), each higher level
+    drops the finest QI — and a second aggregate over the
+    group-cardinality-sized result reports, per level: group count,
+    smallest group (min k), violating groups (< K), records at risk,
+    and the minimum l-diversity (distinct sensitive values per group,
+    sensitive = the exact account balance). The decision this feeds:
+    the lowest level whose violating_groups is 0 is the minimal
+    generalization safe to release.
+
+    Levels are identified by grouping() flags, NOT by key nullness —
+    a data-NULL nationkey group at level 0 must not collide with the
+    level-2 subtotal row (the classic rollup audit bug; dirty fuzz
+    pins it). Scale: the rollup is one map-combinable shuffle over the
+    data (partial aggregation applies to rollup in Spark); everything
+    after runs on ≤ Σ|level group| rows — QI-cardinality, not
+    data-sized. The same shape audits a billion-row table."""
+    c = _read(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("qi_nation"),
+        F.col("c_mktsegment").alias("qi_segment"),
+        F.floor(F.col("c_acctbal") / 1000).alias("qi_bal"),
+        "c_acctbal",
+    )
+    g = (
+        c.rollup("qi_nation", "qi_segment", "qi_bal")
+        .agg(
+            (
+                F.grouping("qi_nation") + F.grouping("qi_segment") + F.grouping("qi_bal")
+            ).cast("long").alias("level"),
+            F.count(F.lit(1)).alias("k"),
+            F.countDistinct("c_acctbal").alias("l"),
+        )
+    )
+    return (
+        g.groupBy("level")
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.min("k").alias("min_group_size"),
+            F.sum(F.when(F.col("k") < K_ANON_K, 1).otherwise(0)).cast("long").alias("violating_groups"),
+            F.sum(F.when(F.col("k") < K_ANON_K, F.col("k")).otherwise(0)).cast("long").alias("records_at_risk"),
+            F.min("l").alias("min_l_diversity"),
+        )
+        .orderBy("level")
+    )
+
+
+def sql_k_anonymity_lattice() -> str:
+    """Twin: the identical ROLLUP + level finalization. GROUPING()
+    flags (not key nullness) identify the level on both engines;
+    BIGINT casts pin the HUGEINT-sum dtype trap."""
+    return f"""
+WITH q AS (
+  SELECT c_nationkey AS qi_nation, c_mktsegment AS qi_segment,
+         floor(c_acctbal / 1000) AS qi_bal, c_acctbal
+  FROM customer
+),
+g AS (
+  SELECT (GROUPING(qi_nation) + GROUPING(qi_segment) + GROUPING(qi_bal))::BIGINT AS level,
+         count(*)::BIGINT AS k, count(DISTINCT c_acctbal)::BIGINT AS l
+  FROM q GROUP BY ROLLUP (qi_nation, qi_segment, qi_bal)
+)
+SELECT level, count(*)::BIGINT AS n_groups, min(k) AS min_group_size,
+       sum(CASE WHEN k < {K_ANON_K} THEN 1 ELSE 0 END)::BIGINT AS violating_groups,
+       sum(CASE WHEN k < {K_ANON_K} THEN k ELSE 0 END)::BIGINT AS records_at_risk,
+       min(l) AS min_l_diversity
+FROM g GROUP BY level ORDER BY level
+"""
+
+
+def q_join_skew_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join skew diagnostic — the probe you run BEFORE committing a
+    100 TB join to pick its strategy (broadcast / salt / AQE skew
+    hints): for the attribution join's key (user_id, clicks x
+    purchases), the top-10 hottest keys by output inflation, each with
+    both sides' row counts, the pair count the join would emit for
+    that key, and its share of the TOTAL join output in exact integer
+    parts-per-million (floor division — no cross-engine float-sum
+    trap).
+
+    This never executes the join being probed: two map-combinable
+    per-key counts, an inner join of two key-cardinality-sized count
+    tables, one broadcast total, and a TakeOrdered top-10 (no global
+    sort). At 100 TB the count tables are |keys| rows — the probe
+    costs two scans regardless of how pathological the join output
+    would be, which is exactly when you need it. NULL keys drop (an
+    equi join emits nothing for them). Deterministic: ties break on
+    user_id ascending."""
+    ev = read_events(spark, sf_dir).filter(F.col("user_id").isNotNull())
+    sides = [
+        ev.filter(F.col("event_type") == etype)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias(alias))
+        for etype, alias in (("click", "n_clicks"), ("purchase", "n_purchases"))
+    ]
+    pairs = (
+        sides[0]
+        .join(sides[1], "user_id")
+        .select("user_id", "n_clicks", "n_purchases", (F.col("n_clicks") * F.col("n_purchases")).alias("pairs"))
+    )
+    total = pairs.agg(F.sum("pairs").alias("__total"))
+    return (
+        pairs.crossJoin(F.broadcast(total))
+        .select(
+            "user_id",
+            "n_clicks",
+            "n_purchases",
+            "pairs",
+            F.floor(F.lit(1_000_000) * F.col("pairs") / F.col("__total")).alias("ppm_of_join"),
+        )
+        .orderBy(F.desc("pairs"), F.asc("user_id"))
+        .limit(10)
+    )
+
+
+def sql_join_skew_probe() -> str:
+    return """
+WITH c AS (SELECT user_id, count(*)::BIGINT AS n_clicks FROM events
+           WHERE event_type = 'click' AND user_id IS NOT NULL GROUP BY 1),
+p AS (SELECT user_id, count(*)::BIGINT AS n_purchases FROM events
+      WHERE event_type = 'purchase' AND user_id IS NOT NULL GROUP BY 1),
+j AS (SELECT c.user_id, n_clicks, n_purchases,
+             (n_clicks * n_purchases)::BIGINT AS pairs
+      FROM c JOIN p USING (user_id)),
+t AS (SELECT sum(pairs)::BIGINT AS total FROM j)
+SELECT user_id, n_clicks, n_purchases, pairs,
+       floor(1000000 * pairs / total)::BIGINT AS ppm_of_join
+FROM j CROSS JOIN t
+ORDER BY pairs DESC, user_id ASC
+LIMIT 10
+"""
+
+
 def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary-growth (Heaps' law) curve: cumulative distinct token
     types vs cumulative token volume over the corpus in ingestion order
@@ -9010,16 +9153,18 @@ def build_registry() -> dict[str, tuple[QueryFn, str | None]]:
     verdict anywhere is r8 (the displaced entries + the 23-entry
     remainder listed in the r12 staging, which refills with the
     oldest r09 holders).
-    CORRECTNESS_r11 came back 50/50. ROUND12_PREFIX = the three r12
+    CORRECTNESS_r11 came back 50/50. ROUND12_PREFIX = the five r12
     additions (attribution_incremental / drift_incremental /
     histogram_incremental — the last ungraded streaming behavior
     classes: stream-stream join state/eviction and the complete-mode
-    stateful aggregations) + the r11 staging's 47 oldest holders (31
-    r08-aged, then r09 holders in ROUND9_PREFIX order); the three
-    additions displaced validation_check / datadiff_check /
-    dedup_exact into ROUND13_PREFIX_STAGED, which they lead (r9-aged),
-    followed by the remaining r09 holders and the oldest r10 holders.
-    After r12 the oldest verdict anywhere is r9.
+    stateful aggregations — plus k_anonymity_lattice and
+    join_skew_probe, the privacy-audit and join-planning diagnostics)
+    + the r11 staging's 45 oldest holders (31 r08-aged, then r09
+    holders in ROUND9_PREFIX order); the five additions displaced
+    keep_num_of_records / agg_max_pk / validation_check /
+    datadiff_check / dedup_exact into ROUND13_PREFIX_STAGED, which
+    they lead (r9-aged), followed by the remaining r09 holders and the
+    oldest r10 holders. After r12 the oldest verdict anywhere is r9.
     The full local gate (`scripts/compare_oracle.py`) runs ALL
     entries every round, and is order- AND dtype-faithful to the
     driver hash (round-7 rewrite after q12 shipped red twice; round-10
@@ -9261,6 +9406,9 @@ def build_registry() -> dict[str, tuple[QueryFn, str | None]]:
             # IS the batch entry's SQL — additive state makes them equal
             "drift_incremental": (q_drift_incremental, sql_drift_vs_reference()),
             "histogram_incremental": (q_histogram_incremental, SQL_LATENCY_HISTOGRAM),
+            # --- round 12: privacy audit + join-planning diagnostics ---
+            "k_anonymity_lattice": (q_k_anonymity_lattice, sql_k_anonymity_lattice()),
+            "join_skew_probe": (q_join_skew_probe, sql_join_skew_probe()),
         }
     )
     ordered = {name: reg.pop(name) for name in ROUND12_PREFIX}
@@ -9505,17 +9653,19 @@ ROUND11_PREFIX = [
 
 # ACTIVE round-12 window (wired into build_registry this round,
 # executing the rotation exactly as staged in r11 — the r11 verdict's
-# task 1 — plus the three r12 additions at the head, each displacing
+# task 1 — plus the five r12 additions at the head, each displacing
 # one r09 holder from the tail into ROUND13_PREFIX_STAGED per the
-# staging rule). Composition: 3 new + the 31 r08-verdict holders the
-# r11 window could not fit + 16 of the oldest r09 holders.
+# staging rule). Composition: 5 new + the 31 r08-verdict holders the
+# r11 window could not fit + 14 of the oldest r09 holders.
 ROUND12_PREFIX = [
     # new in round 12 (enter the current window immediately): the last
     # ungraded streaming behavior classes — the watermarked
     # stream-stream join with left-outer eviction, and the two
     # complete-mode stateful aggregations (drift term counts, the
-    # mergeable histogram) run as REAL streaming queries
+    # mergeable histogram) run as REAL streaming queries — plus the
+    # k-anonymity/l-diversity rollup audit and the pre-join skew probe
     "attribution_incremental", "drift_incremental", "histogram_incremental",
+    "k_anonymity_lattice", "join_skew_probe",
     # r08-verdict holders (oldest after r11 — lead the rotation; the
     # eight entries the r11 additions displaced from ROUND11's tail
     # first)
@@ -9531,29 +9681,30 @@ ROUND12_PREFIX = [
     "minhash_lsh_candidates", "dedup_survivors", "dedup_incremental",
     "lsh_calibration", "quality_threshold_sweep", "ann_recall_eval",
     "frame_sample",
-    # r09-verdict rotation (24 of 49, ROUND9_PREFIX order; the three
-    # r12 additions displaced validation_check / datadiff_check /
-    # dedup_exact into the r13 list, where they stay r9-aged and lead)
+    # r09-verdict rotation (22 of 49, ROUND9_PREFIX order; the five
+    # r12 additions displaced keep_num_of_records / agg_max_pk /
+    # validation_check / datadiff_check / dedup_exact into the r13
+    # list, where they stay r9-aged and lead)
     "ivfpq_ann_topk", "bpe_vocab_trained", "containment_near_dups",
     "novelty_scores", "vocab_growth", "pq_ann_topk",
     "repetition_signals", "hybrid_search_rrf", "contrastive_triplets",
     "embedding_outliers", "filter_anyofstring", "anonymize_supplier",
-    "anonymize_orders", "sanitize_null_bytes", "keep_num_of_records",
-    "agg_max_pk",
+    "anonymize_orders", "sanitize_null_bytes",
 ]
 
 
 # STAGED round-13 window (NOT wired — round 13 renames this to the
 # active prefix, updates build_registry's `ordered = ...` line and the
 # rotation ledger, and keeps tests/test_entry_contract.py in sync).
-# Composition: the 33 remaining r09-verdict holders lead (the oldest
-# verdicts once r12 is graded; ROUND9_PREFIX order, the three entries
+# Composition: the 35 remaining r09-verdict holders lead (the oldest
+# verdicts once r12 is graded; ROUND9_PREFIX order, the five entries
 # the r12 additions displaced first), then the oldest r10-verdict
 # holders (ROUND10_PREFIX order) fill to 50. Any NEW r13 entries enter
 # at the head, displacing r10 holders from the tail into the r14 list.
 ROUND13_PREFIX_STAGED = [
-    # r09-verdict holders (oldest after r12; the three r12-displaced
+    # r09-verdict holders (oldest after r12; the five r12-displaced
     # entries lead, then the rest in ROUND9_PREFIX order)
+    "keep_num_of_records", "agg_max_pk",
     "validation_check", "datadiff_check", "dedup_exact",
     "minhash_signatures", "simhash", "simhash_near_dups",
     "dedup_clusters", "ngram_jaccard_adjacent", "knn_bruteforce",
@@ -9564,11 +9715,10 @@ ROUND13_PREFIX_STAGED = [
     "unigram_nll", "chunk_dedup", "curation_pipeline",
     "corpus_report", "media_metadata", "multimodal_features",
     "text_stats", "text_langid", "text_fingerprint", "events_session",
-    # r10-verdict rotation (17 of 50, ROUND10_PREFIX order)
+    # r10-verdict rotation (15 of 50, ROUND10_PREFIX order)
     "pq_index_query", "novelty_incremental", "embedding_int8_quant",
     "ann_incremental", "media_incremental", "pq_residual_query",
     "pq_rerank_query", "bigram_nll", "zipf_fit", "hll_set_ops",
     "bigram_nll_oov", "semantic_decontam", "feature_hash_embed",
-    "filter_startswith", "filter_endswith", "filter_startsends",
-    "filter_equals",
+    "filter_startswith", "filter_endswith",
 ]

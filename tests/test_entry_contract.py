@@ -96,8 +96,9 @@ def test_registry_prefix_matches_rotation_plan():
     # eight r08-aged entries the r11 additions displaced — the oldest
     # verdicts after r11 — which must ALL be in the window (the
     # rotation's whole point: after r12 the oldest verdict is r9)
-    assert ROUND12_PREFIX[:3] == [
+    assert ROUND12_PREFIX[:5] == [
         "attribution_incremental", "drift_incremental", "histogram_incremental",
+        "k_anonymity_lattice", "join_skew_probe",
     ]
     r08_aged_displaced = {
         "skew_salted_stats", "doc_length_deciles", "value_percentiles",
@@ -108,11 +109,12 @@ def test_registry_prefix_matches_rotation_plan():
     # rotation, not repeat: no overlap with the r11 window
     assert not set(ROUND12_PREFIX) & set(ROUND11_PREFIX)
     # the staged r13 window is consistent: 50 entries, all in the
-    # registry, none overlapping the r12 window, led by the three
+    # registry, none overlapping the r12 window, led by the five
     # entries the r12 additions displaced (they stay r9-aged)
     assert len(ROUND13_PREFIX_STAGED) == 50
     assert set(ROUND13_PREFIX_STAGED) <= set(names)
     assert not set(ROUND13_PREFIX_STAGED) & set(ROUND12_PREFIX)
-    assert ROUND13_PREFIX_STAGED[:3] == [
+    assert ROUND13_PREFIX_STAGED[:5] == [
+        "keep_num_of_records", "agg_max_pk",
         "validation_check", "datadiff_check", "dedup_exact",
     ]

@@ -192,3 +192,80 @@ def test_drift_incremental_dirty_docs(spark):
         docs, "doc_id long, text string, lang string, source string, n_chars long"
     ).write.mode("overwrite").parquet(d + "/documents.parquet")
     assert _rows(q_drift_incremental(spark, d)) == _rows(q_drift_vs_reference(spark, d))
+
+
+def _write_customer(spark, rows, d):
+    spark.createDataFrame(
+        rows,
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string",
+    ).write.mode("overwrite").parquet(d + "/customer.parquet")
+
+
+def test_k_anonymity_lattice_levels_and_violations(spark):
+    """Meaning pin: 12 records in one (nation, segment) cell split
+    across two acctbal buckets (7+5) with K=10 — level 0 violates on
+    both buckets, level 1 is the minimal safe generalization; l counts
+    distinct exact balances."""
+    from rustic_witcher_spark.queries import q_k_anonymity_lattice
+
+    rows = [(i, "x", 1, 100.0 + (i % 2), "AUTO") for i in range(7)]           # bucket 0
+    rows += [(100 + i, "x", 1, 1100.0, "AUTO") for i in range(5)]             # bucket 1
+    d = tempfile.mkdtemp()
+    _write_customer(spark, rows, d)
+    out = {r["level"]: r for r in q_k_anonymity_lattice(spark, d).collect()}
+    assert out[0]["n_groups"] == 2
+    assert out[0]["violating_groups"] == 2
+    assert out[0]["records_at_risk"] == 12
+    assert out[0]["min_group_size"] == 5
+    assert out[1]["n_groups"] == 1
+    assert out[1]["violating_groups"] == 0          # 12 >= K: minimal safe level
+    assert out[1]["min_l_diversity"] == 3           # 100.0, 101.0, 1100.0
+    assert out[3]["n_groups"] == 1                  # grand total row
+
+
+def test_k_anonymity_null_key_group_is_not_a_subtotal(spark):
+    """The classic rollup-audit bug: a data-NULL nationkey group at
+    level 0 must stay a level-0 group (grouping() flags identify
+    levels), never collide with the level-2 subtotal over the same
+    records."""
+    from rustic_witcher_spark.queries import q_k_anonymity_lattice
+
+    rows = [(i, "x", None, 50.0, "AUTO") for i in range(3)]
+    rows += [(10 + i, "x", 2, 50.0, "AUTO") for i in range(4)]
+    d = tempfile.mkdtemp()
+    _write_customer(spark, rows, d)
+    out = {r["level"]: r for r in q_k_anonymity_lattice(spark, d).collect()}
+    # level 0: two real groups (NULL-nation x bucket, nation-2 x bucket)
+    assert out[0]["n_groups"] == 2
+    assert out[0]["min_group_size"] == 3
+    # level 2 (nation only): still two groups — NULL nation is real data
+    assert out[2]["n_groups"] == 2
+    # level 3: ONE grand-total row over all 7
+    assert out[3]["n_groups"] == 1 and out[3]["min_group_size"] == 7
+
+
+def test_join_skew_probe_counts_and_ppm(spark):
+    """Meaning pin: pairs = clicks x purchases per user, ppm by floor
+    division over the total, NULL users dropped, click-only and
+    purchase-only users emit nothing, ties break on user_id."""
+    from rustic_witcher_spark.queries import q_join_skew_probe
+
+    rows = []
+    eid = 0
+    def add(uid, typ, n):
+        nonlocal eid, rows
+        for _ in range(n):
+            rows.append((eid, T0, uid, typ, 1.0, None)); eid += 1
+    add(1, "click", 3); add(1, "purchase", 2)    # 6 pairs
+    add(2, "click", 2); add(2, "purchase", 1)    # 2 pairs
+    add(3, "click", 1); add(3, "purchase", 2)    # 2 pairs (tie with user 2)
+    add(4, "click", 5)                           # click-only: no row
+    add(None, "click", 2); add(None, "purchase", 2)  # NULL user: dropped
+    d = tempfile.mkdtemp()
+    _write_events(spark, rows, d)
+    got = [tuple(r) for r in q_join_skew_probe(spark, d).collect()]
+    assert got == [
+        (1, 3, 2, 6, 600000),
+        (2, 2, 1, 2, 200000),
+        (3, 1, 2, 2, 200000),
+    ]
