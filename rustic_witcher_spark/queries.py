@@ -7861,6 +7861,244 @@ LIMIT 10
 """
 
 
+BASKET_MIN_PAIR = 2  # a-priori floor: a pair seen once is noise, not a rule
+BASKET_TOP_K = 30
+
+
+def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order baskets: for brand
+    pairs bought together (basket = order, item = part brand), emit
+    both directed rules antecedent→consequent with exact-integer
+    support / confidence / lift in parts-per-million, top-30 by lift —
+    the co-purchase affinity query behind "customers who buy X also
+    buy Y" and behind source-mixing decisions in a curation pipeline
+    (which data sources co-occur in the same crawl snapshot).
+
+    Shape, and why it survives 100 TB: items roll up to the BRAND
+    alphabet (bounded, ~25 values), so each basket's brand set is a
+    bounded array — collect_set builds them in ONE map-combinable
+    shuffle (no sorted self-join on the fact table; the classic
+    basket self-join costs two sorted O(rows) shuffles, this costs
+    one unsorted), and pair generation is a pure projection over the
+    set (≤ C(|alphabet|, 2) pairs per basket). The pair/item count
+    tables are alphabet-sized; the brand lookup is a dimension join
+    Catalyst broadcasts; the rule finalization joins two tiny
+    broadcast count tables plus one broadcast scalar (basket total).
+    All ratios are floor(1e6·x) integer ppm — no cross-engine
+    float-sum trap. Ordering is total (lift, confidence, antecedent,
+    consequent), so top-30 is deterministic. The a-priori floor
+    (pair count ≥ 2) prunes the singleton-pair tail before the rule
+    join — at scale that floor is what keeps the candidate set
+    alphabet-shaped even when the alphabet grows."""
+    li = _read(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pt = _read(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    # per-basket distinct brand sets: collect_set dedups AND drops NULL
+    # brands; a basket whose only brands are NULL keeps its (empty-set)
+    # row, so the basket total matches count(DISTINCT basket) exactly
+    sets = (
+        li.join(pt, li["l_partkey"] == pt["p_partkey"])
+        .groupBy(F.col("l_orderkey").alias("basket"))
+        .agg(F.collect_set("p_brand").alias("items"))
+    )
+    item_counts = (
+        sets.select(F.explode("items").alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("n_item"))
+    )
+    pairs = (
+        sets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(items, x ->"
+                    " transform(filter(items, y -> y > x), y ->"
+                    " struct(x AS item_a, y AS item_b))))"
+                )
+            ).alias("pr")
+        )
+        .groupBy("pr.item_a", "pr.item_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= BASKET_MIN_PAIR)
+    )
+    # both directed rules from ONE pass over the pair counts: a union
+    # of two selects re-executes the whole pair pipeline per branch —
+    # the explode emits both directions as a projection, so the
+    # expensive subplan runs once
+    rules = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("item_a").alias("antecedent"),
+                    F.col("item_b").alias("consequent"),
+                    F.col("n_ab"),
+                ),
+                F.struct(
+                    F.col("item_b").alias("antecedent"),
+                    F.col("item_a").alias("consequent"),
+                    F.col("n_ab"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.antecedent", "r.consequent", "r.n_ab")
+    total = sets.agg(F.count(F.lit(1)).alias("__n_baskets"))
+    return (
+        rules.join(
+            F.broadcast(item_counts.select(F.col("item").alias("antecedent"), F.col("n_item").alias("n_ant"))),
+            "antecedent",
+        )
+        .join(
+            F.broadcast(item_counts.select(F.col("item").alias("consequent"), F.col("n_item").alias("n_con"))),
+            "consequent",
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "antecedent",
+            "consequent",
+            "n_ab",
+            "n_ant",
+            "n_con",
+            F.floor(F.lit(1_000_000) * F.col("n_ab") / F.col("__n_baskets")).alias("support_ppm"),
+            F.floor(F.lit(1_000_000) * F.col("n_ab") / F.col("n_ant")).alias("confidence_ppm"),
+            F.floor(
+                F.lit(1_000_000) * F.col("n_ab") * F.col("__n_baskets")
+                / (F.col("n_ant") * F.col("n_con"))
+            ).alias("lift_ppm"),
+        )
+        .orderBy(
+            F.desc("lift_ppm"), F.desc("confidence_ppm"), F.asc("antecedent"), F.asc("consequent")
+        )
+        .limit(BASKET_TOP_K)
+    )
+
+
+def sql_basket_rules() -> str:
+    """Twin: identical basket → pair-count → directed-rule pipeline;
+    BIGINT casts on every count and floor() ppm keep dtypes and
+    rounding engine-identical."""
+    return f"""
+WITH b AS (
+  SELECT DISTINCT l_orderkey AS basket, p_brand AS item
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+ic AS (SELECT item, count(*)::BIGINT AS n_item FROM b GROUP BY item),
+pr AS (
+  SELECT x.item AS item_a, y.item AS item_b, count(*)::BIGINT AS n_ab
+  FROM b x JOIN b y ON x.basket = y.basket AND x.item < y.item
+  GROUP BY x.item, y.item
+  HAVING count(*) >= {BASKET_MIN_PAIR}
+),
+r AS (
+  SELECT item_a AS antecedent, item_b AS consequent, n_ab FROM pr
+  UNION ALL
+  SELECT item_b AS antecedent, item_a AS consequent, n_ab FROM pr
+),
+t AS (SELECT count(DISTINCT basket)::BIGINT AS n_baskets FROM b)
+SELECT antecedent, consequent, n_ab,
+       a.n_item AS n_ant, c.n_item AS n_con,
+       floor(1000000 * n_ab / n_baskets)::BIGINT AS support_ppm,
+       floor(1000000 * n_ab / a.n_item)::BIGINT AS confidence_ppm,
+       floor(1000000 * n_ab * n_baskets / (a.n_item * c.n_item))::BIGINT AS lift_ppm
+FROM r
+JOIN ic a ON r.antecedent = a.item
+JOIN ic c ON r.consequent = c.item
+CROSS JOIN t
+ORDER BY lift_ppm DESC, confidence_ppm DESC, antecedent ASC, consequent ASC
+LIMIT {BASKET_TOP_K}
+"""
+
+
+# Candidate functional dependencies the audit checks: (id, table,
+# determinant SQL expr, dependent SQL expr). Mix of FDs that HOLD in
+# the synthetic tables by construction (c_name is unique so it
+# determines everything; a primary key trivially does) and
+# plausible-but-false ones — the audit must prove both directions,
+# not just confirm priors.
+FD_CANDIDATES: list[tuple[str, str, str, str]] = [
+    ("customer.c_name->c_nationkey", "customer", "c_name", "c_nationkey"),
+    ("customer.c_nationkey->c_mktsegment", "customer", "c_nationkey", "c_mktsegment"),
+    ("documents.lang->source", "documents", "lang", "source"),
+    ("orders.o_custkey->o_orderpriority", "orders", "o_custkey", "o_orderpriority"),
+    ("part.p_brand->p_type", "part", "p_brand", "p_type"),
+    ("part.p_partkey->p_brand", "part", "p_partkey", "p_brand"),
+]
+
+
+def q_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit — the schema-inference /
+    data-quality profiling pass that answers "does column A determine
+    column B?" for a candidate list, with exact violation counts: per
+    candidate FD, the number of distinct determinant values, how many
+    of them map to >1 distinct dependent value, the worst fan-out, a
+    ppm violation rate, and a 0/1 holds flag. On the synthetic tables
+    it must both CONFIRM the constructed dependencies (the unique
+    c_name determines nationkey; a primary key determines any column)
+    and REFUTE the plausible-but-false ones (brand does not fix type;
+    a customer does not keep one order priority).
+
+    Each candidate is one map-combinable two-phase aggregate:
+    groupBy(determinant) → countDistinct(dependent) (partial aggs
+    combine map-side), then a finalize over the |distinct determinant|
+    row result — determinant-cardinality-sized, not data-sized. The
+    scan for each FD reads exactly its two columns (column-pruned
+    parquet). NULL dependents are ignored by countDistinct on both
+    engines; NULL determinants group as their own key on both. At 100
+    TB you'd batch the candidates per table so one scan feeds all that
+    table's FDs — here each candidate stays a separate tiny job so the
+    per-FD plan is the one Catalyst prunes best; the union glues six
+    single-row aggregates."""
+    per_fd = []
+    for fd_id, table, det, dep in FD_CANDIDATES:
+        g = (
+            _read(spark, sf_dir, table)
+            .select(F.expr(det).alias("k"), F.expr(dep).alias("v"))
+            .groupBy("k")
+            .agg(F.countDistinct("v").alias("nd"))
+        )
+        per_fd.append(
+            g.agg(
+                F.lit(fd_id).alias("fd"),
+                F.count(F.lit(1)).alias("n_keys"),
+                F.coalesce(
+                    F.sum(F.when(F.col("nd") > 1, 1).otherwise(0)), F.lit(0)
+                ).cast("long").alias("violating_keys"),
+                F.max("nd").alias("max_dependents"),
+            )
+        )
+    out = per_fd[0]
+    for df in per_fd[1:]:
+        out = out.unionByName(df)
+    return out.select(
+        "fd",
+        "n_keys",
+        "violating_keys",
+        "max_dependents",
+        F.when(
+            F.col("n_keys") > 0,
+            F.floor(F.lit(1_000_000) * F.col("violating_keys") / F.col("n_keys")),
+        ).alias("violation_ppm"),
+        F.when(F.col("violating_keys") == 0, 1).otherwise(0).cast("long").alias("holds"),
+    ).orderBy("fd")
+
+
+def sql_fd_audit() -> str:
+    """Twin: one grouped-countDistinct + finalize block per candidate,
+    UNION ALL'd; CASE-guarded ppm so an empty table NULLs the rate on
+    both engines instead of dividing by zero."""
+    blocks = []
+    for fd_id, table, det, dep in FD_CANDIDATES:
+        blocks.append(
+            f"""
+SELECT '{fd_id}' AS fd, count(*)::BIGINT AS n_keys,
+       coalesce(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END), 0)::BIGINT AS violating_keys,
+       max(nd) AS max_dependents,
+       CASE WHEN count(*) > 0
+            THEN floor(1000000 * coalesce(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END), 0) / count(*))::BIGINT
+       END AS violation_ppm,
+       (CASE WHEN coalesce(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END), 0) = 0 THEN 1 ELSE 0 END)::BIGINT AS holds
+FROM (SELECT {det} AS k, count(DISTINCT {dep})::BIGINT AS nd FROM {table} GROUP BY 1)"""
+        )
+    return "SELECT * FROM (" + "\nUNION ALL\n".join(blocks) + "\n) ORDER BY fd"
+
+
 def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary-growth (Heaps' law) curve: cumulative distinct token
     types vs cumulative token volume over the corpus in ingestion order
@@ -9153,18 +9391,21 @@ def build_registry() -> dict[str, tuple[QueryFn, str | None]]:
     verdict anywhere is r8 (the displaced entries + the 23-entry
     remainder listed in the r12 staging, which refills with the
     oldest r09 holders).
-    CORRECTNESS_r11 came back 50/50. ROUND12_PREFIX = the five r12
+    CORRECTNESS_r11 came back 50/50. ROUND12_PREFIX = the seven r12
     additions (attribution_incremental / drift_incremental /
     histogram_incremental — the last ungraded streaming behavior
     classes: stream-stream join state/eviction and the complete-mode
-    stateful aggregations — plus k_anonymity_lattice and
-    join_skew_probe, the privacy-audit and join-planning diagnostics)
-    + the r11 staging's 45 oldest holders (31 r08-aged, then r09
-    holders in ROUND9_PREFIX order); the five additions displaced
-    keep_num_of_records / agg_max_pk / validation_check /
-    datadiff_check / dedup_exact into ROUND13_PREFIX_STAGED, which
-    they lead (r9-aged), followed by the remaining r09 holders and the
-    oldest r10 holders. After r12 the oldest verdict anywhere is r9.
+    stateful aggregations — plus k_anonymity_lattice /
+    join_skew_probe, the privacy-audit and join-planning diagnostics,
+    and basket_rules / fd_audit, the co-purchase-affinity and
+    FD-discovery profiling ops) + the r11 staging's 43 oldest holders
+    (31 r08-aged, then r09 holders in ROUND9_PREFIX order); the seven
+    additions displaced keep_num_of_records / agg_max_pk /
+    validation_check / datadiff_check / dedup_exact /
+    anonymize_orders / sanitize_null_bytes into ROUND13_PREFIX_STAGED,
+    which they lead (r9-aged), followed by the remaining r09 holders
+    and the oldest r10 holders. After r12 the oldest verdict anywhere
+    is r9.
     The full local gate (`scripts/compare_oracle.py`) runs ALL
     entries every round, and is order- AND dtype-faithful to the
     driver hash (round-7 rewrite after q12 shipped red twice; round-10
@@ -9409,6 +9650,9 @@ def build_registry() -> dict[str, tuple[QueryFn, str | None]]:
             # --- round 12: privacy audit + join-planning diagnostics ---
             "k_anonymity_lattice": (q_k_anonymity_lattice, sql_k_anonymity_lattice()),
             "join_skew_probe": (q_join_skew_probe, sql_join_skew_probe()),
+            # --- round 12: co-purchase affinity + FD discovery audit ---
+            "basket_rules": (q_basket_rules, sql_basket_rules()),
+            "fd_audit": (q_fd_audit, sql_fd_audit()),
         }
     )
     ordered = {name: reg.pop(name) for name in ROUND12_PREFIX}
@@ -9666,6 +9910,7 @@ ROUND12_PREFIX = [
     # k-anonymity/l-diversity rollup audit and the pre-join skew probe
     "attribution_incremental", "drift_incremental", "histogram_incremental",
     "k_anonymity_lattice", "join_skew_probe",
+    "basket_rules", "fd_audit",
     # r08-verdict holders (oldest after r11 — lead the rotation; the
     # eight entries the r11 additions displaced from ROUND11's tail
     # first)
@@ -9681,15 +9926,15 @@ ROUND12_PREFIX = [
     "minhash_lsh_candidates", "dedup_survivors", "dedup_incremental",
     "lsh_calibration", "quality_threshold_sweep", "ann_recall_eval",
     "frame_sample",
-    # r09-verdict rotation (22 of 49, ROUND9_PREFIX order; the five
+    # r09-verdict rotation (20 of 49, ROUND9_PREFIX order; the seven
     # r12 additions displaced keep_num_of_records / agg_max_pk /
-    # validation_check / datadiff_check / dedup_exact into the r13
-    # list, where they stay r9-aged and lead)
+    # validation_check / datadiff_check / dedup_exact /
+    # anonymize_orders / sanitize_null_bytes into the r13 list, where
+    # they stay r9-aged and lead)
     "ivfpq_ann_topk", "bpe_vocab_trained", "containment_near_dups",
     "novelty_scores", "vocab_growth", "pq_ann_topk",
     "repetition_signals", "hybrid_search_rrf", "contrastive_triplets",
     "embedding_outliers", "filter_anyofstring", "anonymize_supplier",
-    "anonymize_orders", "sanitize_null_bytes",
 ]
 
 
@@ -9702,10 +9947,11 @@ ROUND12_PREFIX = [
 # holders (ROUND10_PREFIX order) fill to 50. Any NEW r13 entries enter
 # at the head, displacing r10 holders from the tail into the r14 list.
 ROUND13_PREFIX_STAGED = [
-    # r09-verdict holders (oldest after r12; the five r12-displaced
+    # r09-verdict holders (oldest after r12; the seven r12-displaced
     # entries lead, then the rest in ROUND9_PREFIX order)
     "keep_num_of_records", "agg_max_pk",
     "validation_check", "datadiff_check", "dedup_exact",
+    "anonymize_orders", "sanitize_null_bytes",
     "minhash_signatures", "simhash", "simhash_near_dups",
     "dedup_clusters", "ngram_jaccard_adjacent", "knn_bruteforce",
     "knn_lsh", "knn_ivf", "embedding_near_dups", "embedding_project",
@@ -9715,10 +9961,10 @@ ROUND13_PREFIX_STAGED = [
     "unigram_nll", "chunk_dedup", "curation_pipeline",
     "corpus_report", "media_metadata", "multimodal_features",
     "text_stats", "text_langid", "text_fingerprint", "events_session",
-    # r10-verdict rotation (15 of 50, ROUND10_PREFIX order)
+    # r10-verdict rotation (13 of 50, ROUND10_PREFIX order;
+    # filter_startswith / filter_endswith slip to the r14 fill)
     "pq_index_query", "novelty_incremental", "embedding_int8_quant",
     "ann_incremental", "media_incremental", "pq_residual_query",
     "pq_rerank_query", "bigram_nll", "zipf_fit", "hll_set_ops",
     "bigram_nll_oov", "semantic_decontam", "feature_hash_embed",
-    "filter_startswith", "filter_endswith",
 ]

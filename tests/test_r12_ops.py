@@ -269,3 +269,186 @@ def test_join_skew_probe_counts_and_ppm(spark):
         (2, 2, 1, 2, 200000),
         (3, 1, 2, 2, 200000),
     ]
+
+
+# --- round-12 second batch: basket_rules + fd_audit -------------------
+
+
+def _write_tbl(spark, rows, schema, d, name):
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+        d + f"/{name}.parquet"
+    )
+
+
+def test_basket_rules_support_confidence_lift(spark):
+    """Meaning pin on hand-built baskets: {A,B}x3, {A,C}x1, {B}x1 over
+    5 baskets. Pair (A,C) has count 1 and falls to the a-priori floor;
+    (A,B) yields BOTH directed rules with exact integer ppm:
+    support floor(1e6*3/5), confidence floor(1e6*3/4) each way (n_A =
+    n_B = 4), lift floor(1e6*3*5/16). Duplicate (order, part) lines
+    collapse (basket = distinct brands); a lineitem whose part is
+    missing from the dimension drops via the inner join."""
+    from rustic_witcher_spark.queries import q_basket_rules
+
+    li = []
+    for o, parts in ((1, [1, 2]), (2, [1, 2]), (3, [1, 3]), (4, [2]), (5, [1, 2])):
+        li += [(o, p) for p in parts]
+    li.append((1, 1))    # duplicate line: same order, same part
+    li.append((3, 99))   # dangling partkey: no dimension row
+    pt = [(1, "Brand#A"), (2, "Brand#B"), (3, "Brand#C")]
+    d = tempfile.mkdtemp()
+    _write_tbl(spark, li, "l_orderkey long, l_partkey long", d, "lineitem")
+    _write_tbl(spark, pt, "p_partkey long, p_brand string", d, "part")
+    got = [tuple(r) for r in q_basket_rules(spark, d).collect()]
+    assert got == [
+        ("Brand#A", "Brand#B", 3, 4, 4, 600000, 750000, 937500),
+        ("Brand#B", "Brand#A", 3, 4, 4, 600000, 750000, 937500),
+    ]
+
+
+def test_basket_rules_empty_and_no_pairs(spark):
+    """No basket holds two brands twice -> every pair is under the
+    a-priori floor -> zero rules (not an error); empty lineitem -> zero
+    rules."""
+    from rustic_witcher_spark.queries import q_basket_rules
+
+    d = tempfile.mkdtemp()
+    _write_tbl(spark, [(1, 1), (2, 2)], "l_orderkey long, l_partkey long", d, "lineitem")
+    _write_tbl(spark, [(1, "Brand#A"), (2, "Brand#B")], "p_partkey long, p_brand string", d, "part")
+    assert q_basket_rules(spark, d).count() == 0
+    _write_tbl(spark, [], "l_orderkey long, l_partkey long", d, "lineitem")
+    assert q_basket_rules(spark, d).count() == 0
+
+
+def test_fd_audit_confirms_and_refutes(spark):
+    """Meaning pin: per candidate FD, exact key counts / violating
+    keys / worst fan-out / holds flag on a hand-built mini-warehouse.
+    NULL dependents are invisible to countDistinct (a key mapping only
+    to NULL is NOT a violation); a NULL determinant groups as its own
+    key on both engines."""
+    from rustic_witcher_spark.queries import q_fd_audit
+
+    d = tempfile.mkdtemp()
+    _write_tbl(
+        spark,
+        [(1, "n1", 10, 0.0, "SEG1"), (2, "n2", 10, 0.0, "SEG2"), (3, "n2", 11, 0.0, "SEG1"),
+         (4, None, 12, 0.0, "SEG1")],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string",
+        d, "customer",
+    )
+    _write_tbl(
+        spark,
+        [(1, "en", "s1"), (2, "en", "s1"), (3, "fr", "s2"), (4, "de", None)],
+        "doc_id long, lang string, source string",
+        d, "documents",
+    )
+    _write_tbl(
+        spark,
+        [(1, 1, "HIGH"), (2, 1, "LOW"), (3, 2, "HIGH")],
+        "o_orderkey long, o_custkey long, o_orderpriority string",
+        d, "orders",
+    )
+    _write_tbl(
+        spark,
+        [(1, "Brand#A", "t1"), (2, "Brand#A", "t2"), (3, "Brand#B", "t1")],
+        "p_partkey long, p_brand string, p_type string",
+        d, "part",
+    )
+    got = {r["fd"]: r for r in q_fd_audit(spark, d).collect()}
+    # c_name -> c_nationkey: keys {n1, n2, NULL}; n2 maps to {10, 11}
+    r = got["customer.c_name->c_nationkey"]
+    assert (r["n_keys"], r["violating_keys"], r["max_dependents"], r["holds"]) == (3, 1, 2, 0)
+    assert r["violation_ppm"] == 333333
+    # c_nationkey -> c_mktsegment: 10 -> {SEG1, SEG2} violates; 11, 12 hold
+    r = got["customer.c_nationkey->c_mktsegment"]
+    assert (r["n_keys"], r["violating_keys"], r["holds"]) == (3, 1, 0)
+    # lang -> source HOLDS: en -> {s1}, fr -> {s2}, de -> only NULL (nd = 0)
+    r = got["documents.lang->source"]
+    assert (r["n_keys"], r["violating_keys"], r["max_dependents"], r["holds"]) == (3, 0, 1, 1)
+    assert r["violation_ppm"] == 0
+    # o_custkey -> o_orderpriority: cust 1 -> {HIGH, LOW}
+    r = got["orders.o_custkey->o_orderpriority"]
+    assert (r["n_keys"], r["violating_keys"], r["holds"]) == (2, 1, 0)
+    # p_brand -> p_type violated; p_partkey -> p_brand holds (key FD)
+    assert got["part.p_brand->p_type"]["holds"] == 0
+    r = got["part.p_partkey->p_brand"]
+    assert (r["n_keys"], r["violating_keys"], r["holds"]) == (3, 0, 1)
+
+
+def test_fd_audit_empty_tables(spark):
+    """Empty inputs: every FD reports n_keys 0, ppm NULL (no division
+    by zero on either engine), holds 1 (vacuous truth)."""
+    from rustic_witcher_spark.queries import q_fd_audit
+
+    d = tempfile.mkdtemp()
+    _write_tbl(spark, [], "c_custkey long, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string", d, "customer")
+    _write_tbl(spark, [], "doc_id long, lang string, source string", d, "documents")
+    _write_tbl(spark, [], "o_orderkey long, o_custkey long, o_orderpriority string", d, "orders")
+    _write_tbl(spark, [], "p_partkey long, p_brand string, p_type string", d, "part")
+    rows = q_fd_audit(spark, d).collect()
+    assert len(rows) == 6
+    for r in rows:
+        assert (r["n_keys"], r["violating_keys"], r["holds"]) == (0, 0, 1)
+        assert r["violation_ppm"] is None and r["max_dependents"] is None
+
+
+@settings(**SETTINGS)
+@given(data=st.data())
+def test_basket_and_fd_oracle_parity_on_dirty_warehouse(spark, tmp_path_factory, data):
+    """Dirty-warehouse fuzz: random tiny lineitem/part/customer/orders/
+    documents tables with NULL keys, NULL values, dangling FKs and
+    duplicate lines — both new entries must match their DuckDB twins
+    exactly (the same gate the driver runs)."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+
+    d = tmp_path_factory.mktemp("fddirty")
+    n_li = data.draw(st.integers(3, 25))
+    li = [
+        (
+            data.draw(st.integers(1, 6)),
+            None if data.draw(st.integers(0, 9)) == 0 else data.draw(st.integers(1, 8)),
+        )
+        for _ in range(n_li)
+    ]
+    pt = [
+        (k, data.draw(st.sampled_from(["Brand#A", "Brand#B", "Brand#C", None])),
+         data.draw(st.sampled_from(["t1", "t2", None])))
+        for k in range(1, data.draw(st.integers(2, 7)))
+    ]
+    cust = [
+        (i, data.draw(st.sampled_from(["n1", "n2", None])),
+         data.draw(st.sampled_from([10, 11, None])),
+         0.0, data.draw(st.sampled_from(["SEG1", "SEG2", None])))
+        for i in range(data.draw(st.integers(1, 8)))
+    ]
+    docs = [
+        (i, data.draw(st.sampled_from(["en", "fr", None])),
+         data.draw(st.sampled_from(["s1", "s2", None])))
+        for i in range(data.draw(st.integers(1, 8)))
+    ]
+    orders = [
+        (i, data.draw(st.sampled_from([1, 2, None])),
+         data.draw(st.sampled_from(["HIGH", "LOW", None])))
+        for i in range(data.draw(st.integers(1, 8)))
+    ]
+    _write_tbl(spark, li, "l_orderkey long, l_partkey long", str(d), "lineitem")
+    _write_tbl(spark, pt, "p_partkey long, p_brand string, p_type string", str(d), "part")
+    _write_tbl(spark, cust, "c_custkey long, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string", str(d), "customer")
+    _write_tbl(spark, docs, "doc_id long, lang string, source string", str(d), "documents")
+    _write_tbl(spark, orders, "o_orderkey long, o_custkey long, o_orderpriority string", str(d), "orders")
+
+    con = duckdb.connect()
+    for t in ("lineitem", "part", "customer", "documents", "orders"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet/*.parquet')"
+        )
+    qs, osqls = entrymod.queries(), entrymod.oracle_sql()
+    for name in ("basket_rules", "fd_audit"):
+        g = qs[name](spark, str(d)).toPandas()
+        w = con.execute(osqls[name]).fetchdf()
+        cols = sorted(g.columns)
+        gs = sorted(map(tuple, g[cols].astype(str).values.tolist()))
+        ws = sorted(map(tuple, w[cols].astype(str).values.tolist()))
+        assert gs == ws, (name, len(gs), len(ws), gs[:5], ws[:5])
