@@ -5536,12 +5536,27 @@ def q_lineitem_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame — melting the fact table first would triple the shuffle
     for identical results. Long format is what metric stores and
     plotting layers ingest, so this wide-agg-then-melt shape is the
-    standard reporting tail."""
+    standard reporting tail.
+
+    Averages sum in exact integer cents, not doubles: round(avg(x), 4)
+    on a double column is order-SENSITIVE — Spark's partitioned
+    partial sums and DuckDB's sequential sum land on different last
+    bits, and when the true mean sits on a .xxxx5 boundary the two
+    engines round apart (the r12 dirty-warehouse fuzz caught exactly
+    that: 5028.3712 vs 5028.3713). All three measures carry ≤2
+    decimals, so sum(round(x*100)::long) is exact and
+    summation-order-invariant; one division then hands BOTH engines
+    the bit-identical double to round."""
     l = _read(spark, sf_dir, "lineitem")
+
+    def cents_avg(col: str):
+        cents = F.sum(F.round(F.col(col) * 100).cast("long"))
+        return F.round(cents / (F.lit(100.0) * F.count(col)), 4)
+
     wide = l.groupBy("l_returnflag").agg(
-        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        cents_avg("l_quantity").alias("avg_qty"),
+        cents_avg("l_extendedprice").alias("avg_price"),
+        cents_avg("l_discount").alias("avg_disc"),
     )
     return (
         wide.unpivot(["l_returnflag"], ["avg_qty", "avg_price", "avg_disc"], "metric", "value")
@@ -5552,9 +5567,9 @@ def q_lineitem_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_LINEITEM_UNPIVOT = """
 WITH wide AS (
   SELECT l_returnflag,
-         round(avg(l_quantity), 4) AS avg_qty,
-         round(avg(l_extendedprice), 4) AS avg_price,
-         round(avg(l_discount), 4) AS avg_disc
+         round(sum(CAST(round(l_quantity * 100) AS BIGINT)) / (100.0 * count(l_quantity)), 4) AS avg_qty,
+         round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / (100.0 * count(l_extendedprice)), 4) AS avg_price,
+         round(sum(CAST(round(l_discount * 100) AS BIGINT)) / (100.0 * count(l_discount)), 4) AS avg_disc
   FROM lineitem GROUP BY 1
 )
 SELECT l_returnflag, metric, value
