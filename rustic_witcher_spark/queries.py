@@ -2807,9 +2807,22 @@ def q_skew_salted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-broadcastable right side the identical plan shuffles on
     (event_type, salt) — 16-way spread of each hot key instead of one
     straggler partition. Results are salt-invariant by construction,
-    which is exactly what the plain-join oracle verifies."""
+    which is exactly what the plain-join oracle verifies.
+
+    type_avg sums exact integer cents (values carry ≤2 decimals), not
+    doubles: avg(double) is summation-order-sensitive, and here the
+    average is a FILTER THRESHOLD — a last-bit divergence between
+    Spark's partitioned partials and DuckDB's sequential sum would
+    flip row membership, not just a rounded digit (the same class the
+    r12 fuzz caught in lineitem_unpivot). Exact sum + one division
+    gives both engines the bit-identical threshold."""
     ev = read_events(spark, sf_dir).select("event_type", "value")
-    dim = ev.groupBy("event_type").agg(F.round(F.avg("value"), 6).alias("type_avg"))
+    dim = ev.groupBy("event_type").agg(
+        (
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            / (F.lit(100.0) * F.count("value"))
+        ).alias("type_avg")
+    )
     j = skew.salted_join(ev, dim, on=["event_type"], n_salts=16)
     return (
         j.filter(F.col("value") > F.col("type_avg"))
@@ -2822,7 +2835,9 @@ def q_skew_salted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_SKEW_SALTED = """
-WITH dim AS (SELECT event_type, round(avg(value), 6) AS type_avg FROM events GROUP BY 1)
+WITH dim AS (SELECT event_type,
+             sum(CAST(round(value * 100) AS BIGINT)) / (100.0 * count(value)) AS type_avg
+             FROM events GROUP BY 1)
 SELECT event_type, count(*) AS n_above, round(sum(value), 4) AS sum_above
 FROM events JOIN dim USING (event_type)
 WHERE value > type_avg
