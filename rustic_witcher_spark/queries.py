@@ -8129,6 +8129,207 @@ FROM (SELECT {det} AS k, count(DISTINCT {dep})::BIGINT AS nd FROM {table} GROUP 
     return "SELECT * FROM (" + "\nUNION ALL\n".join(blocks) + "\n) ORDER BY fd"
 
 
+AB_T_CRIT = 1.96  # two-sided 5% normal critical value
+
+
+def q_ab_test_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-metric A/B experiment readout — Welch's t-test over a
+    deterministic hash split: users are assigned by parity (variant A
+    = even user_id), and for each event_type the entry reports both
+    arms' sizes and means, the Welch t statistic, and a 0/1
+    significance flag at the two-sided 5% level.
+
+    Cross-engine exactness is the design center (the class the r12
+    fuzz exposed): every aggregate is an EXACT integer sum — counts,
+    cent sums, squared-cent sums — so the shuffled partial aggregation
+    is order-invariant, and all floating-point arithmetic happens
+    AFTER aggregation on bit-identical operands with the expression
+    tree mirrored token-for-token in the DuckDB twin. One
+    map-combinable shuffle keyed by event_type computes all six sums
+    (conditional aggregation, not a pivot join); the finalize runs on
+    |event types| rows. Degenerate arms guard to NULL: a variant with
+    n ≤ 1 has no sample variance, a zero standard error has no t, and
+    the significance flag stays NULL when t is undefined."""
+    ev = (
+        read_events(spark, sf_dir)
+        .filter(
+            F.col("user_id").isNotNull()
+            & F.col("value").isNotNull()
+            & F.col("event_type").isNotNull()
+        )
+        .select(
+            "event_type",
+            (F.abs(F.col("user_id")) % 2).alias("variant"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    g = ev.groupBy("event_type").agg(
+        *[
+            F.sum(F.when(F.col("variant") == v, expr).otherwise(F.lit(0)))
+            .cast("long")
+            .alias(f"{name}_{arm}")
+            for v, arm in ((0, "a"), (1, "b"))
+            for name, expr in (
+                ("n", F.lit(1)),
+                ("sc", F.col("cents")),
+                ("sq", F.col("cents") * F.col("cents")),
+            )
+        ]
+    )
+    mean = {a: F.col(f"sc_{a}") / (F.lit(100.0) * F.col(f"n_{a}")) for a in "ab"}
+    var = {
+        a: (
+            F.col(f"sq_{a}") / F.lit(10000.0)
+            - (F.col(f"sc_{a}") / F.lit(100.0)) * (F.col(f"sc_{a}") / F.lit(100.0)) / F.col(f"n_{a}")
+        )
+        / (F.col(f"n_{a}") - F.lit(1))
+        for a in "ab"
+    }
+    se2 = (
+        F.when(F.col("n_a") > 1, var["a"]).otherwise(F.lit(None)) / F.col("n_a")
+        + F.when(F.col("n_b") > 1, var["b"]).otherwise(F.lit(None)) / F.col("n_b")
+    )
+    t = F.when(se2 > 0, (mean["a"] - mean["b"]) / F.sqrt(se2))
+    return g.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.when(F.col("n_a") > 0, F.round(mean["a"], 6)).alias("mean_a"),
+        F.when(F.col("n_b") > 0, F.round(mean["b"], 6)).alias("mean_b"),
+        F.round(t, 4).alias("t_stat"),
+        F.when(F.abs(t) > AB_T_CRIT, 1).when(t.isNotNull(), 0).cast("long").alias("significant"),
+    ).orderBy("event_type")
+
+
+def sql_ab_test_summary() -> str:
+    """Twin: identical exact-integer sums and a token-for-token mirror
+    of the floating-point finalize, so both engines round the
+    bit-identical doubles."""
+    arms = {
+        a: dict(
+            n=f"n_{a}",
+            mean=f"(sc_{a} / (100.0 * n_{a}))",
+            var=f"((sq_{a} / 10000.0 - (sc_{a} / 100.0) * (sc_{a} / 100.0) / n_{a}) / (n_{a} - 1))",
+        )
+        for a in "ab"
+    }
+    se2 = (
+        f"((CASE WHEN n_a > 1 THEN {arms['a']['var']} END) / n_a"
+        f" + (CASE WHEN n_b > 1 THEN {arms['b']['var']} END) / n_b)"
+    )
+    t = f"(CASE WHEN {se2} > 0 THEN ({arms['a']['mean']} - {arms['b']['mean']}) / sqrt({se2}) END)"
+    return f"""
+WITH g AS (
+  SELECT event_type,
+         sum(CASE WHEN abs(user_id) % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+         sum(CASE WHEN abs(user_id) % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b,
+         sum(CASE WHEN abs(user_id) % 2 = 0 THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)::BIGINT AS sc_a,
+         sum(CASE WHEN abs(user_id) % 2 = 1 THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)::BIGINT AS sc_b,
+         sum(CASE WHEN abs(user_id) % 2 = 0 THEN CAST(round(value * 100) AS BIGINT) * CAST(round(value * 100) AS BIGINT) ELSE 0 END)::BIGINT AS sq_a,
+         sum(CASE WHEN abs(user_id) % 2 = 1 THEN CAST(round(value * 100) AS BIGINT) * CAST(round(value * 100) AS BIGINT) ELSE 0 END)::BIGINT AS sq_b
+  FROM events
+  WHERE user_id IS NOT NULL AND value IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY event_type
+)
+SELECT event_type, n_a, n_b,
+       CASE WHEN n_a > 0 THEN round({arms['a']['mean']}, 6) END AS mean_a,
+       CASE WHEN n_b > 0 THEN round({arms['b']['mean']}, 6) END AS mean_b,
+       round({t}, 4) AS t_stat,
+       (CASE WHEN abs({t}) > {AB_T_CRIT} THEN 1
+             WHEN {t} IS NOT NULL THEN 0 END)::BIGINT AS significant
+FROM g ORDER BY event_type
+"""
+
+
+# Hour index origin for the OLS trend: 2024-01-01 00:00 UTC in hours
+# since the unix epoch (1704067200000 ms // 3600000). Anchoring near
+# the data keeps x small so the exact integer moment sums stay far
+# from BIGINT range.
+TREND_EPOCH_HOURS = 473352
+
+
+def q_value_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key linear trend via closed-form OLS — "is this metric
+    drifting, and how fast?" for every event_type: regress value on
+    the event's hour index and report slope (value units per hour),
+    intercept at the 2024-01-01 origin, and R².
+
+    Same exactness discipline as the A/B entry: the five moment sums
+    (n, Σx, Σy, Σxy, Σx²) plus Σy² accumulate as EXACT integers (hour
+    index by integer division of epoch-millis, value in cents), so
+    partial-aggregation order cannot move a bit; the closed-form
+    slope/intercept/R² arithmetic runs on the tiny per-key row with
+    every operand cast to double BEFORE multiplication (n·Σxy
+    overflows BIGINT at fact-table scale on both engines) and the
+    expression tree mirrored exactly in the twin. One map-combinable
+    shuffle, |event types| finalize rows, any data size. Degenerate
+    keys guard to NULL: a single-hour key has no slope (den = 0), a
+    constant-value key has no R² (zero total variance)."""
+    ev = (
+        read_events(spark, sf_dir)
+        .filter(
+            F.col("ts").isNotNull() & F.col("value").isNotNull() & F.col("event_type").isNotNull()
+        )
+        .select(
+            "event_type",
+            (F.expr("unix_millis(ts) div 3600000") - F.lit(TREND_EPOCH_HOURS)).alias("x"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("cents").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("cents")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("cents") * F.col("cents")).cast("long").alias("syy"),
+    )
+    d = {c: F.col(c).cast("double") for c in ("n", "sx", "sy", "sxy", "sxx", "syy")}
+    num = d["n"] * d["sxy"] - d["sx"] * d["sy"]
+    den = d["n"] * d["sxx"] - d["sx"] * d["sx"]
+    tss = d["n"] * d["syy"] - d["sy"] * d["sy"]
+    slope = F.when(den > 0, num / den / F.lit(100.0))
+    intercept = F.when(
+        den > 0,
+        d["sy"] / (F.lit(100.0) * d["n"]) - num / den / F.lit(100.0) * (d["sx"] / d["n"]),
+    )
+    r2 = F.when((den > 0) & (tss > 0), num * num / (den * tss))
+    return g.select(
+        "event_type",
+        "n",
+        F.round(slope, 8).alias("slope_per_hour"),
+        F.round(intercept, 6).alias("intercept"),
+        F.round(r2, 6).alias("r2"),
+    ).orderBy("event_type")
+
+
+def sql_value_trend_ols() -> str:
+    num = "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    den = "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    tss = "(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))"
+    return f"""
+WITH pts AS (
+  SELECT event_type,
+         epoch_ms(ts) // 3600000 - {TREND_EPOCH_HOURS} AS x,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+  WHERE ts IS NOT NULL AND value IS NOT NULL AND event_type IS NOT NULL
+),
+g AS (
+  SELECT event_type, count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+         sum(cents)::BIGINT AS sy, sum(x * cents)::BIGINT AS sxy,
+         sum(x * x)::BIGINT AS sxx, sum(cents * cents)::BIGINT AS syy
+  FROM pts GROUP BY event_type
+)
+SELECT event_type, n,
+       round(CASE WHEN {den} > 0 THEN {num} / {den} / 100.0 END, 8) AS slope_per_hour,
+       round(CASE WHEN {den} > 0
+             THEN CAST(sy AS DOUBLE) / (100.0 * CAST(n AS DOUBLE)) - {num} / {den} / 100.0 * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) END, 6) AS intercept,
+       round(CASE WHEN {den} > 0 AND {tss} > 0 THEN {num} * {num} / ({den} * {tss}) END, 6) AS r2
+FROM g ORDER BY event_type
+"""
+
+
 def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary-growth (Heaps' law) curve: cumulative distinct token
     types vs cumulative token volume over the corpus in ingestion order
@@ -9421,21 +9622,23 @@ def build_registry() -> dict[str, tuple[QueryFn, str | None]]:
     verdict anywhere is r8 (the displaced entries + the 23-entry
     remainder listed in the r12 staging, which refills with the
     oldest r09 holders).
-    CORRECTNESS_r11 came back 50/50. ROUND12_PREFIX = the seven r12
+    CORRECTNESS_r11 came back 50/50. ROUND12_PREFIX = the nine r12
     additions (attribution_incremental / drift_incremental /
     histogram_incremental — the last ungraded streaming behavior
     classes: stream-stream join state/eviction and the complete-mode
     stateful aggregations — plus k_anonymity_lattice /
     join_skew_probe, the privacy-audit and join-planning diagnostics,
-    and basket_rules / fd_audit, the co-purchase-affinity and
-    FD-discovery profiling ops) + the r11 staging's 43 oldest holders
-    (31 r08-aged, then r09 holders in ROUND9_PREFIX order); the seven
-    additions displaced keep_num_of_records / agg_max_pk /
-    validation_check / datadiff_check / dedup_exact /
-    anonymize_orders / sanitize_null_bytes into ROUND13_PREFIX_STAGED,
-    which they lead (r9-aged), followed by the remaining r09 holders
-    and the oldest r10 holders. After r12 the oldest verdict anywhere
-    is r9.
+    basket_rules / fd_audit, the co-purchase-affinity and FD-discovery
+    profiling ops, and ab_test_summary / value_trend_ols, the
+    experiment/trend readouts built on cross-engine-exact integer
+    moment sums) + the r11 staging's 41 oldest holders (31 r08-aged,
+    then r09 holders in ROUND9_PREFIX order); the nine additions
+    displaced keep_num_of_records / agg_max_pk / validation_check /
+    datadiff_check / dedup_exact / anonymize_orders /
+    sanitize_null_bytes / filter_anyofstring / anonymize_supplier into
+    ROUND13_PREFIX_STAGED, which they lead (r9-aged), followed by the
+    remaining r09 holders and the oldest r10 holders. After r12 the
+    oldest verdict anywhere is r9.
     The full local gate (`scripts/compare_oracle.py`) runs ALL
     entries every round, and is order- AND dtype-faithful to the
     driver hash (round-7 rewrite after q12 shipped red twice; round-10
@@ -9683,6 +9886,9 @@ def build_registry() -> dict[str, tuple[QueryFn, str | None]]:
             # --- round 12: co-purchase affinity + FD discovery audit ---
             "basket_rules": (q_basket_rules, sql_basket_rules()),
             "fd_audit": (q_fd_audit, sql_fd_audit()),
+            # --- round 12: experiment/trend analytics, cross-engine-exact ---
+            "ab_test_summary": (q_ab_test_summary, sql_ab_test_summary()),
+            "value_trend_ols": (q_value_trend_ols, sql_value_trend_ols()),
         }
     )
     ordered = {name: reg.pop(name) for name in ROUND12_PREFIX}
@@ -9941,6 +10147,7 @@ ROUND12_PREFIX = [
     "attribution_incremental", "drift_incremental", "histogram_incremental",
     "k_anonymity_lattice", "join_skew_probe",
     "basket_rules", "fd_audit",
+    "ab_test_summary", "value_trend_ols",
     # r08-verdict holders (oldest after r11 — lead the rotation; the
     # eight entries the r11 additions displaced from ROUND11's tail
     # first)
@@ -9956,15 +10163,16 @@ ROUND12_PREFIX = [
     "minhash_lsh_candidates", "dedup_survivors", "dedup_incremental",
     "lsh_calibration", "quality_threshold_sweep", "ann_recall_eval",
     "frame_sample",
-    # r09-verdict rotation (20 of 49, ROUND9_PREFIX order; the seven
+    # r09-verdict rotation (18 of 49, ROUND9_PREFIX order; the nine
     # r12 additions displaced keep_num_of_records / agg_max_pk /
     # validation_check / datadiff_check / dedup_exact /
-    # anonymize_orders / sanitize_null_bytes into the r13 list, where
-    # they stay r9-aged and lead)
+    # anonymize_orders / sanitize_null_bytes / filter_anyofstring /
+    # anonymize_supplier into the r13 list, where they stay r9-aged
+    # and lead)
     "ivfpq_ann_topk", "bpe_vocab_trained", "containment_near_dups",
     "novelty_scores", "vocab_growth", "pq_ann_topk",
     "repetition_signals", "hybrid_search_rrf", "contrastive_triplets",
-    "embedding_outliers", "filter_anyofstring", "anonymize_supplier",
+    "embedding_outliers",
 ]
 
 
@@ -9982,6 +10190,7 @@ ROUND13_PREFIX_STAGED = [
     "keep_num_of_records", "agg_max_pk",
     "validation_check", "datadiff_check", "dedup_exact",
     "anonymize_orders", "sanitize_null_bytes",
+    "filter_anyofstring", "anonymize_supplier",
     "minhash_signatures", "simhash", "simhash_near_dups",
     "dedup_clusters", "ngram_jaccard_adjacent", "knn_bruteforce",
     "knn_lsh", "knn_ivf", "embedding_near_dups", "embedding_project",
@@ -9991,10 +10200,11 @@ ROUND13_PREFIX_STAGED = [
     "unigram_nll", "chunk_dedup", "curation_pipeline",
     "corpus_report", "media_metadata", "multimodal_features",
     "text_stats", "text_langid", "text_fingerprint", "events_session",
-    # r10-verdict rotation (13 of 50, ROUND10_PREFIX order;
-    # filter_startswith / filter_endswith slip to the r14 fill)
+    # r10-verdict rotation (11 of 50, ROUND10_PREFIX order;
+    # filter_startswith / filter_endswith / semantic_decontam /
+    # feature_hash_embed slip to the r14 fill)
     "pq_index_query", "novelty_incremental", "embedding_int8_quant",
     "ann_incremental", "media_incremental", "pq_residual_query",
     "pq_rerank_query", "bigram_nll", "zipf_fit", "hll_set_ops",
-    "bigram_nll_oov", "semantic_decontam", "feature_hash_embed",
+    "bigram_nll_oov",
 ]

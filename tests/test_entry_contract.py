@@ -96,10 +96,11 @@ def test_registry_prefix_matches_rotation_plan():
     # eight r08-aged entries the r11 additions displaced — the oldest
     # verdicts after r11 — which must ALL be in the window (the
     # rotation's whole point: after r12 the oldest verdict is r9)
-    assert ROUND12_PREFIX[:7] == [
+    assert ROUND12_PREFIX[:9] == [
         "attribution_incremental", "drift_incremental", "histogram_incremental",
         "k_anonymity_lattice", "join_skew_probe",
         "basket_rules", "fd_audit",
+        "ab_test_summary", "value_trend_ols",
     ]
     r08_aged_displaced = {
         "skew_salted_stats", "doc_length_deciles", "value_percentiles",
@@ -115,8 +116,9 @@ def test_registry_prefix_matches_rotation_plan():
     assert len(ROUND13_PREFIX_STAGED) == 50
     assert set(ROUND13_PREFIX_STAGED) <= set(names)
     assert not set(ROUND13_PREFIX_STAGED) & set(ROUND12_PREFIX)
-    assert ROUND13_PREFIX_STAGED[:7] == [
+    assert ROUND13_PREFIX_STAGED[:9] == [
         "keep_num_of_records", "agg_max_pk",
         "validation_check", "datadiff_check", "dedup_exact",
         "anonymize_orders", "sanitize_null_bytes",
+        "filter_anyofstring", "anonymize_supplier",
     ]

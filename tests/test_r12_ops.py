@@ -452,3 +452,105 @@ def test_basket_and_fd_oracle_parity_on_dirty_warehouse(spark, tmp_path_factory,
         gs = sorted(map(tuple, g[cols].astype(str).values.tolist()))
         ws = sorted(map(tuple, w[cols].astype(str).values.tolist()))
         assert gs == ws, (name, len(gs), len(ws), gs[:5], ws[:5])
+
+
+# --- round-12 third batch: ab_test_summary + value_trend_ols ----------
+
+
+def test_ab_test_summary_welch_t(spark):
+    """Meaning pin with hand-computed Welch t: arm A (even user_ids)
+    holds four events all 10.00 (variance 0), arm B (odd) holds 12.00
+    and 14.00 (mean 13, sample variance 2) -> se^2 = 0/4 + 2/2 = 1,
+    t = (10 - 13)/1 = -3.0, significant at 1.96. A second metric with a
+    single-event arm has no sample variance -> t and the flag are NULL.
+    NULL user/value/type rows drop."""
+    from rustic_witcher_spark.queries import q_ab_test_summary
+
+    rows, eid = [], 0
+    for uid, val in ((2, 10.0), (4, 10.0), (6, 10.0), (8, 10.0), (1, 12.0), (3, 14.0)):
+        rows.append((eid, T0, uid, "m1", val, None)); eid += 1
+    rows += [(eid, T0, 2, "m2", 5.0, None), (eid + 1, T0, 4, "m2", 7.0, None),
+             (eid + 2, T0, 1, "m2", 6.0, None)]
+    rows += [(90, T0, None, "m1", 99.0, None), (91, T0, 2, "m1", None, None),
+             (92, T0, 2, None, 1.0, None)]
+    d = tempfile.mkdtemp()
+    _write_events(spark, rows, d)
+    got = {r["event_type"]: r for r in q_ab_test_summary(spark, d).collect()}
+    r = got["m1"]
+    assert (r["n_a"], r["n_b"], r["mean_a"], r["mean_b"]) == (4, 2, 10.0, 13.0)
+    assert r["t_stat"] == -3.0 and r["significant"] == 1
+    r = got["m2"]
+    assert (r["n_a"], r["n_b"]) == (2, 1)
+    assert r["t_stat"] is None and r["significant"] is None
+    assert set(got) == {"m1", "m2"}
+
+
+def test_value_trend_ols_exact_line(spark):
+    """Meaning pin: a perfect line value = 1.00 + 0.50x over hour
+    indices 0..3 recovers slope 0.5 / intercept 1.0 / r2 exactly 1.0
+    (the moment sums are exact integers, so the closed form is exact).
+    A constant-value key gets slope 0 and NULL r2 (zero variance); a
+    single-hour key has den = 0 -> all NULL."""
+    import datetime
+
+    from rustic_witcher_spark.queries import q_value_trend_ols
+
+    rows, eid = [], 0
+    for h, val in ((0, 1.0), (1, 1.5), (2, 2.0), (3, 2.5)):
+        rows.append((eid, T0 + datetime.timedelta(hours=h, minutes=30), 1, "lin", val, None))
+        eid += 1
+    for h in (0, 1, 2):
+        rows.append((eid, T0 + datetime.timedelta(hours=h), 2, "flat", 4.0, None)); eid += 1
+    rows += [(eid, T0, 3, "point", 2.0, None), (eid + 1, T0, 3, "point", 3.0, None)]
+    d = tempfile.mkdtemp()
+    _write_events(spark, rows, d)
+    got = {r["event_type"]: r for r in q_value_trend_ols(spark, d).collect()}
+    r = got["lin"]
+    assert (r["n"], r["slope_per_hour"], r["intercept"], r["r2"]) == (4, 0.5, 1.0, 1.0)
+    r = got["flat"]
+    assert (r["n"], r["slope_per_hour"], r["intercept"], r["r2"]) == (3, 0.0, 4.0, None)
+    r = got["point"]
+    assert r["n"] == 2 and r["slope_per_hour"] is None and r["intercept"] is None and r["r2"] is None
+
+
+@settings(**SETTINGS)
+@given(data=st.data())
+def test_ab_and_trend_oracle_parity_on_dirty_streams(spark, tmp_path_factory, data):
+    """Dirty-stream fuzz for the exact-arithmetic pair: random 2-decimal
+    values, NULL user/value/type/ts sprinkles, hour-crossing timestamps
+    — Spark must match the DuckDB twins exactly (the driver's gate)."""
+    import datetime
+
+    import duckdb
+
+    import __spark_entry__ as entrymod
+
+    n = data.draw(st.integers(5, 40))
+    rows = []
+    for i in range(n):
+        ts = (
+            None
+            if data.draw(st.integers(0, 9)) == 0
+            else T0 + datetime.timedelta(
+                seconds=data.draw(st.integers(0, 3 * 24 * 3600)),
+                microseconds=data.draw(st.sampled_from([0, 250000, 999999])),
+            )
+        )
+        uid = None if data.draw(st.integers(0, 9)) == 0 else data.draw(st.integers(1, 4))
+        etype = data.draw(st.sampled_from([None, "click", "view", "purchase"]))
+        val = None if data.draw(st.integers(0, 9)) == 0 else data.draw(st.integers(0, 9999)) / 100.0
+        rows.append((i, ts, uid, etype, val, None))
+    d = tmp_path_factory.mktemp("abdirty")
+    _write_events(spark, rows, str(d))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet/*.parquet')"
+    )
+    qs, osqls = entrymod.queries(), entrymod.oracle_sql()
+    for name in ("ab_test_summary", "value_trend_ols"):
+        g = qs[name](spark, str(d)).toPandas()
+        w = con.execute(osqls[name]).fetchdf()
+        cols = sorted(g.columns)
+        gs = sorted(map(tuple, g[cols].astype(str).values.tolist()))
+        ws = sorted(map(tuple, w[cols].astype(str).values.tolist()))
+        assert gs == ws, (name, len(gs), len(ws), gs[:5], ws[:5])
