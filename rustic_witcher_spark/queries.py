@@ -766,9 +766,21 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthetic customer has at least one order, so the classic
     no-orders-at-all predicate would be vacuous), rolled up by market
     segment. The average is a 1-row broadcast (no driver collect); the
-    NOT EXISTS compiles to a left-anti hash join on custkey."""
+    NOT EXISTS compiles to a left-anti hash join on custkey.
+
+    The threshold sums exact integer cents: avg(double) is
+    summation-order-sensitive, and as a filter bound a last-bit
+    divergence between Spark's partitioned partials and DuckDB's
+    sequential sum flips row membership (the skew_salted_stats /
+    lineitem_unpivot class the r12 fuzz caught — this was the last
+    threshold site, found by audit)."""
     c = _read(spark, sf_dir, "customer").select("c_custkey", "c_acctbal", "c_mktsegment")
-    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("avg_bal"))
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.round(F.col("c_acctbal") * 100).cast("long"))
+            / (F.lit(100.0) * F.count("c_acctbal"))
+        ).alias("avg_bal")
+    )
     o = _read(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT").select(
         F.col("o_custkey").alias("c_custkey")
     )
@@ -787,7 +799,8 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_Q22 = """
 SELECT c_mktsegment, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
 FROM customer
-WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+WHERE c_acctbal > (SELECT sum(CAST(round(c_acctbal * 100) AS BIGINT)) / (100.0 * count(c_acctbal))
+                   FROM customer WHERE c_acctbal > 0)
   AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
 GROUP BY 1
 """
@@ -1174,8 +1187,22 @@ WHERE t.c_custkey IS NULL OR s.c_custkey IS NULL
 
 
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1 shape: scan-heavy group-by with 8 aggregates. Flagship."""
+    """TPC-H Q1 shape: scan-heavy group-by with 8 aggregates. Flagship.
+
+    The summation-order-sensitive aggregates run on exact integers
+    (the r12 audit class): avg_price / avg_disc sum cents, and
+    sum_charge — whose true value carries 6 decimals, so round(.., 4)
+    can land on an EXACT half — sums micro-dollar integers
+    (cents · (100−disc₁₀₀) · (100+tax₁₀₀)). The rest are safe by
+    construction: quantity sums are integer-valued (exact in any
+    order), and the 2-/4-decimal sums (base price, disc price) differ
+    from their exact rational value by ~1e-9 while the nearest
+    round-4 boundary is ≥ 5e-5 away, so rounding recovers the exact
+    value on both engines."""
     li = _read(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    d100 = F.round(F.col("l_discount") * 100).cast("long")
+    t100 = F.round(F.col("l_tax") * 100).cast("long")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -1183,10 +1210,12 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("sum_disc_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
+            F.round(
+                F.sum(cents * (F.lit(100) - d100) * (F.lit(100) + t100)) / F.lit(1000000.0), 4
+            ).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.round(F.sum(cents) / (F.lit(100.0) * F.count("l_extendedprice")), 4).alias("avg_price"),
+            F.round(F.sum(d100) / (F.lit(100.0) * F.count("l_discount")), 4).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -1197,10 +1226,12 @@ SELECT l_returnflag, l_linestatus,
   round(sum(l_quantity), 4) AS sum_qty,
   round(sum(l_extendedprice), 4) AS sum_base_price,
   round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+  round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+            * (100 - CAST(round(l_discount * 100) AS BIGINT))
+            * (100 + CAST(round(l_tax * 100) AS BIGINT))) / 1000000.0, 4) AS sum_charge,
   round(avg(l_quantity), 4) AS avg_qty,
-  round(avg(l_extendedprice), 4) AS avg_price,
-  round(avg(l_discount), 4) AS avg_disc,
+  round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / (100.0 * count(l_extendedprice)), 4) AS avg_price,
+  round(sum(CAST(round(l_discount * 100) AS BIGINT)) / (100.0 * count(l_discount)), 4) AS avg_disc,
   count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
