@@ -1190,52 +1190,78 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: scan-heavy group-by with 8 aggregates. Flagship.
 
     The summation-order-sensitive aggregates run on exact integers
-    (the r12 audit class): avg_price / avg_disc sum cents, and
-    sum_charge — whose true value carries 6 decimals, so round(.., 4)
-    can land on an EXACT half — sums micro-dollar integers
-    (cents · (100−disc₁₀₀) · (100+tax₁₀₀)). The rest are safe by
-    construction: quantity sums are integer-valued (exact in any
-    order), and the 2-/4-decimal sums (base price, disc price) differ
-    from their exact rational value by ~1e-9 while the nearest
+    (the r12 audit class): avg_qty / avg_price / avg_disc accumulate
+    integer quantity/cent sums, and sum_charge — whose true value
+    carries 6 decimals, so round(.., 4) can land on an EXACT half —
+    sums micro-dollar integers (cents · (100−disc₁₀₀) · (100+tax₁₀₀)).
+    The final rounding is integer round-half-up, (2·p·10^s + q) div
+    (2·q), NOT an engine round(): on an exactly-half true value the
+    engines' round() implementations disagree about the bit-identical
+    double (the lineitem_unpivot soak finding). The remaining sums are
+    safe by construction: quantity sums are integer-valued (exact in
+    any order), and the 2-/4-decimal sums (base price, disc price)
+    differ from their exact rational by ~1e-9 while the nearest
     round-4 boundary is ≥ 5e-5 away, so rounding recovers the exact
     value on both engines."""
     li = _read(spark, sf_dir, "lineitem")
     cents = F.round(F.col("l_extendedprice") * 100).cast("long")
     d100 = F.round(F.col("l_discount") * 100).cast("long")
     t100 = F.round(F.col("l_tax") * 100).cast("long")
-    return (
+    sums = (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("sum_disc_price"),
-            F.round(
-                F.sum(cents * (F.lit(100) - d100) * (F.lit(100) + t100)) / F.lit(1000000.0), 4
-            ).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.sum(cents) / (F.lit(100.0) * F.count("l_extendedprice")), 4).alias("avg_price"),
-            F.round(F.sum(d100) / (F.lit(100.0) * F.count("l_discount")), 4).alias("avg_disc"),
+            F.sum(cents * (F.lit(100) - d100) * (F.lit(100) + t100)).alias("chm"),
+            F.sum(F.round(F.col("l_quantity")).cast("long")).alias("sq"),
+            F.count("l_quantity").alias("nq"),
+            F.sum(cents).alias("sp"),
+            F.count("l_extendedprice").alias("np"),
+            F.sum(d100).alias("sd"),
+            F.count("l_discount").alias("nd"),
             F.count("*").alias("count_order"),
         )
+    )
+    return sums.select(
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty",
+        "sum_base_price",
+        "sum_disc_price",
+        (F.expr("(2 * chm + 100) div 200") / F.lit(10000.0)).alias("sum_charge"),
+        (F.expr("(2 * sq * 10000 + nq) div (2 * nq)") / F.lit(10000.0)).alias("avg_qty"),
+        (F.expr("(2 * sp * 100 + np) div (2 * np)") / F.lit(10000.0)).alias("avg_price"),
+        (F.expr("(2 * sd * 100 + nd) div (2 * nd)") / F.lit(10000.0)).alias("avg_disc"),
+        "count_order",
     )
 
 
 SQL_Q1 = """
-SELECT l_returnflag, l_linestatus,
-  round(sum(l_quantity), 4) AS sum_qty,
-  round(sum(l_extendedprice), 4) AS sum_base_price,
-  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-  round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-            * (100 - CAST(round(l_discount * 100) AS BIGINT))
-            * (100 + CAST(round(l_tax * 100) AS BIGINT))) / 1000000.0, 4) AS sum_charge,
-  round(avg(l_quantity), 4) AS avg_qty,
-  round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / (100.0 * count(l_extendedprice)), 4) AS avg_price,
-  round(sum(CAST(round(l_discount * 100) AS BIGINT)) / (100.0 * count(l_discount)), 4) AS avg_disc,
-  count(*) AS count_order
-FROM lineitem
-WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-GROUP BY l_returnflag, l_linestatus
+WITH s AS (
+  SELECT l_returnflag, l_linestatus,
+    round(sum(l_quantity), 4) AS sum_qty,
+    round(sum(l_extendedprice), 4) AS sum_base_price,
+    round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+    sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        * (100 - CAST(round(l_discount * 100) AS BIGINT))
+        * (100 + CAST(round(l_tax * 100) AS BIGINT)))::BIGINT AS chm,
+    sum(CAST(round(l_quantity) AS BIGINT))::BIGINT AS sq, count(l_quantity)::BIGINT AS nq,
+    sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT AS sp, count(l_extendedprice)::BIGINT AS np,
+    sum(CAST(round(l_discount * 100) AS BIGINT))::BIGINT AS sd, count(l_discount)::BIGINT AS nd,
+    count(*) AS count_order
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+  GROUP BY l_returnflag, l_linestatus
+)
+SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price, sum_disc_price,
+  ((2 * chm + 100) // 200) / 10000.0 AS sum_charge,
+  ((2 * sq * 10000 + nq) // (2 * nq)) / 10000.0 AS avg_qty,
+  ((2 * sp * 100 + np) // (2 * np)) / 10000.0 AS avg_price,
+  ((2 * sd * 100 + nd) // (2 * nd)) / 10000.0 AS avg_disc,
+  count_order
+FROM s
 """
 
 
@@ -5584,25 +5610,34 @@ def q_lineitem_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     plotting layers ingest, so this wide-agg-then-melt shape is the
     standard reporting tail.
 
-    Averages sum in exact integer cents, not doubles: round(avg(x), 4)
-    on a double column is order-SENSITIVE — Spark's partitioned
-    partial sums and DuckDB's sequential sum land on different last
-    bits, and when the true mean sits on a .xxxx5 boundary the two
-    engines round apart (the r12 dirty-warehouse fuzz caught exactly
-    that: 5028.3712 vs 5028.3713). All three measures carry ≤2
-    decimals, so sum(round(x*100)::long) is exact and
-    summation-order-invariant; one division then hands BOTH engines
-    the bit-identical double to round."""
+    Averages are rounded in EXACT INTEGER arithmetic end to end — the
+    r12 fuzz caught this twice, one layer deeper each time. First:
+    round(avg(double), 4) is summation-order-sensitive (partitioned
+    vs sequential sums land on different last bits, and a .xxxx5-
+    boundary mean rounds apart — 5028.3712 vs 5028.3713). Summing
+    exact cents fixed that, but the soak then caught the residual
+    cliff: when the TRUE mean is exactly on the half (e.g. cents/(100n)
+    with n = 32 terminates in ...5), the bit-identical double is a
+    hair off the half and the ENGINES' round() implementations
+    disagree — Spark rounds the BigDecimal expansion of the double,
+    DuckDB's ×10⁴ multiply can land exactly on .5 and round the other
+    way (6194.2612 vs 6194.2613). So no engine round() runs at all:
+    round-half-up of p/q at scale s is the integer (2·p·10^s + q) div
+    (2·q), computed in BIGINT on both engines, displayed as R/10^s."""
     l = _read(spark, sf_dir, "lineitem")
-
-    def cents_avg(col: str):
-        cents = F.sum(F.round(F.col(col) * 100).cast("long"))
-        return F.round(cents / (F.lit(100.0) * F.count(col)), 4)
-
-    wide = l.groupBy("l_returnflag").agg(
-        cents_avg("l_quantity").alias("avg_qty"),
-        cents_avg("l_extendedprice").alias("avg_price"),
-        cents_avg("l_discount").alias("avg_disc"),
+    sums = l.groupBy("l_returnflag").agg(
+        F.sum(F.round(F.col("l_quantity")).cast("long")).alias("sq"),
+        F.count("l_quantity").alias("nq"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("sp"),
+        F.count("l_extendedprice").alias("np"),
+        F.sum(F.round(F.col("l_discount") * 100).cast("long")).alias("sd"),
+        F.count("l_discount").alias("nd"),
+    )
+    wide = sums.select(
+        "l_returnflag",
+        (F.expr("(2 * sq * 10000 + nq) div (2 * nq)") / F.lit(10000.0)).alias("avg_qty"),
+        (F.expr("(2 * sp * 100 + np) div (2 * np)") / F.lit(10000.0)).alias("avg_price"),
+        (F.expr("(2 * sd * 100 + nd) div (2 * nd)") / F.lit(10000.0)).alias("avg_disc"),
     )
     return (
         wide.unpivot(["l_returnflag"], ["avg_qty", "avg_price", "avg_disc"], "metric", "value")
@@ -5611,12 +5646,19 @@ def q_lineitem_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_LINEITEM_UNPIVOT = """
-WITH wide AS (
+WITH s AS (
   SELECT l_returnflag,
-         round(sum(CAST(round(l_quantity * 100) AS BIGINT)) / (100.0 * count(l_quantity)), 4) AS avg_qty,
-         round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / (100.0 * count(l_extendedprice)), 4) AS avg_price,
-         round(sum(CAST(round(l_discount * 100) AS BIGINT)) / (100.0 * count(l_discount)), 4) AS avg_disc
+         sum(CAST(round(l_quantity) AS BIGINT))::BIGINT AS sq, count(l_quantity)::BIGINT AS nq,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT AS sp, count(l_extendedprice)::BIGINT AS np,
+         sum(CAST(round(l_discount * 100) AS BIGINT))::BIGINT AS sd, count(l_discount)::BIGINT AS nd
   FROM lineitem GROUP BY 1
+),
+wide AS (
+  SELECT l_returnflag,
+         ((2 * sq * 10000 + nq) // (2 * nq)) / 10000.0 AS avg_qty,
+         ((2 * sp * 100 + np) // (2 * np)) / 10000.0 AS avg_price,
+         ((2 * sd * 100 + nd) // (2 * nd)) / 10000.0 AS avg_disc
+  FROM s
 )
 SELECT l_returnflag, metric, value
 FROM wide UNPIVOT (value FOR metric IN (avg_qty, avg_price, avg_disc))
@@ -8221,12 +8263,25 @@ def q_ab_test_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.when(F.col("n_b") > 1, var["b"]).otherwise(F.lit(None)) / F.col("n_b")
     )
     t = F.when(se2 > 0, (mean["a"] - mean["b"]) / F.sqrt(se2))
+    # displayed means round in INTEGER arithmetic — (2·p·10^s + q) div
+    # (2·q) at scale 6 — because an engine round() on an exactly-half
+    # mean (cents/(100n), n a power of two) is implementation-defined
+    # across engines (the lineitem_unpivot soak finding); the t-stat's
+    # round(4) is safe (irrational sqrt denominators never land on a
+    # rounding boundary)
+    disp = {
+        a: F.when(
+            F.col(f"n_{a}") > 0,
+            F.expr(f"(2 * sc_{a} * 10000 + n_{a}) div (2 * n_{a})") / F.lit(1000000.0),
+        )
+        for a in "ab"
+    }
     return g.select(
         "event_type",
         "n_a",
         "n_b",
-        F.when(F.col("n_a") > 0, F.round(mean["a"], 6)).alias("mean_a"),
-        F.when(F.col("n_b") > 0, F.round(mean["b"], 6)).alias("mean_b"),
+        disp["a"].alias("mean_a"),
+        disp["b"].alias("mean_b"),
         F.round(t, 4).alias("t_stat"),
         F.when(F.abs(t) > AB_T_CRIT, 1).when(t.isNotNull(), 0).cast("long").alias("significant"),
     ).orderBy("event_type")
@@ -8263,8 +8318,8 @@ WITH g AS (
   GROUP BY event_type
 )
 SELECT event_type, n_a, n_b,
-       CASE WHEN n_a > 0 THEN round({arms['a']['mean']}, 6) END AS mean_a,
-       CASE WHEN n_b > 0 THEN round({arms['b']['mean']}, 6) END AS mean_b,
+       CASE WHEN n_a > 0 THEN ((2 * sc_a * 10000 + n_a) // (2 * n_a)) / 1000000.0 END AS mean_a,
+       CASE WHEN n_b > 0 THEN ((2 * sc_b * 10000 + n_b) // (2 * n_b)) / 1000000.0 END AS mean_b,
        round({t}, 4) AS t_stat,
        (CASE WHEN abs({t}) > {AB_T_CRIT} THEN 1
              WHEN {t} IS NOT NULL THEN 0 END)::BIGINT AS significant
