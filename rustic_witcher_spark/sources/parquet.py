@@ -190,11 +190,35 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # non-UTC session shares the setting for subsequent queries (the
     # engine's own session factory pins UTC anyway; see helper docstring).
     pin_parquet_confs(spark)
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    ts_field = df.schema["ts"].dataType.typeName()
+    # Schema-only cache (same discipline as queries._READ_SCHEMA_CACHE):
+    # footer inference costs ~60-90 ms per call on this host and the
+    # events path is read by dozens of entries per run. Rows are never
+    # cached — every call builds a fresh scan.
+    schema = _EVENTS_SCHEMA_CACHE.get(sf_dir)
+    if schema is None:
+        schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        _EVENTS_SCHEMA_CACHE[sf_dir] = schema
+    df = spark.read.schema(schema).parquet(f"{sf_dir}/events.parquet")
+    ts_field = schema["ts"].dataType.typeName()
     if ts_field in ("long", "bigint"):
         df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
-    return cast_ntz_timestamps(df)
+    return _cast_ntz_from_schema(df, schema)
+
+
+_EVENTS_SCHEMA_CACHE: dict[str, object] = {}
+
+
+def _cast_ntz_from_schema(df: DataFrame, schema) -> DataFrame:
+    """cast_ntz_timestamps against an already-known (Python-side)
+    schema — skips the py4j round of ``df.schema`` when the caller
+    holds the StructType, e.g. from the schema caches."""
+    from pyspark.sql import functions as F
+
+    out = df
+    for f in schema.fields:
+        if f.dataType.typeName() == "timestamp_ntz":
+            out = out.withColumn(f.name, F.col(f.name).cast("timestamp"))
+    return out
 
 
 def cast_ntz_timestamps(df: DataFrame) -> DataFrame:
