@@ -7197,20 +7197,46 @@ def _ordered_stream_source(
     import os
     import shutil
 
+    from functools import reduce
+
     src = os.path.join(work, "stream_src")
     os.makedirs(src, exist_ok=True)
     ext = {"parquet": "parquet", "text": "jsonl"}[fmt]
-    for i, part in enumerate(parts):
-        staged = os.path.join(work, f"stage{i}")
-        writer = part.coalesce(1).write.mode("overwrite")
-        if fmt == "text":
-            writer.text(staged)
-            pf = globmod.glob(os.path.join(staged, "part-*.txt"))[0]
-        else:
-            writer.parquet(staged)
-            pf = globmod.glob(os.path.join(staged, "part-*.parquet"))[0]
+    # ONE staged write for ALL parts (was one Spark job per part): tag
+    # each part with its batch index, union, and let the dynamic-
+    # partition writer split them into __b=i/ dirs in a single
+    # coalesce(1) task. Saves (len(parts)-1) job round-trips per source
+    # — at this entry class's size the job floor IS the cost. The
+    # within-file row content is identical (each part's rows land in
+    # exactly its __b dir); the gated operators are all within-batch
+    # order-insensitive by contract (admission ranks orderable keys,
+    # counters/digests are commutative), pinned by the oracle gate.
+    staged = os.path.join(work, "staged")
+    tagged = [p.withColumn("__b", F.lit(i)) for i, p in enumerate(parts)]
+    allp = reduce(lambda a, b: a.unionByName(b), tagged)
+    writer = allp.coalesce(1).write.mode("overwrite").partitionBy("__b")
+    if fmt == "text":
+        writer.text(staged)
+    else:
+        writer.parquet(staged)
+    empty_schema = None
+    for i in range(len(parts)):
+        found = globmod.glob(os.path.join(staged, f"__b={i}", "part-*"))
         dst = os.path.join(src, f"{i:05d}.{ext}")
-        shutil.copyfile(pf, dst)
+        if found:
+            shutil.copyfile(found[0], dst)
+        elif fmt == "text":
+            open(dst, "wb").close()  # 0-row batch: empty JSONL file
+        else:
+            # 0-row batch: valid empty parquet with the part schema
+            import pyarrow.parquet as pq_mod
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            if empty_schema is None:
+                empty_schema = to_arrow_schema(parts[0].schema)
+            import pyarrow as pa
+
+            pq_mod.write_table(pa.table({f.name: [] for f in empty_schema}, schema=empty_schema), dst)
         base = 1_000_000_000 + i * 1000
         os.utime(dst, (base, base))
     return src
