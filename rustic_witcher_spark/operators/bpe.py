@@ -140,8 +140,19 @@ def bpe_train(
     oracle gate; it costs nothing extra — the winner row is collected
     each round regardless.
     """
-    sym = vocab_table(docs, text_col, min_len).select(
-        "w", "wc", _to_symbols(F.col("w")).alias("s")
+    from rustic_witcher_spark.operators.materialize import materialize
+
+    # Materialize the vocab table ONCE before the merge loop: each
+    # round's top-pair collect re-executes its full lineage, and
+    # exchange reuse does not span queries — so without the cut every
+    # round re-ran the corpus-wide explode+groupBy (n_merges corpus
+    # passes instead of one). The checkpointed state is vocab-sized
+    # (the BPE trainer's whole scale argument); rounds then cost
+    # pair-count aggregates over the vocab only.
+    sym = materialize(
+        vocab_table(docs, text_col, min_len).select(
+            "w", "wc", _to_symbols(F.col("w")).alias("s")
+        )
     )
     merges: list[str] = []
     trace: list[tuple[str, int]] = []

@@ -806,7 +806,16 @@ def containment_near_duplicates(
         .withColumn("sz", F.count(F.lit(1)).over(wd))
         .withColumn("pos", F.row_number().over(wd.orderBy(F.col("nf").asc(), F.col("g").asc())))
     )
-    sizes = ranked.filter(F.col("pos") == 1).select("__id", "sz")
+    # per-doc size as a map-combinable hash aggregate over the
+    # materialized projection — NOT ranked.filter(pos == 1): the final
+    # sz_a/sz_b joins consume `sizes` twice, and Catalyst has no
+    # cross-branch subtree reuse, so the pos==1 form re-ran the whole
+    # freq-join + double-Window chain once per consumer (visible as two
+    # duplicated Window/WindowGroupLimit subtrees in the r12 plan
+    # capture). Same value by construction (sz is the row count per
+    # __id either way — the DuckDB twin's `sizes` CTE is this exact
+    # GROUP BY), and the probe branch keeps its window-carried sz.
+    sizes = sg.groupBy("__id").agg(F.count(F.lit(1)).alias("sz"))
     probe = ranked.filter(F.col("pos") <= F.col("sz") - F.expr("(sz + 1) div 2") + 1)
     cands = (
         probe.select(F.col("__id").alias("id_a"), "g")

@@ -42,7 +42,10 @@ def unigram_logprob_score(df: DataFrame, text_col: str, id_col: str) -> DataFram
         F.col(id_col), F.explode(F.split(normalized_text(F.col(text_col)), " ")).alias("__t")
     )
     vocab = toks.groupBy("__t").agg(F.count("*").alias("__c"))
-    total = toks.agg(F.count("*").alias("__n"))
+    # integer roll-up of vocab, not a second corpus pass (bit-identical
+    # value; vocab's exchange is reused instead of re-running the
+    # explode — the bigram faces' discipline)
+    total = vocab.agg(F.sum("__c").alias("__n"))
     scored = (
         toks.join(vocab, "__t")
         .crossJoin(F.broadcast(total))
@@ -196,9 +199,15 @@ def bigram_logprob_score(
         F.col(id_col), F.explode(F.split(normalized_text(F.col(text_col)), " ")).alias("__t")
     )
     cb = big.groupBy("__v", "__w").agg(F.count("*").alias("__cb"))
-    cv = big.groupBy("__v").agg(F.count("*").alias("__cv"))
+    # cv/total are integer ROLL-UPS of cb/cu (sum of exact counts —
+    # bit-identical values), not independent aggregations: computing
+    # them from the corpus-scale frames re-ran the whole explode chain
+    # once per consumer (Catalyst has no cross-branch subtree reuse).
+    # Rolling up the already-bounded count tables removes two corpus
+    # passes; the per-instance probability expression is unchanged.
+    cv = cb.groupBy("__v").agg(F.sum("__cb").alias("__cv"))
     cu = toks.groupBy("__t").agg(F.count("*").alias("__cu"))
-    total = toks.agg(F.count("*").alias("__n"))
+    total = cu.agg(F.sum("__cu").alias("__n"))
     p = (
         F.lit(lam) * (F.col("__cb").cast("double") / F.col("__cv"))
         + F.lit(1.0 - lam) * (F.col("__cu").cast("double") / F.col("__n"))
@@ -269,14 +278,22 @@ def bigram_logprob_score_topv(
 
     Returns (id_col, n_bigrams, nll) like the exact face.
     """
+    from rustic_witcher_spark.operators.materialize import materialize
+
     toks = df.select(
         F.col(id_col),
         F.posexplode(F.split(normalized_text(F.col(text_col)), " ")).alias("__pos", "__t"),
     )
+    # ONE materialized vocabulary count table feeds top-V selection, the
+    # OOV-pooled unigram counts AND the total — each used to re-run its
+    # own corpus-wide explode (no cross-branch subtree reuse in
+    # Catalyst). The count table is the CCNet unigram table: vocab-
+    # bounded, the thing a production run would persist anyway. All
+    # derivations below are integer sums of these exact counts, so
+    # every downstream value is bit-identical to the per-pass form.
+    tokc = materialize(toks.groupBy("__t").agg(F.count("*").alias("__c")))
     top = (
-        toks.filter(F.col("__t") != OOV)  # see OOV note: SUB never wins a slot
-        .groupBy("__t")
-        .agg(F.count("*").alias("__c"))
+        tokc.filter(F.col("__t") != OOV)  # see OOV note: SUB never wins a slot
         .orderBy(F.col("__c").desc(), F.col("__t").asc())
         .limit(top_v)
         .select("__t", F.lit(1).alias("__keep"))
@@ -293,9 +310,19 @@ def bigram_logprob_score_topv(
         .select(F.col(id_col), F.col("__t").alias("__v"), "__w")
     )
     cb = big.groupBy("__v", "__w").agg(F.count("*").alias("__cb"))
-    cv = big.groupBy("__v").agg(F.count("*").alias("__cv"))
-    cu = mapped.groupBy("__t").agg(F.count("*").alias("__cu"))
-    total = mapped.agg(F.count("*").alias("__n"))
+    cv = cb.groupBy("__v").agg(F.sum("__cb").alias("__cv"))
+    # OOV-pooled unigram counts from the vocab table (sum of exact
+    # counts == recount of the pooled tokens), not another corpus pass
+    cu = (
+        tokc.join(F.broadcast(top), "__t", "left")
+        .select(
+            F.when(F.col("__keep").isNotNull(), F.col("__t")).otherwise(F.lit(OOV)).alias("__t"),
+            "__c",
+        )
+        .groupBy("__t")
+        .agg(F.sum("__c").alias("__cu"))
+    )
+    total = tokc.agg(F.sum("__c").alias("__n"))
     p = (
         F.lit(lam) * (F.col("__cb").cast("double") / F.col("__cv"))
         + F.lit(1.0 - lam) * (F.col("__cu").cast("double") / F.col("__n"))

@@ -456,7 +456,14 @@ def ivf_topk(
     partition pruning. Recall is tunable via nprobe; exact duplicates
     are always recalled (identical vector → identical nearest list).
     """
-    cent = ivf_centroids(corpus, n_clusters, id_col, vec_col, iters=iters)
+    from rustic_witcher_spark.operators.materialize import materialize
+
+    # centroids are n_clusters rows but their subtree is the whole Lloyd
+    # step (cross-join + posexplode + two aggregates); consumed by BOTH
+    # ivf_assign calls below, Catalyst re-derives it once per consumer
+    # (two full duplicate subtrees in the r12 plan capture). Cut it once
+    # — n_clusters rows, trivially checkpointable at any scale.
+    cent = materialize(ivf_centroids(corpus, n_clusters, id_col, vec_col, iters=iters))
     inv = ivf_assign(corpus, cent, id_col, vec_col, nprobe=1).select(
         F.col("cid"), F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
     )
@@ -493,7 +500,11 @@ def ivf_write_index(
     parquet PARTITION PRUNING — the scan literally never opens the
     other lists' files (asserted in tests via PartitionFilters).
     """
-    cent = ivf_centroids(corpus, n_clusters, id_col, vec_col, iters=iters)
+    from rustic_witcher_spark.operators.materialize import materialize
+
+    # two consumers (the _centroids write and the corpus assignment) —
+    # cut the Lloyd subtree once, same rationale as ivf_topk above
+    cent = materialize(ivf_centroids(corpus, n_clusters, id_col, vec_col, iters=iters))
     cent.write.mode("overwrite").parquet(f"{path}/_centroids")
     inv = ivf_assign(corpus, cent, id_col, vec_col, nprobe=1)
     inv.write.mode("overwrite").partitionBy("cid").parquet(f"{path}/lists")
