@@ -93,7 +93,15 @@ def char_shingles(col: Column, k: int = 5) -> Column:
        overlap and windows substr WITHIN each block: block extraction
        costs Σ O(j·B) = O(n²/B) and in-block windows O(n·B) — linear
        in practice (80k-char doc: 157 s naive → ~1 s blocked).
+
+    Memoized per (input, k) — the blocked builder is one of the larger
+    expression trees in the dedup family (the ``minhash_signature``
+    memo discipline).
     """
+    return _memo_column((str(col), "chsh", k), lambda: _char_shingles_build(col, k))
+
+
+def _char_shingles_build(col: Column, k: int) -> Column:
     B = _SHINGLE_BLOCK
 
     def shingle_block(blk: Column) -> Column:
@@ -169,7 +177,13 @@ def word_shingle_hashes(col: Column, seed: int = DEFAULT_SEED) -> Column:
     allocation): gram_i = (w1·h(t_i) + w2·h(t_{i+1}) + h(t_{i+2})) mod M31.
 
     Texts with fewer than 3 tokens hash the whole normalized text.
+    Memoized per (input, seed) like ``minhash_signature`` — ~20 call
+    sites rebuild this tree per bench/gate pass otherwise.
     """
+    return _memo_column((str(col), "wsh", seed), lambda: _word_shingle_hashes_build(col, seed))
+
+
+def _word_shingle_hashes_build(col: Column, seed: int) -> Column:
     norm = normalized_text(col)
     toks = F.split(norm, " ")
     th = F.transform(toks, lambda t: hash64(t, seed, "mh") % MERSENNE_31)

@@ -163,9 +163,28 @@ def pin_parquet_confs(spark: SparkSession) -> None:
     runtime-settable and take effect at ACTION time, so there is
     deliberately no save/restore: the returned DataFrames are lazy,
     and the confs must still hold when the caller materializes them.
+
+    Memoized per live session: a conf.set is a py4j round-trip
+    (~1.7 ms here) and the engine's entries call this hundreds of
+    times per run. A host that deliberately FLIPS these confs between
+    engine calls would defeat the memo — that host is already outside
+    the engine's documented contract (see the no-save/restore note
+    above); re-pinning on a new/replaced session still works because
+    the memo keys on the session object itself.
     """
+    if spark in _PINNED_SESSIONS:
+        return
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _PINNED_SESSIONS.add(spark)
+
+
+# WeakSet so a stopped/garbage-collected session does not leak; a new
+# SparkSession object (even in the same JVM) re-pins.
+import weakref  # noqa: E402
+
+_PINNED_SESSIONS: "weakref.WeakSet" = weakref.WeakSet()
+_NANOS_PINNED: "weakref.WeakSet" = weakref.WeakSet()
 
 
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -185,7 +204,9 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import functions as F
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if spark not in _NANOS_PINNED:  # same per-session memo as pin_parquet_confs
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        _NANOS_PINNED.add(spark)
     # NB: session-wide runtime confs — a host embedding this engine in a
     # non-UTC session shares the setting for subsequent queries (the
     # engine's own session factory pins UTC anyway; see helper docstring).
