@@ -109,15 +109,27 @@ def chunk_dup_stats(
         F.transform(F.array(F.split(normalized_text(F.col(text_col)), " ")), chunks_of), 1
     )
     exploded = df.select(F.col(id_col), F.explode(chunks).alias("__chunk"))
-    # chunk -> set-of-docs size; a chunk is "duplicated" for a doc if
-    # some OTHER doc also has it (count distinct docs >= 2)
-    owners = exploded.distinct().groupBy("__chunk").agg(F.count("*").alias("__docs"))
+    # Per-doc chunk multiplicities FIRST (r12): the exploded stream fed
+    # both the owner count (via distinct) and the per-doc rollup, and
+    # Catalyst has no cross-branch subtree reuse — the chunking
+    # projection (normalize + split + array_join per window) ran twice.
+    # Grouping to (id, chunk, m) lets both consumers share ONE exchange
+    # (ReuseExchange: identical subtree), and every downstream value is
+    # an integer sum of these exact counts — bit-identical to the
+    # instance-level form: owners-per-chunk = COUNT of (id, chunk) rows
+    # (== count distinct docs: a chunk is "duplicated" if some OTHER
+    # doc also has it), n_chunks = Σ m, n_dup_chunks = Σ m over
+    # duplicated chunks.
+    docchunk = exploded.groupBy(id_col, "__chunk").agg(F.count(F.lit(1)).alias("__m"))
+    owners = docchunk.groupBy("__chunk").agg(F.count(F.lit(1)).alias("__docs"))
     return (
-        exploded.join(owners, "__chunk")
+        docchunk.join(owners, "__chunk")
         .groupBy(id_col)
         .agg(
-            F.count("*").alias("n_chunks"),
-            F.sum(F.when(F.col("__docs") >= 2, 1).otherwise(0)).alias("n_dup_chunks"),
+            F.sum("__m").alias("n_chunks"),
+            F.sum(
+                F.when(F.col("__docs") >= 2, F.col("__m")).otherwise(F.lit(0))
+            ).alias("n_dup_chunks"),
         )
         .withColumn(
             "dup_ratio", F.round(F.col("n_dup_chunks") / F.col("n_chunks"), 4)
