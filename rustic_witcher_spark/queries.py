@@ -50,6 +50,7 @@ from rustic_witcher_spark.operators.materialize import materialize
 from rustic_witcher_spark.plans.pipeline import anonymize_table, pipeline_oracle_sql
 from rustic_witcher_spark.sources.parquet import (
     _cast_ntz_from_schema,
+    _stat_key,
     cast_ntz_timestamps,
     pin_parquet_confs,
     read_events,
@@ -67,10 +68,11 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # table paths hundreds of times per bench/gate run. The cache holds the
 # INFERRED SCHEMA (metadata only — never rows, never plan results):
 # every invocation still builds a fresh scan over the parquet files, so
-# nothing about the computed data is memoized. Keyed by (sf_dir, table);
-# a table whose schema changes on disk mid-process would need a process
-# restart, which matches how the driver and bench actually run.
-_READ_SCHEMA_CACHE: dict[tuple[str, str], object] = {}
+# nothing about the computed data is memoized. Keyed by
+# (path, mtime_ns, size) so a table regenerated in-process with a new
+# schema re-infers instead of silently reading through a stale schema
+# (ADVICE r12) — the stat is nearly free.
+_READ_SCHEMA_CACHE: dict[tuple, object] = {}
 
 
 def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
@@ -89,10 +91,11 @@ def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
         # their own timezone-sensitive queries, or use a separate session.
         pin_parquet_confs(spark)
         path = f"{sf_dir}/{table}.parquet"
-        schema = _READ_SCHEMA_CACHE.get((sf_dir, table))
+        key = _stat_key(path)
+        schema = _READ_SCHEMA_CACHE.get(key)
         if schema is None:
             schema = spark.read.parquet(path).schema
-            _READ_SCHEMA_CACHE[(sf_dir, table)] = schema
+            _READ_SCHEMA_CACHE[key] = schema
         raw = spark.read.schema(schema).parquet(path)
         # Spark-written tables carry an explicit NTZ marker that overrides
         # the pinned inference conf — normalize so both layouts work.
@@ -112,7 +115,16 @@ def _table_bytes(sf_dir: str, table: str) -> int:
 
     path = f"{sf_dir}/{table}.parquet"
     if _os.path.isdir(path):
-        return sum(_os.path.getsize(p) for p in _glob.glob(f"{path}/*.parquet"))
+        # recursive: partitioned tables keep part files in subdirs —
+        # a top-level-only glob returned 0 and _spread then issued the
+        # pure-waste full repartition its docstring forbids (ADVICE r12)
+        total = sum(
+            _os.path.getsize(p)
+            for p in _glob.glob(f"{path}/**/*.parquet", recursive=True)
+        )
+        if total == 0:
+            raise OSError(f"no parquet files under {path}")  # no hint → probe fallback
+        return total
     return _os.path.getsize(path)
 
 
@@ -7228,7 +7240,13 @@ def _ordered_stream_source(
         elif fmt == "text":
             open(dst, "wb").close()  # 0-row batch: empty JSONL file
         else:
-            # 0-row batch: valid empty parquet with the part schema
+            # 0-row batch: valid empty parquet with the part schema.
+            # NB: pyarrow's footer conventions (timestamp annotations,
+            # field metadata) can differ from Spark-written files — safe
+            # here ONLY because every readStream caller passes an
+            # explicit schema and the file has zero row groups; a future
+            # caller relying on schema INFERENCE over the staged dir
+            # must not (ADVICE r12).
             import pyarrow.parquet as pq_mod
             from pyspark.sql.pandas.types import to_arrow_schema
 

@@ -29,7 +29,14 @@ def _install_jvm_function_cache() -> None:
     returned is identical, so analyzed/optimized/physical plans are
     byte-for-byte unchanged.
     """
-    import pyspark.sql.functions.builtin as _builtin
+    try:
+        import pyspark.sql.functions.builtin as _builtin
+
+        _builtin._get_jvm_function  # noqa: B018 — probe the private hook
+    except (ImportError, AttributeError):
+        # A pyspark upgrade moved/renamed the internal: degrade to stock
+        # resolution speed instead of failing session creation (ADVICE r12).
+        return
 
     if getattr(_builtin._get_jvm_function, "_rw_cached", False):
         return

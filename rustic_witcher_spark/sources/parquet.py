@@ -215,10 +215,11 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # footer inference costs ~60-90 ms per call on this host and the
     # events path is read by dozens of entries per run. Rows are never
     # cached — every call builds a fresh scan.
-    schema = _EVENTS_SCHEMA_CACHE.get(sf_dir)
+    key = _stat_key(f"{sf_dir}/events.parquet")
+    schema = _EVENTS_SCHEMA_CACHE.get(key)
     if schema is None:
         schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-        _EVENTS_SCHEMA_CACHE[sf_dir] = schema
+        _EVENTS_SCHEMA_CACHE[key] = schema
     df = spark.read.schema(schema).parquet(f"{sf_dir}/events.parquet")
     ts_field = schema["ts"].dataType.typeName()
     if ts_field in ("long", "bigint"):
@@ -226,7 +227,24 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cast_ntz_from_schema(df, schema)
 
 
-_EVENTS_SCHEMA_CACHE: dict[str, object] = {}
+# Keyed by (path, mtime_ns, size) — a regenerated events table
+# re-infers instead of silently reading through a stale schema
+# (ADVICE r12); the stat is nearly free.
+_EVENTS_SCHEMA_CACHE: dict[tuple, object] = {}
+
+
+def _stat_key(path: str) -> tuple:
+    """(path, mtime_ns, size) cache key for the schema caches (also
+    used by queries._READ_SCHEMA_CACHE). For directory tables the dir's
+    own stat changes whenever part files are added/replaced (Spark
+    writes fresh files), covering regeneration."""
+    import os as _os
+
+    try:
+        st = _os.stat(path)
+        return (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        return (path, None, None)
 
 
 def _cast_ntz_from_schema(df: DataFrame, schema) -> DataFrame:
