@@ -204,35 +204,50 @@ def bigram_logprob_score(
     pairs = F.element_at(
         F.transform(F.array(F.split(normalized_text(F.col(text_col)), " ")), bigrams_of), 1
     )
+    from rustic_witcher_spark.operators.materialize import materialize
+
     big = df.select(F.col(id_col), F.explode(pairs).alias("__p")).select(
         F.col(id_col), F.col("__p.v").alias("__v"), F.col("__p.w").alias("__w")
     )
     toks = df.select(
         F.col(id_col), F.explode(F.split(normalized_text(F.col(text_col)), " ")).alias("__t")
     )
-    cb = big.groupBy("__v", "__w").agg(F.count("*").alias("__cb"))
-    # cv/total are integer ROLL-UPS of cb/cu (sum of exact counts —
-    # bit-identical values), not independent aggregations: computing
-    # them from the corpus-scale frames re-ran the whole explode chain
-    # once per consumer (Catalyst has no cross-branch subtree reuse).
-    # Rolling up the already-bounded count tables removes two corpus
-    # passes; the per-instance probability expression is unchanged.
+    # The two count tables are MATERIALIZED (r13): they are the CCNet-
+    # style bigram/unigram count tables a production run persists anyway
+    # (bounded by distinct bigrams / vocab, never corpus-scale), and
+    # without the cut every consumer re-planned the whole explode chain
+    # (Catalyst has no cross-branch subtree reuse — the r12 plan still
+    # carried 5 corpus-scan subtrees). cv/total stay integer ROLL-UPS of
+    # cb/cu (sums of exact counts — bit-identical values).
+    cb = materialize(big.groupBy("__v", "__w").agg(F.count("*").alias("__cb")))
     cv = cb.groupBy("__v").agg(F.sum("__cb").alias("__cv"))
-    cu = toks.groupBy("__t").agg(F.count("*").alias("__cu"))
+    cu = materialize(toks.groupBy("__t").agg(F.count("*").alias("__cu")))
     total = cu.agg(F.sum("__cu").alias("__n"))
     p = (
         F.lit(lam) * (F.col("__cb").cast("double") / F.col("__cv"))
         + F.lit(1.0 - lam) * (F.col("__cu").cast("double") / F.col("__n"))
     )
-    return (
-        big.join(cb, ["__v", "__w"])
-        .join(cv, "__v")
+    # Attach the probability with ONE join (r13, guide §2.3/§8): the
+    # per-(v,w) probability is a pure function of the bounded count
+    # tables, so it is computed on THEM (pw below) and the corpus-scale
+    # bigram-instance stream is shuffled ONCE to pick it up — the
+    # previous chain (join cb, then cv, then cu) re-shuffled every
+    # instance row three times (by (v,w), by v, by w) to attach numbers
+    # that never depended on the instance. Expression tree and join
+    # semantics unchanged (inner joins are lossless here: every (v,w)
+    # of big IS a cb key, every cb key has a cv row and a cu row).
+    pw = (
+        cb.join(cv, "__v")
         .join(cu, F.col("__w") == F.col("__t"))
         .crossJoin(F.broadcast(total))
+        .select("__v", "__w", p.alias("__p"))
+    )
+    return (
+        big.join(pw, ["__v", "__w"])
         .groupBy(id_col)
         .agg(
             F.count("*").alias("n_bigrams"),
-            F.round(F.avg(-F.log(p)), 4).alias("nll"),
+            F.round(F.avg(-F.log(F.col("__p"))), 4).alias("nll"),
         )
     )
 
@@ -321,7 +336,13 @@ def bigram_logprob_score_topv(
         .filter(F.col("__w").isNotNull())
         .select(F.col(id_col), F.col("__t").alias("__v"), "__w")
     )
-    cb = big.groupBy("__v", "__w").agg(F.count("*").alias("__cb"))
+    # The bigram count table is MATERIALIZED (r13): bounded by (V+1)²
+    # worst-case (in practice far less), it is the count table a CCNet
+    # run persists — and without the cut both the cb and cv consumers
+    # re-planned big's whole explode+window chain (exchange reuse only
+    # dedupes BELOW the exchange; the sort+lead window above it re-ran
+    # once per consumer). cv stays an integer roll-up of cb.
+    cb = materialize(big.groupBy("__v", "__w").agg(F.count("*").alias("__cb")))
     cv = cb.groupBy("__v").agg(F.sum("__cb").alias("__cv"))
     # OOV-pooled unigram counts from the vocab table (sum of exact
     # counts == recount of the pooled tokens), not another corpus pass
@@ -339,15 +360,23 @@ def bigram_logprob_score_topv(
         F.lit(lam) * (F.col("__cb").cast("double") / F.col("__cv"))
         + F.lit(1.0 - lam) * (F.col("__cu").cast("double") / F.col("__n"))
     )
-    return (
-        big.join(cb, ["__v", "__w"])
-        .join(cv, "__v")
+    # ONE probability-attach join (r13 — same restructure as the exact
+    # face): p is a pure function of the bounded tables, so compute it
+    # on them and shuffle the corpus-scale instance stream once, not
+    # three times. Inner joins are lossless (every (v,w) of big is a cb
+    # key with cv/cu rows); expression tree unchanged.
+    pw = (
+        cb.join(cv, "__v")
         .join(cu, F.col("__w") == F.col("__t"))
         .crossJoin(F.broadcast(total))
+        .select("__v", "__w", p.alias("__p"))
+    )
+    return (
+        big.join(pw, ["__v", "__w"])
         .groupBy(id_col)
         .agg(
             F.count("*").alias("n_bigrams"),
-            F.round(F.avg(-F.log(p)), 4).alias("nll"),
+            F.round(F.avg(-F.log(F.col("__p"))), 4).alias("nll"),
         )
     )
 

@@ -23,6 +23,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+from bench import _cpu_pcts, _cpu_sample
 from rustic_witcher_spark.queries import build_registry
 from rustic_witcher_spark.session import get_spark
 
@@ -57,12 +58,23 @@ def main() -> None:
         if os.path.isdir(warm_dir) and warm_dir != args.sf:
             fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
         runs = []
+        runs_jobs, runs_steal, runs_idle = [], [], []
         for _ in range(args.runs):
             gc.collect()
+            j0 = max(spark.sparkContext.statusTracker().getJobIdsForGroup(None) or [-1])
+            c0 = _cpu_sample()
             t0 = time.perf_counter()
             fn(spark, args.sf).write.format("noop").mode("overwrite").save()
             runs.append(round(time.perf_counter() - t0, 3))
-        print(f"{name}: best={min(runs)} runs={runs}")
+            pcts = _cpu_pcts(c0, _cpu_sample())
+            j1 = max(spark.sparkContext.statusTracker().getJobIdsForGroup(None) or [-1])
+            runs_jobs.append(j1 - j0)
+            runs_steal.append(pcts.get("steal_pct"))
+            runs_idle.append(pcts.get("idle_pct"))
+        print(
+            f"{name}: best={min(runs)} runs={runs} jobs={runs_jobs} "
+            f"steal={runs_steal} idle={runs_idle}"
+        )
 
 
 if __name__ == "__main__":
