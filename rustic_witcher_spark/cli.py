@@ -576,7 +576,13 @@ def main(argv: list[str] | None = None) -> int:
             both = hashed.withColumn("__new", F.lit(True)).unionByName(
                 index.withColumn("__new", F.lit(False))
             )
-            out = incremental_hamming_flags(both, args.id_col, "phash", F.col("__new"), args.max_hamming)
+            # materialize_keyed: the batch side's dHash kernel feeds
+            # three plan subtrees; cut it once (the index side is a
+            # plain parquet scan either way)
+            out = incremental_hamming_flags(
+                both, args.id_col, "phash", F.col("__new"), args.max_hamming,
+                materialize_keyed=True,
+            )
             out.write.mode("overwrite").parquet(args.target)
             # explicit schema on read-back: a 0-row batch writes only
             # _SUCCESS, and schema inference would raise (shards.py lesson)

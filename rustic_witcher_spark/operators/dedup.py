@@ -480,6 +480,7 @@ def incremental_hamming_flags(
     hash_col: str,
     is_new: Column,
     max_hamming: int = 2,
+    materialize_keyed: bool = False,
 ) -> DataFrame:
     """Flag a NEW batch of fingerprints against an EXISTING corpus —
     the media-side twin of ``incremental_dedup_flags``: nightly media
@@ -497,8 +498,22 @@ def incremental_hamming_flags(
     fingerprint) index rows — one long of index state per object per
     band, exactly what you'd persist as the media dedup *index* — and
     the join shuffles band keys, never media bytes. Batch rows with a
-    NULL fingerprint flag (False, False) rather than joining."""
+    NULL fingerprint flag (False, False) rather than joining.
+
+    ``materialize_keyed``: cut the (id, new, fingerprint) projection
+    once before fan-out. The plan consumes it from THREE subtrees
+    (batch band-explode, corpus band-index, batch-id spine), so a lazy
+    input recomputes the upstream fingerprint kernel — for the media
+    entries, the full byte-path dHash over the corpus — three times.
+    Checkpointing ~17 bytes/row versus two extra decode passes is the
+    guide-§2.4 trade. Off by default: the streaming appender feeds an
+    already-persisted batch + a parquet index scan, where the cut
+    would only add a job per micro-batch."""
     keyed = df.select(F.col(id_col).alias("__id"), is_new.alias("__new"), F.col(hash_col).alias("__sim"))
+    if materialize_keyed:
+        from rustic_witcher_spark.operators.materialize import materialize
+
+        keyed = materialize(keyed)
     batch = keyed.filter(F.col("__new"))
     corpus = keyed.filter(~F.col("__new"))
 
@@ -572,10 +587,19 @@ def incremental_dedup_flags(
     bands: int = 8,
     n: int = 3,
     seed: int = DEFAULT_SEED,
+    materialize_keyed: bool = False,
 ) -> DataFrame:
     """Dedup a NEW batch against an EXISTING corpus — the production
     shape: nightly ingest must not re-shuffle the whole historical
     corpus against itself, only batch-vs-corpus.
+
+    ``materialize_keyed``: cut the (id, new, digest, signature)
+    projection once before fan-out — the plan reads it from FIVE
+    subtrees (batch digest/bands/spine, corpus digests/bands), each of
+    which otherwise re-runs the md5 + num_perm-permutation MinHash
+    kernel over the text (guide §2.4). ~num_perm*4 bytes/row
+    checkpointed versus four extra signature passes. Off by default
+    for streaming/per-batch callers that feed persisted inputs.
 
     Returns one row per new-batch doc: (id, exact_dup, near_dup) where
     ``exact_dup`` = normalized text digest already present in the
@@ -606,6 +630,10 @@ def incremental_dedup_flags(
         for b in range(bands)
     ])
     keyed = df.select(F.col(id_col).alias("__id"), is_new.alias("__new"), digest.alias("__digest"), sig.alias("__sig"))
+    if materialize_keyed:
+        from rustic_witcher_spark.operators.materialize import materialize
+
+        keyed = materialize(keyed)
     batch = keyed.filter(F.col("__new"))
     corpus = keyed.filter(~F.col("__new"))
 

@@ -2715,7 +2715,10 @@ def q_ann_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             emb.filter((F.col("vec_id") % 10) < 8), idx,
             n_subspaces=16, n_codes=16, dim=64, coarse_clusters=8, iters=1, seed=SEED,
         )
-    _, m, _ = pq.codebook_geometry(spark, idx)
+    # ONE codebook-geometry probe serves the empty-base check, the
+    # append's encode, and the query — the codebook is frozen, so the
+    # triple used to be computed three times (3 identical agg jobs)
+    cb, m, dim = pq.codebook_geometry(spark, idx)
     if m == 0:  # all-NULL / empty base split: no codebook, no index — the
         # twin's empty pseeds chain returns zero rows identically
         return spark.createDataFrame([], "query_id long, neighbor_id long, rank int, sim double")
@@ -2723,11 +2726,13 @@ def q_ann_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(parent, ignore_errors=True)
     os.makedirs(parent, exist_ok=True)
     delta = tempfile.mkdtemp(dir=parent)
-    ann_index_append_batch(emb.filter((F.col("vec_id") % 10) >= 8), 0, idx, delta)
-    queries = emb.filter(F.col("vec_id") < 5)
-    return query_with_delta(spark, idx, delta, queries, k=5, nprobe=2).select(
-        "query_id", "neighbor_id", "rank", "sim"
+    ann_index_append_batch(
+        emb.filter((F.col("vec_id") % 10) >= 8), 0, idx, delta, geometry=(cb, m, dim)
     )
+    queries = emb.filter(F.col("vec_id") < 5)
+    return query_with_delta(
+        spark, idx, delta, queries, k=5, nprobe=2, n_subspaces=m, dim=dim
+    ).select("query_id", "neighbor_id", "rank", "sim")
 
 
 def sql_ann_incremental(
@@ -3286,7 +3291,8 @@ def q_media_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = _media_with_twins(spark, sf_dir)
     hashed = multimodal.attach_perceptual_hash(m, "media")
     return dedup.incremental_hamming_flags(
-        hashed, "doc_id", "phash", (F.col("doc_id") % 10) >= 8, max_hamming=MEDIA_DUP_MAXH
+        hashed, "doc_id", "phash", (F.col("doc_id") % 10) >= 8, max_hamming=MEDIA_DUP_MAXH,
+        materialize_keyed=True,
     ).orderBy("doc_id")
 
 
@@ -4049,7 +4055,8 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/dedup.incremental_dedup_flags)."""
     d = _spread(spark, _read(spark, sf_dir, "documents"))
     return dedup.incremental_dedup_flags(
-        d, "text", "doc_id", (F.col("doc_id") % 10) >= 8, num_perm=32, bands=8, n=3, seed=SEED
+        d, "text", "doc_id", (F.col("doc_id") % 10) >= 8, num_perm=32, bands=8, n=3, seed=SEED,
+        materialize_keyed=True,
     )
 
 

@@ -62,18 +62,26 @@ def ann_index_append_batch(
     delta_path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    geometry: tuple | None = None,
 ) -> bool:
     """One micro-batch through the appender: encode against the frozen
     codebook (+ coarse list assignment when the base is IVF-PQ), write
     the batch's codes to its own partition. Returns False (no work) for
     a replayed batch_id. Empty batches advance the cursor without
     touching the index; all read-backs carry explicit schemas (the
-    empty-parquet inference bug class)."""
+    empty-parquet inference bug class).
+
+    ``geometry``: a ``(codebook_df, n_subspaces, dim)`` triple from a
+    prior ``pq.codebook_geometry(spark, base_index_path)`` call. The
+    codebook is FROZEN for the index's life (the appender's design
+    contract), so a caller driving many batches — or one that already
+    probed the geometry for an empty-base check — passes it through
+    instead of re-paying the codebook aggregate job per call."""
     meta = _load_meta(delta_path)
     if batch_id <= meta.get("last_batch_id", -1):
         return False
     spark = batch_df.sparkSession
-    cb, n_subspaces, dim = pq.codebook_geometry(spark, base_index_path)
+    cb, n_subspaces, dim = geometry or pq.codebook_geometry(spark, base_index_path)
     if n_subspaces == 0:
         raise ValueError(
             f"base index at {base_index_path!r} has an empty codebook — "
@@ -182,12 +190,18 @@ def query_with_delta(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_subspaces: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """ADC top-k over base ∪ not-yet-merged delta — one probe
-    assignment, one kernel, one window."""
+    assignment, one kernel, one window. ``n_subspaces``/``dim`` skip
+    the codebook-geometry inference job when the caller already knows
+    the frozen codebook's shape (same contract as
+    ``pq.pq_query_index``)."""
     delta = read_delta_codes(spark, base_index_path, delta_path, id_col)
     return pq.pq_query_index(
         spark, base_index_path, queries, k=k, nprobe=nprobe,
+        n_subspaces=n_subspaces, dim=dim,
         id_col=id_col, vec_col=vec_col, extra_codes=[delta],
     )
 

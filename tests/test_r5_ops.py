@@ -95,6 +95,23 @@ def test_incremental_flags_partition_invariant(spark):
     assert a == b and len(a) == 50
 
 
+def test_incremental_flags_materialize_keyed_identical(spark):
+    """materialize_keyed only cuts the keyed projection's lineage —
+    flags must be bit-identical with it on and off (r13 optimization:
+    the five keyed consumers stop re-running the MinHash kernel)."""
+    rows = [(i, f"doc {i % 13} body words here") for i in range(80)]
+    df = _docs(spark, rows)
+    new = F.col("doc_id") >= 60
+    a = sorted(map(tuple, incremental_dedup_flags(df, "text", "doc_id", new).collect()))
+    b = sorted(
+        map(
+            tuple,
+            incremental_dedup_flags(df, "text", "doc_id", new, materialize_keyed=True).collect(),
+        )
+    )
+    assert a == b and len(a) == 20
+
+
 def test_incremental_flags_no_corpus_self_pairs(spark):
     # output contains ONLY batch rows — the corpus is never self-joined
     df = _docs(spark, [(i, f"doc {i}") for i in range(10)])

@@ -337,6 +337,31 @@ def test_incremental_hamming_flags_semantics(spark):
     }
 
 
+def test_incremental_hamming_flags_materialize_keyed_identical(spark):
+    """materialize_keyed cuts the keyed projection's lineage only —
+    flags bit-identical either way (r13: the three keyed consumers
+    stop re-running the upstream fingerprint kernel)."""
+    from pyspark.sql import functions as F
+
+    from rustic_witcher_spark.operators.dedup import incremental_hamming_flags
+
+    base = 0b101011001110001101010101
+    rows = [(i, base ^ (1 << (i % 24)), i >= 30) for i in range(40)] + [(99, None, True)]
+    df = spark.createDataFrame(rows, "doc_id long, ph long, fresh boolean")
+    a = sorted(
+        map(tuple, incremental_hamming_flags(df, "doc_id", "ph", F.col("fresh"), 2).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            incremental_hamming_flags(
+                df, "doc_id", "ph", F.col("fresh"), 2, materialize_keyed=True
+            ).collect(),
+        )
+    )
+    assert a == b and len(a) == 11
+
+
 def test_incremental_hamming_flags_match_brute_force(spark):
     """Flags derived through the band-index join == flags derived by
     brute-force comparing every batch hash to every corpus hash."""

@@ -70,6 +70,27 @@ def test_stream_equals_batch_reencode_under_frozen_codebook(spark, base_index, t
     assert rows and all(r["query_id"] != r["neighbor_id"] for r in rows)
 
 
+def test_geometry_passthrough_identical(spark, base_index, tmp_path):
+    """Passing the frozen codebook's geometry (r13: skips the
+    per-call codebook aggregate job) changes nothing about the
+    appended delta or the query result."""
+    extra = _vectors(12, start=300)
+    batch = spark.createDataFrame(extra, SCHEMA)
+    queries = spark.createDataFrame(_vectors(4, seed=7, start=600), SCHEMA)
+    geo = pq.codebook_geometry(spark, base_index)
+
+    d_plain = str(tmp_path / "d_plain")
+    d_geo = str(tmp_path / "d_geo")
+    assert ann_index_append_batch(batch, 0, base_index, d_plain)
+    assert ann_index_append_batch(batch, 0, base_index, d_geo, geometry=geo)
+
+    a = query_with_delta(spark, base_index, d_plain, queries, k=5, nprobe=4)
+    b = query_with_delta(
+        spark, base_index, d_geo, queries, k=5, nprobe=4, n_subspaces=geo[1], dim=geo[2]
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
 def test_streaming_query_api_runs_the_same_loop(spark, base_index, tmp_path):
     src = tmp_path / "in"
     src.mkdir()
