@@ -45,12 +45,21 @@ def _install_jvm_function_cache() -> None:
     def _cached_get_jvm_function(name, sc):
         jvm = sc._jvm
         if state["jvm"] is not jvm:
-            state["jvm"] = jvm
+            # Publish pkg/cache BEFORE jvm: hosts legitimately build
+            # plans from several driver threads (guide §2.6 job
+            # overlap), and a reader that observes the new jvm must
+            # also observe its matching pkg — the old order let a
+            # concurrent F.<fn> call read pkg=None mid-rebuild. The
+            # GIL makes each dict op atomic; a racing double-rebuild
+            # is idempotent.
             state["pkg"] = getattr(jvm, "org.apache.spark.sql.functions")
             state["cache"] = {}
-        f = state["cache"].get(name)
+            state["jvm"] = jvm
+        pkg = state["pkg"]
+        cache = state["cache"]
+        f = cache.get(name)
         if f is None:
-            f = state["cache"][name] = getattr(state["pkg"], name)
+            f = cache[name] = getattr(pkg, name)
         return f
 
     _cached_get_jvm_function._rw_cached = True

@@ -35,6 +35,61 @@ def sf_dir():
     return SF_DIR
 
 
+# Entries that must NOT run concurrently with each other: the six
+# Structured-Streaming gate entries pin spark.sql.shuffle.partitions
+# via a session-wide conf set/restore (two overlapping pins can
+# restore the wrong value into the session); the persisted-index
+# family builds into a shared content-keyed cache dir (a concurrent
+# build of the same dir races the parquet commit). Everything else —
+# including the batch-path *_incremental entries, which only touch
+# their own mkdtemp parents — is safe to overlap: shuffle-partition
+# count never changes results (pinned by the partition-invariance
+# tests), and memory-sink names are unique per entry.
+SWEEP_SERIAL_SUFFIXES = ()
+SWEEP_SERIAL_NAMES = {
+    "quota_incremental", "stateful_totals_incremental",
+    "dedup_exact_incremental", "attribution_incremental",
+    "drift_incremental", "histogram_incremental",
+    "pq_index_query", "pq_rerank_query", "pq_residual_query",
+}
+
+
+def sweep_entries(named_thunks, max_workers=4):
+    """Run (name, thunk) pairs with driver-side job overlap — the
+    guide-§2.6 pattern (Spark happily runs several jobs at once in one
+    application; the registry sweeps were serializing ~190 tiny jobs
+    behind each other's scheduling floors, which dominated the suite's
+    wall-clock). Entries in the serial set above run sequentially
+    afterwards. Returns {name: (value, exception_or_None)} — same
+    attributability as the old sequential loops."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    serial, par = [], []
+    for name, thunk in named_thunks:
+        bucket = (
+            serial
+            if name in SWEEP_SERIAL_NAMES or name.endswith(SWEEP_SERIAL_SUFFIXES)
+            else par
+        )
+        bucket.append((name, thunk))
+
+    def run(item):
+        name, thunk = item
+        try:
+            return name, thunk(), None
+        except Exception as exc:  # noqa: BLE001 — reported per entry by the caller
+            return name, None, exc
+
+    results = {}
+    with ThreadPoolExecutor(max_workers=max_workers) as pool:
+        for name, val, exc in pool.map(run, par):
+            results[name] = (val, exc)
+    for item in serial:
+        name, val, exc = run(item)
+        results[name] = (val, exc)
+    return results
+
+
 def spark_rows(df, sort_cols=None):
     """Collect a Spark DataFrame to a sorted list of plain tuples."""
     rows = [tuple(r) for r in df.collect()]

@@ -43,12 +43,14 @@ def empty_dir(spark, tmp_path_factory):
 
 
 def test_every_entry_survives_empty_ntz_tables(empty_dir, spark):
-    failures = []
-    for name, fn in entrymod.queries().items():
-        try:
-            fn(spark, empty_dir).collect()  # full eval: count() prunes the output projection
-        except Exception as exc:  # noqa: BLE001 - collecting for the report
-            failures.append(f"{name}: {str(exc).splitlines()[0][:140]}")
+    from conftest import sweep_entries
+
+    results = sweep_entries(
+        [(name, lambda fn=fn: fn(spark, empty_dir).collect()) for name, fn in entrymod.queries().items()]
+    )  # full eval via collect (count() would prune the output projection); jobs overlap per guide §2.6
+    failures = [
+        f"{name}: {str(exc).splitlines()[0][:140]}" for name, (_, exc) in results.items() if exc
+    ]
     assert not failures, "entries crashed on empty/NTZ tables:\n" + "\n".join(failures)
 
 
@@ -103,12 +105,14 @@ def nulled_dir(spark, tmp_path_factory):
 def test_every_entry_survives_nulled_columns(nulled_dir, spark):
     """The sweep that caught embedding_near_dups sending NULL vectors
     into the NumPy matmul kernel (stage-killing np.stack failure)."""
-    failures = []
-    for name, fn in entrymod.queries().items():
-        try:
-            fn(spark, nulled_dir).collect()  # full eval: count() prunes the output projection
-        except Exception as exc:  # noqa: BLE001 - collecting for the report
-            failures.append(f"{name}: {str(exc).splitlines()[0][:140]}")
+    from conftest import sweep_entries
+
+    results = sweep_entries(
+        [(name, lambda fn=fn: fn(spark, nulled_dir).collect()) for name, fn in entrymod.queries().items()]
+    )  # full eval via collect (count() would prune the output projection); jobs overlap per guide §2.6
+    failures = [
+        f"{name}: {str(exc).splitlines()[0][:140]}" for name, (_, exc) in results.items() if exc
+    ]
     assert not failures, "entries crashed on nulled columns:\n" + "\n".join(failures)
 
 
@@ -190,13 +194,15 @@ def test_document_entries_survive_adversarial_text(spark, tmp_path_factory):
             )
         )
     ]
+    from conftest import sweep_entries
+
     qs = entrymod.queries()
-    failures = []
-    for name in keys:
-        try:
-            qs[name](spark, str(d)).collect()  # full eval: count() prunes the output projection
-        except Exception as exc:  # noqa: BLE001 - collecting for the report
-            failures.append(f"{name}: {str(exc).splitlines()[0][:140]}")
+    results = sweep_entries(
+        [(name, lambda n=name: qs[n](spark, str(d)).collect()) for name in keys]
+    )  # full eval via collect; jobs overlap per guide §2.6
+    failures = [
+        f"{name}: {str(exc).splitlines()[0][:140]}" for name, (_, exc) in results.items() if exc
+    ]
     assert not failures, "entries crashed on adversarial text:\n" + "\n".join(failures)
 
 
@@ -268,10 +274,12 @@ def test_every_entry_survives_all_null_columns(all_null_dir, spark):
     """No entry may die on a fully-NULL column under Spark 4's ANSI
     default (DIVIDE_BY_ZERO, CAST_INVALID_INPUT, ...) — a quarantine
     miss upstream degrades results to NULLs, never kills the job."""
-    failures = []
-    for name, fn in entrymod.queries().items():
-        try:
-            fn(spark, all_null_dir).collect()  # full eval: count() prunes the output projection
-        except Exception as exc:  # noqa: BLE001 - collecting for the report
-            failures.append(f"{name}: {str(exc).splitlines()[0][:140]}")
+    from conftest import sweep_entries
+
+    results = sweep_entries(
+        [(name, lambda fn=fn: fn(spark, all_null_dir).collect()) for name, fn in entrymod.queries().items()]
+    )  # full eval via collect (count() would prune the output projection); jobs overlap per guide §2.6
+    failures = [
+        f"{name}: {str(exc).splitlines()[0][:140]}" for name, (_, exc) in results.items() if exc
+    ]
     assert not failures, "entries crashed on all-null columns:\n" + "\n".join(failures)

@@ -311,10 +311,18 @@ def test_registry_returns_no_container_columns(spark):
 
     from rustic_witcher_spark.queries import build_registry
 
+    from conftest import sweep_entries
+
     sf_dir = "/root/testdata/sf0.001"
+    # schema-only, but entry construction still runs eager index/
+    # checkpoint jobs for a few entries — overlap them (guide §2.6)
+    results = sweep_entries(
+        [(name, lambda fn=fn: fn(spark, sf_dir).schema) for name, (fn, _) in build_registry().items()]
+    )
     bad = []
-    for name, (fn, _) in build_registry().items():
-        schema = fn(spark, sf_dir).schema
+    for name, (schema, exc) in results.items():
+        if exc is not None:
+            raise exc
         for f in schema.fields:
             if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType)):
                 bad.append((name, f.name, f.dataType.simpleString()))

@@ -236,10 +236,24 @@ def test_r8_late_entries_oracle_parity_on_random_clean_corpora(spark, tmp_path_f
         # boundaries are exactly the kind of logic random corpora break
         "containment_near_dups", "novelty_scores", "vocab_growth",
     ]
-    entries = {n: (qs[n], osqls[n]) for n in fuzzed}
-    for name, (fn, osql) in entries.items():
-        g = fn(spark, str(d)).toPandas()
-        w = con.execute(osql).fetchdf()
+    from concurrent.futures import ThreadPoolExecutor
+
+    from conftest import sweep_entries
+
+    # Spark side concurrently (guide §2.6); DuckDB oracles on ONE
+    # dedicated thread overlapped with the Spark sweep (the connection
+    # is used by exactly one thread at a time).
+    with ThreadPoolExecutor(max_workers=1) as ora_pool:
+        ora_fut = ora_pool.submit(
+            lambda: {n: con.execute(osqls[n]).fetchdf() for n in fuzzed}
+        )
+        got = sweep_entries([(n, lambda n=n: qs[n](spark, str(d)).toPandas()) for n in fuzzed])
+        oracles = ora_fut.result()
+    for name in fuzzed:
+        g, exc = got[name]
+        if exc is not None:
+            raise exc
+        w = oracles[name]
         cols = sorted(g.columns)
         gs = sorted(map(tuple, g[cols].astype(str).values.tolist()))
         ws = sorted(map(tuple, w[cols].astype(str).values.tolist()))
@@ -301,9 +315,24 @@ def test_event_entries_oracle_parity_on_random_clean_streams(spark, tmp_path_fac
         "events_rollup_cascade", "purchases_with_state_asof",
         "scd2_point_in_time", "scd2_user_history", "state_tier_timeline",
     ]
+    from concurrent.futures import ThreadPoolExecutor
+
+    from conftest import sweep_entries
+
+    # Spark side concurrently (guide §2.6); DuckDB oracles on ONE
+    # dedicated thread overlapped with the Spark sweep (the connection
+    # is used by exactly one thread at a time).
+    with ThreadPoolExecutor(max_workers=1) as ora_pool:
+        ora_fut = ora_pool.submit(
+            lambda: {n: con.execute(osqls[n]).fetchdf() for n in fuzzed}
+        )
+        got = sweep_entries([(n, lambda n=n: qs[n](spark, str(d)).toPandas()) for n in fuzzed])
+        oracles = ora_fut.result()
     for name in fuzzed:
-        g = qs[name](spark, str(d)).toPandas()
-        w = con.execute(osqls[name]).fetchdf()
+        g, exc = got[name]
+        if exc is not None:
+            raise exc
+        w = oracles[name]
         cols = sorted(g.columns)
         gs = sorted(map(tuple, g[cols].astype(str).values.tolist()))
         ws = sorted(map(tuple, w[cols].astype(str).values.tolist()))
@@ -375,9 +404,24 @@ def test_lineitem_entries_oracle_parity_on_random_clean_tables(spark, tmp_path_f
 
     qs, osqls = entrymod.queries(), entrymod.oracle_sql()
     fuzzed = ["q1_pricing_summary", "q6_forecast_revenue", "q12_shipping_lateness", "q4_priority_returns"]
+    from concurrent.futures import ThreadPoolExecutor
+
+    from conftest import sweep_entries
+
+    # Spark side concurrently (guide §2.6); DuckDB oracles on ONE
+    # dedicated thread overlapped with the Spark sweep (the connection
+    # is used by exactly one thread at a time).
+    with ThreadPoolExecutor(max_workers=1) as ora_pool:
+        ora_fut = ora_pool.submit(
+            lambda: {n: con.execute(osqls[n]).fetchdf() for n in fuzzed}
+        )
+        got = sweep_entries([(n, lambda n=n: qs[n](spark, str(d)).toPandas()) for n in fuzzed])
+        oracles = ora_fut.result()
     for name in fuzzed:
-        g = qs[name](spark, str(d)).toPandas()
-        w = con.execute(osqls[name]).fetchdf()
+        g, exc = got[name]
+        if exc is not None:
+            raise exc
+        w = oracles[name]
         cols = sorted(g.columns)
         gs = sorted(map(tuple, g[cols].astype(str).values.tolist()))
         ws = sorted(map(tuple, w[cols].astype(str).values.tolist()))
@@ -493,9 +537,24 @@ def test_join_entries_oracle_parity_on_random_mini_warehouse(spark, tmp_path_fac
         "validation_check", "datadiff_check", "skew_salted_stats",
         "column_profile", "ops_healthcheck", "bloom_probe", "zorder_layout",
     ]
+    from concurrent.futures import ThreadPoolExecutor
+
+    from conftest import sweep_entries
+
+    # Spark side concurrently (guide §2.6); DuckDB oracles on ONE
+    # dedicated thread overlapped with the Spark sweep (the connection
+    # is used by exactly one thread at a time).
+    with ThreadPoolExecutor(max_workers=1) as ora_pool:
+        ora_fut = ora_pool.submit(
+            lambda: {n: con.execute(osqls[n]).fetchdf() for n in fuzzed}
+        )
+        got = sweep_entries([(n, lambda n=n: qs[n](spark, str(d)).toPandas()) for n in fuzzed])
+        oracles = ora_fut.result()
     for name in fuzzed:
-        g = qs[name](spark, str(d)).toPandas()
-        w = con.execute(osqls[name]).fetchdf()
+        g, exc = got[name]
+        if exc is not None:
+            raise exc
+        w = oracles[name]
         cols = sorted(g.columns)
         gs = sorted(map(tuple, g[cols].astype(str).values.tolist()))
         ws = sorted(map(tuple, w[cols].astype(str).values.tolist()))

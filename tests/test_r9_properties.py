@@ -107,9 +107,24 @@ def test_event_entries_oracle_parity_on_random_dirty_streams(spark, tmp_path_fac
         "cdc_incremental", "scd2_incremental",
         "quota_incremental", "stateful_totals_incremental",
     ]
+    from concurrent.futures import ThreadPoolExecutor
+
+    from conftest import sweep_entries
+
+    # Spark side concurrently (guide §2.6 — independent jobs overlap);
+    # DuckDB oracles on ONE dedicated thread overlapped with the Spark
+    # sweep (the connection is used by exactly one thread at a time).
+    with ThreadPoolExecutor(max_workers=1) as ora_pool:
+        ora_fut = ora_pool.submit(
+            lambda: {n: _oracle_or_dump(con, osqls, n, d) for n in fuzzed}
+        )
+        got = sweep_entries([(name, lambda n=name: qs[n](spark, str(d)).toPandas()) for name in fuzzed])
+        oracles = ora_fut.result()
     for name in fuzzed:
-        g = qs[name](spark, str(d)).toPandas()
-        w = _oracle_or_dump(con, osqls, name, d)
+        g, exc = got[name]
+        if exc is not None:
+            raise exc
+        w = oracles[name]
         cols = sorted(g.columns)
         gs = sorted(map(tuple, g[cols].astype(str).values.tolist()))
         ws = sorted(map(tuple, w[cols].astype(str).values.tolist()))
@@ -219,9 +234,24 @@ def test_doc_entries_oracle_parity_on_random_dirty_corpora(spark, tmp_path_facto
         "dedup_incremental", "lsh_calibration", "drift_vs_reference",
         "curation_pipeline",
     ]
+    from concurrent.futures import ThreadPoolExecutor
+
+    from conftest import sweep_entries
+
+    # Spark side concurrently (guide §2.6 — independent jobs overlap);
+    # DuckDB oracles on ONE dedicated thread overlapped with the Spark
+    # sweep (the connection is used by exactly one thread at a time).
+    with ThreadPoolExecutor(max_workers=1) as ora_pool:
+        ora_fut = ora_pool.submit(
+            lambda: {n: _oracle_or_dump(con, osqls, n, d) for n in fuzzed}
+        )
+        got = sweep_entries([(name, lambda n=name: qs[n](spark, str(d)).toPandas()) for name in fuzzed])
+        oracles = ora_fut.result()
     for name in fuzzed:
-        g = qs[name](spark, str(d)).toPandas()
-        w = _oracle_or_dump(con, osqls, name, d)
+        g, exc = got[name]
+        if exc is not None:
+            raise exc
+        w = oracles[name]
         cols = sorted(g.columns)
         gs = sorted(map(tuple, g[cols].astype(str).values.tolist()))
         ws = sorted(map(tuple, w[cols].astype(str).values.tolist()))
