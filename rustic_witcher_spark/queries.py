@@ -7281,17 +7281,46 @@ class _pinned_shuffle_partitions:
     quota_incremental at 200 vs ~3 s at 8-32. Fresh checkpoints per
     invocation make the pin safe; the conf is restored on exit
     (runtime confs bind at action time, and the streaming query has
-    terminated by then)."""
+    terminated by then).
+
+    The pin is REFCOUNTED under a condition variable so concurrent
+    driver threads (guide §2.6 job overlap — the test sweeps and any
+    embedding host) can hold same-valued pins simultaneously: the
+    first pin saves and sets the conf, the last restores it, and a pin
+    for a DIFFERENT value waits its turn. The old bare set/restore
+    pair could interleave two threads into restoring the wrong value
+    into the session."""
+
+    import threading as _threading
+
+    _cv = _threading.Condition()
+    _active_n: int | None = None
+    _count = 0
+    _saved: str | None = None
 
     def __init__(self, spark: SparkSession, n: int = 8):
         self.spark, self.n = spark, n
 
     def __enter__(self):
-        self.old = self.spark.conf.get("spark.sql.shuffle.partitions")
-        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+        cls = _pinned_shuffle_partitions
+        with cls._cv:
+            while cls._active_n is not None and cls._active_n != self.n:
+                cls._cv.wait()
+            if cls._count == 0:
+                cls._saved = self.spark.conf.get("spark.sql.shuffle.partitions")
+                self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+                cls._active_n = self.n
+            cls._count += 1
 
     def __exit__(self, *exc):
-        self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
+        cls = _pinned_shuffle_partitions
+        with cls._cv:
+            cls._count -= 1
+            if cls._count == 0:
+                self.spark.conf.set("spark.sql.shuffle.partitions", cls._saved)
+                cls._active_n = None
+                cls._saved = None
+                cls._cv.notify_all()
         return False
 
 

@@ -34,8 +34,14 @@ def execute_cmd(cmd: str | list[str], check_for_error: bool = False) -> None:
     "error" (case-insensitive) kills the child and raises with that
     line, regardless of what the exit status would have been."""
     argv = ["sh", "-c", cmd] if isinstance(cmd, str) else list(cmd)
+    # start_new_session: the error-line kill must take down the WHOLE
+    # process tree. kill()ing just the sh wrapper orphans its children,
+    # and an orphan holding the inherited stderr fd kept the drain
+    # thread (and so the raise) blocked until the orphan exited — the
+    # "fail fast" contract waited out the very command it had killed.
     proc = subprocess.Popen(
-        argv, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True
+        argv, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        start_new_session=True,
     )
     stderr_lines: list[str] = []
     stderr_error_lines: list[str] = []
@@ -62,7 +68,13 @@ def execute_cmd(cmd: str | list[str], check_for_error: bool = False) -> None:
             error_line = line
             break
     if error_line is not None:
-        proc.kill()
+        import os
+        import signal
+
+        try:
+            os.killpg(os.getpgid(proc.pid), signal.SIGKILL)
+        except (ProcessLookupError, PermissionError):
+            proc.kill()  # group already gone (or unkillable): kill the leader
         proc.wait()
         drainer.join()
         raise ShellCommandError(error_line)

@@ -35,21 +35,17 @@ def sf_dir():
     return SF_DIR
 
 
-# Entries that must NOT run concurrently with each other: the six
-# Structured-Streaming gate entries pin spark.sql.shuffle.partitions
-# via a session-wide conf set/restore (two overlapping pins can
-# restore the wrong value into the session); the persisted-index
-# family builds into a shared content-keyed cache dir (a concurrent
-# build of the same dir races the parquet commit). Everything else —
-# including the batch-path *_incremental entries, which only touch
-# their own mkdtemp parents — is safe to overlap: shuffle-partition
-# count never changes results (pinned by the partition-invariance
-# tests), and memory-sink names are unique per entry.
+# Entries that must NOT run concurrently with each other: the
+# persisted-index family builds into a shared content-keyed cache dir
+# (a concurrent build of the same dir races the parquet commit).
+# Everything else is safe to overlap: the streaming gate entries'
+# shuffle-partition pin is refcounted (queries._pinned_shuffle_
+# partitions — same-valued pins share, different-valued pins wait),
+# memory-sink names are unique per entry, every entry's scratch space
+# is its own mkdtemp parent, and shuffle-partition count never changes
+# results (pinned by the partition-invariance tests).
 SWEEP_SERIAL_SUFFIXES = ()
 SWEEP_SERIAL_NAMES = {
-    "quota_incremental", "stateful_totals_incremental",
-    "dedup_exact_incremental", "attribution_incremental",
-    "drift_incremental", "histogram_incremental",
     "pq_index_query", "pq_rerank_query", "pq_residual_query",
 }
 
